@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` (single JVM); at production scale the
+same configs apply per-executor. Everything here is standard Apache Spark
+configuration:
+
+- AQE on (runtime partition coalescing, skew-join splitting) so plans
+  self-correct at 100 TB without hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant.
+- UTC session timezone so results compare bit-for-bit against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas interchange path (Pandas UDFs,
+  toPandas) - the only sanctioned Python hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "data_pipeline_capstone_project_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` controls ``local[N]`` and the shuffle-partition count; at
+    cluster scale you would drop ``master`` and let the resource manager
+    decide, keeping the rest of the config identical.
+    """
+    n = str(cpus or _DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
