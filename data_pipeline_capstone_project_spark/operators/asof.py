@@ -1,0 +1,81 @@
+"""As-of (point-in-time) enrichment (SURVEY J4).
+
+The reference's spec: posts from Basic-connection accounts lack
+follower counts, so the pipeline must "bring the sources together"
+(``README.md:147``) - each post should carry the follower count from
+the latest user-stats row at or before the post's timestamp (the
+Lambda's ``-1`` sentinel, ``s3-to-es_aws.py:185-189``, is the hole this
+fills).
+
+Spark lacks a native as-of join. The scale-correct composition here is
+the union-window pattern, NOT a join:
+
+    union(left tagged, right tagged)
+      -> window partitionBy(key) orderBy(ts, tiebreak)
+      -> last(right_value, ignorenulls=True) rowsBetween(-inf, 0)
+      -> filter to left rows
+
+One shuffle on the key, linear scan per key, no range-explosion - a
+join-based as-of (equi-join on key + filter ts_r <= ts_l + argmax)
+materializes |posts| x |stats-per-user| intermediate rows, which at
+100 TB is the difference between a working plan and an OOM. Within one
+table the pattern degenerates to a single window, as below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+
+def asof_enrich(
+    df: DataFrame,
+    key_col: str,
+    ts_cols: list[Column],
+    signal: Column,
+    out_col: str,
+) -> DataFrame:
+    """Carry the last non-null ``signal`` (at-or-before, in ``ts_cols``
+    total order) forward within each key partition."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*ts_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(signal, ignorenulls=True).over(w))
+
+
+def asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each non-signup event enriched with the value of the user's
+    latest signup event at or before it (signup≅daily stats row,
+    value≅followers_count)."""
+    events = load_table(spark, sf_dir, "events")
+    enriched = asof_enrich(
+        events,
+        "user_id",
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        F.when(F.col("event_type") == "signup", F.col("value")),
+        "followers_asof",
+    )
+    return enriched.filter(F.col("event_type") != "signup").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "followers_asof",
+    )
+
+
+ASOF_ORACLE_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, followers_asof
+FROM (
+  SELECT *, last_value(CASE WHEN event_type = 'signup' THEN value END
+                       IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS followers_asof
+  FROM events
+) WHERE event_type <> 'signup'
+"""

@@ -1,0 +1,137 @@
+"""Remaining relational operators: anti-join idempotency (J3), the
+scalar-function suite (F5-F8, F15, F17, §2.8), and the pricing-summary
+bench headline.
+
+J3: the reference checks S3 for an existing object before downloading
+an image (``s3-to-es_aws.py:94-100``) - per-record HEAD requests. The
+set-oriented equivalent is a left-anti join of the incoming batch
+against the processed-keys set: one shuffle (or broadcast when the
+processed side is small), no per-row round trips - the reason this
+scales where per-key existence checks do not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import extract_extension, hex_color
+from ..sources.readers import load_table
+
+
+def anti_join_new_keys(batch: DataFrame, processed: DataFrame, on: list[str]) -> DataFrame:
+    """Rows of ``batch`` whose key is not in ``processed`` (idempotent
+    ingest: skip work already done)."""
+    return batch.join(processed, on=on, how="left_anti")
+
+
+def anti_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events on (user, day) pairs with no 'view' event that day -
+    batch≅incoming posts, processed≅image-store keys."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    processed = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", "day")
+        .distinct()
+    )
+    return anti_join_new_keys(events, processed, ["user_id", "day"]).select(
+        "event_id", "user_id", "day", "event_type"
+    )
+
+
+ANTI_JOIN_ORACLE_SQL = """
+WITH e AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events)
+SELECT event_id, user_id, day, event_type
+FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM e p
+  WHERE p.user_id = e.user_id AND p.day = e.day AND p.event_type = 'view'
+)
+"""
+
+
+def scalar_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-surface showcase over part: string cast (F5), URL concat
+    (F6), regex extension extract (F7), printf hex color (F15,
+    ``spark_image.py:61-72``), blanks->null (F17), -1 sentinel
+    coalesce (F4)."""
+    part = load_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://cdn.example/media/"),
+        F.col("p_partkey").cast("string"),
+        F.lit(".jpg?sig=1"),
+    )
+    return part.select(
+        F.col("p_partkey").cast("string").alias("id"),
+        url.alias("media_url"),
+        extract_extension(url).alias("media_ext"),
+        hex_color(
+            F.col("p_size") % 256, (F.col("p_size") * 3) % 256, (F.col("p_size") * 7) % 256
+        ).alias("hex"),
+        F.nullif(F.trim("p_brand"), F.lit("")).alias("brand"),
+        F.coalesce(
+            F.when(F.col("p_size") % 5 != 0, F.col("p_size")), F.lit(-1)
+        ).alias("size_or_sentinel"),
+    )
+
+
+SCALAR_SUITE_ORACLE_SQL = """
+SELECT CAST(p_partkey AS VARCHAR) AS id,
+       'https://cdn.example/media/' || p_partkey || '.jpg?sig=1' AS media_url,
+       regexp_extract('https://cdn.example/media/' || p_partkey || '.jpg?sig=1',
+                      '(\\.\\w{3,4})\\?', 1) AS media_ext,
+       printf('#%02x%02x%02x', p_size % 256, (p_size * 3) % 256,
+              (p_size * 7) % 256) AS hex,
+       nullif(trim(p_brand), '') AS brand,
+       coalesce(CASE WHEN p_size % 5 <> 0 THEN p_size END, -1) AS size_or_sentinel
+FROM part
+"""
+
+
+PRICING_CUTOFF = "1998-09-02"
+
+
+def pricing_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan-heavy aggregate - the bench headline for
+    raw aggregation throughput. All money sums go through exact
+    decimal arithmetic (see :func:`..functions.aggregates.exact_avg`
+    rationale); per-row products stay double (deterministic), only the
+    reduction is decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= PRICING_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(dec(F.col("l_quantity"))).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec(F.col("l_discount"))).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_ORACLE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -5,19 +5,68 @@
 parquet tables. Names are shared - the driver hash-compares the two at
 sf0.01. Queries with no SQL-expressible oracle (streaming, KMeans) are
 registered without an oracle and carry their own pytest property checks.
+
+SURVEY §2 coverage map:
+  q1_history          J1 J2 A5 A6 W1 W2 K5 (flagship, entry())
+  rolling_engagement  A1 A2 A3 A4 A12 (+ sentinel faithful/clean)
+  latest_wins         W4 ST2 K1 (batch form of the streaming merge)
+  top_k_per_group     W3 A8
+  recent_n_per_user   W5 ST6
+  asof_enrichment     J4
+  posts_flatten       F3 F4 F5 F6 F10 F14 F16
+  anti_join           J3 S9 O4
+  scalar_suite        F5 F6 F7 F8 F15 F17 (+ F18 arithmetic)
+  quality_gates       A10 A11 (incl. the reference's latent bug)
+  pricing_summary     bench headline (scan-heavy agg)
 """
 
 from __future__ import annotations
 
-from .plans.history import history_fact, HISTORY_ORACLE_SQL
-from .plans.engagement import rolling_engagement, ROLLING_ENGAGEMENT_ORACLE_SQL
+from .operators.asof import ASOF_ORACLE_SQL, asof_query
+from .operators.flatten import POSTS_FLATTEN_ORACLE_SQL, posts_flatten_query
+from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
+from .operators.relational import (
+    ANTI_JOIN_ORACLE_SQL,
+    PRICING_SUMMARY_ORACLE_SQL,
+    SCALAR_SUITE_ORACLE_SQL,
+    anti_join_query,
+    pricing_summary_query,
+    scalar_suite_query,
+)
+from .operators.topk import (
+    RECENT_N_ORACLE_SQL,
+    TOP_K_ORACLE_SQL,
+    recent_n_query,
+    top_k_query,
+)
+from .operators.upsert import LATEST_WINS_ORACLE_SQL, latest_wins_query
+from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
+from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
 QUERIES = {
     "q1_history": history_fact,
     "rolling_engagement": rolling_engagement,
+    "latest_wins": latest_wins_query,
+    "top_k_per_group": top_k_query,
+    "recent_n_per_user": recent_n_query,
+    "asof_enrichment": asof_query,
+    "posts_flatten": posts_flatten_query,
+    "anti_join": anti_join_query,
+    "scalar_suite": scalar_suite_query,
+    "quality_gates": quality_gates_query,
+    "pricing_summary": pricing_summary_query,
 }
 
 ORACLES = {
     "q1_history": HISTORY_ORACLE_SQL,
     "rolling_engagement": ROLLING_ENGAGEMENT_ORACLE_SQL,
+    "latest_wins": LATEST_WINS_ORACLE_SQL,
+    "top_k_per_group": TOP_K_ORACLE_SQL,
+    "recent_n_per_user": RECENT_N_ORACLE_SQL,
+    "asof_enrichment": ASOF_ORACLE_SQL,
+    "posts_flatten": POSTS_FLATTEN_ORACLE_SQL,
+    "anti_join": ANTI_JOIN_ORACLE_SQL,
+    "scalar_suite": SCALAR_SUITE_ORACLE_SQL,
+    "quality_gates": QUALITY_GATES_ORACLE_SQL,
+    "pricing_summary": PRICING_SUMMARY_ORACLE_SQL,
 }
