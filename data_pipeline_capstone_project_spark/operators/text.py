@@ -1,0 +1,215 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE.json
+north-star extensions: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything is a single fused projection of built-in array/string
+expressions - no UDFs, no shuffle (except where an aggregate is the
+point). At 100 TB these run scan-bound at parquet read speed with
+full column pruning (only ``doc_id``/``text`` leave the scan).
+
+Determinism rules (shared with the DuckDB oracles):
+- ratios/scores derive from integer counts via one double division;
+- hashes are md5-based (identical across engines), folded with
+  explicit modular arithmetic that cannot overflow int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+#: Marker stopwords per language for the n-gram/stopword language-ID
+#: heuristic. On real corpora these are the usual high-frequency
+#: function words; the driver's synthetic vocabulary only contains
+#: English-ish tokens, so the mechanics (per-language hit counts ->
+#: deterministic argmax) are what is exercised/verified.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+MOD_PRIME = 1_000_000_007
+
+
+def tokens_col(text: Column = None) -> Column:
+    return F.split(text if text is not None else F.col("text"), r"\s+")
+
+
+def md5_word_hash(col: Column, seed: Column | None = None) -> Column:
+    """60-bit integer hash from md5 - the cross-engine-portable hash
+    family (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``).
+    ``seed`` prefixes the input to derive independent family members."""
+    inp = F.concat(seed.cast("string"), F.lit("|"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+
+
+def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    punctuation ratio, stopword ratio, and a composite quality score
+    (length-saturating x punctuation-penalized x stopword-boosted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    punct_ratio = punct / n_chars
+    stopword_ratio = sw / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.25) + F.lit(0.75) * F.least(F.lit(1.0), stopword_ratio * 5))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (tok_len_sum / n_tokens).alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def _sw_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+TEXT_STATS_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       list_sum(list_transform(w, x -> length(x))) / len(w) AS avg_token_len,
+       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         / length(text) AS punct_ratio,
+       len(list_filter(w, x -> x IN ({_sw_list(STOPWORDS)}))) / len(w)
+         AS stopword_ratio,
+       least(1.0, len(w) / 100.0)
+         * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text))
+         * (0.25 + 0.75 * least(1.0,
+              (len(list_filter(w, x -> x IN ({_sw_list(STOPWORDS)}))) / len(w)) * 5))
+         AS quality_score
+FROM tok
+"""
+
+
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: per-language hit counts over the
+    token list, argmax with a fixed language-preference tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    def marker_hits(words: tuple[str, ...]) -> Column:
+        # (closure factory: a default-arg lambda would be read by
+        # F.filter as the two-arg (element, index) form)
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    scores = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+_SCORE = {
+    lang: f"len(list_filter(w, x -> x IN ({_sw_list(words)})))"
+    for lang, words in LANG_MARKERS.items()
+}
+
+LANG_ID_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {_SCORE['en']} AS score_en, {_SCORE['es']} AS score_es,
+         {_SCORE['de']} AS score_de, {_SCORE['fr']} AS score_fr
+  FROM tok
+)
+SELECT doc_id, lang AS labeled_lang, score_en, score_es, score_de, score_fr,
+       CASE WHEN score_en >= score_es AND score_en >= score_de
+                 AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM scored
+"""
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+#: symbol (the standard GPT-style pre-split shape, minus unicode
+#: categories the synthetic corpus doesn't contain).
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    pre-tokens - the unit-economics columns of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+TOKEN_COUNT_ORACLE_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
+       length(text) AS chars
+FROM documents
+"""
+
+
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-text md5 plus an order-sensitive
+    rolling polynomial hash over the token stream
+    (``h = (h*31 + md5_60bit(w)) mod p`` - content-defined, stable
+    across engines; the md5 makes the per-word hash portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.trim("text")))
+    word_hashes = F.transform(toks, lambda w: md5_word_hash(w) % MOD_PRIME)
+    roll = F.aggregate(
+        word_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % MOD_PRIME,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("md5_fp"),
+        roll.alias("roll_fp"),
+    )
+
+
+FINGERPRINT_ORACLE_SQL = f"""
+SELECT doc_id,
+       md5(lower(trim(text))) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {MOD_PRIME})),
+         (a, b) -> (a * 31 + b) % {MOD_PRIME}) AS roll_fp
+FROM documents
+"""

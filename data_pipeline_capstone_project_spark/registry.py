@@ -23,6 +23,16 @@ SURVEY §2 coverage map:
 from __future__ import annotations
 
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
+from .operators.dedup import (
+    DEDUP_EXACT_ORACLE_SQL,
+    DEDUP_MINHASH_ORACLE_SQL,
+    DEDUP_NGRAM_ORACLE_SQL,
+    DEDUP_SIMHASH_ORACLE_SQL,
+    dedup_exact_query,
+    dedup_minhash_query,
+    dedup_ngram_query,
+    dedup_simhash_query,
+)
 from .operators.flatten import POSTS_FLATTEN_ORACLE_SQL, posts_flatten_query
 from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
 from .operators.relational import (
@@ -38,6 +48,16 @@ from .operators.topk import (
     TOP_K_ORACLE_SQL,
     recent_n_query,
     top_k_query,
+)
+from .operators.text import (
+    FINGERPRINT_ORACLE_SQL,
+    LANG_ID_ORACLE_SQL,
+    TEXT_STATS_ORACLE_SQL,
+    TOKEN_COUNT_ORACLE_SQL,
+    fingerprint_query,
+    lang_id_query,
+    text_stats_query,
+    token_count_query,
 )
 from .operators.upsert import LATEST_WINS_ORACLE_SQL, latest_wins_query
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
@@ -55,6 +75,14 @@ QUERIES = {
     "scalar_suite": scalar_suite_query,
     "quality_gates": quality_gates_query,
     "pricing_summary": pricing_summary_query,
+    "text_stats": text_stats_query,
+    "lang_id": lang_id_query,
+    "token_count": token_count_query,
+    "doc_fingerprint": fingerprint_query,
+    "dedup_exact": dedup_exact_query,
+    "dedup_ngram_jaccard": dedup_ngram_query,
+    "dedup_minhash_lsh": dedup_minhash_query,
+    "dedup_simhash": dedup_simhash_query,
 }
 
 ORACLES = {
@@ -69,4 +97,12 @@ ORACLES = {
     "scalar_suite": SCALAR_SUITE_ORACLE_SQL,
     "quality_gates": QUALITY_GATES_ORACLE_SQL,
     "pricing_summary": PRICING_SUMMARY_ORACLE_SQL,
+    "text_stats": TEXT_STATS_ORACLE_SQL,
+    "lang_id": LANG_ID_ORACLE_SQL,
+    "token_count": TOKEN_COUNT_ORACLE_SQL,
+    "doc_fingerprint": FINGERPRINT_ORACLE_SQL,
+    "dedup_exact": DEDUP_EXACT_ORACLE_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_ORACLE_SQL,
 }

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_capstone_project_spark.operators.dedup import (
+    dedup_exact_query,
+    dedup_minhash_query,
+    dedup_ngram_query,
+)
+from data_pipeline_capstone_project_spark.operators.text import (
+    fingerprint_query,
+    text_stats_query,
+)
+
+
+def test_minhash_results_subset_of_exact_jaccard(spark, sf_dir):
+    """LSH can only miss pairs (probabilistic recall), never invent
+    them: every verified LSH pair must appear in the exact all-pairs
+    result with the same jaccard."""
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup_ngram_query(spark, sf_dir).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup_minhash_query(spark, sf_dir).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(exact[k] - v) < 1e-12
+    # 8 bands x 2 rows at j >= 0.5 -> expected recall >= ~90%; the
+    # fixed md5 hash family makes the outcome deterministic, so this
+    # does not flake.
+    if exact:
+        assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_exact_dedup_partitions_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    groups = dedup_exact_query(spark, sf_dir)
+    assert groups.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+    assert groups.filter("keep_doc_id IS NULL").count() == 0
+
+
+def test_fingerprint_deterministic_and_distinct(spark, sf_dir):
+    fp1 = {r["doc_id"]: (r["md5_fp"], r["roll_fp"]) for r in fingerprint_query(spark, sf_dir).collect()}
+    fp2 = {r["doc_id"]: (r["md5_fp"], r["roll_fp"]) for r in fingerprint_query(spark, sf_dir).collect()}
+    assert fp1 == fp2
+    # md5 distinct <=> texts distinct (all distinct in testdata)
+    assert len({v[0] for v in fp1.values()}) == len(fp1)
+
+
+def test_text_stats_ranges(spark, sf_dir):
+    rows = text_stats_query(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
