@@ -17,10 +17,15 @@ from data_pipeline_capstone_project_spark.registry import QUERIES, ORACLES
 
 def _tune(spark: SparkSession) -> None:
     """Runtime-settable confs the driver's session may lack. UTC is
-    required for bit-exact timestamp comparison with DuckDB."""
+    required for bit-exact timestamp comparison with DuckDB; the
+    package zip must be shipped so executor Python workers can import
+    the Pandas-UDF modules regardless of the driver's cwd."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    from data_pipeline_capstone_project_spark.session import ship_package
+
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,106 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata -
+the Spark-side plumbing (schema, Arrow batch shape, partitioning) is
+real and tested; the codec step itself is STUBBED because no
+image/audio library exists in this environment:
+
+- :func:`decode_media_meta` is the real operator shape: ``mapInPandas``
+  over Arrow batches of (id, payload binary) producing typed metadata.
+  The decode callback defaults to :func:`fake_decode` (deterministic,
+  derived from the byte stream); plugging a real codec in is a one-line
+  swap (``decoder=pillow_decode``-style) with identical distribution
+  behavior.
+- :func:`real_decode` raises ``NotImplementedError`` - the clearly
+  marked seam where cv2/PIL/ffmpeg would go (reference decoded with
+  cv2 inside its grouped-map UDF, ``spark_image.py:140-160``).
+
+Scale notes: ``mapInPandas`` streams Arrow record batches - payload
+bytes never materialize on the driver, and each task handles its
+batches independently (binary-heavy tables should set small
+``maxPartitionBytes`` so a partition of big blobs still fits in
+executor memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, fmt string, thumb_bytes long"
+)
+
+THUMB_LIMIT = 64
+
+
+def real_decode(payload: bytes) -> tuple[int, int]:
+    """Seam for a real image codec (PIL/cv2). Not available in this
+    environment - the deterministic :func:`fake_decode` stands in."""
+    raise NotImplementedError("no image codec in this environment; use fake_decode")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in decode: metadata derived from the byte
+    stream only (so results are reproducible and oracle-checkable)."""
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1)
+
+
+def decode_media_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fmt_col: str = "fmt",
+    decoder: Callable[[bytes], tuple[int, int]] = fake_decode,
+) -> DataFrame:
+    """Binary payloads -> typed media metadata via Arrow-batched
+    ``mapInPandas`` (decode + thumbnail-slice per record)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [decoder(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "fmt": pdf[fmt_col],
+                    "thumb_bytes": [len(p[:THUMB_LIMIT]) for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=META_SCHEMA)
+
+
+def multimodal_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: documents' text bytes stand in for media
+    payloads (binary column built with ``encode``); the mapInPandas
+    decode produces metadata the DuckDB oracle recomputes from
+    lengths (corpus is ASCII, so n_bytes == n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.concat(F.lit("fake/"), F.col("source")).alias("fmt"),
+    )
+    return decode_media_meta(payloads)
+
+
+MULTIMODAL_META_ORACLE_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_bytes,
+       length(text) % 640 + 1 AS width,
+       (length(text) * 7) % 480 + 1 AS height,
+       'fake/' || source AS fmt,
+       least(length(text), {THUMB_LIMIT}) AS thumb_bytes
+FROM documents
+"""

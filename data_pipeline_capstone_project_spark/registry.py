@@ -33,7 +33,12 @@ from .operators.dedup import (
     dedup_ngram_query,
     dedup_simhash_query,
 )
+from .operators.colors import color_palette_query
 from .operators.flatten import POSTS_FLATTEN_ORACLE_SQL, posts_flatten_query
+from .operators.multimodal import (
+    MULTIMODAL_META_ORACLE_SQL,
+    multimodal_meta_query,
+)
 from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
 from .operators.relational import (
     ANTI_JOIN_ORACLE_SQL,
@@ -48,6 +53,12 @@ from .operators.topk import (
     TOP_K_ORACLE_SQL,
     recent_n_query,
     top_k_query,
+)
+from .operators.similarity import (
+    SIMILARITY_LSH_ORACLE_SQL,
+    SIMILARITY_TOPK_ORACLE_SQL,
+    similarity_lsh_query,
+    similarity_topk_query,
 )
 from .operators.text import (
     FINGERPRINT_ORACLE_SQL,
@@ -83,6 +94,10 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_query,
     "dedup_minhash_lsh": dedup_minhash_query,
     "dedup_simhash": dedup_simhash_query,
+    "similarity_topk": similarity_topk_query,
+    "similarity_lsh_ann": similarity_lsh_query,
+    "multimodal_meta": multimodal_meta_query,
+    "color_palette": color_palette_query,
 }
 
 ORACLES = {
@@ -105,4 +120,10 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE_SQL,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE_SQL,
+    "similarity_topk": SIMILARITY_TOPK_ORACLE_SQL,
+    "similarity_lsh_ann": SIMILARITY_LSH_ORACLE_SQL,
+    "multimodal_meta": MULTIMODAL_META_ORACLE_SQL,
+    # color_palette: no oracle (iterative KMeans is not SQL-expressible;
+    # the driver records the weaker rows-only check; property tests in
+    # tests/test_colors.py)
 }

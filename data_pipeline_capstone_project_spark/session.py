@@ -17,10 +17,41 @@ configuration:
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF bodies (applyInPandas/mapInPandas) are module-level
+    functions, which cloudpickle serializes BY REFERENCE - workers
+    re-import the module. On a real cluster that is exactly what you
+    want (ship one zip instead of pickling code per task), and it is
+    done the standard way: zip the package and ``addPyFile`` it.
+    Idempotent; rebuilds only when sources are newer than the zip.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "data_pipeline_capstone_project_spark.zip")
+    newest = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
