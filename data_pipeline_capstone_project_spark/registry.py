@@ -71,6 +71,10 @@ from .operators.text import (
     token_count_query,
 )
 from .operators.upsert import LATEST_WINS_ORACLE_SQL, latest_wins_query
+from .streaming.upsert_stream import (
+    STREAMING_UPSERT_ORACLE_SQL,
+    streaming_upsert_query,
+)
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
@@ -98,6 +102,7 @@ QUERIES = {
     "similarity_lsh_ann": similarity_lsh_query,
     "multimodal_meta": multimodal_meta_query,
     "color_palette": color_palette_query,
+    "streaming_upsert": streaming_upsert_query,
 }
 
 ORACLES = {
@@ -125,5 +130,6 @@ ORACLES = {
     "multimodal_meta": MULTIMODAL_META_ORACLE_SQL,
     # color_palette: no oracle (iterative KMeans is not SQL-expressible;
     # the driver records the weaker rows-only check; property tests in
-    # tests/test_colors.py)
+    # tests/test_colors_multimodal.py)
+    "streaming_upsert": STREAMING_UPSERT_ORACLE_SQL,
 }
