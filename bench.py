@@ -29,8 +29,13 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # Warm the JVM/codegen paths once on the smallest table.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm JVM/codegen/Python-worker paths: one full pass at the
+    # smallest scale factor, so timings reflect steady-state execution
+    # (what a long-running cluster job sees), not first-query JIT cost.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for fn in queries.values():
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -54,6 +54,7 @@ from .operators.topk import (
     recent_n_query,
     top_k_query,
 )
+from .operators.search import KEYWORD_SEARCH_ORACLE_SQL, keyword_search_query
 from .operators.similarity import (
     SIMILARITY_LSH_ORACLE_SQL,
     SIMILARITY_TOPK_ORACLE_SQL,
@@ -103,6 +104,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta_query,
     "color_palette": color_palette_query,
     "streaming_upsert": streaming_upsert_query,
+    "keyword_search": keyword_search_query,
 }
 
 ORACLES = {
@@ -132,4 +134,5 @@ ORACLES = {
     # the driver records the weaker rows-only check; property tests in
     # tests/test_colors_multimodal.py)
     "streaming_upsert": STREAMING_UPSERT_ORACLE_SQL,
+    "keyword_search": KEYWORD_SEARCH_ORACLE_SQL,
 }
