@@ -18,6 +18,14 @@ Design for 100 TB:
 All hashes are md5-derived (portable: the DuckDB oracle computes
 bit-identical signatures), so even the LSH bucketing - normally
 "engine-private" randomness - is fully hash-checked by the driver.
+
+Hash-family cost note: each shingle/word is md5'd exactly ONCE (a
+32-bit base hash materialized in its own projection so Catalyst's
+CollapseProject cannot re-inline it into N copies); the N MinHash
+family members are affine permutations ``(a_i*h + b_i) mod p`` of that
+base hash - integer-only, overflow-safe in int64 on both engines
+(a < 2^30, h < 2^32 => a*h+b < 2^63), and ~16x cheaper than seeded
+re-hashing.
 """
 
 from __future__ import annotations
@@ -37,23 +45,95 @@ SIMHASH_BITS = 48
 SIMHASH_BLOCKS = 4  # Hamming-LSH: d <= 3 pairs share >= 1 of 4 blocks
 SIMHASH_MAX_DIST = 3
 
+#: Mersenne prime modulus + deterministic affine coefficients for the
+#: MinHash family (fixed LCG seed; regenerated identically into the
+#: DuckDB oracle SQL below).
+MINHASH_PRIME = (1 << 61) - 1
 
-def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-word shingles of ``text`` (empty array if < n words)."""
-    w = F.split(text, r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+
+def _coeffs() -> tuple[list[int], list[int]]:
+    x, a, b = 20260813, [], []
+    for _ in range(NUM_HASHES):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a.append((x % ((1 << 30) - 1)) | 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b.append(x % (1 << 30))
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _coeffs()
+
+#: Mixing coefficients for deriving a shingle hash from 3 consecutive
+#: 32-bit word hashes (odd, < 2^30; overflow-safe: h*c < 2^62, the
+#: three mod-P terms sum to < 2^63).
+SHINGLE_C1 = 0x27d4eb2f
+SHINGLE_C2 = 0x165667b1
+
+
+def md5_hash32(col: Column) -> Column:
+    """32-bit base hash (first 8 md5 hex chars). Small enough that an
+    affine permutation with 30-bit coefficients stays inside int64."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles_col(wh: Column) -> Column:
+    """Distinct 3-word shingle HASHES from a *materialized* word-hash
+    array column ``wh`` (empty array if < 3 words). A shingle hash is
+    an integer mix of its 3 consecutive 32-bit word hashes mod the
+    Mersenne prime - shingle *strings* never exist, so per-doc state
+    is one long array and the md5 count is n_words, not n_shingles
+    x 3-word-strings.
+
+    CRITICAL: ``wh`` must be a bound column attribute, not a nested
+    expression. Spark higher-order functions are interpreted (no
+    whole-stage codegen, no CSE inside the lambda body), so an array
+    expression referenced in the lambda is RE-EVALUATED PER ELEMENT -
+    passing ``transform(split(...), md5)`` directly here turns an
+    O(n) projection into O(n^2) md5 calls (measured: ~7x on the old
+    string path, far worse with explicit per-word hashing)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - (SHINGLE_N - 1), F.lit(0)))
+    p = F.lit(MINHASH_PRIME)
     return F.array_distinct(
         F.transform(
-            idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+            idx,
+            lambda i: (
+                (F.element_at(wh, i) * F.lit(SHINGLE_C1)) % p
+                + (F.element_at(wh, i + 1) * F.lit(SHINGLE_C2)) % p
+                + F.element_at(wh, i + 2)
+            )
+            % p,
         )
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` spread across all cores. The shingle/hash
+    projections are CPU-bound, so their parallelism must come from a
+    round-robin repartition, not from input splits - a locally-tested
+    corpus is one parquet row group (1 task), and even at 100 TB
+    text compresses so well that split count underestimates the CPU
+    cost per byte. One narrow-row (doc_id, text) shuffle buys a
+    full-cluster-wide map stage."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", shingles_col(F.col("text")).alias("shs")).filter(
-        F.size("shs") > 0
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _parallel_docs(spark, sf_dir)
+    # Short-doc filter on the RAW text, before any hashing: a filter
+    # phrased as size(shs) > 0 would be predicate-pushed below the
+    # projections, inlining the whole (expensive) shingle expression
+    # into the scan-side predicate and re-evaluating it per row on top
+    # of the projection itself. n_words >= 3 is equivalent (a >=3-word
+    # doc always yields >= 1 shingle) and costs one split.
+    docs = docs.filter(F.size(F.split("text", r"\s+")) >= SHINGLE_N)
+    # Word hashes materialized in their own projection (see
+    # shingles_col docstring for why this MUST be two selects).
+    wh = docs.select(
+        "doc_id",
+        F.transform(F.split("text", r"\s+"), md5_hash32).alias("wh"),
     )
+    return wh.select("doc_id", shingles_col(F.col("wh")).alias("shs"))
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -83,15 +163,33 @@ GROUP BY 1
 
 # --- exact n-gram Jaccard (all candidate pairs) ----------------------------
 
-def _jaccard_pairs(shx: DataFrame, sizes: DataFrame, candidates: DataFrame | None) -> DataFrame:
-    """Exact Jaccard over shingle sets for (doc_a < doc_b) pairs;
-    restricted to ``candidates`` when given (the LSH path)."""
+def dedup_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5. The shingle
+    equi-join only materializes pairs that share >= 1 shingle, not the
+    |docs|^2 cross product; shingles enter the self-join as 8-byte
+    md5-derived hashes, not ~25-char strings, so the shuffle moves a
+    fraction of the bytes. At scale the LSH operator below bounds the
+    candidate set further.
+
+    ``explode_outer`` (not ``explode``) is deliberate: plain explode
+    triggers the InferFiltersFromGenerate rule, which pushes an
+    inferred ``size(shs) > 0`` predicate below the projections -
+    inlining the whole interpreted shingle expression into a
+    scan-side filter and re-evaluating it per row (measured ~20x on
+    this query). Outer explode infers nothing; the null rows it could
+    add are impossible (shingles are non-empty post word-count
+    filter) and would drop out of the inner equi-join anyway."""
+    sh = _doc_shingles(spark, sf_dir)
+    shx = sh.select("doc_id", F.explode_outer("shs").alias("sh"))
     a = shx.select(F.col("doc_id").alias("doc_a"), "sh")
     b = shx.select(F.col("doc_id").alias("doc_b"), "sh")
-    pairs = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
-    if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = sh.select("doc_id", F.size("shs").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -108,24 +206,18 @@ def _jaccard_pairs(shx: DataFrame, sizes: DataFrame, candidates: DataFrame | Non
     )
 
 
-def dedup_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= 0.5. The shingle
-    equi-join only materializes pairs that share >= 1 shingle, not the
-    |docs|^2 cross product; at scale the LSH operator below bounds the
-    candidate set further."""
-    sh = _doc_shingles(spark, sf_dir)
-    shx = sh.select("doc_id", F.explode("shs").alias("sh"))
-    sizes = sh.select("doc_id", F.size("shs").alias("n"))
-    return _jaccard_pairs(shx, sizes, None)
-
-
 _ORACLE_SHINGLES = f"""
 tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+wh AS (SELECT doc_id,
+              list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS wh
+       FROM tok),
 sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - {SHINGLE_N - 2}),
-           i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS shs
-  FROM tok WHERE len(w) >= {SHINGLE_N}
+         list_distinct(list_transform(range(1, len(wh) - {SHINGLE_N - 2}),
+           i -> ((wh[i] * {SHINGLE_C1}) % {MINHASH_PRIME}
+                 + (wh[i + 1] * {SHINGLE_C2}) % {MINHASH_PRIME}
+                 + wh[i + 2]) % {MINHASH_PRIME})) AS shs
+  FROM wh WHERE len(wh) >= {SHINGLE_N}
 ),
 shx AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
 sizes AS (SELECT doc_id, len(shs) AS n FROM sh)
@@ -149,13 +241,24 @@ WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def minhash_signature(shs: Column) -> Column:
-    """16-element MinHash signature as a single column expression:
-    sig[i] = min over shingles of h_i(s), h_i = md5(i || '|' || s)
-    truncated to 60 bits. No explode - one projection."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda i: F.array_min(F.transform(shs, lambda s: md5_word_hash(s, seed=i))),
+def _affine(a: int, b: int):
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature(hs: Column) -> Column:
+    """16-element MinHash signature from pre-computed 32-bit base
+    hashes ``hs``: sig[i] = min over shingles of (a_i*h + b_i) mod p.
+    Statically unrolled into 16 flat ``array_min(transform(...))``
+    terms with literal coefficients - the nested
+    ``transform(sequence(...), i -> ...)`` + ``element_at`` form is
+    ~7x slower (measured): per-element array-literal indexing defeats
+    the evaluator, and constant-folding the coefficients into the
+    lambda keeps each pass a tight fused loop."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, _affine(a, b)))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
     )
 
 
@@ -185,11 +288,19 @@ def lsh_bands(sig_df: DataFrame) -> DataFrame:
 def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, exact-verified: signature ->
     band buckets -> candidate pairs (equi-join on (band, bucket)) ->
-    exact Jaccard on candidates only. Output identical in shape to
-    :func:`dedup_ngram_query`; at scale the candidate join replaces
-    the all-pairs shingle join."""
+    exact Jaccard on candidates only, via ``array_intersect`` of the
+    two shingle sets. Verification cost is linear in the candidate
+    count - there is NO all-pairs shingle join anywhere in this plan,
+    which is what makes it the 100 TB path (the exact operator above
+    is the small-scale oracle)."""
     sh = _doc_shingles(spark, sf_dir)
-    sig = sh.select("doc_id", minhash_signature(F.col("shs")).alias("sig"))
+    # 32-bit base hashes (fold of the 61-bit shingle hash) so the
+    # affine permutations stay inside int64; no md5 on this path.
+    hs = sh.select(
+        "doc_id",
+        F.transform("shs", lambda s: s % F.lit(1 << 32)).alias("hs"),
+    )
+    sig = hs.select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
     bands = lsh_bands(sig)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
@@ -199,20 +310,41 @@ def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    shx = sh.select("doc_id", F.explode("shs").alias("sh"))
-    sizes = sh.select("doc_id", F.size("shs").alias("n"))
-    return _jaccard_pairs(shx, sizes, cands)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                common / (F.size("shs_a") + F.size("shs_b") - common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
+
+_A_LIST = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_B_LIST = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
 
 DEDUP_MINHASH_ORACLE_SQL = f"""
 WITH {_ORACLE_SHINGLES},
+hs AS (
+  SELECT doc_id, shs,
+         list_transform(shs, s -> s % 4294967296) AS hs
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          list_transform(range(0, {NUM_HASHES}),
-           i -> list_min(list_transform(shs,
-             s -> ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15))::BIGINT)))
+           i -> list_min(list_transform(hs,
+             h -> ({_A_LIST}[i + 1]::BIGINT * h + {_B_LIST}[i + 1]::BIGINT)
+                  % {MINHASH_PRIME})))
            AS sig
-  FROM sh
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, band,
@@ -226,30 +358,29 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
 ),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-  GROUP BY 1, 2
+verified AS (
+  SELECT cand.doc_a, cand.doc_b,
+         len(list_intersect(sa.shs, sb.shs))
+           / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
 )
-SELECT doc_a, doc_b,
-       common / (sa.n + sb.n - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash_col(words: Column) -> Column:
-    """48-bit SimHash over the distinct word set: bit j of the result
-    is the majority vote of bit j across md5-derived word hashes."""
-    hashes = F.transform(words, lambda w: md5_word_hash(w))
-    n = F.size(words)
-    # Statically unrolled over the 32 bits (shift amounts must be
-    # Python ints); Catalyst folds this into one projection.
+def simhash_col(hashes: Column) -> Column:
+    """48-bit SimHash from pre-computed word hashes: bit j of the
+    result is the majority vote of bit j across the hash array."""
+    n = F.size(hashes)
+    # Statically unrolled over the 48 bits (shift amounts must be
+    # Python ints); each pass is cheap integer filtering over the
+    # already-materialized hash array.
     def ones_at(bit):
         return F.size(F.filter(hashes, lambda h: h.bitwiseAND(bit) != 0))
 
@@ -263,12 +394,17 @@ def simhash_col(words: Column) -> Column:
 def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 48-bit signatures, Hamming-LSH on 4
     12-bit blocks (any pair within distance 3 must share a block),
-    verified with bit_count(xor) <= 3."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
+    verified with bit_count(xor) <= 3. Word hashes are materialized in
+    their own projection (md5 once per word; the 48 majority-vote
+    passes are integer ops over that array)."""
+    docs = _parallel_docs(spark, sf_dir)
+    hs = docs.select(
         "doc_id",
-        simhash_col(F.array_distinct(F.split("text", r"\s+"))).alias("sim"),
+        F.transform(
+            F.array_distinct(F.split("text", r"\s+")), lambda w: md5_word_hash(w)
+        ).alias("hs"),
     )
+    sigs = hs.select("doc_id", simhash_col(F.col("hs")).alias("sim"))
     block = F.explode(
         F.array(
             *[
@@ -299,8 +435,8 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+        .distinct()
     )
 
 
