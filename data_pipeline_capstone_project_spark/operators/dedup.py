@@ -280,7 +280,9 @@ def lsh_bands(sig_df: DataFrame) -> DataFrame:
             ).alias("bucket"),
         ),
     )
-    return sig_df.select("doc_id", F.explode(bands).alias("bb")).select(
+    # explode_outer: see dedup_ngram_query - plain explode infers a
+    # size()>0 filter that inlines the whole sig expression scan-side.
+    return sig_df.select("doc_id", F.explode_outer(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -405,7 +407,7 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     sigs = hs.select("doc_id", simhash_col(F.col("hs")).alias("sim"))
-    block = F.explode(
+    block = F.explode_outer(
         F.array(
             *[
                 F.struct(

@@ -64,19 +64,32 @@ def cosine(a: Column, b: Column) -> Column:
 
 def similarity_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each query vector
-    (vec_id < 10), self excluded, ties broken by neighbor id."""
+    (vec_id < 10), self excluded, ties broken by neighbor id.
+
+    Norms are precomputed per SIDE before the join, so each |Q| x N
+    pair evaluates one dot-product fold instead of three (the
+    division  dot / (sqrt(qq) * sqrt(cc))  sees bit-identical doubles
+    either way, so the oracle needs no restructuring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            (
+                _dot_fold(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -151,16 +164,26 @@ def similarity_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", lsh_bucket(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("qn"),
+        "bucket",
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("cn"),
+        "bucket",
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_fold(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
