@@ -442,6 +442,114 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- embedding-cosine near-dup --------------------------------------------
+
+EMB_DUP_TABLES = 6
+EMB_DUP_BITS = 3
+EMB_DUP_THRESHOLD = 0.4
+# P(same 3-bit bucket in >=1 of 6 tables) at cos=0.4 is ~0.82; raise
+# tables (OR-amplification) for recall, bits (AND) for precision.
+
+
+def dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-LSH candidates
+    (6 tables x 3 hyperplane bits - any pair sharing a bucket in any
+    table is a candidate), exact-cosine verified at >= 0.4. Same shape
+    as the MinHash operator: the banded equi-join replaces the
+    all-pairs N^2 cosine scan, verification is linear in candidates.
+    Recall is probabilistic; the oracle computes the identical
+    candidate set from the same md5-derived plane literals, so the
+    driver hash-checks the full pipeline."""
+    from .similarity import _dot_fold, _md5_planes, unrolled_proj
+
+    planes = _md5_planes("dup", EMB_DUP_TABLES * EMB_DUP_BITS)
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    entries = []
+    for t in range(EMB_DUP_TABLES):
+        bucket = F.lit(0)
+        for j in range(EMB_DUP_BITS):
+            proj = unrolled_proj(F.col("embedding"), planes[t * EMB_DUP_BITS + j])
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    bx = base.select("vec_id", F.explode_outer(F.array(*entries)).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = bx.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = bx.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+
+
+def _emb_dup_oracle() -> str:
+    from .similarity import _md5_planes, _oracle_dot
+
+    planes = _md5_planes("dup", EMB_DUP_TABLES * EMB_DUP_BITS)
+    selects = []
+    for t in range(EMB_DUP_TABLES):
+        bits = []
+        for j in range(EMB_DUP_BITS):
+            plane = planes[t * EMB_DUP_BITS + j]
+            proj = " + ".join(
+                f"({r!r} * embedding[{d + 1}]::DOUBLE)" for d, r in enumerate(plane)
+            )
+            bits.append(
+                f"CASE WHEN (0.0 + {proj}) >= 0 THEN {1 << j} ELSE 0 END"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM embeddings"
+        )
+    bx = " UNION ALL ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding,
+                  sqrt({_oracle_dot('embedding', 'embedding')}) AS nrm
+           FROM embeddings),
+bx AS ({bx}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bx a JOIN bx b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT cand.vec_a, cand.vec_b,
+         {_oracle_dot('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a
+  JOIN e eb ON eb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM verified
+WHERE cosine >= {EMB_DUP_THRESHOLD}
+"""
+
+
+DEDUP_EMBEDDING_ORACLE_SQL = _emb_dup_oracle()
+
+
 DEDUP_SIMHASH_ORACLE_SQL = f"""
 WITH tok AS (
   SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS w FROM documents

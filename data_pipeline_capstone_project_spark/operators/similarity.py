@@ -39,7 +39,15 @@ LSH_BITS = 6
 
 
 def _dot_fold(a: Column, b: Column) -> Column:
-    """Left-fold dot product: deterministic addition order."""
+    """Left-fold dot product: deterministic addition order (matches
+    the oracle's list_reduce left fold bit-for-bit).
+
+    Kept as a higher-order fold ON PURPOSE: the statically-unrolled
+    64-term element_at chain was measured SLOWER (2x on the top-k
+    query) - a projection with several such chains overflows the
+    whole-stage-codegen method budget and falls back to interpreting
+    a much bigger tree, while zip_with+aggregate is one tight
+    interpreted loop."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -116,31 +124,45 @@ SELECT query_id, neighbor_id, cosine, rn FROM (
 """
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1]: component
-    (b, d) from md5(f"{b}_{d}") - reproducible anywhere, no RNG state."""
+def _md5_planes(tag: str, n: int) -> list[list[float]]:
+    """Deterministic pseudo-random vectors in [-1, 1]^DIM: component
+    (b, d) from md5(f"{tag}{b}_{d}") - reproducible anywhere, no RNG
+    state. ``tag`` derives independent families (hyperplanes, IVF
+    centroids, banded-LSH planes) from the same generator."""
     planes = []
-    for b in range(LSH_BITS):
+    for b in range(n):
         row = []
         for d in range(DIM):
-            h = int(hashlib.md5(f"{b}_{d}".encode()).hexdigest()[:15], 16)
+            h = int(hashlib.md5(f"{tag}{b}_{d}".encode()).hexdigest()[:15], 16)
             row.append(((h % 2001) - 1000) / 1000.0)
         planes.append(row)
     return planes
 
 
-_PLANES = _hyperplanes()
+_PLANES = _md5_planes("", LSH_BITS)
+
+
+def unrolled_proj(emb: Column, plane: list[float]) -> Column:
+    """<emb, plane> for a CONSTANT plane: zip_with against a
+    constant-folded literal array, left-fold sum. Measured ~7x faster
+    than the statically-unrolled 64-term sum once several planes
+    stack in one projection (the giant unrolled tree overflows the
+    codegen method budget; the fold is one tight loop over a cached
+    literal array). Addition order matches the unrolled form and the
+    oracle SQL exactly: (((0 + t1) + t2) + ...)."""
+    arr = F.array(*[F.lit(float(v)) for v in plane])
+    return F.aggregate(
+        F.zip_with(emb, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_bucket(emb: Column) -> Column:
-    """Sign-LSH signature (LSH_BITS wide) as an integer bucket id. Each
-    projection is a statically unrolled left-assoc literal sum -
-    constant-folded by Catalyst into one fused projection."""
+    """Sign-LSH signature (LSH_BITS wide) as an integer bucket id."""
     bucket = F.lit(0)
     for b, plane in enumerate(_PLANES):
-        proj = F.lit(0.0)
-        for d, r in enumerate(plane):
-            proj = proj + F.lit(r) * F.element_at(emb, d + 1).cast("double")
+        proj = unrolled_proj(emb, plane)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
 
@@ -214,3 +236,103 @@ SELECT query_id, neighbor_id, cosine, rn FROM (
 
 
 SIMILARITY_LSH_ORACLE_SQL = _lsh_oracle()
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+N_CENTROIDS = 8  # coarse quantizer size; grows ~sqrt(N) at scale
+_CENTROIDS = _md5_planes("ivf", N_CENTROIDS)
+
+
+def ivf_cell(emb: Column) -> Column:
+    """Nearest-centroid cell id (nprobe=1 coarse quantization).
+    Ranking key is squared L2 minus the |v|^2 term (constant per row):
+    dist_k = |c_k|^2 - 2<v, c_k>. The (dist, k) structs are compared
+    lexicographically by ``least`` - float-deterministic, ties broken
+    by centroid id - so the DuckDB oracle reproduces the assignment
+    bit-for-bit from the same literals.
+
+    A production IVF trains centroids with k-means and probes several
+    cells; here the centroids are fixed md5-derived literals so the
+    oracle can verify the full plan. Swapping in trained centroids
+    changes only this constant table."""
+    cells = []
+    for k, c in enumerate(_CENTROIDS):
+        dist = F.lit(float(sum(v * v for v in c))) - (F.lit(2.0) * unrolled_proj(emb, c))
+        cells.append(F.struct(dist.alias("dist"), F.lit(k).alias("k")))
+    return F.least(*cells)["k"]
+
+
+def similarity_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via inverted-file partitioning: exact cosine top-5
+    restricted to the query's own IVF cell. The cell equi-join bounds
+    the candidate scan to ~N/K vectors per query; at 100 TB the
+    candidate side is a partition-pruned read of a cell-partitioned
+    table (cell id is a write-time column), so a query touches 1/K of
+    the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        ivf_cell(F.col("embedding")).alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_fold(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+def _oracle_cell(emb: str) -> str:
+    structs = []
+    for k, c in enumerate(_CENTROIDS):
+        proj = " + ".join(f"({r!r} * {emb}[{d + 1}]::DOUBLE)" for d, r in enumerate(c))
+        sumsq = float(sum(v * v for v in c))
+        structs.append(
+            f"{{'dist': {sumsq!r} - (2.0 * (0.0 + {proj})), 'k': {k}}}"
+        )
+    # DuckDB's least() doesn't take structs; a sorted struct list's
+    # head is the same lexicographic (dist, k) min as Spark's least().
+    return "(list_sort([" + ", ".join(structs) + "])[1]).k"
+
+
+SIMILARITY_IVF_ORACLE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding,
+                  sqrt({_oracle_dot('embedding', 'embedding')}) AS nrm,
+                  {_oracle_cell('embedding')} AS cell
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell FROM e
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_oracle_dot('qv', 'c.embedding')} / (qn * c.nrm) AS cosine
+  FROM e c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""

@@ -24,10 +24,12 @@ from __future__ import annotations
 
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
 from .operators.dedup import (
+    DEDUP_EMBEDDING_ORACLE_SQL,
     DEDUP_EXACT_ORACLE_SQL,
     DEDUP_MINHASH_ORACLE_SQL,
     DEDUP_NGRAM_ORACLE_SQL,
     DEDUP_SIMHASH_ORACLE_SQL,
+    dedup_embedding_query,
     dedup_exact_query,
     dedup_minhash_query,
     dedup_ngram_query,
@@ -56,8 +58,10 @@ from .operators.topk import (
 )
 from .operators.search import KEYWORD_SEARCH_ORACLE_SQL, keyword_search_query
 from .operators.similarity import (
+    SIMILARITY_IVF_ORACLE_SQL,
     SIMILARITY_LSH_ORACLE_SQL,
     SIMILARITY_TOPK_ORACLE_SQL,
+    similarity_ivf_query,
     similarity_lsh_query,
     similarity_topk_query,
 )
@@ -99,8 +103,10 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_query,
     "dedup_minhash_lsh": dedup_minhash_query,
     "dedup_simhash": dedup_simhash_query,
+    "dedup_embedding_cosine": dedup_embedding_query,
     "similarity_topk": similarity_topk_query,
     "similarity_lsh_ann": similarity_lsh_query,
+    "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
     "color_palette": color_palette_query,
     "streaming_upsert": streaming_upsert_query,
@@ -127,8 +133,10 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE_SQL,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE_SQL,
     "similarity_topk": SIMILARITY_TOPK_ORACLE_SQL,
     "similarity_lsh_ann": SIMILARITY_LSH_ORACLE_SQL,
+    "similarity_ivf_ann": SIMILARITY_IVF_ORACLE_SQL,
     "multimodal_meta": MULTIMODAL_META_ORACLE_SQL,
     # color_palette: no oracle (iterative KMeans is not SQL-expressible;
     # the driver records the weaker rows-only check; property tests in

@@ -3,9 +3,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_pipeline_capstone_project_spark.operators.dedup import (
+    EMB_DUP_THRESHOLD,
+    dedup_embedding_query,
     dedup_exact_query,
     dedup_minhash_query,
     dedup_ngram_query,
+)
+from data_pipeline_capstone_project_spark.operators.similarity import (
+    TOP_K,
+    similarity_ivf_query,
+    similarity_topk_query,
 )
 from data_pipeline_capstone_project_spark.operators.text import (
     fingerprint_query,
@@ -42,6 +49,38 @@ def test_fingerprint_deterministic_and_distinct(spark, sf_dir):
     assert fp1 == fp2
     # md5 distinct <=> texts distinct (all distinct in testdata)
     assert len({v[0] for v in fp1.values()}) == len(fp1)
+
+
+def test_embedding_dedup_pairs_verified(spark, sf_dir):
+    """Every emitted pair is exact-verified: ordered ids, cosine at or
+    above the dedup threshold and within [-1, 1]."""
+    rows = dedup_embedding_query(spark, sf_dir).collect()
+    assert rows, "synthetic corpus contains >= 1 near-dup pair at the threshold"
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert EMB_DUP_THRESHOLD <= r["cosine"] <= 1.0
+
+
+def test_ivf_is_recall_bounded_subset_of_exact(spark, sf_dir):
+    """IVF(nprobe=1) scores must agree with brute force wherever the
+    same (query, neighbor) pair appears, and per-query IVF never
+    returns a cosine above the exact top-1 (it searches a subset)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity_topk_query(spark, sf_dir).collect()
+    }
+    best = {}
+    for (q, _n), c in exact.items():
+        best[q] = max(best.get(q, -2.0), c)
+    ivf = similarity_ivf_query(spark, sf_dir).collect()
+    assert ivf
+    for r in ivf:
+        assert r["rn"] <= TOP_K
+        assert r["query_id"] != r["neighbor_id"]
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-12
+        assert r["cosine"] <= best[r["query_id"]] + 1e-12
 
 
 def test_text_stats_ranges(spark, sf_dir):
