@@ -104,3 +104,62 @@ SELECT doc_id,
        least(length(text), {THUMB_LIMIT}) AS thumb_bytes
 FROM documents
 """
+
+
+N_FRAMES = 4
+FRAME_CHUNK = 256
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling over binary payloads (the video-frame-extraction
+    shape): N_FRAMES evenly-strided slices per payload, emitted as one
+    row per frame via Arrow-batched ``mapInPandas``. The slicing runs
+    on REAL bytes inside the worker (a codec would decode these
+    slices); the emitted offsets/lengths are pure arithmetic so the
+    oracle can verify the fan-out relationally. Batch shape: input
+    rows -> variable rows out (<= N_FRAMES per input), the generator
+    contract a frame extractor needs."""
+
+    def frame_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_len": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                stride = max(n // N_FRAMES, 1)
+                chunk = min(FRAME_CHUNK, stride)
+                for k in range(N_FRAMES):
+                    off = k * stride
+                    if off >= n:
+                        break
+                    frame = payload[off : off + chunk]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(k)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        frame_batches, "doc_id long, frame_idx int, frame_off long, frame_len long"
+    )
+
+
+def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: frame-sample the stand-in binary payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_frames(payloads)
+
+
+FRAME_SAMPLE_ORACLE_SQL = f"""
+WITH p AS (SELECT doc_id, length(text) AS n FROM documents),
+f AS (SELECT doc_id, n, unnest(range(0, {N_FRAMES})) AS frame_idx FROM p)
+SELECT doc_id,
+       frame_idx::INT AS frame_idx,
+       frame_idx * greatest(n // {N_FRAMES}, 1) AS frame_off,
+       least(least({FRAME_CHUNK}, greatest(n // {N_FRAMES}, 1)),
+             n - frame_idx * greatest(n // {N_FRAMES}, 1)) AS frame_len
+FROM f
+WHERE frame_idx * greatest(n // {N_FRAMES}, 1) < n
+"""

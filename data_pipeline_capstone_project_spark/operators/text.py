@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 
@@ -212,4 +213,98 @@ SELECT doc_id,
              w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {MOD_PRIME})),
          (a, b) -> (a * 31 + b) % {MOD_PRIME}) AS roll_fp
 FROM documents
+"""
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by total frequency, with
+    document frequency. Two-level aggregation - (term, doc) partial
+    counts, then term totals - which is distinct-free: at 100 TB this
+    is one map-side-combinable shuffle on term, no count-distinct
+    expansion. The final rank runs on the collapsed term table (tiny
+    relative to the corpus), so the single-partition window is not a
+    bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode_outer(tokens_col()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    terms = tf.groupBy("term").agg(
+        F.sum("tf").alias("term_freq"), F.count("*").alias("doc_freq")
+    )
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("term").asc())
+    return terms.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= VOCAB_TOP_K
+    )
+
+
+_ORACLE_TF = """
+tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+"""
+
+VOCAB_ORACLE_SQL = f"""
+WITH {_ORACLE_TF},
+terms AS (SELECT term, sum(tf)::BIGINT AS term_freq, count(*) AS doc_freq
+          FROM tf GROUP BY 1)
+SELECT term, term_freq, doc_freq, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY term_freq DESC, term ASC) AS rank
+  FROM terms
+) WHERE rank <= {VOCAB_TOP_K}
+"""
+
+
+TFIDF_TOP = 3
+
+
+def tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf. The idf is the rational
+    form N/df (no log), so the score is one double division of exact
+    integers - bit-identical across engines. Plan shape at scale: the
+    (term, doc) partial count shuffles once on term to meet the
+    df table (itself a rollup of the same shuffle), and the per-doc
+    rank window re-shuffles only the surviving (term, doc, score)
+    triples on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode_outer(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TFIDF_TOP
+    )
+
+
+TFIDF_ORACLE_SQL = f"""
+WITH {_ORACLE_TF},
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rn FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         (t.tf * n.n_docs) / d.df AS score,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY (t.tf * n.n_docs) / d.df DESC,
+                                     t.term ASC) AS rn
+  FROM tf t JOIN dfx d USING (term), n
+) WHERE rn <= {TFIDF_TOP}
 """

@@ -38,7 +38,9 @@ from .operators.dedup import (
 from .operators.colors import color_palette_query
 from .operators.flatten import POSTS_FLATTEN_ORACLE_SQL, posts_flatten_query
 from .operators.multimodal import (
+    FRAME_SAMPLE_ORACLE_SQL,
     MULTIMODAL_META_ORACLE_SQL,
+    frame_sample_query,
     multimodal_meta_query,
 )
 from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
@@ -69,16 +71,24 @@ from .operators.text import (
     FINGERPRINT_ORACLE_SQL,
     LANG_ID_ORACLE_SQL,
     TEXT_STATS_ORACLE_SQL,
+    TFIDF_ORACLE_SQL,
     TOKEN_COUNT_ORACLE_SQL,
+    VOCAB_ORACLE_SQL,
     fingerprint_query,
     lang_id_query,
     text_stats_query,
+    tfidf_query,
     token_count_query,
+    vocab_top_terms_query,
 )
 from .operators.upsert import LATEST_WINS_ORACLE_SQL, latest_wins_query
 from .streaming.upsert_stream import (
     STREAMING_UPSERT_ORACLE_SQL,
     streaming_upsert_query,
+)
+from .streaming.windowed import (
+    STREAMING_WINDOW_ORACLE_SQL,
+    streaming_window_query,
 )
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
@@ -99,6 +109,8 @@ QUERIES = {
     "lang_id": lang_id_query,
     "token_count": token_count_query,
     "doc_fingerprint": fingerprint_query,
+    "vocab_top_terms": vocab_top_terms_query,
+    "tfidf_top_terms": tfidf_query,
     "dedup_exact": dedup_exact_query,
     "dedup_ngram_jaccard": dedup_ngram_query,
     "dedup_minhash_lsh": dedup_minhash_query,
@@ -108,8 +120,10 @@ QUERIES = {
     "similarity_lsh_ann": similarity_lsh_query,
     "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
+    "frame_sample": frame_sample_query,
     "color_palette": color_palette_query,
     "streaming_upsert": streaming_upsert_query,
+    "streaming_window_agg": streaming_window_query,
     "keyword_search": keyword_search_query,
 }
 
@@ -129,6 +143,8 @@ ORACLES = {
     "lang_id": LANG_ID_ORACLE_SQL,
     "token_count": TOKEN_COUNT_ORACLE_SQL,
     "doc_fingerprint": FINGERPRINT_ORACLE_SQL,
+    "vocab_top_terms": VOCAB_ORACLE_SQL,
+    "tfidf_top_terms": TFIDF_ORACLE_SQL,
     "dedup_exact": DEDUP_EXACT_ORACLE_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE_SQL,
@@ -138,9 +154,11 @@ ORACLES = {
     "similarity_lsh_ann": SIMILARITY_LSH_ORACLE_SQL,
     "similarity_ivf_ann": SIMILARITY_IVF_ORACLE_SQL,
     "multimodal_meta": MULTIMODAL_META_ORACLE_SQL,
+    "frame_sample": FRAME_SAMPLE_ORACLE_SQL,
     # color_palette: no oracle (iterative KMeans is not SQL-expressible;
     # the driver records the weaker rows-only check; property tests in
     # tests/test_colors_multimodal.py)
     "streaming_upsert": STREAMING_UPSERT_ORACLE_SQL,
+    "streaming_window_agg": STREAMING_WINDOW_ORACLE_SQL,
     "keyword_search": KEYWORD_SEARCH_ORACLE_SQL,
 }
