@@ -6,18 +6,36 @@ parquet tables. Names are shared - the driver hash-compares the two at
 sf0.01. Queries with no SQL-expressible oracle (streaming, KMeans) are
 registered without an oracle and carry their own pytest property checks.
 
-SURVEY §2 coverage map:
+SURVEY §2 coverage map (reference operators):
   q1_history          J1 J2 A5 A6 W1 W2 K5 (flagship, entry())
   rolling_engagement  A1 A2 A3 A4 A12 (+ sentinel faithful/clean)
   latest_wins         W4 ST2 K1 (batch form of the streaming merge)
   top_k_per_group     W3 A8
   recent_n_per_user   W5 ST6
   asof_enrichment     J4
-  posts_flatten       F3 F4 F5 F6 F10 F14 F16
+  posts_flatten       F3 F4 F5 F6 F10 F14 F16 (+ S1-S3 readers)
   anti_join           J3 S9 O4
   scalar_suite        F5 F6 F7 F8 F15 F17 (+ F18 arithmetic)
   quality_gates       A10 A11 (incl. the reference's latent bug)
   pricing_summary     bench headline (scan-heavy agg)
+  keyword_search      ES keyword search (README.md:154): contains /
+                      token / rlike predicates
+  color_palette       S4 A7 A8 A9 U1 U2 (applyInPandas KMeans, U3 bug
+                      fixed)
+  streaming_upsert    ST1 ST2 O1 (readStream + foreachBatch merge,
+                      two-epoch incremental pickup)
+  streaming_window_agg ST5 extension: watermarked tumbling event-time
+                      windows, availableNow trigger (ST3)
+
+Training-data-pipeline extensions (BASELINE.json north star):
+  text analysis       text_stats lang_id token_count doc_fingerprint
+                      vocab_top_terms tfidf_top_terms
+  deduplication       dedup_exact dedup_ngram_jaccard dedup_minhash_lsh
+                      dedup_simhash dedup_embedding_cosine
+  similarity search   similarity_topk (exact) similarity_lsh_ann
+                      similarity_ivf_ann
+  multimodal          multimodal_meta (mapInPandas decode plumbing)
+                      frame_sample (strided binary frame extraction)
 """
 
 from __future__ import annotations
