@@ -1,0 +1,182 @@
+"""General analytics operators a user of a full engine expects, built
+over the ``events``/``lineitem`` tables: skew-salted aggregation,
+sessionization, pivot, and rollup.
+
+None of these exist in the reference (SURVEY §2.5/§2.7 note the gaps);
+they round out the relational surface so the engine can stand in for
+the reference's warehouse wholesale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+N_SALTS = 16
+
+
+def skew_salted_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a LOW-CARDINALITY/skewed key (event_type: a
+    handful of values over the whole corpus) with explicit two-phase
+    salting: partial aggregate on (key, salt = event_id % 16), final
+    aggregate on key. Every partial is mergeable (count->sum,
+    min->min, max->max), so the result equals the plain GROUP BY the
+    oracle runs - but no single reducer ever sees a whole hot key's
+    rows, which is the difference between finishing and one straggler
+    task at 100 TB. (For built-in aggregates AQE's skew handling can
+    do this implicitly; the explicit form is the general pattern and
+    works for any mergeable custom aggregate.)"""
+    events = load_table(spark, sf_dir, "events")
+    partial = (
+        events.withColumn("salt", F.col("event_id") % N_SALTS)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+    )
+
+
+SKEW_SALTED_AGG_ORACLE_SQL = """
+SELECT event_type, count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap
+    (gaps-and-islands): a session starts where the previous event of
+    the same user is more than the gap away; the session id is the
+    running count of session starts. Two window passes over one
+    shuffle on user_id - the batch twin of Structured Streaming's
+    ``session_window``, and expressible identically in the oracle's
+    SQL window functions (same partitioning, same ordering, ties
+    pinned by event_id)."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(by_user).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    with_session = with_gap.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_start").over(by_user).alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+    )
+
+
+SESSIONIZE_ORACLE_SQL = f"""
+WITH with_gap AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_session AS (
+  SELECT user_id, ts, event_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM with_gap
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
+FROM with_session GROUP BY 1, 2
+"""
+
+
+PIVOT_TYPES = ["click", "view", "purchase", "signup"]
+
+
+def event_pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events to one row per user with a count column per event
+    type (explicit value list so the plan is a single pass - a pivot
+    without values needs an extra distinct job). Unknown types fall
+    into an ``other`` bucket so the pivot is total."""
+    events = load_table(spark, sf_dir, "events")
+    typed = events.withColumn(
+        "etype",
+        F.when(F.col("event_type").isin(PIVOT_TYPES), F.col("event_type")).otherwise(
+            "other"
+        ),
+    )
+    return (
+        typed.groupBy("user_id")
+        .pivot("etype", PIVOT_TYPES + ["other"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES + ["other"])
+    )
+
+
+EVENT_PIVOT_ORACLE_SQL = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in PIVOT_TYPES)},
+       count(*) FILTER (event_type NOT IN ({", ".join(f"'{t}'" for t in PIVOT_TYPES)}))
+         AS other
+FROM events GROUP BY 1
+"""
+
+
+def pricing_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal rows per flag
+    and a grand total, the hierarchy the reference's pricing summary
+    lacks. Quantities sum as exact decimals; NULL grouping slots are
+    made explicit ('ALL') so the row identity is stable across
+    engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            F.col("sum_qty").cast("string").alias("sum_qty"),
+        )
+    )
+
+
+PRICING_ROLLUP_ORACLE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

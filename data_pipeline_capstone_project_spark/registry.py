@@ -40,6 +40,16 @@ Training-data-pipeline extensions (BASELINE.json north star):
 
 from __future__ import annotations
 
+from .operators.analytics import (
+    EVENT_PIVOT_ORACLE_SQL,
+    PRICING_ROLLUP_ORACLE_SQL,
+    SESSIONIZE_ORACLE_SQL,
+    SKEW_SALTED_AGG_ORACLE_SQL,
+    event_pivot_query,
+    pricing_rollup_query,
+    sessionize_query,
+    skew_salted_agg_query,
+)
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
 from .operators.dedup import (
     DEDUP_EMBEDDING_ORACLE_SQL,
@@ -123,6 +133,10 @@ QUERIES = {
     "scalar_suite": scalar_suite_query,
     "quality_gates": quality_gates_query,
     "pricing_summary": pricing_summary_query,
+    "pricing_rollup": pricing_rollup_query,
+    "skew_salted_agg": skew_salted_agg_query,
+    "sessionize": sessionize_query,
+    "event_pivot": event_pivot_query,
     "text_stats": text_stats_query,
     "lang_id": lang_id_query,
     "token_count": token_count_query,
@@ -157,6 +171,10 @@ ORACLES = {
     "scalar_suite": SCALAR_SUITE_ORACLE_SQL,
     "quality_gates": QUALITY_GATES_ORACLE_SQL,
     "pricing_summary": PRICING_SUMMARY_ORACLE_SQL,
+    "pricing_rollup": PRICING_ROLLUP_ORACLE_SQL,
+    "skew_salted_agg": SKEW_SALTED_AGG_ORACLE_SQL,
+    "sessionize": SESSIONIZE_ORACLE_SQL,
+    "event_pivot": EVENT_PIVOT_ORACLE_SQL,
     "text_stats": TEXT_STATS_ORACLE_SQL,
     "lang_id": LANG_ID_ORACLE_SQL,
     "token_count": TOKEN_COUNT_ORACLE_SQL,
