@@ -118,6 +118,10 @@ from .streaming.windowed import (
     STREAMING_WINDOW_ORACLE_SQL,
     streaming_window_query,
 )
+from .streaming.stateful import (
+    STREAMING_STATEFUL_ORACLE_SQL,
+    streaming_stateful_query,
+)
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
@@ -156,6 +160,7 @@ QUERIES = {
     "color_palette": color_palette_query,
     "streaming_upsert": streaming_upsert_query,
     "streaming_window_agg": streaming_window_query,
+    "streaming_stateful": streaming_stateful_query,
     "keyword_search": keyword_search_query,
 }
 
@@ -196,5 +201,6 @@ ORACLES = {
     # tests/test_colors_multimodal.py)
     "streaming_upsert": STREAMING_UPSERT_ORACLE_SQL,
     "streaming_window_agg": STREAMING_WINDOW_ORACLE_SQL,
+    "streaming_stateful": STREAMING_STATEFUL_ORACLE_SQL,
     "keyword_search": KEYWORD_SEARCH_ORACLE_SQL,
 }

@@ -50,6 +50,28 @@ def test_two_wave_latest_wins(spark, tmp_path):
     assert state2 == {"a": 10, "b": 99, "c": 30}
 
 
+def test_stateful_running_stats(spark):
+    """applyInPandasWithState: per-key state accumulates across the two
+    deterministic micro-batches - batch 2 rows must show cumulative
+    counts (wave1 + wave2) and the lifted max (value + 1000)."""
+    from data_pipeline_capstone_project_spark.streaming.stateful import (
+        streaming_stateful_query,
+    )
+
+    out = streaming_stateful_query(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "no emissions"
+    for user, emits in by_user.items():
+        assert len(emits) in (1, 2)  # wave2 only covers event_id % 3 == 0
+        if len(emits) == 2:
+            first, second = sorted(emits, key=lambda r: r["cum_events"])
+            assert second["cum_events"] == first["cum_events"] + second["batch_events"]
+            assert second["cum_max"] >= first["cum_max"]
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-running with no new files is a no-op (checkpoint log skips
     processed files) - at-least-once delivery stays correct."""

@@ -34,7 +34,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 #: Queries that execute work at plan-build time (streaming runs); their
 #: returned DataFrame is a materialized local result, so plan metrics
 #: would describe the collect, not the pipeline.
-MATERIALIZED = {"streaming_upsert", "streaming_window_agg"}
+MATERIALIZED = {"streaming_upsert", "streaming_window_agg", "streaming_stateful"}
 
 
 def audit(df) -> dict[str, int]:
