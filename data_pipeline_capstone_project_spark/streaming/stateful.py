@@ -127,7 +127,9 @@ def streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         res = spark.table(qname)
-        return spark.createDataFrame(res.collect(), schema=res.schema)
+        out = spark.createDataFrame(res.collect(), schema=res.schema)
+        spark.catalog.dropTempView(qname)  # free the memory-sink table
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

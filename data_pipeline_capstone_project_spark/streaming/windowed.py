@@ -81,7 +81,9 @@ def streaming_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
         # Materialize before the temp source dir disappears.
-        return spark.createDataFrame(res.collect(), schema=res.schema)
+        out = spark.createDataFrame(res.collect(), schema=res.schema)
+        spark.catalog.dropTempView(qname)  # free the memory-sink table
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
