@@ -26,12 +26,20 @@ SURVEY §2 coverage map (reference operators):
                       two-epoch incremental pickup)
   streaming_window_agg ST5 extension: watermarked tumbling event-time
                       windows, availableNow trigger (ST3)
+  streaming_stateful  ST1/ST2 generalization: explicit per-key
+                      GroupState via applyInPandasWithState
+  json_lake_ingest    S1 S2 S3 F3 F4 F5 F10 W4 end-to-end (the whole
+                      Lambda path §3.1 as one declarative pipeline)
+  (sinks K2 K3 K5 K6  sources/writers.py + tests/test_writers.py;
+   bucketed layout    tests/test_bucketing.py zero-Exchange joins)
 
 Training-data-pipeline extensions (BASELINE.json north star):
   text analysis       text_stats lang_id token_count doc_fingerprint
                       vocab_top_terms tfidf_top_terms
   deduplication       dedup_exact dedup_ngram_jaccard dedup_minhash_lsh
                       dedup_simhash dedup_embedding_cosine
+                      dedup_clusters (connected components)
+  sampling            train_test_split (hash-mod + exact-stratified)
   similarity search   similarity_topk (exact) similarity_lsh_ann
                       similarity_ivf_ann
   multimodal          multimodal_meta (mapInPandas decode plumbing)
@@ -122,6 +130,18 @@ from .streaming.stateful import (
     STREAMING_STATEFUL_ORACLE_SQL,
     streaming_stateful_query,
 )
+from .sources.ingest_lake import (
+    JSON_LAKE_INGEST_ORACLE_SQL,
+    json_lake_ingest_query,
+)
+from .operators.sampling import (
+    TRAIN_TEST_SPLIT_ORACLE_SQL,
+    train_test_split_query,
+)
+from .operators.clustering import (
+    DEDUP_CLUSTERS_ORACLE_SQL,
+    dedup_clusters_query,
+)
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
@@ -162,6 +182,9 @@ QUERIES = {
     "streaming_window_agg": streaming_window_query,
     "streaming_stateful": streaming_stateful_query,
     "keyword_search": keyword_search_query,
+    "json_lake_ingest": json_lake_ingest_query,
+    "train_test_split": train_test_split_query,
+    "dedup_clusters": dedup_clusters_query,
 }
 
 ORACLES = {
@@ -203,4 +226,7 @@ ORACLES = {
     "streaming_window_agg": STREAMING_WINDOW_ORACLE_SQL,
     "streaming_stateful": STREAMING_STATEFUL_ORACLE_SQL,
     "keyword_search": KEYWORD_SEARCH_ORACLE_SQL,
+    "json_lake_ingest": JSON_LAKE_INGEST_ORACLE_SQL,
+    "train_test_split": TRAIN_TEST_SPLIT_ORACLE_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE_SQL,
 }

@@ -125,3 +125,29 @@ def test_quality_gates(spark, sf_dir):
     )
     with pytest.raises(DataQualityError):
         require_no_nulls(nullable, "x")
+
+
+def test_json_lake_ingest_latest_wins(spark, sf_dir):
+    """Two-wave JSON lake: re-delivered ids (orderkey % 5 == 0) must
+    carry the wave-2 price bump; unchanged ids keep wave-1 values; the
+    file-metadata envelope is present on every surviving row."""
+    from data_pipeline_capstone_project_spark.sources.ingest_lake import (
+        json_lake_ingest_query,
+    )
+
+    out = json_lake_ingest_query(spark, sf_dir)
+    rows = {r["id"]: r for r in out.collect()}
+    orders = {
+        r["o_orderkey"]: r
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    }
+    assert len(rows) == len(orders)  # one row per key after dedup
+    for key, o in orders.items():
+        r = rows[str(key)]
+        expect = o["o_totalprice"] + (1000.0 if key % 5 == 0 else 0.0)
+        assert abs(r["price"] - expect) < 1e-6
+        assert r["envelope_ok"]
+        if key % 7 == 0:
+            assert r["followers"] == -1
+        else:
+            assert r["followers"] == o["o_custkey"] * 10

@@ -34,7 +34,13 @@ import __spark_entry__ as entrymod  # noqa: E402
 #: Queries that execute work at plan-build time (streaming runs); their
 #: returned DataFrame is a materialized local result, so plan metrics
 #: would describe the collect, not the pipeline.
-MATERIALIZED = {"streaming_upsert", "streaming_window_agg", "streaming_stateful"}
+MATERIALIZED = {
+    "streaming_upsert",
+    "streaming_window_agg",
+    "streaming_stateful",
+    "json_lake_ingest",
+    "dedup_clusters",  # iterative localCheckpoint loop
+}
 
 
 def audit(df) -> dict[str, int]:
