@@ -1,0 +1,73 @@
+"""Batch sinks (SURVEY §2.2).
+
+Each function re-expresses one reference sink as a declarative Spark
+write; the ES upsert sink (K1) lives in
+:mod:`..streaming.upsert_stream` as the ``foreachBatch`` merge.
+
+- K2 parquet overwrite (``spark_image.py:203-204``) - the reference
+  emitted 200 tiny files from default shuffle partitions
+  (``README.md:351``); here AQE partition coalescing plus an optional
+  explicit file-count target fixes that.
+- K3 CSV put (``get_elastic_data.py:102-118``) - header row, one file
+  per logical dataset (the reference wrote a single S3 object).
+- K5 INSERT INTO ... SELECT (``load_fact.py:32``).
+- K6 TRUNCATE-then-load full refresh (``stage_redshift.py:48``,
+  ``load_fact.py:30-31``) - ``mode("overwrite")``.
+
+Scale notes: partitioned parquet with a date/key layout is what makes
+ST6-style retention (drop old partitions) and partition pruning work at
+100 TB; ``coalesce`` for small outputs happens *after* the heavy plan,
+so it never caps upstream parallelism (unlike ``repartition(1)`` before
+the agg, which would).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    target_files: int | None = None,
+) -> None:
+    """K2/K6: full-refresh parquet. ``partition_by`` gives the pruning
+    layout (e.g. ingest date for retention); ``target_files`` caps
+    output file count for small results (the 200-tiny-files fix)."""
+    out = df.coalesce(target_files) if target_files else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """K3: header CSV; ``single_file`` mirrors the reference's one
+    S3 object per run (fine for agg outputs, never for raw data)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def insert_overwrite_table(df: DataFrame, table: str) -> None:
+    """K5+K6: TRUNCATE + INSERT INTO ... SELECT as one atomic
+    ``insertInto`` overwrite (needs an existing saved table)."""
+    df.write.mode("overwrite").insertInto(table, overwrite=True)
+
+
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: tuple[int, str] | None = None,
+) -> None:
+    """Create-or-replace a managed table; ``bucket_by=(n, key)`` writes
+    the co-located layout the no-shuffle joins rely on
+    (tests/test_bucketing.py)."""
+    writer = df.write.mode("overwrite").option("path", path)
+    if bucket_by:
+        n, key = bucket_by
+        writer = writer.bucketBy(n, key).sortBy(key)
+    writer.saveAsTable(table)

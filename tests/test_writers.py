@@ -1,0 +1,61 @@
+"""Sink roundtrips (SURVEY §2.2 K2/K3/K5/K6)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_capstone_project_spark.sources.readers import (
+    load_table,
+    read_csv,
+)
+from data_pipeline_capstone_project_spark.sources.writers import (
+    insert_overwrite_table,
+    save_as_table,
+    write_csv,
+    write_parquet_overwrite,
+)
+
+
+def test_parquet_overwrite_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_pq")
+    orders = load_table(spark, sf_dir, "orders")
+    write_parquet_overwrite(
+        orders, out, partition_by=["o_orderstatus"], target_files=4
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition layout exists -> pruning/retention path works
+    assert glob.glob(os.path.join(out, "o_orderstatus=*"))
+    # overwrite really replaces (K6 truncate-then-load)
+    write_parquet_overwrite(orders.limit(10), out, target_files=1)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_csv_single_file_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "agg_csv")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    write_csv(agg, out)
+    files = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(files) == 1  # the reference's one-S3-object contract
+    back = read_csv(spark, out, schema=agg.schema)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in agg.collect()
+    }
+
+
+def test_insert_overwrite_table(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    save_as_table(orders, "t_fact", str(tmp_path / "t_fact"))
+    assert spark.table("t_fact").count() == orders.count()
+    insert_overwrite_table(orders.limit(5), "t_fact")
+    assert spark.table("t_fact").count() == 5
+    spark.sql("DROP TABLE IF EXISTS t_fact")
