@@ -1,0 +1,110 @@
+"""Near-duplicate clustering: connected components over the verified
+MinHash-LSH pair graph (training-data pipeline extension).
+
+Pair detection (:mod:`.dedup`) yields edges; an actual dedup pipeline
+must then pick ONE canonical document per duplicate *group*, and groups
+are the connected components of that graph (A~B, B~C => {A,B,C} even if
+A and C never met in a bucket).
+
+Implementation is iterative min-label propagation, all DataFrame ops:
+each round every node takes ``min(own label, neighbor labels)``; the
+component minimum spreads one hop per round, so rounds = graph
+diameter. Near-dup components are short chains (diameter rarely > a
+few hops), so this converges in 2-4 rounds in practice. Each round is
+one shuffle of the (small) edge list; ``localCheckpoint`` truncates
+plan lineage so round N does not re-execute rounds 1..N-1. The label
+sum is monotonically non-increasing, giving a cheap scalar fixpoint
+test. For adversarial long-chain graphs the alternating
+small-star/large-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) drops rounds to O(log^2 n) - same
+join/agg shape, so it slots into this loop unchanged.
+
+The DuckDB oracle computes the same components via a recursive-CTE
+transitive closure - exponentially more expensive, viable only at
+oracle scale, which is exactly the point of having the LSH+iterative
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import DEDUP_MINHASH_ORACLE_SQL, dedup_minhash_query
+
+MAX_ROUNDS = 20
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id) where
+    cluster_id is the component's minimum doc_id."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease -> fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: cluster the verified MinHash near-dup pairs and
+    emit per-doc cluster assignment plus the keep/drop verdict
+    (canonical = the component's min doc_id)."""
+    pairs = dedup_minhash_query(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_ORACLE_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_MINHASH_ORACLE_SQL}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    WHERE e.dst != r.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp
+"""

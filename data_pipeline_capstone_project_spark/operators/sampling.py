@@ -1,0 +1,77 @@
+"""Deterministic train/validation/test splitting (training-data
+pipeline extension; no reference analog - the reference's nearest
+operation is the ES top-10k user cap, SURVEY A12).
+
+Two split strategies, both fully deterministic and engine-portable
+(no RNG, no Spark-sampler dependence), so the DuckDB oracle reproduces
+them bit-for-bit:
+
+- **hash-mod** (`split_hash`): bucket = md5(doc_id)[:8] mod 100;
+  0-79 train / 80-89 valid / 90-99 test. Embarrassingly parallel -
+  a pure projection, no shuffle, stable under re-runs and appends
+  (a document never changes split when the corpus grows). This is the
+  100 TB path.
+- **exact-stratified** (`split_stratified`): percent_rank over the
+  md5 order within each ``lang`` stratum - exact 80/10/10 proportions
+  per stratum. Costs one shuffle on ``lang``; strata are few, so at
+  scale this skews (every 'en' row lands on one reducer). Documented
+  trade-off: use hash-mod at scale, exact-stratified when per-stratum
+  proportions must be exact on bounded data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+TRAIN_PCT, VALID_PCT = 80, 10  # remainder = test
+
+
+def _split_label(bucket_0_99) -> F.Column:
+    return (
+        F.when(bucket_0_99 < TRAIN_PCT, "train")
+        .when(bucket_0_99 < TRAIN_PCT + VALID_PCT, "valid")
+        .otherwise("test")
+    )
+
+
+def train_test_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    with_hash = docs.select("doc_id", "lang", h.alias("h"))
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("h", "doc_id")
+    )
+    return with_hash.select(
+        "doc_id",
+        "lang",
+        _split_label(F.col("h") % 100).alias("split_hash"),
+        # explicit floor: Spark's double->int cast truncates but
+        # DuckDB's rounds, so the bucket must be floored before casting
+        _split_label(F.floor(pr * 100).cast("int")).alias("split_stratified"),
+    )
+
+
+TRAIN_TEST_SPLIT_ORACLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN h % 100 < 80 THEN 'train'
+            WHEN h % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split_hash,
+       CASE WHEN CAST(floor(pr * 100) AS INTEGER) < 80 THEN 'train'
+            WHEN CAST(floor(pr * 100) AS INTEGER) < 90 THEN 'valid'
+            ELSE 'test' END AS split_stratified
+FROM (
+  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY h, doc_id) AS pr
+  FROM h
+)
+"""

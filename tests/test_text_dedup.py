@@ -90,3 +90,21 @@ def test_text_stats_ranges(spark, sf_dir):
         assert 0.0 <= r["punct_ratio"] <= 1.0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
         assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_connected_components_chains_merge(spark):
+    """A~B, B~C must land in one cluster even though A,C never pair
+    directly; disjoint edges stay separate; canonical = component min."""
+    from data_pipeline_capstone_project_spark.operators.clustering import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
