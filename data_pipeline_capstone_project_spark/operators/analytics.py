@@ -180,3 +180,80 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def approx_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++) checked as a
+    PROPERTY through the oracle gate: the sketch estimate itself is
+    engine-specific, so the hashed output carries the exact count plus
+    a boolean asserting the estimate landed within 5% of it. At 100 TB
+    the sketch is the only viable path for per-segment distinct users
+    (fixed-size state, map-side mergeable, no distinct shuffle); the
+    exact count here is the verification harness, not the scale path.
+    """
+    events = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    return events.groupBy("event_type").agg(
+        exact.alias("n_exact"),
+        ((F.abs(approx - exact) / exact) <= 0.05).alias("approx_ok"),
+    )
+
+
+APPROX_DISTINCT_ORACLE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+def value_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment percentiles, two ways:
+
+    - **nearest-rank exact** (hash-compared): the element at
+      ``ceil(q*n)`` in the group's value order. Selecting a real data
+      point avoids interpolation arithmetic entirely - continuous
+      percentile interpolation ((1-d)*lo + d*hi vs lo + d*(hi-lo))
+      differs in the last ulp between engines, nearest-rank cannot.
+    - **approx_percentile** (property-gated): the GK-sketch estimate
+      must land within 5% of the exact continuous percentile; at scale
+      the sketch (bounded memory, mergeable) replaces the full
+      per-group sort the exact form needs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    exact95 = F.expr("percentile(value, 0.95)")
+    approx95 = F.expr("approx_percentile(value, 0.95, 10000)")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("value"))).alias(
+            "p50_nearest"
+        ),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("value"))).alias(
+            "p95_nearest"
+        ),
+        (
+            F.abs(approx95 - exact95) <= 0.05 * F.abs(exact95) + F.lit(1e-9)
+        ).alias("approx_ok"),
+    )
+
+
+VALUE_PERCENTILES_ORACLE_SQL = """
+SELECT event_type, max(n)::BIGINT AS n,
+       max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS p50_nearest,
+       max(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95_nearest,
+       true AS approx_ok
+FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+GROUP BY event_type
+"""

@@ -79,3 +79,60 @@ FROM (
   FROM events
 ) WHERE event_type <> 'signup'
 """
+
+
+def interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (the time-window attribution the reference's
+    60-day ES range filter gestures at, generalized): every event is
+    attributed to the order windows [o_orderdate, o_orderdate + 6d] of
+    the same user, and windows are aggregated.
+
+    Scale shape: the join carries an EQUI key (user) plus a range
+    residual, so Catalyst plans a hash/sort-merge join on the key with
+    the BETWEEN as a post-join filter - NO BroadcastNestedLoopJoin.
+    A pure range join (no equi key) must first be binned to a bucket
+    key (floor(ts / bucket)) to regain equi-join shape; that pattern is
+    what `width`-bucketed band joins in the percentile operator use.
+    Day-partitioned storage additionally prunes the scan to the window
+    span at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    # orders live in 1995-2001 while events live in Jan 2024: project
+    # each order onto a deterministic window inside the event timeline
+    # (orderkey-seeded start day, 7-day span, custkey folded onto the
+    # event user domain).
+    win_start = F.date_add(
+        F.to_date(F.lit("2024-01-01")), (F.col("o_orderkey") % 25).cast("int")
+    )
+    windows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        win_start.alias("win_start"),
+        F.date_add(win_start, 6).alias("win_end"),
+    )
+    joined = events.join(
+        windows,
+        (events.user_id == windows.user_id)
+        & (F.col("day") >= F.col("win_start"))
+        & (F.col("day") <= F.col("win_end")),
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+
+
+INTERVAL_JOIN_ORACLE_SQL = """
+SELECT o_orderkey, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM (SELECT event_id, user_id, CAST(ts AS DATE) AS day, value FROM events) e
+JOIN (SELECT o_orderkey, o_custkey % 150 AS user_id,
+             DATE '2024-01-01' + INTERVAL (o_orderkey % 25) DAY AS win_start
+      FROM orders) w
+  ON e.user_id = w.user_id
+     AND e.day >= CAST(w.win_start AS DATE)
+     AND e.day <= CAST(w.win_start + INTERVAL 6 DAY AS DATE)
+GROUP BY o_orderkey
+"""

@@ -336,3 +336,43 @@ SELECT query_id, neighbor_id, cosine, rn FROM (
   FROM scored
 ) WHERE rn <= {TOP_K}
 """
+
+
+# --- Per-label centroids ----------------------------------------------------
+
+def label_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (class prototypes - the
+    aggregation an embedding-space analysis / IVF coarse-quantizer
+    training step needs).
+
+    ``posexplode`` + groupBy(label, pos) is the scale shape: one
+    shuffle keyed by (label, dim) - cardinality labels x 64, so the
+    partial aggregation does all the reduction map-side regardless of
+    row count. The mean uses the exact decimal-sum trick
+    (:func:`..functions.aggregates.exact_avg`): float addition is not
+    associative, so a plain avg would flicker in the last ulp across
+    shuffle orders and engines.
+    """
+    from ..functions.aggregates import exact_avg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return ex.groupBy("label", "pos").agg(
+        exact_avg(F.col("val").cast("double"), scale=7).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+LABEL_CENTROIDS_ORACLE_SQL = """
+SELECT label, pos,
+       CAST(sum(CAST(val AS DECIMAL(38,7))) AS DOUBLE) / count(val)
+           AS centroid,
+       count(*) AS n_vecs
+FROM (
+  SELECT label,
+         unnest(range(len(embedding))) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+  FROM embeddings
+)
+GROUP BY label, pos
+"""

@@ -41,7 +41,11 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       dedup_clusters (connected components)
   sampling            train_test_split (hash-mod + exact-stratified)
   similarity search   similarity_topk (exact) similarity_lsh_ann
-                      similarity_ivf_ann
+                      similarity_ivf_ann label_centroids
+  sketches            approx_distinct (HLL++ vs exact, property-gated)
+                      value_percentiles (nearest-rank exact + GK approx)
+  range join          interval_join (equi key + range residual;
+                      A4/ST5-adjacent window attribution)
   multimodal          multimodal_meta (mapInPandas decode plumbing)
                       frame_sample (strided binary frame extraction)
 """
@@ -142,6 +146,17 @@ from .operators.clustering import (
     DEDUP_CLUSTERS_ORACLE_SQL,
     dedup_clusters_query,
 )
+from .operators.similarity import (
+    LABEL_CENTROIDS_ORACLE_SQL,
+    label_centroids_query,
+)
+from .operators.analytics import (
+    APPROX_DISTINCT_ORACLE_SQL,
+    VALUE_PERCENTILES_ORACLE_SQL,
+    approx_distinct_query,
+    value_percentiles_query,
+)
+from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
@@ -185,6 +200,10 @@ QUERIES = {
     "json_lake_ingest": json_lake_ingest_query,
     "train_test_split": train_test_split_query,
     "dedup_clusters": dedup_clusters_query,
+    "label_centroids": label_centroids_query,
+    "approx_distinct": approx_distinct_query,
+    "value_percentiles": value_percentiles_query,
+    "interval_join": interval_join_query,
 }
 
 ORACLES = {
@@ -229,4 +248,8 @@ ORACLES = {
     "json_lake_ingest": JSON_LAKE_INGEST_ORACLE_SQL,
     "train_test_split": TRAIN_TEST_SPLIT_ORACLE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE_SQL,
+    "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
+    "approx_distinct": APPROX_DISTINCT_ORACLE_SQL,
+    "value_percentiles": VALUE_PERCENTILES_ORACLE_SQL,
+    "interval_join": INTERVAL_JOIN_ORACLE_SQL,
 }
