@@ -23,6 +23,7 @@ the agg, which would).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -71,3 +72,37 @@ def save_as_table(
         n, key = bucket_by
         writer = writer.bucketBy(n, key).sortBy(key)
     writer.saveAsTable(table)
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction (table maintenance): rewrite a parquet
+    prefix into files of roughly ``target_file_mb`` each and return the
+    new file count.
+
+    Streaming ingest (availableNow micro-batches) and over-partitioned
+    writes accumulate small files; at 100 TB the file-listing and
+    per-file open costs dominate scans long before data volume does.
+    Compaction = read + coalesce to ceil(bytes/target) + atomic swap
+    (write tmp, replace). Local filesystem rename stands in for the
+    object-store commit protocol.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

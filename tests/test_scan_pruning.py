@@ -1,0 +1,53 @@
+"""Scan-efficiency guarantees (SURVEY §4 O2, README scale design).
+
+At 100 TB the scan IS the query cost; these tests pin the three
+mechanisms that keep it proportional to the question asked - partition
+pruning, predicate pushdown, column pruning - by asserting on the
+physical plan and the actual files read, so a refactor that silently
+breaks them fails CI."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_reads_one_partition(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    events.write.partitionBy("day").parquet(out)
+    n_days = len([d for d in os.listdir(out) if d.startswith("day=")])
+    assert n_days > 1
+    one_day = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    # the equality must appear as a PartitionFilter on the scan (the
+    # pruning contract; inputFiles() is pre-pruning so can't be used)
+    plan = _plan(one_day)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+    read = one_day.select(F.input_file_name().alias("f")).distinct().collect()
+    assert read and all("day=2024-01-05" in r["f"] for r in read)
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema

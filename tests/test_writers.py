@@ -59,3 +59,18 @@ def test_insert_overwrite_table(spark, sf_dir, tmp_path):
     insert_overwrite_table(orders.limit(5), "t_fact")
     assert spark.table("t_fact").count() == 5
     spark.sql("DROP TABLE IF EXISTS t_fact")
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    from data_pipeline_capstone_project_spark.sources.writers import compact
+
+    out = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(37).write.parquet(out)  # simulate micro-batch litter
+    before = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert before >= 37
+    rows_before = spark.read.parquet(out).count()
+    n = compact(spark, out, target_file_mb=256)
+    after = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert after == n == 1  # sf0.001 orders << 256 MB
+    assert spark.read.parquet(out).count() == rows_before
