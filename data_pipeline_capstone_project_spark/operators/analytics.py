@@ -257,3 +257,48 @@ FROM (
 )
 GROUP BY event_type
 """
+
+
+def user_timeseries_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered time-series features: lag delta, 3-row moving
+    sum, running count (the frame-window surface - lag/rowsBetween -
+    that the reference's sparkline arrays stop short of; SURVEY §2.6
+    notes it has no frames, this is the engine extension).
+
+    Scale shape: one shuffle on user_id; every window shares the same
+    (partition, order) spec so Catalyst evaluates all four functions in
+    a single Window operator pass - check the plan, there must be ONE
+    Window node. The moving sum uses the exact decimal cast so frame
+    totals are order-exact and engine-portable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame3 = w.rowsBetween(-2, 0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(frame3)
+        .cast("double")
+        .alias("mov_sum3"),
+        F.count("*").over(run).alias("cum_n"),
+    )
+
+
+USER_TIMESERIES_ORACLE_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       lag(value) OVER w AS prev_value,
+       value - lag(value) OVER w AS delta,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER
+            (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS mov_sum3,
+       count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

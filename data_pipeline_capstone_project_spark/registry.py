@@ -46,6 +46,8 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       value_percentiles (nearest-rank exact + GK approx)
   range join          interval_join (equi key + range residual;
                       A4/ST5-adjacent window attribution)
+  frame windows       user_timeseries (lag/moving-sum/running-count,
+                      single Window-node plan; §2.6 extension)
   multimodal          multimodal_meta (mapInPandas decode plumbing)
                       frame_sample (strided binary frame extraction)
 """
@@ -152,8 +154,10 @@ from .operators.similarity import (
 )
 from .operators.analytics import (
     APPROX_DISTINCT_ORACLE_SQL,
+    USER_TIMESERIES_ORACLE_SQL,
     VALUE_PERCENTILES_ORACLE_SQL,
     approx_distinct_query,
+    user_timeseries_query,
     value_percentiles_query,
 )
 from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
@@ -204,6 +208,7 @@ QUERIES = {
     "approx_distinct": approx_distinct_query,
     "value_percentiles": value_percentiles_query,
     "interval_join": interval_join_query,
+    "user_timeseries": user_timeseries_query,
 }
 
 ORACLES = {
@@ -252,4 +257,5 @@ ORACLES = {
     "approx_distinct": APPROX_DISTINCT_ORACLE_SQL,
     "value_percentiles": VALUE_PERCENTILES_ORACLE_SQL,
     "interval_join": INTERVAL_JOIN_ORACLE_SQL,
+    "user_timeseries": USER_TIMESERIES_ORACLE_SQL,
 }
