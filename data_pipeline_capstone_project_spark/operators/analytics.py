@@ -302,3 +302,45 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def pricing_cube_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels,
+    including the per-linestatus marginal ROLLUP cannot produce.
+    Grouping-slot NULLs are disambiguated from data NULLs via
+    ``grouping()`` (the standard pitfall: coalesce alone would collide
+    with a genuinely-NULL key). One Expand + one shuffle - the cube
+    multiplies rows 4x map-side, so at scale prefer ROLLUP when the
+    extra marginals aren't needed.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.when(F.col("g_flag") == 1, "ALL")
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("g_status") == 1, "ALL")
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            "n_rows",
+            F.col("sum_qty").cast("string").alias("sum_qty"),
+        )
+    )
+
+
+PRICING_CUBE_ORACLE_SQL = """
+SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS returnflag,
+       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -28,6 +28,8 @@ SURVEY §2 coverage map (reference operators):
                       windows, availableNow trigger (ST3)
   streaming_stateful  ST1/ST2 generalization: explicit per-key
                       GroupState via applyInPandasWithState
+  streaming_dedup     ST2 dual: dropDuplicatesWithinWatermark absorbs
+                      at-least-once re-delivery in-stream
   json_lake_ingest    S1 S2 S3 F3 F4 F5 F10 W4 end-to-end (the whole
                       Lambda path §3.1 as one declarative pipeline)
   (sinks K2 K3 K5 K6  sources/writers.py + tests/test_writers.py;
@@ -136,6 +138,10 @@ from .streaming.stateful import (
     STREAMING_STATEFUL_ORACLE_SQL,
     streaming_stateful_query,
 )
+from .streaming.dedup_stream import (
+    STREAMING_DEDUP_ORACLE_SQL,
+    streaming_dedup_query,
+)
 from .sources.ingest_lake import (
     JSON_LAKE_INGEST_ORACLE_SQL,
     json_lake_ingest_query,
@@ -154,9 +160,11 @@ from .operators.similarity import (
 )
 from .operators.analytics import (
     APPROX_DISTINCT_ORACLE_SQL,
+    PRICING_CUBE_ORACLE_SQL,
     USER_TIMESERIES_ORACLE_SQL,
     VALUE_PERCENTILES_ORACLE_SQL,
     approx_distinct_query,
+    pricing_cube_query,
     user_timeseries_query,
     value_percentiles_query,
 )
@@ -209,6 +217,8 @@ QUERIES = {
     "value_percentiles": value_percentiles_query,
     "interval_join": interval_join_query,
     "user_timeseries": user_timeseries_query,
+    "pricing_cube": pricing_cube_query,
+    "streaming_dedup": streaming_dedup_query,
 }
 
 ORACLES = {
@@ -258,4 +268,6 @@ ORACLES = {
     "value_percentiles": VALUE_PERCENTILES_ORACLE_SQL,
     "interval_join": INTERVAL_JOIN_ORACLE_SQL,
     "user_timeseries": USER_TIMESERIES_ORACLE_SQL,
+    "pricing_cube": PRICING_CUBE_ORACLE_SQL,
+    "streaming_dedup": STREAMING_DEDUP_ORACLE_SQL,
 }

@@ -1,0 +1,89 @@
+"""Streaming deduplication: ``dropDuplicatesWithinWatermark`` over an
+at-least-once delivery stream.
+
+The reference's delivery model is at-least-once with heavy re-delivery
+(each user's latest 25 post files rewritten daily, ``README.md:33-41``);
+its Lambda path absorbs duplicates by idempotent keyed PUT. The
+latest-wins merge (:mod:`.upsert_stream`) is one answer; this operator
+is the other: drop exact re-deliveries *in the stream itself*, keyed by
+event id, so downstream operators see each event exactly once.
+
+Two deterministic micro-batches (``maxFilesPerTrigger=1``): wave 1 is
+all events, wave 2 re-delivers the event_id % 4 == 0 subset verbatim
+plus late duplicates. The emission log therefore equals DISTINCT over
+wave 1 - what the DuckDB oracle computes.
+
+At scale: dedup state is keyed by event_id in the state store (same
+shuffle as any keyed stateful op); the watermark bounds how long a key
+is remembered, trading memory for the re-delivery horizon (the
+reference's horizon is 25 days). Without the watermark bound
+(``dropDuplicates``) state grows forever - never ship that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import load_table
+
+WATERMARK = "30 days"  # the reference's 25-day re-delivery horizon, rounded up
+
+
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    try:
+        events.coalesce(1).write.parquet(os.path.join(src, "wave1"))
+        events.filter(F.col("event_id") % 4 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "wave2")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        deduped = stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.table(qname).select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value"
+        )
+        out = spark.createDataFrame(res.collect(), schema=res.schema)
+        spark.catalog.dropTempView(qname)  # free the memory-sink table
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_DEDUP_ORACLE_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events
+"""

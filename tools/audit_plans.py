@@ -40,6 +40,7 @@ MATERIALIZED = {
     "streaming_stateful",
     "json_lake_ingest",
     "dedup_clusters",  # iterative localCheckpoint loop
+    "streaming_dedup",
 }
 
 
