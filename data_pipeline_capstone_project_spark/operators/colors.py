@@ -150,3 +150,45 @@ def color_palette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     color pipeline over synthetic images for users 0..19."""
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     return color_palette(synth_images(events)).orderBy("igId")
+
+
+COLOR_SCHEMA = (
+    "array<struct<percentage double, red int, green int, blue int, hex string>>"
+)
+
+
+def color_palette_props_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated property projection of the color pipeline (the KMeans
+    content itself has no SQL oracle; these invariants do): per user -
+    exactly K_COLORS clusters, percentages summing to 1 (2-decimal
+    round absorbs the per-entry 4-decimal rounding), well-formed hex,
+    and rank order non-increasing by percentage. The DuckDB oracle
+    asserts the same closed-form row per user, so a regression in the
+    UDF (wrong k, broken ranking, malformed hex, percentage drift)
+    breaks the value hash."""
+    palettes = color_palette_query(spark, sf_dir)
+    colors = F.from_json("colors", COLOR_SCHEMA)
+    pct = F.transform(colors, lambda c: c["percentage"])
+    return palettes.select(
+        "igId",
+        F.size(colors).alias("n_colors"),
+        F.round(F.aggregate(pct, F.lit(0.0), lambda a, x: a + x), 2).alias("pct_sum"),
+        F.forall(colors, lambda c: c["hex"].rlike("^#[0-9a-f]{6}$")).alias("hex_ok"),
+        F.coalesce(
+            F.forall(
+                F.zip_with(pct, F.slice(pct, 2, K_COLORS), lambda a, b: a >= b),
+                lambda ok: ok,
+            ),
+            F.lit(True),
+        ).alias("ranked_ok"),
+    )
+
+
+COLOR_PALETTE_PROPS_ORACLE_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS igId,
+       {K_COLORS} AS n_colors,
+       1.0 AS pct_sum,
+       true AS hex_ok,
+       true AS ranked_ok
+FROM events WHERE user_id < 20 GROUP BY user_id
+"""

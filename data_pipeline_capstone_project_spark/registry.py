@@ -79,7 +79,11 @@ from .operators.dedup import (
     dedup_ngram_query,
     dedup_simhash_query,
 )
-from .operators.colors import color_palette_query
+from .operators.colors import (
+    COLOR_PALETTE_PROPS_ORACLE_SQL,
+    color_palette_props_query,
+    color_palette_query,
+)
 from .operators.flatten import POSTS_FLATTEN_ORACLE_SQL, posts_flatten_query
 from .operators.multimodal import (
     FRAME_SAMPLE_ORACLE_SQL,
@@ -219,6 +223,7 @@ QUERIES = {
     "user_timeseries": user_timeseries_query,
     "pricing_cube": pricing_cube_query,
     "streaming_dedup": streaming_dedup_query,
+    "color_palette_props": color_palette_props_query,
 }
 
 ORACLES = {
@@ -270,4 +275,5 @@ ORACLES = {
     "user_timeseries": USER_TIMESERIES_ORACLE_SQL,
     "pricing_cube": PRICING_CUBE_ORACLE_SQL,
     "streaming_dedup": STREAMING_DEDUP_ORACLE_SQL,
+    "color_palette_props": COLOR_PALETTE_PROPS_ORACLE_SQL,
 }
