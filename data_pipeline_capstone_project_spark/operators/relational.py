@@ -135,3 +135,92 @@ WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def semi_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J3's positive twin): customers that placed at
+    least one high-value order - existence check without duplicating
+    the probe side (an inner join would fan out per matching order;
+    semi stops at first match, and Catalyst broadcast-builds the
+    filtered orders side)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_ORACLE_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
+def set_ops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over the active-user sets of two
+    periods (SURVEY §2.7 notes the reference has none; the engine gets
+    them as first-class plans). DISTINCT variants - Spark rewrites
+    intersect/except into aggregated joins, so each leg is one shuffle
+    on the compared columns.
+
+    Plan shape (audited): each set-op leg re-expands the events scan,
+    so the plan reads the (column-pruned, 2-col) table 6x. That is the
+    cost of exercising the real operators; the 100 TB rewrite is the
+    single-scan flag aggregation in ``set_ops_fused_query`` (1 scan,
+    1 shuffle), which a unit test proves row-identical."""
+    events = load_table(spark, sf_dir, "events")
+    wk1 = events.filter(F.dayofmonth("ts") <= 15).select("user_id")
+    wk2 = events.filter(F.dayofmonth("ts") > 15).select("user_id")
+    return wk1.union(wk2).distinct().agg(
+        F.lit("union").alias("op"), F.count("*").alias("n_users")
+    ).unionByName(
+        wk1.intersect(wk2).agg(F.lit("intersect").alias("op"), F.count("*").alias("n_users"))
+    ).unionByName(
+        wk1.distinct().exceptAll(wk2.distinct()).agg(
+            F.lit("except").alias("op"), F.count("*").alias("n_users")
+        )
+    )
+
+
+def set_ops_fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale rewrite of ``set_ops_query``: one scan of events, one
+    shuffle. Per-user membership flags (``max(bool)`` = EXISTS) make
+    union/intersect/except conditional counts over a single groupBy -
+    the plan an optimizer with common-subplan fusion would emit, and
+    the one to run at 100 TB where 6 scans of the fact table dominate."""
+    events = load_table(spark, sf_dir, "events")
+    flags = events.groupBy("user_id").agg(
+        F.max(F.dayofmonth("ts") <= 15).alias("in1"),
+        F.max(F.dayofmonth("ts") > 15).alias("in2"),
+    )
+    counts = flags.agg(
+        F.count_if(F.col("in1") | F.col("in2")).alias("n_union"),
+        F.count_if(F.col("in1") & F.col("in2")).alias("n_intersect"),
+        F.count_if(F.col("in1") & ~F.col("in2")).alias("n_except"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("union").alias("op"), F.col("n_union").alias("n_users")),
+                F.struct(F.lit("intersect").alias("op"), F.col("n_intersect").alias("n_users")),
+                F.struct(F.lit("except").alias("op"), F.col("n_except").alias("n_users")),
+            )
+        ).alias("r")
+    ).select("r.op", "r.n_users")
+
+
+SET_OPS_ORACLE_SQL = """
+WITH wk1 AS (SELECT user_id FROM events WHERE day(ts) <= 15),
+     wk2 AS (SELECT user_id FROM events WHERE day(ts) > 15)
+SELECT 'union' AS op,
+       (SELECT count(*) FROM (SELECT user_id FROM wk1 UNION SELECT user_id FROM wk2)) AS n_users
+UNION ALL
+SELECT 'intersect',
+       (SELECT count(*) FROM (SELECT user_id FROM wk1 INTERSECT SELECT user_id FROM wk2))
+UNION ALL
+SELECT 'except',
+       (SELECT count(*) FROM (SELECT user_id FROM wk1 EXCEPT SELECT user_id FROM wk2))
+"""

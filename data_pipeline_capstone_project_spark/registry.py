@@ -96,9 +96,14 @@ from .operators.relational import (
     ANTI_JOIN_ORACLE_SQL,
     PRICING_SUMMARY_ORACLE_SQL,
     SCALAR_SUITE_ORACLE_SQL,
+    SEMI_JOIN_ORACLE_SQL,
+    SET_OPS_ORACLE_SQL,
     anti_join_query,
     pricing_summary_query,
     scalar_suite_query,
+    semi_join_query,
+    set_ops_fused_query,
+    set_ops_query,
 )
 from .operators.topk import (
     RECENT_N_ORACLE_SQL,
@@ -224,6 +229,9 @@ QUERIES = {
     "pricing_cube": pricing_cube_query,
     "streaming_dedup": streaming_dedup_query,
     "color_palette_props": color_palette_props_query,
+    "semi_join": semi_join_query,
+    "set_ops": set_ops_query,
+    "set_ops_fused": set_ops_fused_query,
 }
 
 ORACLES = {
@@ -276,4 +284,7 @@ ORACLES = {
     "pricing_cube": PRICING_CUBE_ORACLE_SQL,
     "streaming_dedup": STREAMING_DEDUP_ORACLE_SQL,
     "color_palette_props": COLOR_PALETTE_PROPS_ORACLE_SQL,
+    "semi_join": SEMI_JOIN_ORACLE_SQL,
+    "set_ops": SET_OPS_ORACLE_SQL,
+    "set_ops_fused": SET_OPS_ORACLE_SQL,
 }

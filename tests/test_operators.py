@@ -151,3 +151,34 @@ def test_json_lake_ingest_latest_wins(spark, sf_dir):
             assert r["followers"] == -1
         else:
             assert r["followers"] == o["o_custkey"] * 10
+
+
+def test_set_ops_fused_matches_operator_form(spark, sf_dir):
+    """The single-scan flag-aggregation rewrite must return exactly the
+    rows of the real UNION/INTERSECT/EXCEPT plan (which scans events
+    once per set-op leg). Equivalence here is what licenses running the
+    fused form at scale."""
+    from data_pipeline_capstone_project_spark.operators.relational import (
+        set_ops_fused_query,
+        set_ops_query,
+    )
+
+    op_rows = {r["op"]: r["n_users"] for r in set_ops_query(spark, sf_dir).collect()}
+    fused_rows = {
+        r["op"]: r["n_users"] for r in set_ops_fused_query(spark, sf_dir).collect()
+    }
+    assert op_rows == fused_rows
+    assert set(op_rows) == {"union", "intersect", "except"}
+    # |A∪B| ≥ |A∩B| + |A\B| (the missing term is |B\A| ≥ 0)
+    assert op_rows["union"] >= op_rows["intersect"] + op_rows["except"] > 0
+
+
+def test_semi_join_no_fanout(spark, sf_dir):
+    """left_semi must emit each qualifying customer exactly once even
+    when many orders match (an inner join would fan out)."""
+    from data_pipeline_capstone_project_spark.operators.relational import (
+        semi_join_query,
+    )
+
+    out = semi_join_query(spark, sf_dir)
+    assert out.count() == out.select("c_custkey").distinct().count()
