@@ -118,8 +118,9 @@ def _parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _parallel_docs(spark, sf_dir)
+def shingles_of_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, shs). Works on any docs-shaped
+    DataFrame (batch table scan or a streaming micro-batch)."""
     # Short-doc filter on the RAW text, before any hashing: a filter
     # phrased as size(shs) > 0 would be predicate-pushed below the
     # projections, inlining the whole (expensive) shingle expression
@@ -134,6 +135,25 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.split("text", r"\s+"), md5_hash32).alias("wh"),
     )
     return wh.select("doc_id", shingles_col(F.col("wh")).alias("shs"))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of_docs(_parallel_docs(spark, sf_dir))
+
+
+def bands_of_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, shs) -> (doc_id, band, bucket) via the MinHash
+    signature. Shared by the batch LSH query and the incremental
+    streaming index builder, so both sides of the stream-vs-batch
+    equivalence gate hash with identical coefficients."""
+    # 32-bit base hashes (fold of the 61-bit shingle hash) so the
+    # affine permutations stay inside int64; no md5 on this path.
+    hs = sh.select(
+        "doc_id",
+        F.transform("shs", lambda s: s % F.lit(1 << 32)).alias("hs"),
+    )
+    sig = hs.select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
+    return lsh_bands(sig)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -296,14 +316,7 @@ def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what makes it the 100 TB path (the exact operator above
     is the small-scale oracle)."""
     sh = _doc_shingles(spark, sf_dir)
-    # 32-bit base hashes (fold of the 61-bit shingle hash) so the
-    # affine permutations stay inside int64; no md5 on this path.
-    hs = sh.select(
-        "doc_id",
-        F.transform("shs", lambda s: s % F.lit(1 << 32)).alias("hs"),
-    )
-    sig = hs.select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
-    bands = lsh_bands(sig)
+    bands = bands_of_shingles(sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (

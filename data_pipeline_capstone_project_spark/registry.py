@@ -151,6 +151,7 @@ from .streaming.dedup_stream import (
     STREAMING_DEDUP_ORACLE_SQL,
     streaming_dedup_query,
 )
+from .streaming.lsh_dedup_stream import streaming_lsh_dedup_query
 from .sources.ingest_lake import (
     JSON_LAKE_INGEST_ORACLE_SQL,
     json_lake_ingest_query,
@@ -232,6 +233,7 @@ QUERIES = {
     "semi_join": semi_join_query,
     "set_ops": set_ops_query,
     "set_ops_fused": set_ops_fused_query,
+    "streaming_lsh_dedup": streaming_lsh_dedup_query,
 }
 
 ORACLES = {
@@ -287,4 +289,7 @@ ORACLES = {
     "semi_join": SEMI_JOIN_ORACLE_SQL,
     "set_ops": SET_OPS_ORACLE_SQL,
     "set_ops_fused": SET_OPS_ORACLE_SQL,
+    # The incremental stream must reproduce the batch LSH result
+    # exactly - same oracle, hash-compared.
+    "streaming_lsh_dedup": DEDUP_MINHASH_ORACLE_SQL,
 }

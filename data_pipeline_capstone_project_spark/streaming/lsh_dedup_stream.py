@@ -1,0 +1,169 @@
+"""Incremental MinHash-LSH near-dup detection over a document stream.
+
+The batch LSH operator (:func:`..operators.dedup.dedup_minhash_query`)
+recomputes all pairs from scratch; at 100 TB with a daily arrival of
+~0.1% new documents that is a 1000x waste. This operator maintains a
+persistent LSH *index* — two append-only keyed stores,
+``(doc_id, band, bucket)`` and ``(doc_id, shs)`` — and per micro-batch
+only does work proportional to |batch| x bucket-collision rate:
+
+1. shingle + band the NEW docs (identical coefficients to the batch
+   operator, via the shared :func:`..operators.dedup.bands_of_shingles`);
+2. equi-join the batch's bands against index ∪ batch on
+   ``(band, bucket)`` — candidates therefore always involve >= 1 new
+   doc; prior-vs-prior pairs were emitted by an earlier batch and are
+   never recomputed;
+3. verify candidates with exact Jaccard (``array_intersect``) against
+   the shingle store, emit verified pairs normalized to
+   ``doc_a < doc_b``, and append the batch's bands + shingles to the
+   index.
+
+Correctness gate: the union of all per-batch emissions must equal the
+from-scratch batch result, so the registry entry shares
+``DEDUP_MINHASH_ORACLE_SQL`` verbatim — the incremental path is
+hash-checked against the recompute-the-world semantics it replaces.
+
+At scale: both stores are keyed tables (Delta/Iceberg partitioned by
+``band`` / bucketed by ``doc_id``); the band join is a shuffle on
+(band, bucket) sized by the batch, not the corpus, and the shingle
+verification join touches only candidate doc_ids (a semi-joined read
+of the store, not a full scan). Reference parity: this is the
+streaming twin of its idempotent per-PUT ingest (SURVEY ST1) applied
+to the dedup problem the reference never solved.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    bands_of_shingles,
+    shingles_of_docs,
+)
+from ..sources.readers import load_table
+
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.StringType()),
+    ]
+)
+_SHINGLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shs", T.ArrayType(T.LongType())),
+    ]
+)
+_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+)
+
+
+def _store(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def lsh_index_merge_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    bands_dir: str,
+    shingles_dir: str,
+    pairs_dir: str,
+) -> None:
+    """Process one micro-batch of (doc_id, text) against the index."""
+    sh_new = shingles_of_docs(batch).localCheckpoint(eager=True)
+    bands_new = bands_of_shingles(sh_new).localCheckpoint(eager=True)
+
+    bands_all = _store(spark, bands_dir, _BANDS_SCHEMA).unionByName(bands_new)
+    sh_all = _store(spark, shingles_dir, _SHINGLES_SCHEMA).unionByName(sh_new)
+
+    # Candidates: new docs vs (index ∪ batch). Normalizing to
+    # (least, greatest) makes within-batch pairs (seen from both
+    # sides) collapse under distinct and match the batch operator's
+    # doc_a < doc_b convention.
+    probe = bands_new.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+    build = bands_all.select(F.col("doc_id").alias("other_id"), "band", "bucket")
+    cands = (
+        probe.join(build, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh_all.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sh_all.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (common / (F.size("shs_a") + F.size("shs_b") - common)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    verified.write.mode("append").parquet(pairs_dir)
+    bands_new.write.mode("append").parquet(bands_dir)
+    sh_new.write.mode("append").parquet(shingles_dir)
+
+
+def streaming_lsh_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: three-batch incremental ingest of the documents
+    table (doc_id % 3 arrival order, one file per micro-batch) whose
+    accumulated pair log must equal the from-scratch batch LSH result
+    — same oracle SQL, hash-compared."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_lsh_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    bands_dir, shingles_dir, pairs_dir = (
+        os.path.join(work, d) for d in ("bands", "shingles", "pairs")
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    try:
+        for wave in range(3):
+            docs.filter(F.col("doc_id") % 3 == wave).coalesce(1).write.parquet(
+                os.path.join(src, f"wave{wave}")
+            )
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _epoch: lsh_index_merge_batch(
+                    spark, batch, bands_dir, shingles_dir, pairs_dir
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pairs = _store(spark, pairs_dir, _PAIRS_SCHEMA)
+        return spark.createDataFrame(pairs.collect(), schema=_PAIRS_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

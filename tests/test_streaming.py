@@ -86,3 +86,30 @@ def test_replay_is_idempotent(spark, tmp_path):
     streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, SCHEMA, ["id"], order)
     after = spark.read.schema(SCHEMA).parquet(tgt).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_incremental_lsh_equals_batch(spark, sf_dir):
+    """The three-batch incremental LSH index must emit exactly the
+    from-scratch batch pair set: every pair once (no re-emission on
+    later batches), including pairs whose docs arrived in different
+    micro-batches (the index lookup path)."""
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        dedup_minhash_query,
+    )
+    from data_pipeline_capstone_project_spark.streaming.lsh_dedup_stream import (
+        streaming_lsh_dedup_query,
+    )
+
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_query(spark, sf_dir).collect()
+    }
+    inc_rows = streaming_lsh_dedup_query(spark, sf_dir).collect()
+    inc = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in inc_rows}
+
+    assert len(inc_rows) == len(inc)  # no pair emitted twice
+    assert inc.keys() == batch.keys()
+    for k, j in batch.items():
+        assert abs(inc[k] - j) < 1e-12
+    # the interesting path: at least one pair crossed micro-batches
+    assert any(a % 3 != b % 3 for a, b in inc), "no cross-batch pair exercised"
