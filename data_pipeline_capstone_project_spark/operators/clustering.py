@@ -14,10 +14,12 @@ few hops), so this converges in 2-4 rounds in practice. Each round is
 one shuffle of the (small) edge list; ``localCheckpoint`` truncates
 plan lineage so round N does not re-execute rounds 1..N-1. The label
 sum is monotonically non-increasing, giving a cheap scalar fixpoint
-test. For adversarial long-chain graphs the alternating
-small-star/large-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14) drops rounds to O(log^2 n) - same
-join/agg shape, so it slots into this loop unchanged.
+test. For adversarial long-chain graphs
+:func:`connected_components_star` (alternating large-star/small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) drops rounds to O(log^2 n) - same join/agg shuffle shape per
+round, diameter-independent; both are registry-gated against the same
+oracle.
 
 The DuckDB oracle computes the same components via a recursive-CTE
 transitive closure - exponentially more expensive, viable only at
@@ -74,12 +76,110 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC'14): every node
+    connects its strictly-larger neighbors to the minimum of its
+    closed neighborhood. Output edges are always (larger, smaller)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select("u", F.least("minv", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node links its smaller-or-equal
+    neighborhood (and itself) to that neighborhood's minimum."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        edges.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = m.select("u", F.col("m").alias("v"))
+    return rewired.union(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """(doc_a, doc_b) edges -> (doc_id, cluster_id) via alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).
+
+    Converges in O(log^2 n) rounds regardless of graph DIAMETER -
+    the property min-label propagation lacks: on a 10k-node chain,
+    propagation needs 10k rounds (10k shuffles); this needs ~15.
+    Per round: one groupBy + one join on the shrinking edge list,
+    the same shuffle shape as one propagation step, so the 100 TB
+    plan is strictly better whenever components can be deep.
+
+    Fixpoint test is exact set equality (counts match and either-way
+    difference is empty), not a hash heuristic - the edge list at
+    round k is tiny relative to the input, so the extra anti-join is
+    noise."""
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        if (
+            nxt.count() == edges.count()
+            and nxt.exceptAll(edges).isEmpty()
+        ):
+            edges = nxt
+            break
+        edges = nxt
+    # At fixpoint every edge is (member, component-min); roots have no
+    # outgoing edge and label themselves.
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return nodes.join(roots, nodes.node == roots.u, "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("root", "node").alias("cluster_id"),
+    )
+
+
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: cluster the verified MinHash near-dup pairs and
     emit per-doc cluster assignment plus the keep/drop verdict
     (canonical = the component's min doc_id)."""
     pairs = dedup_minhash_query(spark, sf_dir)
     comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_clusters_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of :func:`dedup_clusters_query` running the
+    O(log^2 n)-round star algorithm instead of diameter-bound
+    propagation; identical output contract, same oracle."""
+    pairs = dedup_minhash_query(spark, sf_dir)
+    comp = connected_components_star(pairs)
     return comp.select(
         "doc_id",
         "cluster_id",

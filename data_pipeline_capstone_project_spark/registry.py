@@ -163,6 +163,7 @@ from .operators.sampling import (
 from .operators.clustering import (
     DEDUP_CLUSTERS_ORACLE_SQL,
     dedup_clusters_query,
+    dedup_clusters_star_query,
 )
 from .operators.similarity import (
     LABEL_CENTROIDS_ORACLE_SQL,
@@ -234,6 +235,7 @@ QUERIES = {
     "set_ops": set_ops_query,
     "set_ops_fused": set_ops_fused_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
+    "dedup_clusters_star": dedup_clusters_star_query,
 }
 
 ORACLES = {
@@ -292,4 +294,5 @@ ORACLES = {
     # The incremental stream must reproduce the batch LSH result
     # exactly - same oracle, hash-compared.
     "streaming_lsh_dedup": DEDUP_MINHASH_ORACLE_SQL,
+    "dedup_clusters_star": DEDUP_CLUSTERS_ORACLE_SQL,
 }

@@ -108,3 +108,33 @@ def test_connected_components_chains_merge(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_star_cc_matches_propagation_and_handles_deep_chains(spark):
+    """large-star/small-star must (a) agree with min-label propagation
+    on an ordinary graph and (b) solve a 512-node path graph - diameter
+    511, where propagation capped at MAX_ROUNDS=20 CANNOT converge -
+    within its O(log^2 n) round budget."""
+    from data_pipeline_capstone_project_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20), (5, 1)],
+        "doc_a long, doc_b long",
+    )
+    prop = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == prop
+
+    n = 512
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    ).coalesce(4)
+    labels = connected_components_star(chain, max_rounds=12).collect()
+    assert len(labels) == n
+    assert {r["cluster_id"] for r in labels} == {1}
