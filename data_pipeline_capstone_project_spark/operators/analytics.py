@@ -344,3 +344,102 @@ SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
        CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def skew_salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-to-dimension join: salt the fact side
+    (``salt = event_id % 16``), replicate each dim row across all 16
+    salt values, join on ``(key, salt)``. A hot join key's rows then
+    land on 16 reducers instead of one - the classic fix when a
+    shuffled join stalls on one straggler partition at 100 TB.
+
+    The join is hinted ``merge`` deliberately: with a broadcastable
+    dim, Catalyst would pick BHJ and salting would be pointless (no
+    shuffle, no skew). The salted-SMJ form is the pattern for the
+    case that actually hurts - a dim too big to broadcast against a
+    skewed fact. (AQE's ``skewJoin`` does this rewrite adaptively for
+    built-in joins; the explicit form also covers stateful/streaming
+    joins AQE cannot touch.) Aggregated output with exact decimal
+    sums so the oracle's plain join compares hash-identically."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fact = events.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
+    dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt"),
+    )
+    joined = fact.join(
+        dim.hint("merge"),
+        (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("total_value"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            F.col("total_value").cast("string").alias("total_value"),
+        )
+    )
+
+
+SKEW_SALTED_JOIN_ORACLE_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def pricing_grouping_sets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS - the member of the multi-dimensional
+    agg family (groupBy/rollup/cube/pivot) that expresses exactly the
+    marginals you want and no more: here (flag, status), (flag),
+    (status), skipping the grand total a CUBE would also pay for.
+    One Expand (3x map-side rows, vs CUBE's 4x) + one shuffle.
+    Grouping-slot NULLs disambiguated via ``grouping()`` as in
+    :func:`pricing_cube_query`."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.when(F.col("g_flag") == 1, "ALL")
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("g_status") == 1, "ALL")
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            "n_rows",
+            F.col("sum_qty").cast("string").alias("sum_qty"),
+        )
+    )
+
+
+PRICING_GROUPING_SETS_ORACLE_SQL = """
+SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS returnflag,
+       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+"""

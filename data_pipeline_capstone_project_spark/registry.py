@@ -58,13 +58,17 @@ from __future__ import annotations
 
 from .operators.analytics import (
     EVENT_PIVOT_ORACLE_SQL,
+    PRICING_GROUPING_SETS_ORACLE_SQL,
     PRICING_ROLLUP_ORACLE_SQL,
     SESSIONIZE_ORACLE_SQL,
     SKEW_SALTED_AGG_ORACLE_SQL,
+    SKEW_SALTED_JOIN_ORACLE_SQL,
     event_pivot_query,
+    pricing_grouping_sets_query,
     pricing_rollup_query,
     sessionize_query,
     skew_salted_agg_query,
+    skew_salted_join_query,
 )
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
 from .operators.dedup import (
@@ -236,6 +240,8 @@ QUERIES = {
     "set_ops_fused": set_ops_fused_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
     "dedup_clusters_star": dedup_clusters_star_query,
+    "skew_salted_join": skew_salted_join_query,
+    "pricing_grouping_sets": pricing_grouping_sets_query,
 }
 
 ORACLES = {
@@ -295,4 +301,6 @@ ORACLES = {
     # exactly - same oracle, hash-compared.
     "streaming_lsh_dedup": DEDUP_MINHASH_ORACLE_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_ORACLE_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_ORACLE_SQL,
+    "pricing_grouping_sets": PRICING_GROUPING_SETS_ORACLE_SQL,
 }
