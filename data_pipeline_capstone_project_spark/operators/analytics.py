@@ -443,3 +443,58 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                         (l_returnflag), (l_linestatus))
 """
+
+
+def user_rank_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface: rank / dense_rank / percent_rank /
+    cume_dist / ntile(4) over per-user activity, per market segment.
+    Completes SURVEY §2.6 beyond row_number and the frame windows of
+    :func:`user_timeseries_query`.
+
+    Determinism: ntile depends on ROW order, not key order, so the
+    ORDER BY ends with the unique user_id tiebreak - without it two
+    engines may tile ties differently and the hash gate would flicker.
+    Scale shape: the pre-aggregation shrinks the window input to one
+    row per user BEFORE the per-segment sort, and all five functions
+    share one (partition, order) spec = one Window node."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    seg = per_user.join(
+        customer, per_user.user_id == customer.c_custkey
+    ).select("user_id", "c_mktsegment", "n_events")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return seg.select(
+        "c_mktsegment",
+        "user_id",
+        "n_events",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+USER_RANK_SUITE_ORACLE_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+seg AS (
+  SELECT user_id, c_mktsegment, n_events
+  FROM per_user JOIN customer ON user_id = c_custkey
+)
+SELECT c_mktsegment, user_id, n_events,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist()    OVER w, 9) AS cume,
+       ntile(4)       OVER w AS quartile
+FROM seg
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY n_events DESC, user_id ASC)
+"""

@@ -63,12 +63,14 @@ from .operators.analytics import (
     SESSIONIZE_ORACLE_SQL,
     SKEW_SALTED_AGG_ORACLE_SQL,
     SKEW_SALTED_JOIN_ORACLE_SQL,
+    USER_RANK_SUITE_ORACLE_SQL,
     event_pivot_query,
     pricing_grouping_sets_query,
     pricing_rollup_query,
     sessionize_query,
     skew_salted_agg_query,
     skew_salted_join_query,
+    user_rank_suite_query,
 )
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
 from .operators.dedup import (
@@ -242,6 +244,7 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star_query,
     "skew_salted_join": skew_salted_join_query,
     "pricing_grouping_sets": pricing_grouping_sets_query,
+    "user_rank_suite": user_rank_suite_query,
 }
 
 ORACLES = {
@@ -303,4 +306,5 @@ ORACLES = {
     "dedup_clusters_star": DEDUP_CLUSTERS_ORACLE_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_ORACLE_SQL,
     "pricing_grouping_sets": PRICING_GROUPING_SETS_ORACLE_SQL,
+    "user_rank_suite": USER_RANK_SUITE_ORACLE_SQL,
 }
