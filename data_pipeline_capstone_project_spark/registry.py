@@ -158,6 +158,10 @@ from .streaming.dedup_stream import (
     streaming_dedup_query,
 )
 from .streaming.lsh_dedup_stream import streaming_lsh_dedup_query
+from .streaming.join_stream import (
+    STREAMING_JOIN_ORACLE_SQL,
+    streaming_join_query,
+)
 from .sources.ingest_lake import (
     JSON_LAKE_INGEST_ORACLE_SQL,
     json_lake_ingest_query,
@@ -245,6 +249,7 @@ QUERIES = {
     "skew_salted_join": skew_salted_join_query,
     "pricing_grouping_sets": pricing_grouping_sets_query,
     "user_rank_suite": user_rank_suite_query,
+    "streaming_join": streaming_join_query,
 }
 
 ORACLES = {
@@ -307,4 +312,5 @@ ORACLES = {
     "skew_salted_join": SKEW_SALTED_JOIN_ORACLE_SQL,
     "pricing_grouping_sets": PRICING_GROUPING_SETS_ORACLE_SQL,
     "user_rank_suite": USER_RANK_SUITE_ORACLE_SQL,
+    "streaming_join": STREAMING_JOIN_ORACLE_SQL,
 }

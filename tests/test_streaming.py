@@ -113,3 +113,48 @@ def test_incremental_lsh_equals_batch(spark, sf_dir):
         assert abs(inc[k] - j) < 1e-12
     # the interesting path: at least one pair crossed micro-batches
     assert any(a % 3 != b % 3 for a, b in inc), "no cross-batch pair exercised"
+
+
+def test_stream_stream_join_matches_batch_and_crosses_batches(spark, sf_dir):
+    """The watermarked stream-stream interval join must equal the
+    batch join (no late drops: watermark > corpus span) and must match
+    across micro-batches - a view arriving in wave 1 joined to a
+    purchase arriving in wave 2 proves buffered state, not
+    within-batch luck."""
+    from data_pipeline_capstone_project_spark.streaming.join_stream import (
+        streaming_join_query,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    got = {
+        (r["purchase_id"], r["view_id"]): r["lag_us"]
+        for r in streaming_join_query(spark, sf_dir).collect()
+    }
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+        F.col("user_id").alias("vu"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "user_id",
+    )
+    batch = p.join(
+        v,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    expect = {
+        (r["purchase_id"], r["view_id"]): r["lag"]
+        for r in batch.select(
+            "purchase_id",
+            "view_id",
+            (F.unix_micros("pts") - F.unix_micros("vts")).alias("lag"),
+        ).collect()
+    }
+    assert got == expect
+    assert any(pid % 2 != vid % 2 for pid, vid in got), "no cross-batch match"
