@@ -73,6 +73,7 @@ from .operators.analytics import (
     user_rank_suite_query,
 )
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
+from .operators.inference import DOC_SCORE_ORACLE_SQL, doc_score_inference_query
 from .operators.dedup import (
     DEDUP_EMBEDDING_ORACLE_SQL,
     DEDUP_EXACT_ORACLE_SQL,
@@ -250,6 +251,7 @@ QUERIES = {
     "pricing_grouping_sets": pricing_grouping_sets_query,
     "user_rank_suite": user_rank_suite_query,
     "streaming_join": streaming_join_query,
+    "doc_score_inference": doc_score_inference_query,
 }
 
 ORACLES = {
@@ -313,4 +315,5 @@ ORACLES = {
     "pricing_grouping_sets": PRICING_GROUPING_SETS_ORACLE_SQL,
     "user_rank_suite": USER_RANK_SUITE_ORACLE_SQL,
     "streaming_join": STREAMING_JOIN_ORACLE_SQL,
+    "doc_score_inference": DOC_SCORE_ORACLE_SQL,
 }

@@ -182,3 +182,21 @@ def test_semi_join_no_fanout(spark, sf_dir):
 
     out = semi_join_query(spark, sf_dir)
     assert out.count() == out.select("c_custkey").distinct().count()
+
+
+def test_inference_featurizes_jvm_side(spark, sf_dir):
+    """The mapInPandas inference seam must receive only the 3 numeric
+    features - raw text crossing the Arrow boundary would move ~100x
+    the bytes and put tokenization in Python. Also pin the score
+    contract: bounded in (0, 1]."""
+    from data_pipeline_capstone_project_spark.operators.inference import (
+        doc_score_inference_query,
+    )
+
+    df = doc_score_inference_query(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    map_line = next(l for l in plan.splitlines() if "MapInPandas" in l)
+    assert "text" not in map_line  # features only, no raw text
+    scores = [r["score"] for r in df.collect()]
+    assert scores and all(0.0 < s <= 1.0 for s in scores)
