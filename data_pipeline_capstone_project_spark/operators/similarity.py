@@ -376,3 +376,151 @@ FROM (
 )
 GROUP BY label, pos
 """
+
+
+# --- Int8-quantized search with full-precision rerank ----------------------
+
+RERANK = 20  # candidates kept from the quantized pass, per query
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product (exact - no float rounding anywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def similarity_quantized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: int8 vectors (per-vector max-abs scale)
+    score ALL candidates with exact integer dot products; only the
+    top RERANK per query are re-scored with full-precision cosine.
+
+    This is the standard memory-compression recipe at 100 TB: the
+    scan-side working set shrinks 4x (float32 -> int8; 8x vs the
+    float64 compute type), the hot loop is integer multiply-add, and
+    full-precision vectors are touched for |Q| x RERANK rows instead
+    of |Q| x N. Per-vector scaling means quantized cosine ~= true
+    cosine (scale cancels in the normalized ratio up to rounding), so
+    rerank recall is high with RERANK = 4k.
+
+    Determinism: quantization is floor(x * 127 / scale + 0.5) (exact
+    IEEE ops, no round-half-even ambiguity), candidate scores are
+    integer ratios, ties broken by neighbor id - the DuckDB oracle
+    reproduces every bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("scale") + F.lit(0.5)),
+    )
+    base = (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .select("vec_id", "embedding", q8.alias("v8"))
+        .select(
+            "vec_id",
+            "embedding",
+            "v8",
+            F.sqrt(_int_dot(F.col("v8"), F.col("v8")).cast("double")).alias("n8"),
+        )
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("v8").alias("q8"),
+        F.col("n8").alias("qn8"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("v8").alias("c8"),
+        F.col("n8").alias("cn8"),
+    )
+    approx = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            (
+                _int_dot(F.col("q8"), F.col("c8")).cast("double")
+                / (F.col("qn8") * F.col("cn8"))
+            ).alias("approx_cos"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    cands = approx.withColumn("arn", F.row_number().over(wa)).filter(
+        F.col("arn") <= RERANK
+    )
+    exact = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rn", F.row_number().over(wf)).filter(
+        F.col("rn") <= TOP_K
+    )
+
+
+_ORACLE_IDOT = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, {n} + 1), i -> {a}[i] * {b}[i])), "
+    "(x, y) -> x + y)"
+)
+
+SIMILARITY_QUANTIZED_ORACLE_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         greatest(list_reduce(list_transform(embedding,
+                    x -> abs(x::DOUBLE)), (x, y) -> greatest(x, y)),
+                  1e-30) AS scale
+  FROM embeddings
+),
+q8t AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> floor(x::DOUBLE * 127.0 / scale + 0.5)::BIGINT) AS v8
+  FROM scaled
+),
+base AS (
+  SELECT vec_id, embedding, v8,
+         sqrt(({_ORACLE_IDOT.format(a='v8', b='v8', n=DIM)})::DOUBLE) AS n8
+  FROM q8t
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, v8 AS q8, n8 AS qn8
+      FROM base WHERE vec_id < {N_QUERIES}),
+approx AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, qv, c.embedding AS cv,
+         ({_ORACLE_IDOT.format(a='q8', b='c.v8', n=DIM)})::DOUBLE
+           / (qn8 * c.n8) AS approx_cos
+  FROM base c JOIN q ON c.vec_id <> q.query_id
+),
+cands AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cos DESC, neighbor_id ASC) AS arn
+    FROM approx
+  ) WHERE arn <= {RERANK}
+),
+exact AS (
+  SELECT query_id, neighbor_id,
+         {_oracle_dot('qv', 'cv')}
+           / (sqrt({_oracle_dot('qv', 'qv')}) * sqrt({_oracle_dot('cv', 'cv')}))
+           AS cosine
+  FROM cands
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM exact
+) WHERE rn <= {TOP_K}
+"""

@@ -122,9 +122,11 @@ from .operators.search import KEYWORD_SEARCH_ORACLE_SQL, keyword_search_query
 from .operators.similarity import (
     SIMILARITY_IVF_ORACLE_SQL,
     SIMILARITY_LSH_ORACLE_SQL,
+    SIMILARITY_QUANTIZED_ORACLE_SQL,
     SIMILARITY_TOPK_ORACLE_SQL,
     similarity_ivf_query,
     similarity_lsh_query,
+    similarity_quantized_query,
     similarity_topk_query,
 )
 from .operators.text import (
@@ -252,6 +254,7 @@ QUERIES = {
     "user_rank_suite": user_rank_suite_query,
     "streaming_join": streaming_join_query,
     "doc_score_inference": doc_score_inference_query,
+    "similarity_quantized": similarity_quantized_query,
 }
 
 ORACLES = {
@@ -316,4 +319,5 @@ ORACLES = {
     "user_rank_suite": USER_RANK_SUITE_ORACLE_SQL,
     "streaming_join": STREAMING_JOIN_ORACLE_SQL,
     "doc_score_inference": DOC_SCORE_ORACLE_SQL,
+    "similarity_quantized": SIMILARITY_QUANTIZED_ORACLE_SQL,
 }

@@ -138,3 +138,24 @@ def test_star_cc_matches_propagation_and_handles_deep_chains(spark):
     labels = connected_components_star(chain, max_rounds=12).collect()
     assert len(labels) == n
     assert {r["cluster_id"] for r in labels} == {1}
+
+
+def test_quantized_search_recall_vs_exact(spark, sf_dir):
+    """Int8 quantization + rerank must recover nearly all of the
+    exact top-5: per-vector max-abs scaling keeps quantized cosine
+    within rounding of true cosine, and RERANK=4k gives the exact
+    pass room to fix ordering. Gate at >= 90% overall recall."""
+    from data_pipeline_capstone_project_spark.operators.similarity import (
+        similarity_quantized_query,
+        similarity_topk_query,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_topk_query(spark, sf_dir).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_quantized_query(spark, sf_dir).collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.9
