@@ -106,3 +106,34 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Sort-clustered parquet write: range-partition on ``sort_cols``
+    then sort within partitions before writing.
+
+    Why this matters at 100 TB: parquet stores per-row-group min/max
+    stats, and the reader skips whole row groups whose range cannot
+    match a pushed predicate. On an unsorted write every row group
+    spans nearly the full value range (no skipping possible); after
+    clustering, row-group ranges are narrow and mostly disjoint, so a
+    selective range filter reads a small fraction of the file. This
+    is the poor-man's z-order for the single-dimension case - the
+    standard layout for time-partitioned fact tables queried by time
+    range (SURVEY ST6's 180-day retention scans).
+
+    ``repartitionByRange`` gives global clustering (file-level ranges
+    are disjoint too, enabling file skipping); ``sortWithinPartitions``
+    orders inside each file so row groups subdivide the range.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -74,3 +74,60 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     after = len(glob.glob(os.path.join(out, "*.parquet")))
     assert after == n == 1  # sf0.001 orders << 256 MB
     assert spark.read.parquet(out).count() == rows_before
+
+
+def test_clustered_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """After write_clustered on l_shipdate, parquet footer min/max
+    ranges must be narrow and file ranges disjoint - the physical
+    property row-group/file skipping depends on. Unsorted baseline:
+    every file spans ~the full date range, nothing skippable."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline_capstone_project_spark.sources.writers import (
+        write_clustered,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    clustered = str(tmp_path / "clustered")
+    baseline = str(tmp_path / "baseline")
+    write_clustered(li, clustered, ["l_shipdate"], n_files=8)
+    li.repartition(8).write.parquet(baseline)
+
+    def file_ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append((lo, hi))
+        return sorted(out)
+
+    cl = file_ranges(clustered)
+    bl = file_ranges(baseline)
+    total = max(hi for _, hi in bl) - min(lo for lo, _ in bl)
+
+    # clustered files: disjoint ranges (file skipping works)
+    assert all(cl[i][1] <= cl[i + 1][0] for i in range(len(cl) - 1))
+    # each clustered file covers a small slice; unsorted files span ~all
+    assert max(hi - lo for lo, hi in cl) < total * 0.4
+    assert min(hi - lo for lo, hi in bl) > total * 0.6
+
+    # end-to-end: a narrow range filter over the clustered layout must
+    # actually read fewer files than exist (input_file_name count)
+    cut_lo, cut_hi = cl[0][1], cl[1][1]  # spans ~1 file's range
+    got = (
+        spark.read.parquet(clustered)
+        .filter((F.col("l_shipdate") > cut_lo) & (F.col("l_shipdate") <= cut_hi))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert got <= 2
