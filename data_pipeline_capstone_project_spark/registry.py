@@ -32,18 +32,39 @@ SURVEY §2 coverage map (reference operators):
                       at-least-once re-delivery in-stream
   json_lake_ingest    S1 S2 S3 F3 F4 F5 F10 W4 end-to-end (the whole
                       Lambda path §3.1 as one declarative pipeline)
+  streaming_join      §2.9 extension: stream-stream interval join,
+                      dual watermarks bounding both sides' state
+  semi_join           J3's positive twin (EXISTS without fan-out)
+  set_ops / _fused    §2.7: UNION/INTERSECT/EXCEPT as real plans +
+                      the single-scan flag-agg rewrite (1 scan vs 6)
+  skew_salted_join    hot-key mitigation: salted fact x 16-replicated
+                      dim over forced SMJ (where AQE can't reach)
+  pricing_grouping_sets  arbitrary GROUPING SETS (3x Expand vs CUBE 4x)
+  user_rank_suite     rank/dense_rank/percent_rank/cume_dist/ntile,
+                      one Window node, deterministic ntile tiebreak
   (sinks K2 K3 K5 K6  sources/writers.py + tests/test_writers.py;
-   bucketed layout    tests/test_bucketing.py zero-Exchange joins)
+   bucketed layout    tests/test_bucketing.py zero-Exchange joins;
+   clustered layout   writers.write_clustered row-group/file skipping,
+                      footer-stats proof in tests/test_writers.py;
+   image source S4    tests/test_image_source.py, stdlib-built PNGs)
 
 Training-data-pipeline extensions (BASELINE.json north star):
   text analysis       text_stats lang_id token_count doc_fingerprint
                       vocab_top_terms tfidf_top_terms
   deduplication       dedup_exact dedup_ngram_jaccard dedup_minhash_lsh
                       dedup_simhash dedup_embedding_cosine
-                      dedup_clusters (connected components)
+                      dedup_clusters (min-label propagation CC)
+                      dedup_clusters_star (large/small-star CC,
+                      diameter-independent O(log^2 n) rounds)
+                      streaming_lsh_dedup (incremental LSH index:
+                      per-batch work ~ batch size, not corpus)
   sampling            train_test_split (hash-mod + exact-stratified)
   similarity search   similarity_topk (exact) similarity_lsh_ann
                       similarity_ivf_ann label_centroids
+                      similarity_quantized (int8 + exact-int scoring +
+                      full-precision rerank, recall-gated)
+  inference           doc_score_inference (Arrow-batched mapInPandas
+                      scoring; JVM-side featurization)
   sketches            approx_distinct (HLL++ vs exact, property-gated)
                       value_percentiles (nearest-rank exact + GK approx)
   range join          interval_join (equi key + range residual;
