@@ -34,6 +34,8 @@ SURVEY §2 coverage map (reference operators):
                       Lambda path §3.1 as one declarative pipeline)
   streaming_join      §2.9 extension: stream-stream interval join,
                       dual watermarks bounding both sides' state
+  streaming_session   §2.9 extension: native session_window merging
+                      windows; sentinel advances the final watermark
   semi_join           J3's positive twin (EXISTS without fan-out)
   set_ops / _fused    §2.7: UNION/INTERSECT/EXCEPT as real plans +
                       the single-scan flag-agg rewrite (1 scan vs 6)
@@ -186,6 +188,10 @@ from .streaming.join_stream import (
     STREAMING_JOIN_ORACLE_SQL,
     streaming_join_query,
 )
+from .streaming.session_stream import (
+    STREAMING_SESSION_ORACLE_SQL,
+    streaming_session_query,
+)
 from .sources.ingest_lake import (
     JSON_LAKE_INGEST_ORACLE_SQL,
     json_lake_ingest_query,
@@ -276,6 +282,7 @@ QUERIES = {
     "streaming_join": streaming_join_query,
     "doc_score_inference": doc_score_inference_query,
     "similarity_quantized": similarity_quantized_query,
+    "streaming_session": streaming_session_query,
 }
 
 ORACLES = {
@@ -341,4 +348,5 @@ ORACLES = {
     "streaming_join": STREAMING_JOIN_ORACLE_SQL,
     "doc_score_inference": DOC_SCORE_ORACLE_SQL,
     "similarity_quantized": SIMILARITY_QUANTIZED_ORACLE_SQL,
+    "streaming_session": STREAMING_SESSION_ORACLE_SQL,
 }

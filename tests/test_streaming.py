@@ -158,3 +158,29 @@ def test_stream_stream_join_matches_batch_and_crosses_batches(spark, sf_dir):
     }
     assert got == expect
     assert any(pid % 2 != vid % 2 for pid, vid in got), "no cross-batch match"
+
+
+def test_streaming_session_equals_batch_sessionize(spark, sf_dir):
+    """Native session_window in the stream must produce exactly the
+    batch gaps-and-islands sessions: same (user, start, size) triples,
+    close = last event + gap."""
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        SESSION_GAP_MIN,
+        sessionize_query,
+    )
+    from data_pipeline_capstone_project_spark.streaming.session_stream import (
+        streaming_session_query,
+    )
+
+    stream_rows = {
+        (r["user_id"], r["session_start_us"], r["n_events"]): r["session_close_us"]
+        for r in streaming_session_query(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["session_start_us"], r["n_events"]): r["session_end_us"]
+        for r in sessionize_query(spark, sf_dir).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    for k, close in stream_rows.items():
+        assert close == batch_rows[k] + gap_us
