@@ -48,6 +48,8 @@ SURVEY §2 coverage map (reference operators):
    bucketed layout    tests/test_bucketing.py zero-Exchange joins;
    clustered layout   writers.write_clustered row-group/file skipping,
                       footer-stats proof in tests/test_writers.py;
+   z-order layout     writers.write_zordered Morton-curve interleave,
+                      either-dimension skipping proof in same file;
    image source S4    tests/test_image_source.py, stdlib-built PNGs)
 
 Training-data-pipeline extensions (BASELINE.json north star):

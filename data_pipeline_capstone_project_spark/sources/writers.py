@@ -27,6 +27,7 @@ import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet_overwrite(
@@ -134,6 +135,59 @@ def write_clustered(
     (
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 12,
+    n_files: int = 8,
+) -> None:
+    """Z-order (Morton-curve) clustered write over TWO columns.
+
+    1-D sort clustering (:func:`write_clustered`) makes range scans on
+    the sort key skip files, but a filter on any OTHER column still
+    reads everything. Interleaving the bits of two rank-scaled keys
+    orders rows along a space-filling curve, so every file covers a
+    small square in (a, b) space - and a selective range on EITHER
+    column skips most files. This is the layout Delta/Iceberg expose
+    as OPTIMIZE ZORDER BY; here it is ~20 lines of expressions.
+
+    Keys are min-max scaled to ``bits`` levels (one cheap global agg;
+    rank-scaling via approxQuantile handles skewed distributions, not
+    needed for these fixtures). The interleave is a statically
+    unrolled OR of 2*bits shift terms - well inside the codegen
+    method budget (see README lesson 4).
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a).cast("double"),
+        F.max(col_a).cast("double"),
+        F.min(col_b).cast("double"),
+        F.max(col_b).cast("double"),
+    ).first()
+    levels = float(1 << bits)
+
+    def bucket(col: str, lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * levels)
+        return F.least(raw, F.lit((1 << bits) - 1)).cast("long")
+
+    ba, bb = bucket(col_a, lo_a, hi_a), bucket(col_b, lo_b, hi_b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        term_a = F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term_b = F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z.bitwiseOR(term_a).bitwiseOR(term_b)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

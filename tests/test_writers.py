@@ -131,3 +131,48 @@ def test_clustered_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
         .count()
     )
     assert got <= 2
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout: a selective range filter on EITHER column
+    touches a minority of files. 1-D clustered baseline: filters on
+    the sort key skip, filters on the other column read every file -
+    the gap z-ordering exists to close."""
+    from data_pipeline_capstone_project_spark.sources.writers import (
+        write_clustered,
+        write_zordered,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
+    write_zordered(li, zpath, "l_orderkey", "l_suppkey", n_files=8)
+    write_clustered(li, cpath, ["l_orderkey"], n_files=8)
+
+    bounds = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    ok_hi = bounds[0] + (bounds[1] - bounds[0]) // 8
+    sk_hi = bounds[2] + (bounds[3] - bounds[2]) // 8
+
+    def files_read(path, cond):
+        return (
+            spark.read.parquet(path)
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # ~1/8 range on each dimension
+    z_by_order = files_read(zpath, F.col("l_orderkey") <= ok_hi)
+    z_by_supp = files_read(zpath, F.col("l_suppkey") <= sk_hi)
+    c_by_order = files_read(cpath, F.col("l_orderkey") <= ok_hi)
+    c_by_supp = files_read(cpath, F.col("l_suppkey") <= sk_hi)
+
+    assert c_by_order <= 2          # 1-D layout: its own key skips
+    assert c_by_supp == 8           # ...but the other column reads all
+    assert z_by_order <= 4          # z-order: both dimensions skip
+    assert z_by_supp <= 4
