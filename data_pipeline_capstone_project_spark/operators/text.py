@@ -308,3 +308,76 @@ SELECT doc_id, term, tf, df, score, rn FROM (
   FROM tf t JOIN dfx d USING (term), n
 ) WHERE rn <= {TFIDF_TOP}
 """
+
+
+# --- Heavy hitters: Misra-Gries sketch + exact verification ----------------
+
+MG_COUNTERS = 256         # memory bound per partition (counters kept)
+HH_FRACTION = 0.005       # report terms with freq > 0.5% of all tokens
+# Guarantee needs HH_FRACTION > 1/MG_COUNTERS: a term missing from
+# EVERY partition sketch has global count <= sum_p n_p/(k+1) < n/k
+# = n/256 < 0.005 n, so no true heavy hitter can be missed.
+assert HH_FRACTION > 1.0 / MG_COUNTERS
+
+
+def _mg_partition(batches):
+    """Weighted Misra-Gries over one partition's Arrow batches,
+    vectorized: each batch is collapsed with ``value_counts`` (numpy,
+    no per-token Python), then merged into the counter dict; when the
+    dict exceeds MG_COUNTERS, the (k+1)-th largest count is subtracted
+    from every counter and non-positive ones dropped - one reduction
+    event removes >= (k+1)*m occurrences, so total per-term undercount
+    is <= n_p/(k+1), the classic MG bound."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for term, cnt in pdf["term"].value_counts().items():
+            counters[term] = counters.get(term, 0) + int(cnt)
+        if len(counters) > MG_COUNTERS:
+            m = sorted(counters.values(), reverse=True)[MG_COUNTERS]
+            counters = {t: c - m for t, c in counters.items() if c > m}
+    yield pd.DataFrame({"term": list(counters.keys())})
+
+
+def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent terms (> HH_FRACTION of all tokens) via sketch-then-
+    verify: a Misra-Gries pass bounds per-task memory to MG_COUNTERS
+    counters REGARDLESS of vocabulary size, the tiny candidate set is
+    broadcast back, and an exact recount keeps true heavy hitters
+    only.
+
+    Why not plain groupBy: at 100 TB with an open vocabulary the
+    (term) shuffle is the cost - here the full-corpus aggregation
+    happens once, restricted to |candidates| <= partitions x
+    MG_COUNTERS terms via a broadcast semi-join BEFORE the shuffle.
+    MG's no-false-negative guarantee (a term absent from every
+    partition sketch has global count < n/MG_COUNTERS, below the 0.5%
+    threshold) makes the verified output EXACTLY the true heavy
+    hitters - deterministic, hence oracle-checkable, unlike
+    count-min-style sketches that only bound error."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    terms = docs.select(F.explode_outer(tokens_col()).alias("term"))
+    cands = terms.mapInPandas(_mg_partition, schema="term string").distinct()
+    verified = (
+        terms.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    total = terms.count()  # one cheap count(*) scan, no shuffle
+    return verified.filter(
+        F.col("term_freq") > F.lit(int(total * HH_FRACTION))
+    ).select("term", "term_freq")
+
+
+HEAVY_HITTERS_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*) AS term_freq
+FROM tok
+GROUP BY term
+HAVING count(*) > (SELECT CAST(n * {HH_FRACTION} AS BIGINT) FROM tot)
+"""

@@ -71,6 +71,8 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       scoring; JVM-side featurization)
   sketches            approx_distinct (HLL++ vs exact, property-gated)
                       value_percentiles (nearest-rank exact + GK approx)
+                      heavy_hitters (Misra-Gries sketch-then-verify,
+                      bounded memory, exact output)
   range join          interval_join (equi key + range residual;
                       A4/ST5-adjacent window attribution)
   frame windows       user_timeseries (lag/moving-sum/running-count,
@@ -156,12 +158,14 @@ from .operators.similarity import (
 )
 from .operators.text import (
     FINGERPRINT_ORACLE_SQL,
+    HEAVY_HITTERS_ORACLE_SQL,
     LANG_ID_ORACLE_SQL,
     TEXT_STATS_ORACLE_SQL,
     TFIDF_ORACLE_SQL,
     TOKEN_COUNT_ORACLE_SQL,
     VOCAB_ORACLE_SQL,
     fingerprint_query,
+    heavy_hitters_query,
     lang_id_query,
     text_stats_query,
     tfidf_query,
@@ -285,6 +289,7 @@ QUERIES = {
     "doc_score_inference": doc_score_inference_query,
     "similarity_quantized": similarity_quantized_query,
     "streaming_session": streaming_session_query,
+    "heavy_hitters": heavy_hitters_query,
 }
 
 ORACLES = {
@@ -351,4 +356,5 @@ ORACLES = {
     "doc_score_inference": DOC_SCORE_ORACLE_SQL,
     "similarity_quantized": SIMILARITY_QUANTIZED_ORACLE_SQL,
     "streaming_session": STREAMING_SESSION_ORACLE_SQL,
+    "heavy_hitters": HEAVY_HITTERS_ORACLE_SQL,
 }
