@@ -163,6 +163,15 @@ def write_zordered(
     needed for these fixtures). The interleave is a statically
     unrolled OR of 2*bits shift terms - well inside the codegen
     method budget (see README lesson 4).
+
+    File routing is by the top ``log2(n_files)`` bits of z, not by
+    range-partitioning the raw z value: sampled range boundaries land
+    on data quantiles, so a file can straddle a bit boundary of the
+    curve and a 1/n range filter then touches one extra file
+    (observed: 5-of-8 where theory says 4). Range-partitioning the
+    DISCRETE bucket id instead is exact - a range partitioner never
+    splits one key value across partitions - so every file covers a
+    whole z-prefix square and the skip counts are deterministic.
     """
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a).cast("double"),
@@ -183,11 +192,14 @@ def write_zordered(
         term_a = F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         term_b = F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i)
         z = z.bitwiseOR(term_a).bitwiseOR(term_b)
+    file_bits = max(1, (n_files - 1).bit_length())
+    zfile = F.shiftright(z, 2 * bits - file_bits)
     (
         df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
+        .withColumn("__zfile", zfile)
+        .repartitionByRange(n_files, "__zfile")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__zfile")
         .write.mode("overwrite")
         .parquet(path)
     )
