@@ -79,6 +79,15 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       single Window-node plan; §2.6 extension)
   multimodal          multimodal_meta (mapInPandas decode plumbing)
                       frame_sample (strided binary frame extraction)
+  data prep           doc_chunking (overlapping token windows, pure
+                      generate - no shuffle)
+                      pii_redaction (URL/email/phone regexp chain,
+                      engine-portable patterns)
+  reshaping           event_unpivot (melt via Expand - one scan)
+                      gap_fill (date spine + forward fill without
+                      IGNORE NULLS)
+                      global_row_ids (distributed zipWithIndex:
+                      bucket ranks + broadcast prefix offsets)
 """
 
 from __future__ import annotations
@@ -226,6 +235,20 @@ from .operators.analytics import (
     value_percentiles_query,
 )
 from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
+from .operators.prep import (
+    DOC_CHUNKING_ORACLE_SQL,
+    PII_REDACTION_ORACLE_SQL,
+    doc_chunking_query,
+    pii_redaction_query,
+)
+from .operators.reshape import (
+    EVENT_UNPIVOT_ORACLE_SQL,
+    GAP_FILL_ORACLE_SQL,
+    GLOBAL_ROW_IDS_ORACLE_SQL,
+    event_unpivot_query,
+    gap_fill_query,
+    global_row_ids_query,
+)
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
@@ -290,6 +313,11 @@ QUERIES = {
     "similarity_quantized": similarity_quantized_query,
     "streaming_session": streaming_session_query,
     "heavy_hitters": heavy_hitters_query,
+    "doc_chunking": doc_chunking_query,
+    "pii_redaction": pii_redaction_query,
+    "event_unpivot": event_unpivot_query,
+    "gap_fill": gap_fill_query,
+    "global_row_ids": global_row_ids_query,
 }
 
 ORACLES = {
@@ -357,4 +385,9 @@ ORACLES = {
     "similarity_quantized": SIMILARITY_QUANTIZED_ORACLE_SQL,
     "streaming_session": STREAMING_SESSION_ORACLE_SQL,
     "heavy_hitters": HEAVY_HITTERS_ORACLE_SQL,
+    "doc_chunking": DOC_CHUNKING_ORACLE_SQL,
+    "pii_redaction": PII_REDACTION_ORACLE_SQL,
+    "event_unpivot": EVENT_UNPIVOT_ORACLE_SQL,
+    "gap_fill": GAP_FILL_ORACLE_SQL,
+    "global_row_ids": GLOBAL_ROW_IDS_ORACLE_SQL,
 }
