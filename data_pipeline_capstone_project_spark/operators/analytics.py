@@ -498,3 +498,169 @@ FROM seg
 WINDOW w AS (PARTITION BY c_mktsegment
              ORDER BY n_events DESC, user_id ASC)
 """
+
+
+def stats_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / stddev_samp /
+    regr_slope / regr_intercept) per return-flag group, derived from
+    one pass of exact sufficient statistics.
+
+    Built-in distributed variance/corr aggregates merge per-partition
+    Welford states, so their low-order bits depend on partition count
+    and merge order - unreproducible across runs, let alone engines.
+    Instead we reduce the six sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) through EXACT INTEGER sums - quantity is integral and
+    price is exact cents in this data, so every per-row term is a
+    64-bit integer and the reductions (decimal(38,0) for overflow
+    headroom) carry no rounding at all, in any partition order. The
+    moments are then derived in double from those exact inputs with a
+    fixed expression tree - bit-identical on 32 partitions or 32,000;
+    the DuckDB oracle evaluates the same tree. (A decimal(38,6) cast
+    of the squared doubles is NOT portable: engines disagree on
+    double->decimal rounding in the last ulp, observed on this very
+    query.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec0 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xq = F.col("l_quantity").cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    sufficient = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec0(xq)).cast("double").alias("sx"),
+        (F.sum(dec0(yc)).cast("double") / 100.0).alias("sy"),
+        (F.sum(dec0(xq * yc)).cast("double") / 100.0).alias("sxy"),
+        F.sum(dec0(xq * xq)).cast("double").alias("sxx"),
+        (F.sum(dec0(yc * yc)).cast("double") / 10000.0).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_num = sxy - sx * sy / n
+    varx_num = sxx - sx * sx / n
+    vary_num = syy - sy * sy / n
+    return sufficient.select(
+        "l_returnflag",
+        n.alias("n_rows"),
+        (cov_num / (n - 1)).alias("covar_qty_price"),
+        (cov_num / F.sqrt(varx_num * vary_num)).alias("corr_qty_price"),
+        F.sqrt(varx_num / (n - 1)).alias("stddev_qty"),
+        (cov_num / varx_num).alias("regr_slope"),
+        (sy / n - (cov_num / varx_num) * (sx / n)).alias("regr_intercept"),
+    ).orderBy("l_returnflag")
+
+
+STATS_SUITE_ORACLE_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS xq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sy,
+         CAST(sum(CAST(xq * yc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sxy,
+         CAST(sum(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS syy
+  FROM t GROUP BY l_returnflag)
+SELECT l_returnflag,
+       n AS n_rows,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+           AS corr_qty_price,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxy - sx * sy / n) / (sxx - sx * sx / n) AS regr_slope,
+       sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n)
+           AS regr_intercept
+FROM s ORDER BY l_returnflag
+"""
+
+
+US_7D = 7 * 86400 * 1_000_000
+
+
+def time_range_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user 7-day trailing sum/count of
+    event value. ROWS frames (user_timeseries) count rows; RANGE
+    frames bound by the *order-key value*, which is what "last 7 days"
+    means when events are irregularly spaced.
+
+    Spark's rangeBetween needs a numeric order key, so the frame runs
+    over ``unix_micros(ts)`` with a [-7d, 0] microsecond bound -
+    identical peer semantics to the oracle's
+    ``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW`` on the
+    microsecond-precision timestamp. One shuffle on user_id; the sum
+    reduces through exact decimal."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-US_7D, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trail7_sum"),
+        F.count("*").over(w).alias("trail7_n"),
+    )
+
+
+TIME_RANGE_WINDOW_ORACLE_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS trail7_sum,
+       count(*) OVER w AS trail7_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+HIST_WIDTH = 25_000.0
+HIST_BUCKETS = 24
+
+
+def price_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals: bucket index by integer
+    division on a fixed width, clamped to [0, n-1] so outliers land in
+    the edge bins. A single map-side-combinable groupBy on a derived
+    int key - the cheapest possible distribution sketch, and the
+    deterministic alternative to sampled histograms at 100 TB (every
+    row counted, ~n_buckets rows shuffled per partition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * F.lit(HIST_WIDTH))
+        .orderBy("bucket")
+    )
+
+
+PRICE_HISTOGRAM_ORACLE_SQL = f"""
+SELECT CAST(least(greatest(floor(o_totalprice / {HIST_WIDTH}), 0),
+                  {HIST_BUCKETS - 1}) AS INTEGER) AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(least(greatest(floor(o_totalprice / {HIST_WIDTH}), 0),
+                  {HIST_BUCKETS - 1}) AS INTEGER) * {HIST_WIDTH} AS bucket_lo
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""

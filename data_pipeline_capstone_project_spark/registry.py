@@ -83,6 +83,19 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       generate - no shuffle)
                       pii_redaction (URL/email/phone regexp chain,
                       engine-portable patterns)
+  multiway joins      tpch_shipping_priority (Q3 shape: 3-way join +
+                      TakeOrderedAndProject top-k)
+                      tpch_regional_volume (Q5 shape: 6-table star,
+                      broadcast dim chain, co-nation residual)
+  scd2                scd2_history (W4 generalization: every version
+                      kept with [valid_from, valid_to) + current flag)
+  stats               stats_suite (corr/covar/stddev/regression from
+                      one pass of exact sufficient statistics -
+                      deterministic where Welford-merge aggs are not)
+  range frames        time_range_window (7-day trailing RANGE frame
+                      over irregular event times)
+  histogram           price_histogram (fixed-bin, map-side combinable,
+                      deterministic full-data distribution sketch)
   reshaping           event_unpivot (melt via Expand - one scan)
                       gap_fill (date spine + forward fill without
                       IGNORE NULLS)
@@ -226,15 +239,28 @@ from .operators.similarity import (
 )
 from .operators.analytics import (
     APPROX_DISTINCT_ORACLE_SQL,
+    PRICE_HISTOGRAM_ORACLE_SQL,
     PRICING_CUBE_ORACLE_SQL,
+    STATS_SUITE_ORACLE_SQL,
+    TIME_RANGE_WINDOW_ORACLE_SQL,
     USER_TIMESERIES_ORACLE_SQL,
     VALUE_PERCENTILES_ORACLE_SQL,
     approx_distinct_query,
+    price_histogram_query,
     pricing_cube_query,
+    stats_suite_query,
+    time_range_window_query,
     user_timeseries_query,
     value_percentiles_query,
 )
 from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
+from .operators.tpch import (
+    REGIONAL_VOLUME_ORACLE_SQL,
+    SHIPPING_PRIORITY_ORACLE_SQL,
+    regional_volume_query,
+    shipping_priority_query,
+)
+from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.prep import (
     DOC_CHUNKING_ORACLE_SQL,
     PII_REDACTION_ORACLE_SQL,
@@ -318,6 +344,12 @@ QUERIES = {
     "event_unpivot": event_unpivot_query,
     "gap_fill": gap_fill_query,
     "global_row_ids": global_row_ids_query,
+    "tpch_shipping_priority": shipping_priority_query,
+    "tpch_regional_volume": regional_volume_query,
+    "scd2_history": scd2_history_query,
+    "stats_suite": stats_suite_query,
+    "time_range_window": time_range_window_query,
+    "price_histogram": price_histogram_query,
 }
 
 ORACLES = {
@@ -390,4 +422,10 @@ ORACLES = {
     "event_unpivot": EVENT_UNPIVOT_ORACLE_SQL,
     "gap_fill": GAP_FILL_ORACLE_SQL,
     "global_row_ids": GLOBAL_ROW_IDS_ORACLE_SQL,
+    "tpch_shipping_priority": SHIPPING_PRIORITY_ORACLE_SQL,
+    "tpch_regional_volume": REGIONAL_VOLUME_ORACLE_SQL,
+    "scd2_history": SCD2_HISTORY_ORACLE_SQL,
+    "stats_suite": STATS_SUITE_ORACLE_SQL,
+    "time_range_window": TIME_RANGE_WINDOW_ORACLE_SQL,
+    "price_histogram": PRICE_HISTOGRAM_ORACLE_SQL,
 }
