@@ -224,3 +224,47 @@ UNION ALL
 SELECT 'except',
        (SELECT count(*) FROM (SELECT user_id FROM wk1 EXCEPT SELECT user_id FROM wk2))
 """
+
+
+def above_customer_avg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery decorrelation: orders priced above their
+    own customer's average (``WHERE o_totalprice > (SELECT avg(...)
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)``).
+
+    The naive plan is a self-join against a per-customer aggregate -
+    two scans, two shuffles. The decorrelated form is one window over
+    o_custkey: a single scan and a single shuffle, and the transform
+    every serious optimizer applies. The average is computed as
+    exact-decimal sum / count so the comparison threshold is
+    bit-identical to the oracle's."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "cust_avg",
+        )
+    )
+
+
+ABOVE_CUSTOMER_AVG_ORACLE_SQL = """
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS cust_avg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey))
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       o_totalprice AS totalprice, cust_avg
+FROM a WHERE o_totalprice > cust_avg
+"""

@@ -149,11 +149,13 @@ from .operators.multimodal import (
 )
 from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
 from .operators.relational import (
+    ABOVE_CUSTOMER_AVG_ORACLE_SQL,
     ANTI_JOIN_ORACLE_SQL,
     PRICING_SUMMARY_ORACLE_SQL,
     SCALAR_SUITE_ORACLE_SQL,
     SEMI_JOIN_ORACLE_SQL,
     SET_OPS_ORACLE_SQL,
+    above_customer_avg_query,
     anti_join_query,
     pricing_summary_query,
     scalar_suite_query,
@@ -261,6 +263,20 @@ from .operators.tpch import (
     shipping_priority_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
+from .operators.behavioral import (
+    COHORT_RETENTION_ORACLE_SQL,
+    FUNNEL_ORACLE_SQL,
+    ROLLING_DISTINCT_ORACLE_SQL,
+    cohort_retention_query,
+    funnel_query,
+    rolling_distinct_query,
+)
+from .operators.features import (
+    FEATURE_HASHING_ORACLE_SQL,
+    FUZZY_MATCH_ORACLE_SQL,
+    feature_hashing_query,
+    fuzzy_match_query,
+)
 from .operators.prep import (
     DOC_CHUNKING_ORACLE_SQL,
     PII_REDACTION_ORACLE_SQL,
@@ -350,6 +366,12 @@ QUERIES = {
     "stats_suite": stats_suite_query,
     "time_range_window": time_range_window_query,
     "price_histogram": price_histogram_query,
+    "rolling_distinct": rolling_distinct_query,
+    "funnel": funnel_query,
+    "cohort_retention": cohort_retention_query,
+    "feature_hashing": feature_hashing_query,
+    "fuzzy_match": fuzzy_match_query,
+    "above_customer_avg": above_customer_avg_query,
 }
 
 ORACLES = {
@@ -428,4 +450,10 @@ ORACLES = {
     "stats_suite": STATS_SUITE_ORACLE_SQL,
     "time_range_window": TIME_RANGE_WINDOW_ORACLE_SQL,
     "price_histogram": PRICE_HISTOGRAM_ORACLE_SQL,
+    "rolling_distinct": ROLLING_DISTINCT_ORACLE_SQL,
+    "funnel": FUNNEL_ORACLE_SQL,
+    "cohort_retention": COHORT_RETENTION_ORACLE_SQL,
+    "feature_hashing": FEATURE_HASHING_ORACLE_SQL,
+    "fuzzy_match": FUZZY_MATCH_ORACLE_SQL,
+    "above_customer_avg": ABOVE_CUSTOMER_AVG_ORACLE_SQL,
 }
