@@ -1,0 +1,137 @@
+"""Iterative graph algorithms as DataFrame loops: PageRank.
+
+Companion to the connected-components operators in ``clustering.py``
+(large-star/small-star). PageRank is the canonical "Spark can't do
+this in one query" algorithm - the loop lives in the driver, but
+every iteration is a single declarative join+agg the optimizer plans
+like any other, shuffled on the destination node key.
+
+**Determinism design** (what makes this oracle-checkable when
+textbook float PageRank is not): ranks are fixed-point integers
+(scale 1e9). Each iteration:
+
+    contrib(edge) = src_rank DIV out_degree        -- exact integer
+    new_rank(n)   = B + floor(0.85 * sum(contrib)) -- one float op
+
+The sum of contributions is an exact integer reduction (order-free);
+the single float multiply-then-floor is the same IEEE operation in
+every engine. So 6 iterations produce bit-identical BIGINT ranks in
+Spark and in the unrolled-CTE DuckDB oracle - an *iterative*
+algorithm under the exact-hash gate.
+
+Scale: the edge list is shuffled once and reused every iteration
+(same join key), so AQE/exchange-reuse keeps per-iteration cost at
+one shuffle of the rank table (|nodes|, not |edges|). At 100 TB you
+would persist the deduped edge list and localCheckpoint ranks every
+few iterations to truncate lineage - noted, not needed at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+N_ITER = 6
+DAMPING = 0.85
+SCALE = 1_000_000_000  # rank fixed-point scale
+BASE = int(round((1 - DAMPING) * SCALE))  # (1-d) * scale, exact int
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bipartite purchase graph: customer -> supplier for
+    every distinct (custkey, suppkey) trade pair. Nodes are labeled
+    'c<id>' / 's<id>' to keep the two key spaces disjoint."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list; returns
+    (node, rank_scaled) with rank_scaled = rank * SCALE as BIGINT."""
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    degrees = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranked_edges = edges.join(degrees, "src")
+
+    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            ranked_edges.join(ranks, ranked_edges.src == ranks.node)
+            .select(
+                "dst",
+                # floor() of the one correctly-rounded IEEE quotient -
+                # NOT cast(double as long): Spark's cast truncates but
+                # DuckDB's rounds, so floor is the portable spelling.
+                F.floor(F.col("rank_scaled") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("contrib").cast("decimal(38,0)")).alias("in_sum"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(BASE)
+                + F.floor(
+                    F.lit(DAMPING)
+                    * F.coalesce(F.col("in_sum").cast("double"), F.lit(0.0))
+                )
+            ).cast("long").alias("rank_scaled"),
+        )
+    return ranks
+
+
+def pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(_edges(spark, sf_dir)).orderBy("node")
+
+
+def _oracle() -> str:
+    """Unrolled fixed-iteration CTE chain - standard SQL prohibits
+    aggregates over a recursive reference, so a fixed horizon is
+    expressed as N chained CTEs generated from the same constants the
+    Spark loop uses."""
+    iters = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({BASE} + floor({DAMPING} * coalesce(s.in_sum, 0.0)) AS BIGINT)
+             AS rank_scaled
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst,
+           CAST(sum(CAST(floor(r.rank_scaled / e.out_deg)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS in_sum
+    FROM edges e JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst) s ON n.node = s.dst)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH raw AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT raw.src, raw.dst, d.out_deg
+  FROM raw JOIN (SELECT src, count(*) AS out_deg FROM raw GROUP BY src) d
+       USING (src)),
+nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS rank_scaled FROM nodes),
+{chain}
+SELECT node, rank_scaled FROM {prev} ORDER BY node
+"""
+
+
+PAGERANK_ORACLE_SQL = _oracle()

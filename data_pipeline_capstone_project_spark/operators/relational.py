@@ -268,3 +268,50 @@ SELECT o_orderkey AS orderkey, o_custkey AS custkey,
        o_totalprice AS totalprice, cust_avg
 FROM a WHERE o_totalprice > cust_avg
 """
+
+
+def null_semantics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface in one query: a nullable group key
+    (SQL GROUP BY treats all NULLs as one group), the count(*) vs
+    count(col) distinction, null-skipping aggregates, and a null-safe
+    equi-join (``<=>`` / IS NOT DISTINCT FROM) that keeps the NULL
+    group where a plain equi-join would silently drop it.
+
+    Nulls are synthesized deterministically (brand nulled where
+    p_size % 7 = 0, retailprice where % 5 = 0) so the oracle sees the
+    identical distribution. The null-safe join compiles to a regular
+    hash join - null-safe equality is hashable - so there is no plan
+    penalty for correct null handling."""
+    part = load_table(spark, sf_dir, "part")
+    t = part.select(
+        F.when(F.col("p_size") % 7 != 0, F.col("p_brand")).alias("brand"),
+        F.when(F.col("p_size") % 5 != 0, F.col("p_retailprice")).alias("price"),
+    )
+    dim = t.select("brand").distinct()
+    return (
+        t.alias("t")
+        .join(dim.alias("d"), F.col("t.brand").eqNullSafe(F.col("d.brand")))
+        .groupBy(F.col("d.brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("t.price").alias("n_priced"),
+            F.sum(F.col("t.price").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+NULL_SEMANTICS_ORACLE_SQL = """
+WITH t AS (
+  SELECT CASE WHEN p_size % 7 <> 0 THEN p_brand END AS brand,
+         CASE WHEN p_size % 5 <> 0 THEN p_retailprice END AS price
+  FROM part),
+d AS (SELECT DISTINCT brand FROM t)
+SELECT d.brand AS brand,
+       count(*) AS n_rows,
+       count(t.price) AS n_priced,
+       CAST(sum(CAST(t.price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM t JOIN d ON t.brand IS NOT DISTINCT FROM d.brand
+GROUP BY d.brand
+"""

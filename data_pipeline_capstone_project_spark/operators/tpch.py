@@ -134,3 +134,57 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+def big_spenders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to order and customer detail - the
+    aggregate-HAVING-then-enrich pattern.
+
+    The HAVING runs in the aggregate BEFORE the joins, so only the
+    handful of qualifying order keys (0.1% of orders at this
+    threshold) reach the join stage; AQE sees the tiny filtered side
+    at runtime and broadcast-joins it against orders/customer. The
+    wrong plan - join first, aggregate later - would shuffle the full
+    lineitem x orders product; filter-early is what makes this shape
+    viable at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        qualifying.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").alias("custkey"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+    )
+
+
+BIG_SPENDERS_ORACLE_SQL = f"""
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > {Q18_QTY_THRESHOLD})
+SELECT c_name, c_custkey AS custkey, l_orderkey AS orderkey,
+       o_orderdate AS orderdate, o_totalprice AS totalprice, sum_qty
+FROM q
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey
+"""

@@ -151,12 +151,14 @@ from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
 from .operators.relational import (
     ABOVE_CUSTOMER_AVG_ORACLE_SQL,
     ANTI_JOIN_ORACLE_SQL,
+    NULL_SEMANTICS_ORACLE_SQL,
     PRICING_SUMMARY_ORACLE_SQL,
     SCALAR_SUITE_ORACLE_SQL,
     SEMI_JOIN_ORACLE_SQL,
     SET_OPS_ORACLE_SQL,
     above_customer_avg_query,
     anti_join_query,
+    null_semantics_query,
     pricing_summary_query,
     scalar_suite_query,
     semi_join_query,
@@ -257,12 +259,15 @@ from .operators.analytics import (
 )
 from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
 from .operators.tpch import (
+    BIG_SPENDERS_ORACLE_SQL,
     REGIONAL_VOLUME_ORACLE_SQL,
     SHIPPING_PRIORITY_ORACLE_SQL,
+    big_spenders_query,
     regional_volume_query,
     shipping_priority_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
+from .operators.graph import PAGERANK_ORACLE_SQL, pagerank_query
 from .operators.behavioral import (
     COHORT_RETENTION_ORACLE_SQL,
     FUNNEL_ORACLE_SQL,
@@ -372,6 +377,9 @@ QUERIES = {
     "feature_hashing": feature_hashing_query,
     "fuzzy_match": fuzzy_match_query,
     "above_customer_avg": above_customer_avg_query,
+    "tpch_big_spenders": big_spenders_query,
+    "null_semantics": null_semantics_query,
+    "pagerank": pagerank_query,
 }
 
 ORACLES = {
@@ -456,4 +464,7 @@ ORACLES = {
     "feature_hashing": FEATURE_HASHING_ORACLE_SQL,
     "fuzzy_match": FUZZY_MATCH_ORACLE_SQL,
     "above_customer_avg": ABOVE_CUSTOMER_AVG_ORACLE_SQL,
+    "tpch_big_spenders": BIG_SPENDERS_ORACLE_SQL,
+    "null_semantics": NULL_SEMANTICS_ORACLE_SQL,
+    "pagerank": PAGERANK_ORACLE_SQL,
 }

@@ -1,0 +1,60 @@
+"""Tests for fixed-point PageRank, null semantics, and the Q18-shape
+aggregate-then-enrich query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_capstone_project_spark.operators.graph import (
+    BASE,
+    pagerank_query,
+)
+from data_pipeline_capstone_project_spark.operators.relational import (
+    null_semantics_query,
+)
+from data_pipeline_capstone_project_spark.operators.tpch import (
+    Q18_QTY_THRESHOLD,
+    big_spenders_query,
+)
+
+
+def test_pagerank_source_nodes_at_base(spark, sf_dir):
+    """Customers have no incoming edges in the c->s purchase graph, so
+    their converged rank is exactly the (1-d) base; suppliers absorb
+    rank and must sit strictly above it."""
+    df = pagerank_query(spark, sf_dir).cache()
+    try:
+        cust = df.filter(F.col("node").startswith("c"))
+        supp = df.filter(F.col("node").startswith("s"))
+        assert cust.filter(F.col("rank_scaled") != BASE).count() == 0
+        assert supp.filter(F.col("rank_scaled") <= BASE).count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_pagerank_deterministic_across_runs(spark, sf_dir):
+    """Two independent executions must agree bit-for-bit (the
+    fixed-point design's whole claim)."""
+    a = {r["node"]: r["rank_scaled"] for r in pagerank_query(spark, sf_dir).collect()}
+    b = {r["node"]: r["rank_scaled"] for r in pagerank_query(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_null_semantics_keeps_null_group(spark, sf_dir):
+    df = null_semantics_query(spark, sf_dir).cache()
+    try:
+        null_group = df.filter(F.col("brand").isNull())
+        assert null_group.count() == 1, "null-safe join must keep the NULL group"
+        # count(col) skips nulls, count(*) does not.
+        assert df.filter(F.col("n_priced") > F.col("n_rows")).count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_big_spenders_all_above_threshold(spark, sf_dir):
+    df = big_spenders_query(spark, sf_dir)
+    assert df.filter(F.col("sum_qty") <= Q18_QTY_THRESHOLD).count() == 0
+    # Aggregate must run before the joins: the plan's first
+    # HashAggregate consumes the lineitem scan, not a join output.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
