@@ -57,3 +57,22 @@ SELECT count(*) AS table_rows,
        count(*) - count(-1) AS reference_buggy_check
 FROM orders
 """
+
+
+def observed_write(df: DataFrame, metrics: dict[str, F.Column]):
+    """Piggyback data-quality metrics on a pass the job is already
+    making (A10/A11 without their own scan): attach an ``Observation``
+    and materialize through the noop sink; returns the metrics dict.
+
+    At 100 TB the difference between this and ``df.count()`` +
+    ``df.filter(...).count()`` gates is N extra full scans vs zero -
+    observe accumulates on the executors during the write itself,
+    like Spark's own task metrics."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [c.alias(n) for n, c in metrics.items()]
+    df.observe(obs, named[0], *named[1:]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return obs.get

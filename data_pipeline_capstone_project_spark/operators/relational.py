@@ -315,3 +315,46 @@ SELECT d.brand AS brand,
 FROM t JOIN d ON t.brand IS NOT DISTINCT FROM d.brand
 GROUP BY d.brand
 """
+
+
+def datetime_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar surface (F16 extension): component extraction,
+    truncation, calendar arithmetic, epoch conversion, formatting -
+    the portable subset both Spark and ANSI engines agree on.
+    (Deliberately excluded: months_between fractions and
+    locale-dependent week numbering, which differ across engines.)
+    All expressions are whole-stage-codegen'd scalar ops - this query
+    is scan-bound at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.weekday("ts").alias("wd"),
+        F.date_format(F.date_add(F.to_date("ts"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+        F.unix_micros("ts").alias("epoch_us"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )
+
+
+DATETIME_SUITE_ORACLE_SQL = """
+SELECT event_id,
+       year(ts) AS y, month(ts) AS m, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi,
+       CAST(floor(second(ts)) AS INTEGER) AS s,
+       strftime(CAST(date_trunc('month', ts) AS DATE), '%Y-%m-%d') AS month_start,
+       strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+       strftime(CAST(ts AS DATE) + 30, '%Y-%m-%d') AS plus30,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+       epoch_us(ts) AS epoch_us,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted
+FROM events
+"""

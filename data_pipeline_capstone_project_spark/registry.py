@@ -151,6 +151,7 @@ from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
 from .operators.relational import (
     ABOVE_CUSTOMER_AVG_ORACLE_SQL,
     ANTI_JOIN_ORACLE_SQL,
+    DATETIME_SUITE_ORACLE_SQL,
     NULL_SEMANTICS_ORACLE_SQL,
     PRICING_SUMMARY_ORACLE_SQL,
     SCALAR_SUITE_ORACLE_SQL,
@@ -158,6 +159,7 @@ from .operators.relational import (
     SET_OPS_ORACLE_SQL,
     above_customer_avg_query,
     anti_join_query,
+    datetime_suite_query,
     null_semantics_query,
     pricing_summary_query,
     scalar_suite_query,
@@ -268,6 +270,10 @@ from .operators.tpch import (
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import PAGERANK_ORACLE_SQL, pagerank_query
+from .operators.incremental import (
+    INCREMENTAL_AGG_ORACLE_SQL,
+    incremental_agg_query,
+)
 from .operators.behavioral import (
     COHORT_RETENTION_ORACLE_SQL,
     FUNNEL_ORACLE_SQL,
@@ -380,6 +386,8 @@ QUERIES = {
     "tpch_big_spenders": big_spenders_query,
     "null_semantics": null_semantics_query,
     "pagerank": pagerank_query,
+    "datetime_suite": datetime_suite_query,
+    "incremental_agg": incremental_agg_query,
 }
 
 ORACLES = {
@@ -467,4 +475,6 @@ ORACLES = {
     "tpch_big_spenders": BIG_SPENDERS_ORACLE_SQL,
     "null_semantics": NULL_SEMANTICS_ORACLE_SQL,
     "pagerank": PAGERANK_ORACLE_SQL,
+    "datetime_suite": DATETIME_SUITE_ORACLE_SQL,
+    "incremental_agg": INCREMENTAL_AGG_ORACLE_SQL,
 }

@@ -203,3 +203,21 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink - the warehouse-native columnar alternative to parquet
+    (Redshift COPY accepts both, ``stage_redshift.py:77-82`` handles
+    the columnar path). Same pushdown/pruning behavior as parquet in
+    Spark; kept thin because format choice is a write-time option, not
+    an architecture."""
+    df.write.mode("overwrite").orc(path)
+
+
+def write_text_lines(df: DataFrame, col: str, path: str) -> None:
+    """Single-column text sink (one line per row) - the lowest common
+    denominator for exporting document corpora to line-oriented
+    tools."""
+    df.select(F.col(col).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
