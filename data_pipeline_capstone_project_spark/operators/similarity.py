@@ -524,3 +524,45 @@ SELECT query_id, neighbor_id, cosine, rn FROM (
   FROM exact
 ) WHERE rn <= {TOP_K}
 """
+
+
+RP_DIMS = 8
+RP_SCALE = 0.3535533905932738  # 1/sqrt(RP_DIMS), fixed literal
+_RP_PLANES = _md5_planes("rp", RP_DIMS)
+
+
+def random_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: DIM -> RP_DIMS via the
+    same md5-derived constant planes as the LSH family (tag 'rp' makes
+    them independent). Pairwise geometry is approximately preserved at
+    an 8x storage/compute reduction - the standard pre-shrink before
+    clustering or ANN over billions of embeddings.
+
+    Plan shape: pure map-side projection (zero shuffles) - each output
+    component is one fold over the embedding against a constant
+    literal array, whole plan scan-bound. The fold order and the
+    1/sqrt(k) scale literal are mirrored in the oracle, so projected
+    coordinates match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = [
+        (unrolled_proj(F.col("embedding"), plane) * F.lit(RP_SCALE)).alias(f"p{j}")
+        for j, plane in enumerate(_RP_PLANES)
+    ]
+    return emb.select("vec_id", "label", *comps)
+
+
+def _oracle_rp() -> str:
+    cols = []
+    for j, plane in enumerate(_RP_PLANES):
+        proj = " + ".join(
+            f"({r!r} * embedding[{d + 1}]::DOUBLE)" for d, r in enumerate(plane)
+        )
+        cols.append(f"(0.0 + {proj}) * {RP_SCALE!r} AS p{j}")
+    return ",\n       ".join(cols)
+
+
+RANDOM_PROJECTION_ORACLE_SQL = f"""
+SELECT vec_id, label,
+       {_oracle_rp()}
+FROM embeddings
+"""

@@ -96,6 +96,25 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       over irregular event times)
   histogram           price_histogram (fixed-bin, map-side combinable,
                       deterministic full-data distribution sketch)
+  having/enrich       tpch_big_spenders (Q18 shape: aggregate-HAVING
+                      before joins)
+  subquery            above_customer_avg (correlated scalar subquery
+                      decorrelated into one window: 1 scan, 1 exchange)
+  null semantics      null_semantics (null group keys, count(*) vs
+                      count(col), null-safe join keeps NULL group)
+  temporal scalars    datetime_suite (portable extraction/trunc/
+                      calendar-arithmetic/epoch/format surface)
+  graph (iterative)   pagerank (fixed-point integer ranks; DataFrame
+                      loop bit-identical to unrolled-CTE oracle)
+  behavioral          rolling_distinct (sliding distinct via
+                      dedupe-then-fan-out) funnel (ordered stages)
+                      cohort_retention (weekly cohort triangle)
+  features            feature_hashing (md5 hashing trick, 0 shuffles)
+                      fuzzy_match (blocked levenshtein, never
+                      cartesian) random_projection (JL 64->8,
+                      constant md5 planes, map-side)
+  incremental aggs    incremental_agg (mergeable partial states,
+                      O(keys) maintenance == full recompute)
   reshaping           event_unpivot (melt via Expand - one scan)
                       gap_fill (date spine + forward fill without
                       IGNORE NULLS)
@@ -241,7 +260,9 @@ from .operators.clustering import (
 )
 from .operators.similarity import (
     LABEL_CENTROIDS_ORACLE_SQL,
+    RANDOM_PROJECTION_ORACLE_SQL,
     label_centroids_query,
+    random_projection_query,
 )
 from .operators.analytics import (
     APPROX_DISTINCT_ORACLE_SQL,
@@ -388,6 +409,7 @@ QUERIES = {
     "pagerank": pagerank_query,
     "datetime_suite": datetime_suite_query,
     "incremental_agg": incremental_agg_query,
+    "random_projection": random_projection_query,
 }
 
 ORACLES = {
@@ -477,4 +499,5 @@ ORACLES = {
     "pagerank": PAGERANK_ORACLE_SQL,
     "datetime_suite": DATETIME_SUITE_ORACLE_SQL,
     "incremental_agg": INCREMENTAL_AGG_ORACLE_SQL,
+    "random_projection": RANDOM_PROJECTION_ORACLE_SQL,
 }

@@ -110,3 +110,44 @@ def test_above_customer_avg_single_shuffle(spark, sf_dir):
     plan = _plan(above_customer_avg_query(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """Projected coordinates must equal an independent numpy
+    evaluation of <emb, plane> * scale (1e-9 tolerance: numpy may sum
+    in a different order than the plan's pinned left-fold).
+
+    Note a distance-preservation test is NOT meaningful on this data:
+    the synthetic embeddings' pairwise distances concentrate (CV ~6%),
+    below the k=8 JL distortion, so correlation with original
+    distances is statistically weak by construction."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.similarity import (
+        RP_DIMS,
+        RP_SCALE,
+        _RP_PLANES,
+        random_projection_query,
+    )
+
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").limit(20).collect()
+    }
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(RP_DIMS)]
+        for r in random_projection_query(spark, sf_dir).collect()
+    }
+    planes = np.array(_RP_PLANES, dtype=np.float64)
+    for vid, x in orig.items():
+        expected = planes @ x * RP_SCALE
+        got = np.array(proj[vid])
+        assert np.allclose(got, expected, atol=1e-9), vid
+
+
+def test_random_projection_map_only(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.similarity import (
+        random_projection_query,
+    )
+
+    assert "Exchange" not in _plan(random_projection_query(spark, sf_dir))

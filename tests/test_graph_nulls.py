@@ -18,16 +18,16 @@ from data_pipeline_capstone_project_spark.operators.tpch import (
 )
 
 
-def test_pagerank_source_nodes_at_base(spark, sf_dir):
-    """Customers have no incoming edges in the c->s purchase graph, so
-    their converged rank is exactly the (1-d) base; suppliers absorb
-    rank and must sit strictly above it."""
+def test_pagerank_ranks_above_base_and_suppliers_dominate(spark, sf_dir):
+    """In the symmetric purchase graph every node has an in-edge, so
+    every rank sits strictly above the (1-d) base; the 100 suppliers
+    aggregate the rank of ~15x more customers, so the top of the
+    ranking must be all-supplier."""
     df = pagerank_query(spark, sf_dir).cache()
     try:
-        cust = df.filter(F.col("node").startswith("c"))
-        supp = df.filter(F.col("node").startswith("s"))
-        assert cust.filter(F.col("rank_scaled") != BASE).count() == 0
-        assert supp.filter(F.col("rank_scaled") <= BASE).count() == 0
+        assert df.filter(F.col("rank_scaled") <= BASE).count() == 0
+        top = df.orderBy(F.desc("rank_scaled")).limit(10).collect()
+        assert all(r["node"].startswith("s") for r in top)
     finally:
         df.unpersist()
 
