@@ -664,3 +664,47 @@ FROM orders
 GROUP BY 1
 ORDER BY bucket
 """
+
+
+def argminmax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax) per nation: which customer
+    holds the extreme balance - the "value at the extreme of another
+    column" aggregate that otherwise costs a window + filter pass.
+
+    Both engines' arg-extremes are tie-nondeterministic, so the
+    ordering key is a composite exact integer (cents * 1e7 + custkey,
+    unique per row): deterministic winner, one map-side-combinable
+    aggregate, no window shuffle. DuckDB's arg_max lacks struct
+    ordering keys, hence the scalar spelling on both sides."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10_000_000
+        + F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("ordkey", key)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", "ordkey").alias("richest_cust"),
+            F.min_by("c_custkey", "ordkey").alias("poorest_cust"),
+            F.max("c_acctbal").alias("top_bal"),
+            F.min("c_acctbal").alias("bottom_bal"),
+            F.count("*").alias("n_cust"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ARGMINMAX_ORACLE_SQL = """
+WITH t AS (
+  SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey
+            AS ordkey
+  FROM customer)
+SELECT c_nationkey,
+       arg_max(c_custkey, ordkey) AS richest_cust,
+       arg_min(c_custkey, ordkey) AS poorest_cust,
+       max(c_acctbal) AS top_bal,
+       min(c_acctbal) AS bottom_bal,
+       count(*) AS n_cust
+FROM t GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -75,3 +75,71 @@ FROM (
   FROM h
 )
 """
+
+
+WS_K = 100  # weighted-sample size
+
+
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES), k=100 orders with inclusion
+    probability increasing in priority (URGENT=5x the weight of LOW).
+
+    A-ES ranks items by u_i^(1/w_i) (u uniform) and keeps the top k.
+    Floating pow/ln are libm-dependent - not portable - so this uses
+    the exact equivalence: max of w_i iid uniforms has CDF x^(w_i),
+    the SAME distribution as u^(1/w_i). Each row fans out to w_i
+    integer-weight replicas, each replica draws its uniform as a
+    60-bit md5 integer, and the per-item key is the integer max -
+    every comparison is exact, both engines agree bit-for-bit.
+
+    Scale shape: fan-out <= 5x on a projected 2-column frame, one
+    map-side-combinable max-aggregate, TakeOrderedAndProject top-k.
+    No full sort, no RNG state, reproducible from the data alone -
+    which is what makes the training subset auditable."""
+    from .text import md5_word_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    weighted = orders.select(
+        "o_orderkey",
+        (6 - F.substring("o_orderpriority", 1, 1).cast("int")).alias("w"),
+    )
+    keys = (
+        weighted.select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"),
+        )
+        .select(
+            "o_orderkey",
+            md5_word_hash(
+                F.concat(F.col("o_orderkey"), F.lit("#"), F.col("r"))
+            ).alias("u"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.max("u").alias("es_key"))
+    )
+    return (
+        keys.join(weighted, "o_orderkey")
+        .select("o_orderkey", "w", "es_key")
+        .orderBy(F.desc("es_key"), "o_orderkey")
+        .limit(WS_K)
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE_SQL = f"""
+WITH weighted AS (
+  SELECT o_orderkey, 6 - CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS w
+  FROM orders),
+reps AS (SELECT unnest(range(1, 6)) AS r),
+keys AS (
+  SELECT o_orderkey,
+         max(CAST(('0x' || substr(md5(o_orderkey || '#' || reps.r), 1, 15))
+                  AS BIGINT)) AS es_key
+  FROM weighted CROSS JOIN reps
+  WHERE reps.r <= weighted.w
+  GROUP BY o_orderkey)
+SELECT k.o_orderkey, w.w, k.es_key
+FROM keys k JOIN weighted w ON k.o_orderkey = w.o_orderkey
+ORDER BY k.es_key DESC, k.o_orderkey
+LIMIT {WS_K}
+"""

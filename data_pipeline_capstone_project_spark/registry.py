@@ -251,7 +251,9 @@ from .sources.ingest_lake import (
 )
 from .operators.sampling import (
     TRAIN_TEST_SPLIT_ORACLE_SQL,
+    WEIGHTED_SAMPLE_ORACLE_SQL,
     train_test_split_query,
+    weighted_sample_query,
 )
 from .operators.clustering import (
     DEDUP_CLUSTERS_ORACLE_SQL,
@@ -266,6 +268,7 @@ from .operators.similarity import (
 )
 from .operators.analytics import (
     APPROX_DISTINCT_ORACLE_SQL,
+    ARGMINMAX_ORACLE_SQL,
     PRICE_HISTOGRAM_ORACLE_SQL,
     PRICING_CUBE_ORACLE_SQL,
     STATS_SUITE_ORACLE_SQL,
@@ -273,6 +276,7 @@ from .operators.analytics import (
     USER_TIMESERIES_ORACLE_SQL,
     VALUE_PERCENTILES_ORACLE_SQL,
     approx_distinct_query,
+    argminmax_query,
     price_histogram_query,
     pricing_cube_query,
     stats_suite_query,
@@ -410,6 +414,8 @@ QUERIES = {
     "datetime_suite": datetime_suite_query,
     "incremental_agg": incremental_agg_query,
     "random_projection": random_projection_query,
+    "argminmax": argminmax_query,
+    "weighted_sample": weighted_sample_query,
 }
 
 ORACLES = {
@@ -500,4 +506,6 @@ ORACLES = {
     "datetime_suite": DATETIME_SUITE_ORACLE_SQL,
     "incremental_agg": INCREMENTAL_AGG_ORACLE_SQL,
     "random_projection": RANDOM_PROJECTION_ORACLE_SQL,
+    "argminmax": ARGMINMAX_ORACLE_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_ORACLE_SQL,
 }

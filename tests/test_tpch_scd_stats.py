@@ -123,3 +123,42 @@ def test_histogram_partitions_full_domain(spark, sf_dir):
         assert sum(r["n_orders"] for r in rows) == total
     finally:
         df.unpersist()
+
+
+def test_argminmax_consistent_with_extremes(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        argminmax_query,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    got = {r["c_nationkey"]: r for r in argminmax_query(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer").collect()
+    by_nation = {}
+    for c in cust:
+        by_nation.setdefault(c["c_nationkey"], []).append(c)
+    for nk, rows in by_nation.items():
+        # Winner must hold the extreme balance (composite key ties
+        # break toward the higher custkey).
+        top = max(rows, key=lambda c: (round(c["c_acctbal"] * 100), c["c_custkey"]))
+        bot = min(rows, key=lambda c: (round(c["c_acctbal"] * 100), c["c_custkey"]))
+        assert got[nk]["richest_cust"] == top["c_custkey"]
+        assert got[nk]["poorest_cust"] == bot["c_custkey"]
+
+
+def test_weighted_sample_prefers_heavy_weights(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.sampling import (
+        WS_K,
+        weighted_sample_query,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    sample = weighted_sample_query(spark, sf_dir).collect()
+    assert len(sample) == WS_K
+    pop = load_table(spark, sf_dir, "orders").select(
+        (6 - F.substring("o_orderpriority", 1, 1).cast("int")).alias("w")
+    ).collect()
+    pop_mean = sum(r["w"] for r in pop) / len(pop)
+    smp_mean = sum(r["w"] for r in sample) / len(sample)
+    # Inclusion probability rises with weight; with weights 1..5 the
+    # sampled mean must sit clearly above the population mean.
+    assert smp_mean > pop_mean + 0.3, (smp_mean, pop_mean)
