@@ -245,6 +245,10 @@ from .streaming.session_stream import (
     STREAMING_SESSION_ORACLE_SQL,
     streaming_session_query,
 )
+from .streaming.multi_sink import (
+    STREAMING_MULTI_SINK_ORACLE_SQL,
+    streaming_multi_sink_query,
+)
 from .sources.ingest_lake import (
     JSON_LAKE_INGEST_ORACLE_SQL,
     json_lake_ingest_query,
@@ -416,6 +420,7 @@ QUERIES = {
     "random_projection": random_projection_query,
     "argminmax": argminmax_query,
     "weighted_sample": weighted_sample_query,
+    "streaming_multi_sink": streaming_multi_sink_query,
 }
 
 ORACLES = {
@@ -508,4 +513,5 @@ ORACLES = {
     "random_projection": RANDOM_PROJECTION_ORACLE_SQL,
     "argminmax": ARGMINMAX_ORACLE_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_ORACLE_SQL,
+    "streaming_multi_sink": STREAMING_MULTI_SINK_ORACLE_SQL,
 }

@@ -184,3 +184,25 @@ def test_streaming_session_equals_batch_sessionize(spark, sf_dir):
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     for k, close in stream_rows.items():
         assert close == batch_rows[k] + gap_us
+
+
+def test_multi_sink_epoch_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-executing the same epoch must not change either sink;
+    writing the same data under a NEW epoch must (the epoch directory
+    is the dedup key - this is the mechanism, not an accident)."""
+    from data_pipeline_capstone_project_spark.operators.upsert import latest_wins  # noqa: F401  (import parity)
+    from data_pipeline_capstone_project_spark.streaming.multi_sink import (
+        fanout_batch,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    detail, agg = str(tmp_path / "detail"), str(tmp_path / "agg")
+    fanout_batch(batch, 0, detail, agg)
+    n0 = spark.read.parquet(detail).count()
+    fanout_batch(batch, 0, detail, agg)  # replay: absorbed
+    assert spark.read.parquet(detail).count() == n0
+    fanout_batch(batch, 1, detail, agg)  # genuinely new epoch: appends
+    assert spark.read.parquet(detail).count() == 2 * n0
