@@ -52,15 +52,50 @@ def main() -> None:
         print(f"{name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Full per-query detail goes to a sidecar file; the stdout line must
+    # stay short enough to survive the driver's bounded tail capture
+    # (round-1 BENCH recorded parsed=null because a ~3 KB line with all
+    # per-query timings was truncated mid-JSON).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+        )
+    headline = [
+        "q1_history",
+        "rolling_engagement",
+        "latest_wins",
+        "top_k_per_group",
+        "recent_n_per_user",
+        "asof_enrichment",
+        "posts_flatten",
+        "anti_join",
+        "scalar_suite",
+        "quality_gates",
+        "pricing_summary",
+    ]
+    slowest = sorted(timings, key=timings.get, reverse=True)[:8]
+    keep = {n: timings[n] for n in timings if n in headline or n in slowest}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": keep,
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

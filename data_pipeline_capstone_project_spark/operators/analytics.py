@@ -708,3 +708,51 @@ SELECT c_nationkey,
        count(*) AS n_cust
 FROM t GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# --- hypertable time rollup ------------------------------------------------
+
+
+def time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-
+    aggregate shape: month -> day -> hour in ONE pass). ROLLUP over the
+    truncation hierarchy plans a single scan + one Expand + one
+    aggregate: each input row fans into its 4 hierarchy levels and the
+    partial aggregation is map-side combined per level - at 100 TB this
+    beats 3 separate group-bys by reading the fact once, and the
+    coarse levels cost nothing extra (they combine from the fine
+    partials). NULL grouping slots are coalesced to sentinels so row
+    identity is engine-stable."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.date_format("ts", "yyyy-MM").alias("mo"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        keyed.rollup("mo", "day", "hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("string").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("mo", F.lit("ALL")).alias("mo"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("hr"), F.lit(-1)).alias("hr"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TIME_ROLLUP_ORACLE_SQL = """
+SELECT coalesce(strftime(ts, '%Y-%m'), 'ALL') AS mo,
+       coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(CAST(EXTRACT(hour FROM ts) AS INTEGER), -1) AS hr,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS sum_value
+FROM events
+GROUP BY ROLLUP(strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'),
+                EXTRACT(hour FROM ts))
+"""

@@ -136,3 +136,85 @@ JOIN (SELECT o_orderkey, o_custkey % 150 AS user_id,
      AND e.day <= CAST(w.win_start + INTERVAL 6 DAY AS DATE)
 GROUP BY o_orderkey
 """
+
+
+# --- nearest as-of (bidirectional) ----------------------------------------
+
+
+def asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of enrichment: each non-signup event takes
+    the value of the user's temporally CLOSEST signup event - backward
+    or forward - with ties to the earlier one. Generalizes J4 from
+    "latest at-or-before" to symmetric nearest, the variant training
+    pipelines need when joining sparse labels onto dense features.
+
+    Same single-shuffle union-window shape as ``asof_enrich``: one
+    window per direction over the same (user, ts, event_id) sort - the
+    sort is reused by both frames, so the plan pays one Exchange + one
+    Sort, never a range join."""
+    events = load_table(spark, sf_dir, "events")
+    sig_val = F.when(F.col("event_type") == "signup", F.col("value"))
+    sig_ts = F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    enriched = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(sig_val, ignorenulls=True).over(w_back).alias("back_val"),
+        F.last(sig_ts, ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first(sig_val, ignorenulls=True).over(w_fwd).alias("fwd_val"),
+        F.first(sig_ts, ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    ).filter(F.col("event_type") != "signup")
+    back_d = F.col("ts_us") - F.col("back_ts")
+    fwd_d = F.col("fwd_ts") - F.col("ts_us")
+    use_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (back_d <= fwd_d)
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(use_back, F.col("back_val")).otherwise(F.col("fwd_val")).alias(
+            "nearest_val"
+        ),
+        F.when(use_back, back_d).otherwise(-fwd_d).alias("delta_us"),
+    )
+
+
+ASOF_NEAREST_ORACLE_SQL = """
+WITH enriched AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type = 'signup' THEN value END
+                    IGNORE NULLS) OVER w_back AS back_val,
+         last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER w_back AS back_ts,
+         first_value(CASE WHEN event_type = 'signup' THEN value END
+                     IGNORE NULLS) OVER w_fwd AS fwd_val,
+         first_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END
+                     IGNORE NULLS) OVER w_fwd AS fwd_ts
+  FROM events
+  WINDOW w_back AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN fwd_ts IS NULL
+                 OR (back_ts IS NOT NULL AND ts_us - back_ts <= fwd_ts - ts_us)
+            THEN back_val ELSE fwd_val END AS nearest_val,
+       CASE WHEN fwd_ts IS NULL
+                 OR (back_ts IS NOT NULL AND ts_us - back_ts <= fwd_ts - ts_us)
+            THEN ts_us - back_ts ELSE -(fwd_ts - ts_us) END AS delta_us
+FROM enriched WHERE event_type <> 'signup'
+"""

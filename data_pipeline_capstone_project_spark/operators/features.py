@@ -110,3 +110,110 @@ FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
 """
+
+
+# --- feature scaling -------------------------------------------------------
+
+N_BINS = 8
+
+
+def feature_scaling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score + min-max normalization of line-item prices
+    (grouped by return flag) - the standard pre-training scaling pass.
+
+    Scale shape: group statistics are ONE aggregate over the fact (3
+    groups -> bytes), broadcast-joined back onto the 100 TB side; no
+    window over the full table, no global sort. Determinism: sums are
+    exact decimals; mean/variance derive from those decimals with a
+    fixed double-arithmetic recipe the oracle repeats verbatim, so the
+    z-scores are bit-identical (a naive avg(double) would be
+    partition-order-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+    )
+    dec = F.col("x").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sum_x"),
+        F.sum(dec * dec).cast("double").alias("sum_x2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    mean = F.col("sum_x") / F.col("n")
+    var = (F.col("sum_x2") - mean * mean * F.col("n")) / (F.col("n") - 1)
+    enriched = li.join(F.broadcast(stats), "l_returnflag")
+    return enriched.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        ((F.col("x") - mean) / F.sqrt(var)).alias("zscore"),
+        ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("minmax"),
+    )
+
+
+FEATURE_SCALING_ORACLE_SQL = """
+WITH stats AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
+         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       (x - sum_x / n) / sqrt((sum_x2 - (sum_x / n) * (sum_x / n) * n) / (n - 1))
+         AS zscore,
+       (x - mn) / (mx - mn) AS minmax
+FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_extendedprice AS x FROM lineitem) l
+JOIN stats s ON l.l_returnflag = s.l_returnflag
+"""
+
+
+def feature_binning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (ntile) of prices within each return-flag
+    group plus a one-hot bitmask - quantile bucketing for feature
+    discretization. Ordering carries a full unique tiebreak
+    (price, orderkey, linenumber) so bucket assignment is total-order
+    deterministic, not hash-partition luck.
+
+    Scale note: partitioned ntile sorts within each group partition.
+    When one group is itself 100 TB, swap to the two-phase form: exact
+    boundary ranks via the percentile operator, broadcast the B-1
+    boundaries, bin with a range lookup - same result, no global
+    sort."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    binned = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(N_BINS).over(w).alias("bin"),
+    )
+    onehot = F.concat(
+        F.repeat(F.lit("0"), F.col("bin") - 1),
+        F.lit("1"),
+        F.repeat(F.lit("0"), F.lit(N_BINS) - F.col("bin")),
+    )
+    return binned.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "bin",
+        onehot.alias("onehot"),
+    )
+
+
+FEATURE_BINNING_ORACLE_SQL = f"""
+WITH binned AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         ntile({N_BINS}) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, bin,
+       repeat('0', bin - 1) || '1' || repeat('0', {N_BINS} - bin) AS onehot
+FROM binned
+"""

@@ -358,3 +358,76 @@ SELECT event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted
 FROM events
 """
+
+
+# --- join-type completeness suite -----------------------------------------
+
+
+def join_types_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every join mode the engine supports, one row of evidence each:
+    inner / left / right / full outer on customer x orders, left-semi
+    and left-anti (J3), a cross join, and a theta (inequality) join.
+    The reference only exercises left-outer and anti joins
+    (``sql_queries.py:22-27``, ``s3-to-es_aws.py:94-100``); this pins
+    the rest of the matrix.
+
+    Scale notes: the equi joins shuffle on the key (or broadcast the
+    small side); cross and theta are computed on DIMENSION tables only
+    (nation x region scale), which is the only place a
+    BroadcastNestedLoopJoin is ever acceptable at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    c = cust.select(F.col("c_custkey").alias("k"))
+    o = orders.select(F.col("o_custkey").alias("k"))
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("join_type"), F.count("*").alias("n_rows")
+        )
+
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"))
+    return (
+        one("inner", c.join(o, "k"))
+        .unionByName(one("left_outer", c.join(o, "k", "left")))
+        .unionByName(one("right_outer", c.join(o, "k", "right")))
+        .unionByName(one("full_outer", c.join(o, "k", "full")))
+        .unionByName(one("left_semi", c.join(o, "k", "left_semi")))
+        .unionByName(one("left_anti", c.join(o, "k", "left_anti")))
+        .unionByName(one("cross", nation.crossJoin(region)))
+        .unionByName(
+            one(
+                "theta",
+                nation.join(n2, F.col("n_nationkey") < F.col("nk2")),
+            )
+        )
+    )
+
+
+JOIN_TYPES_ORACLE_SQL = """
+SELECT 'inner' AS join_type, count(*) AS n_rows
+  FROM customer JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'left_outer', count(*)
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'right_outer', count(*)
+  FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'full_outer', count(*)
+  FROM customer FULL JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'left_semi', count(*)
+  FROM customer WHERE EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'left_anti', count(*)
+  FROM customer WHERE NOT EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'cross', count(*) FROM nation, region
+UNION ALL
+SELECT 'theta', count(*)
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+"""

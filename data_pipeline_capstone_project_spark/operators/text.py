@@ -90,7 +90,7 @@ WITH tok AS (
 )
 SELECT doc_id,
        len(w) AS n_tokens,
-       list_sum(list_transform(w, x -> length(x))) / len(w) AS avg_token_len,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / len(w) AS avg_token_len,
        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
          / length(text) AS punct_ratio,
        len(list_filter(w, x -> x IN ({_sw_list(STOPWORDS)}))) / len(w)
@@ -380,4 +380,70 @@ SELECT term, count(*) AS term_freq
 FROM tok
 GROUP BY term
 HAVING count(*) > (SELECT CAST(n * {HH_FRACTION} AS BIGINT) FROM tot)
+"""
+
+
+# --- winnowing fingerprints ------------------------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # winnow window: consecutive gram hashes per min-selection
+
+
+def winnowing_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local document-fingerprinting
+    algorithm: Schleimer, Wilkerson, Aiken, SIGMOD'03): hash every
+    token k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum; the distinct minima are the fingerprint set.
+    Guarantees any shared substring of length >= k + w - 1 tokens
+    yields a shared fingerprint - position-robust near-dup detection
+    that rolling-hash ``doc_fingerprint`` (whole-doc) cannot give.
+
+    Scale shape: entirely per-row higher-order array expressions -
+    tokenize -> transform(k-grams) -> transform(window minima) ->
+    array_distinct - ZERO shuffles and no explode; the fingerprint set
+    never leaves the row. Docs shorter than k + w - 1 tokens have no
+    complete window and are dropped (same contract in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    min_toks = WINNOW_K + WINNOW_W - 1
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), WINNOW_K), " "),
+    )
+    with_hashes = docs.filter(F.size(toks) >= min_toks).select(
+        "doc_id", F.transform(grams, lambda g: md5_word_hash(g)).alias("hs")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - WINNOW_W),
+        lambda i: F.array_min(F.slice(F.col("hs"), i + F.lit(1), WINNOW_W)),
+    )
+    fps = F.array_distinct(wins)
+    return with_hashes.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, x: a + x % MOD_PRIME
+        ).alias("sum_mod"),
+    )
+
+
+WINNOWING_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(0, len(toks) - {WINNOW_K} + 1),
+             i -> CAST(('0x' || substr(md5(array_to_string(
+                      toks[i+1:i+{WINNOW_K}], ' ')), 1, 15)) AS BIGINT)) AS hs
+  FROM t WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(hs) - {WINNOW_W} + 1),
+             i -> list_min(hs[i+1:i+{WINNOW_W}]))) AS fps
+  FROM g
+)
+SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp,
+       CAST(list_sum(list_transform(fps, x -> x % {MOD_PRIME})) AS BIGINT) AS sum_mod
+FROM w
 """

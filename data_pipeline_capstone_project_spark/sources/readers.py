@@ -27,16 +27,32 @@ from pyspark.sql import types as T
 from ..schemas import TESTDATA_SCHEMAS
 
 
+def _events_ts_physical(path: str) -> str:
+    """Physical parquet type of ``events.ts`` ('ns' or 'us').
+
+    The driver has shipped both encodings across rounds: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects) and plain TIMESTAMP(MICROS).
+    Sniffing the footer once per load keeps the reader correct under
+    either; footer reads are O(KB) regardless of table size.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return "ns" if str(pq.read_schema(path).field("ts").type) == "timestamp[ns]" else "us"
+    except Exception:
+        return "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its declared schema.
 
-    ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is scanned as raw int64 nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and converted to a
-    microsecond timestamp (``div 1000`` = truncation, matching how
-    nanos-unaware readers like DuckDB downcast).
+    When ``events.ts`` is physically TIMESTAMP(NANOS) it is scanned as
+    raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
+    truncated to a microsecond timestamp, matching how nanos-unaware
+    readers like DuckDB downcast.
     """
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _events_ts_physical(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = T.StructType(
             [
@@ -50,12 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         return (
             spark.read.schema(raw)
-            .parquet(f"{sf_dir}/{name}.parquet")
+            .parquet(path)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(
-        f"{sf_dir}/{name}.parquet"
-    )
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

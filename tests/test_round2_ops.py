@@ -1,0 +1,168 @@
+"""Round-2 operators: CDC merge, higher-order array suite, feature
+scaling/binning, nearest as-of, winnowing fingerprints, time rollup,
+join-type matrix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_capstone_project_spark.operators.arrays import (
+    array_functions_suite_query,
+)
+from data_pipeline_capstone_project_spark.operators.asof import asof_nearest_query
+from data_pipeline_capstone_project_spark.operators.cdc import (
+    INSERT_KEY_OFFSET,
+    cdc_merge_query,
+)
+from data_pipeline_capstone_project_spark.operators.features import (
+    N_BINS,
+    feature_binning_query,
+    feature_scaling_query,
+)
+from data_pipeline_capstone_project_spark.operators.analytics import time_rollup_query
+from data_pipeline_capstone_project_spark.operators.relational import (
+    join_types_suite_query,
+)
+from data_pipeline_capstone_project_spark.operators.text import (
+    winnowing_fingerprint_query,
+)
+from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+
+def test_cdc_merge_applies_all_three_verbs(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders")
+    merged = cdc_merge_query(spark, sf_dir).cache()
+    n_del = base.filter(F.col("o_orderkey") % 7 == 1).count()
+    n_ins = base.filter(F.col("o_orderkey") % 7 == 2).count()
+    assert merged.count() == base.count() - n_del + n_ins
+    # deletes gone
+    assert merged.filter((F.col("o_orderkey") % 7 == 1) & (F.col("o_orderkey") < INSERT_KEY_OFFSET)).count() == 0
+    # updates applied in place
+    upd = merged.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < INSERT_KEY_OFFSET))
+    assert upd.filter(F.col("o_orderpriority") != "1-CDC-UPDATED").count() == 0
+    # inserts present under offset keys
+    assert merged.filter(F.col("o_orderkey") >= INSERT_KEY_OFFSET).count() == n_ins
+    # keys stay unique
+    assert merged.select("o_orderkey").distinct().count() == merged.count()
+    merged.unpersist()
+
+
+def test_array_suite_internal_consistency(spark, sf_dir):
+    df = array_functions_suite_query(spark, sf_dir).cache()
+    assert df.filter(F.col("n_big") > F.col("n_items")).count() == 0
+    assert df.filter(F.col("has_big") != (F.col("n_big") > 0)).count() == 0
+    assert df.filter(F.col("max_cents") < F.col("min_cents")).count() == 0
+    assert df.filter(
+        (F.col("n_items") * F.col("min_cents") > F.col("total_cents"))
+        | (F.col("n_items") * F.col("max_cents") < F.col("total_cents"))
+    ).count() == 0
+    df.unpersist()
+
+
+def test_feature_scaling_group_invariants(spark, sf_dir):
+    df = feature_scaling_query(spark, sf_dir)
+    agg = df.groupBy("l_returnflag").agg(
+        F.min("minmax").alias("lo"),
+        F.max("minmax").alias("hi"),
+        F.avg("zscore").alias("mu"),
+    )
+    for row in agg.collect():
+        assert row.lo == 0.0 and row.hi == 1.0
+        assert abs(row.mu) < 1e-6  # z-scores are centered
+
+
+def test_feature_binning_equi_depth(spark, sf_dir):
+    df = feature_binning_query(spark, sf_dir)
+    sizes = (
+        df.groupBy("l_returnflag", "bin").count().groupBy("l_returnflag")
+        .agg((F.max("count") - F.min("count")).alias("spread"),
+             F.countDistinct("bin").alias("nbins"))
+    )
+    for row in sizes.collect():
+        assert row.nbins == N_BINS
+        assert row.spread <= 1  # ntile: bucket sizes differ by at most 1
+    assert df.filter(F.length("onehot") != N_BINS).count() == 0
+
+
+def test_asof_nearest_prefers_closer_side(spark, sf_dir):
+    df = asof_nearest_query(spark, sf_dir).cache()
+    events = load_table(spark, sf_dir, "events")
+    assert df.count() == events.filter(F.col("event_type") != "signup").count()
+    # delta sign convention: back >= 0, forward < 0; magnitude is the
+    # true distance, so no enriched row may have a null value with a
+    # non-null delta
+    assert df.filter(F.col("nearest_val").isNull() & F.col("delta_us").isNotNull()).count() == 0
+    df.unpersist()
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    import pandas as pd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [base + " one two three", "zero " + base + " nine"],
+                "lang": ["en", "en"],
+                "source": ["t", "t"],
+                "n_chars": [1, 1],
+            }
+        )
+    )
+    df.write.mode("overwrite").parquet("/tmp/winnow_docs/documents.parquet")
+    out = winnowing_fingerprint_query(spark, "/tmp/winnow_docs")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_fp > 0 and rows[2].n_fp > 0
+    # the 10-token shared run >> k + w - 1 = 7 guarantees at least one
+    # common fingerprint; min_fp equality is not guaranteed, but the
+    # winnowing theorem guarantees a nonempty intersection - check via
+    # recomputing full fingerprint sets
+    from data_pipeline_capstone_project_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        md5_word_hash,
+        tokens_col,
+    )
+
+    toks = tokens_col()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), WINNOW_K), " "),
+    )
+    hs = F.transform(grams, lambda g: md5_word_hash(g))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - WINNOW_W),
+        lambda i: F.array_min(F.slice(hs, i + F.lit(1), WINNOW_W)),
+    )
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in df.select("doc_id", F.array_distinct(wins).alias("fps")).collect()
+    }
+    assert sets[1] & sets[2], "winnowing guarantee violated"
+
+
+def test_time_rollup_levels_reconcile(spark, sf_dir):
+    df = time_rollup_query(spark, sf_dir).cache()
+    total = df.filter(F.col("mo") == "ALL").collect()
+    assert len(total) == 1
+    n_total = total[0].n_events
+    for level in [
+        (F.col("mo") != "ALL") & (F.col("day") == "ALL"),
+        (F.col("day") != "ALL") & (F.col("hr") == -1),
+        F.col("hr") != -1,
+    ]:
+        got = df.filter(level).agg(F.sum("n_events")).collect()[0][0]
+        assert got == n_total
+    df.unpersist()
+
+
+def test_join_types_suite_algebra(spark, sf_dir):
+    rows = {r.join_type: r.n_rows for r in join_types_suite_query(spark, sf_dir).collect()}
+    assert rows["left_semi"] + rows["left_anti"] == rows["left_outer"] - (
+        rows["inner"] - rows["left_semi"]
+    )
+    assert rows["full_outer"] == rows["inner"] + (
+        rows["left_outer"] - rows["inner"]
+    ) + (rows["right_outer"] - rows["inner"])
+    assert rows["cross"] > 0 and rows["theta"] > 0
