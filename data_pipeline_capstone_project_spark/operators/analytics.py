@@ -756,3 +756,72 @@ FROM events
 GROUP BY ROLLUP(strftime(ts, '%Y-%m'), strftime(ts, '%Y-%m-%d'),
                 EXTRACT(hour FROM ts))
 """
+
+
+# --- exact grouped median --------------------------------------------------
+
+
+def grouped_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (and quartiles) of line-item prices by
+    return flag, via rank selection: row_number + per-group count, keep
+    the middle row(s), average the middle pair on even counts. Unlike
+    ``percentile_approx`` this is exact, and unlike a median() over a
+    global sort it parallelizes: the window sorts WITHIN each group
+    partition only.
+
+    At 100 TB with few giant groups, swap the window for the two-pass
+    selection (histogram of value ranges -> identify the rank's range
+    -> rescan that range), same contract. The quartile picks use the
+    nearest-rank-low definition (rank = ceil(q * n)) so every output is
+    an actual data value - engine-portable with no interpolation
+    arithmetic except the even-count median average."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("x")
+    ranked = li.select(
+        "l_returnflag",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    half = (F.col("n") + 1) / 2
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor(half)) | (F.col("rn") == F.ceil(half))
+        )
+        .groupBy("l_returnflag")
+        .agg((F.sum("x") / F.count("*")).alias("median"))
+    )
+    quarts = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") * 0.25))
+            | (F.col("rn") == F.ceil(F.col("n") * 0.75))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.min("x").alias("q1"), F.max("x").alias("q3"))
+    )
+    return med.join(quarts, "l_returnflag").select(
+        "l_returnflag", "q1", "median", "q3"
+    )
+
+
+GROUPED_MEDIAN_ORACLE_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, sum(x) / count(*) AS median
+  FROM ranked
+  WHERE rn = floor((n + 1) / 2.0) OR rn = ceil((n + 1) / 2.0)
+  GROUP BY 1
+), quarts AS (
+  SELECT l_returnflag, min(x) AS q1, max(x) AS q3
+  FROM ranked
+  WHERE rn = ceil(n * 0.25) OR rn = ceil(n * 0.75)
+  GROUP BY 1
+)
+SELECT med.l_returnflag, q1, median, q3 FROM med JOIN quarts USING (l_returnflag)
+"""

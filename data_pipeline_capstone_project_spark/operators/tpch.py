@@ -188,3 +188,158 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY totalprice DESC, orderkey
 """
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+
+
+def market_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's revenue share of a
+    customer region's market, per order year - the conditional-
+    aggregation-over-a-star pattern (numerator = CASE inside the same
+    sum, never a second scan or self-join).
+
+    Plan shape: customer-side region membership arrives through the
+    broadcast nation+region dim; supplier nation likewise. Both
+    numerator and denominator reduce in ONE aggregate over the joined
+    fact, as exact decimals, with the share division done after - so
+    the whole query is the Q5 join tree plus one extra broadcast."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    nation = load_table(spark, sf_dir, "nation")
+    cust_dim = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    supp_nation = F.broadcast(nation.select("n_nationkey", "n_name"))
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = _revenue().cast("decimal(38,6)")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_dim, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == Q8_NATION, rev).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("nat_dec"),
+            F.sum(rev).alias("tot_dec"),
+        )
+        .select(
+            "o_year",
+            (F.col("nat_dec").cast("double") / F.col("tot_dec").cast("double")).alias("mkt_share"),
+            F.col("tot_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_ORACLE_SQL = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = '{Q8_NATION}'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS mkt_share,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+Q14_START = "1996-01-01"
+Q14_END = "1997-01-01"
+
+
+def promo_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share per ship month. The
+    part dim join is the interesting scale decision: part is small
+    relative to lineitem, so it is broadcast and the query stays a
+    single scan of the fact with zero shuffles before the (tiny,
+    12-group) aggregate."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
+    )
+    rev = _revenue().cast("decimal(38,6)")
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("promo_dec"),
+            F.sum(rev).alias("tot_dec"),
+        )
+        .select(
+            "ship_month",
+            (F.lit(100.0) * F.col("promo_dec").cast("double") / F.col("tot_dec").cast("double")).alias("promo_pct"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+PROMO_REVENUE_ORACLE_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l_shipdate <  TIMESTAMP '{Q14_END}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+Q16_EXCLUDED_BRAND = "Brand#1"
+
+
+def parts_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size-band), excluding one brand - the COUNT(DISTINCT) two-phase
+    aggregation over a fact-derived relationship (lineitem stands in
+    for partsupp, which the testdata lacks).
+
+    count_distinct plans as a two-stage aggregate: first the shuffle
+    de-dups (group, suppkey) pairs, then counts per group - the
+    partial-aggregate side absorbs the fact's duplication before the
+    wide exchange, which is what keeps distinct-counting tractable on
+    a 100 TB fact."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != Q16_EXCLUDED_BRAND
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            "p_type",
+            (F.col("p_size") - F.col("p_size") % 10).alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_band")
+    )
+
+
+PARTS_SUPPLIER_ORACLE_SQL = f"""
+SELECT p_brand, p_type, p_size - p_size % 10 AS size_band,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_band
+"""

@@ -142,6 +142,14 @@ Round-2 additions:
                       aggregate: one scan, one Expand, one agg
   join_types_suite    inner/left/right/full/semi/anti/cross/theta
                       join matrix with count evidence per mode
+  tpch_market_share   Q8 shape: conditional-agg market share over the
+                      full star, one aggregate for num+den
+  tpch_promo_revenue  Q14 shape: broadcast part dim, promo share per
+                      ship month, zero pre-agg shuffles
+  tpch_parts_supplier Q16 shape: two-phase COUNT(DISTINCT) over the
+                      fact-derived part-supplier relation
+  grouped_median      exact per-group median/quartiles via rank
+                      selection (parallel per group, no global sort)
 """
 
 from __future__ import annotations
@@ -313,9 +321,15 @@ from .operators.analytics import (
 from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
 from .operators.tpch import (
     BIG_SPENDERS_ORACLE_SQL,
+    MARKET_SHARE_ORACLE_SQL,
+    PARTS_SUPPLIER_ORACLE_SQL,
+    PROMO_REVENUE_ORACLE_SQL,
     REGIONAL_VOLUME_ORACLE_SQL,
     SHIPPING_PRIORITY_ORACLE_SQL,
     big_spenders_query,
+    market_share_query,
+    parts_supplier_query,
+    promo_revenue_query,
     regional_volume_query,
     shipping_priority_query,
 )
@@ -363,7 +377,12 @@ from .operators.features import (
 )
 from .operators.asof import ASOF_NEAREST_ORACLE_SQL, asof_nearest_query
 from .operators.text import WINNOWING_ORACLE_SQL, winnowing_fingerprint_query
-from .operators.analytics import TIME_ROLLUP_ORACLE_SQL, time_rollup_query
+from .operators.analytics import (
+    GROUPED_MEDIAN_ORACLE_SQL,
+    TIME_ROLLUP_ORACLE_SQL,
+    grouped_median_query,
+    time_rollup_query,
+)
 from .operators.relational import JOIN_TYPES_ORACLE_SQL, join_types_suite_query
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
@@ -472,6 +491,10 @@ QUERIES = {
     "winnowing_fingerprint": winnowing_fingerprint_query,
     "time_rollup": time_rollup_query,
     "join_types_suite": join_types_suite_query,
+    "tpch_market_share": market_share_query,
+    "tpch_promo_revenue": promo_revenue_query,
+    "tpch_parts_supplier": parts_supplier_query,
+    "grouped_median": grouped_median_query,
 }
 
 ORACLES = {
@@ -573,4 +596,8 @@ ORACLES = {
     "winnowing_fingerprint": WINNOWING_ORACLE_SQL,
     "time_rollup": TIME_ROLLUP_ORACLE_SQL,
     "join_types_suite": JOIN_TYPES_ORACLE_SQL,
+    "tpch_market_share": MARKET_SHARE_ORACLE_SQL,
+    "tpch_promo_revenue": PROMO_REVENUE_ORACLE_SQL,
+    "tpch_parts_supplier": PARTS_SUPPLIER_ORACLE_SQL,
+    "grouped_median": GROUPED_MEDIAN_ORACLE_SQL,
 }

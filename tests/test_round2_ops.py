@@ -166,3 +166,45 @@ def test_join_types_suite_algebra(spark, sf_dir):
         rows["left_outer"] - rows["inner"]
     ) + (rows["right_outer"] - rows["inner"])
     assert rows["cross"] > 0 and rows["theta"] > 0
+
+
+def test_market_share_bounded(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import market_share_query
+
+    rows = market_share_query(spark, sf_dir).collect()
+    assert rows, "region filter matched nothing"
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_revenue > 0
+
+
+def test_promo_revenue_months_and_bounds(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import promo_revenue_query
+
+    rows = promo_revenue_query(spark, sf_dir).collect()
+    assert len(rows) == 12
+    assert all(0.0 <= r.promo_pct <= 100.0 for r in rows)
+    assert [r.ship_month for r in rows] == sorted(r.ship_month for r in rows)
+
+
+def test_parts_supplier_distinct_upper_bound(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import (
+        Q16_EXCLUDED_BRAND,
+        parts_supplier_query,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    df = parts_supplier_query(spark, sf_dir)
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert df.filter(F.col("supplier_cnt") > n_supp).count() == 0
+    assert df.filter(F.col("p_brand") == Q16_EXCLUDED_BRAND).count() == 0
+
+
+def test_grouped_median_between_quartiles(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        grouped_median_query,
+    )
+
+    for r in grouped_median_query(spark, sf_dir).collect():
+        assert r.q1 <= r.median <= r.q3
