@@ -93,3 +93,74 @@ SELECT l_orderkey,
        list_min(cents) AS min_cents
 FROM per_order
 """
+
+
+# --- map-type algebra ------------------------------------------------------
+
+HOT_THRESHOLD = 5
+
+
+def map_functions_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType algebra: build a per-user event_type -> count map and
+    run the map-function family over it - map_from_entries,
+    map_values/aggregate, transform_values, map_filter, map_concat,
+    element_at. The reference stores no maps (SURVEY §1.2: "Map:
+    none"); a complete engine needs the type and its operators.
+
+    Maps are serialized to a canonical sorted "k:v,..." string at the
+    output edge - map column binary layouts are not comparable across
+    engines, the canonical string is. Same single-shuffle shape as any
+    two-level aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+    )
+    grouped = per.groupBy("user_id").agg(m.alias("m"))
+
+    def canon(mcol):
+        return F.array_join(
+            F.transform(
+                F.map_entries(mcol),
+                lambda e: F.concat(e.key, F.lit(":"), e.value.cast("string")),
+            ),
+            ",",
+        )
+
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    hot = F.map_filter(F.col("m"), lambda k, v: v >= HOT_THRESHOLD)
+    merged = F.map_concat(
+        F.col("m"), F.create_map(F.lit("zz_bonus"), F.lit(1).cast("long"))
+    )
+    return grouped.select(
+        "user_id",
+        F.size("m").alias("n_keys"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_events"),
+        canon(doubled).alias("doubled"),
+        canon(hot).alias("hot"),
+        canon(merged).alias("merged"),
+        F.coalesce(F.element_at(F.col("m"), "view"), F.lit(0)).alias("n_view"),
+    )
+
+
+MAP_FUNCTIONS_ORACLE_SQL = f"""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       array_to_string(list(event_type || ':' || (cnt * 2) ORDER BY event_type), ',')
+         AS doubled,
+       coalesce(array_to_string(list(event_type || ':' || cnt ORDER BY event_type)
+                       FILTER (WHERE cnt >= {HOT_THRESHOLD}), ','), '') AS hot,
+       array_to_string(list(event_type || ':' || cnt ORDER BY event_type), ',')
+         || ',zz_bonus:1' AS merged,
+       CAST(coalesce(max(CASE WHEN event_type = 'view' THEN cnt END), 0) AS BIGINT)
+         AS n_view
+FROM per GROUP BY user_id
+"""

@@ -150,6 +150,15 @@ Round-2 additions:
                       fact-derived part-supplier relation
   grouped_median      exact per-group median/quartiles via rank
                       selection (parallel per group, no global sort)
+  ewma_smoothing      true per-key recurrence (integer EWMA) via
+                      applyInPandas - the custom-operator fallback,
+                      exact against a recursive-CTE oracle
+  map_functions_suite MapType algebra (from_entries/transform_values/
+                      map_filter/map_concat/element_at), canonical
+                      string at the output edge
+  triangle_count      triangle enumeration on the frequent
+                      co-occurrence graph; support threshold prunes
+                      the quadratic pair fan-out first
 """
 
 from __future__ import annotations
@@ -334,7 +343,12 @@ from .operators.tpch import (
     shipping_priority_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
-from .operators.graph import PAGERANK_ORACLE_SQL, pagerank_query
+from .operators.graph import (
+    PAGERANK_ORACLE_SQL,
+    TRIANGLE_COUNT_ORACLE_SQL,
+    pagerank_query,
+    triangle_count_query,
+)
 from .operators.incremental import (
     INCREMENTAL_AGG_ORACLE_SQL,
     incremental_agg_query,
@@ -367,7 +381,13 @@ from .operators.reshape import (
     gap_fill_query,
     global_row_ids_query,
 )
-from .operators.arrays import ARRAY_FUNCTIONS_ORACLE_SQL, array_functions_suite_query
+from .operators.arrays import (
+    ARRAY_FUNCTIONS_ORACLE_SQL,
+    MAP_FUNCTIONS_ORACLE_SQL,
+    array_functions_suite_query,
+    map_functions_suite_query,
+)
+from .operators.smoothing import EWMA_ORACLE_SQL, ewma_smoothing_query
 from .operators.cdc import CDC_MERGE_ORACLE_SQL, cdc_merge_query
 from .operators.features import (
     FEATURE_BINNING_ORACLE_SQL,
@@ -495,6 +515,9 @@ QUERIES = {
     "tpch_promo_revenue": promo_revenue_query,
     "tpch_parts_supplier": parts_supplier_query,
     "grouped_median": grouped_median_query,
+    "ewma_smoothing": ewma_smoothing_query,
+    "map_functions_suite": map_functions_suite_query,
+    "triangle_count": triangle_count_query,
 }
 
 ORACLES = {
@@ -600,4 +623,7 @@ ORACLES = {
     "tpch_promo_revenue": PROMO_REVENUE_ORACLE_SQL,
     "tpch_parts_supplier": PARTS_SUPPLIER_ORACLE_SQL,
     "grouped_median": GROUPED_MEDIAN_ORACLE_SQL,
+    "ewma_smoothing": EWMA_ORACLE_SQL,
+    "map_functions_suite": MAP_FUNCTIONS_ORACLE_SQL,
+    "triangle_count": TRIANGLE_COUNT_ORACLE_SQL,
 }

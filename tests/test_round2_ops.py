@@ -208,3 +208,47 @@ def test_grouped_median_between_quartiles(spark, sf_dir):
 
     for r in grouped_median_query(spark, sf_dir).collect():
         assert r.q1 <= r.median <= r.q3
+
+
+def test_ewma_first_equals_value_and_bounded(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.smoothing import (
+        ewma_smoothing_query,
+    )
+
+    df = ewma_smoothing_query(spark, sf_dir).cache()
+    events = load_table(spark, sf_dir, "events")
+    assert df.count() == events.count()
+    cents = events.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c")
+    )
+    lo, hi = cents.agg(F.min("c"), F.max("c")).collect()[0]
+    # a convex-combination recurrence can never leave the value range
+    assert df.filter((F.col("ewma_cents") < lo - 1) | (F.col("ewma_cents") > hi)).count() == 0
+    df.unpersist()
+
+
+def test_map_suite_totals_match_event_counts(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.arrays import (
+        map_functions_suite_query,
+    )
+
+    df = map_functions_suite_query(spark, sf_dir)
+    total = df.agg(F.sum("total_events")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    bad = df.filter(~F.col("merged").endswith(",zz_bonus:1")).count()
+    assert bad == 0
+
+
+def test_triangle_edges_exist_and_ordered(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.graph import (
+        _cooccurrence_edges,
+        triangle_count_query,
+    )
+
+    tri = triangle_count_query(spark, sf_dir).cache()
+    assert tri.filter((F.col("a") >= F.col("b")) | (F.col("b") >= F.col("c"))).count() == 0
+    # every triangle side must be a real edge
+    e = _cooccurrence_edges(spark, sf_dir)
+    side = tri.select(F.col("a").alias("p1"), F.col("c").alias("p2"))
+    assert side.join(e, ["p1", "p2"], "left_anti").count() == 0
+    tri.unpersist()
