@@ -51,3 +51,32 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
     assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning: a selective filter
+    on the dim side injects might_contain(bloom(dim_keys)) into the
+    fact scan, so the shuffle only carries fact rows that can possibly
+    match. Fires on shuffle joins only (broadcast joins already skip
+    the shuffle), hence the thresholds; at real scale the 10 GB
+    application-side default threshold is met naturally."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
