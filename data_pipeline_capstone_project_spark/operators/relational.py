@@ -431,3 +431,82 @@ UNION ALL
 SELECT 'theta', count(*)
   FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
 """
+
+
+# --- JSON scalar surface ---------------------------------------------------
+
+
+def json_functions_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface over the ``events.props`` JSON-string
+    column: path extraction (``get_json_object``), schema-first typed
+    parse (``from_json`` - the F14 operator the ingest path uses), and
+    JSON re-serialization of a built struct (``to_json``). Output
+    strings are engine-canonical: both engines emit compact
+    ``{"k":v}`` with preserved field order, which the oracle proves."""
+    events = load_table(spark, sf_dir, "events")
+    k_typed = F.from_json("props", "k LONG").getField("k")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        k_typed.alias("k_typed"),
+        F.to_json(
+            F.struct(
+                (F.coalesce(k_typed, F.lit(0)) * 2).alias("k2"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("payload"),
+        F.length("props").alias("raw_len"),
+    )
+
+
+JSON_FUNCTIONS_ORACLE_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       to_json(struct_pack(
+         k2 := coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0) * 2,
+         t := event_type)) AS payload,
+       length(props) AS raw_len
+FROM events
+"""
+
+
+# --- string scalar surface -------------------------------------------------
+
+
+def string_functions_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable string scalar surface beyond scalar_suite's
+    regex/concat set: pad/reverse/translate/replace/position/
+    left/right/substring_index/concat_ws - each chosen because Java
+    and DuckDB agree on semantics (soundex/initcap/format_number are
+    NOT in this set precisely because they differ)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_name", "ae", "@3").alias("name_leet"),
+        F.expr("replace(p_name, ' ', '_')").alias("name_snake"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.expr("left(p_name, 3)").alias("name_l3"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+STRING_FUNCTIONS_ORACLE_SQL = """
+SELECT p_partkey,
+       lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+       rpad(p_brand, 12, '.') AS brand_padded,
+       reverse(p_name) AS name_rev,
+       translate(p_name, 'ae', '@3') AS name_leet,
+       replace(p_name, ' ', '_') AS name_snake,
+       position('a' IN p_name) AS first_a,
+       left(p_name, 3) AS name_l3,
+       right(p_name, 3) AS name_r3,
+       split_part(p_name, ' ', 1) AS first_word,
+       concat_ws('-', p_brand, p_type) AS brand_type
+FROM part
+"""

@@ -159,6 +159,12 @@ Round-2 additions:
   triangle_count      triangle enumeration on the frequent
                       co-occurrence graph; support threshold prunes
                       the quadratic pair fan-out first
+  json_functions_suite  get_json_object / from_json / to_json over
+                      the props JSON column, canonical compact output
+  string_functions_suite  pad/reverse/translate/replace/position/
+                      left/right/substring_index/concat_ws (the
+                      engine-portable subset, deliberately excluding
+                      soundex/initcap/format_number)
 """
 
 from __future__ import annotations
@@ -403,7 +409,14 @@ from .operators.analytics import (
     grouped_median_query,
     time_rollup_query,
 )
-from .operators.relational import JOIN_TYPES_ORACLE_SQL, join_types_suite_query
+from .operators.relational import (
+    JOIN_TYPES_ORACLE_SQL,
+    JSON_FUNCTIONS_ORACLE_SQL,
+    STRING_FUNCTIONS_ORACLE_SQL,
+    join_types_suite_query,
+    json_functions_suite_query,
+    string_functions_suite_query,
+)
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
@@ -518,6 +531,8 @@ QUERIES = {
     "ewma_smoothing": ewma_smoothing_query,
     "map_functions_suite": map_functions_suite_query,
     "triangle_count": triangle_count_query,
+    "json_functions_suite": json_functions_suite_query,
+    "string_functions_suite": string_functions_suite_query,
 }
 
 ORACLES = {
@@ -626,4 +641,6 @@ ORACLES = {
     "ewma_smoothing": EWMA_ORACLE_SQL,
     "map_functions_suite": MAP_FUNCTIONS_ORACLE_SQL,
     "triangle_count": TRIANGLE_COUNT_ORACLE_SQL,
+    "json_functions_suite": JSON_FUNCTIONS_ORACLE_SQL,
+    "string_functions_suite": STRING_FUNCTIONS_ORACLE_SQL,
 }

@@ -252,3 +252,28 @@ def test_triangle_edges_exist_and_ordered(spark, sf_dir):
     side = tri.select(F.col("a").alias("p1"), F.col("c").alias("p2"))
     assert side.join(e, ["p1", "p2"], "left_anti").count() == 0
     tri.unpersist()
+
+
+def test_json_suite_roundtrip(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.relational import (
+        json_functions_suite_query,
+    )
+
+    df = json_functions_suite_query(spark, sf_dir)
+    assert df.filter(F.col("k_path") != F.col("k_typed")).count() == 0
+    reparsed = df.select(
+        F.get_json_object("payload", "$.k2").cast("long").alias("k2"),
+        (F.col("k_typed") * 2).alias("expect"),
+    )
+    assert reparsed.filter(F.col("k2") != F.col("expect")).count() == 0
+
+
+def test_string_suite_shape(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.relational import (
+        string_functions_suite_query,
+    )
+
+    df = string_functions_suite_query(spark, sf_dir)
+    assert df.filter(F.length("size_padded") != 5).count() == 0
+    assert df.filter(F.length("brand_padded") != 12).count() == 0
+    assert df.filter(F.reverse("name_rev") != F.expr("replace(name_snake, '_', ' ')")).count() == 0
