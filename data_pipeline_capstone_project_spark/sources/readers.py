@@ -27,49 +27,82 @@ from pyspark.sql import types as T
 from ..schemas import TESTDATA_SCHEMAS
 
 
-def _events_ts_physical(path: str) -> str:
-    """Physical parquet type of ``events.ts`` ('ns' or 'us').
+#: path -> {column: physical arrow type string}; footer reads are O(KB)
+#: regardless of table size, but once per (path, process) is enough.
+_PHYSICAL_CACHE: dict[str, dict[str, str]] = {}
 
-    The driver has shipped both encodings across rounds: TIMESTAMP(NANOS)
-    (which Spark's vectorized reader rejects) and plain TIMESTAMP(MICROS).
-    Sniffing the footer once per load keeps the reader correct under
-    either; footer reads are O(KB) regardless of table size.
-    """
-    try:
-        import pyarrow.parquet as pq
 
-        return "ns" if str(pq.read_schema(path).field("ts").type) == "timestamp[ns]" else "us"
-    except Exception:
-        return "us"
+def _physical_types(path: str) -> dict[str, str]:
+    if path not in _PHYSICAL_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(path)
+            _PHYSICAL_CACHE[path] = {f.name: str(f.type) for f in sch}
+        except Exception:
+            _PHYSICAL_CACHE[path] = {}
+    return _PHYSICAL_CACHE[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table with its declared schema.
+    """Load one driver testdata table with its declared schema,
+    adapting to the file's actual temporal encoding.
 
-    When ``events.ts`` is physically TIMESTAMP(NANOS) it is scanned as
-    raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
-    truncated to a microsecond timestamp, matching how nanos-unaware
-    readers like DuckDB downcast.
+    The driver REGENERATES the testdata between rounds and has already
+    changed physical types once (events.ts went TIMESTAMP(NANOS) ->
+    TIMESTAMP(MICROS) between rounds 1 and 2, silently corrupting every
+    ts-derived value by 1000x under the old fixed reader). This reader
+    sniffs the footer and handles the three temporal encodings Spark
+    cannot freely coerce at scan time:
+
+    - TIMESTAMP(NANOS): scanned as int64 nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to
+      micros, matching how nanos-unaware readers like DuckDB downcast;
+    - DATE where a TIMESTAMP is declared (or vice versa): read with the
+      physical type, then cast to the declared type after the scan;
+    - everything else: read directly with the declared schema.
     """
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events" and _events_ts_physical(path) == "ns":
+    declared = TESTDATA_SCHEMAS[name]
+    phys = _physical_types(path)
+
+    if any(t == "timestamp[ns]" for t in phys.values()):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = T.StructType(
             [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
+                T.StructField(
+                    f.name,
+                    T.LongType() if phys.get(f.name) == "timestamp[ns]" else f.dataType,
+                    True,
+                )
+                for f in declared.fields
             ]
         )
-        return (
-            spark.read.schema(raw)
-            .parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+        df = spark.read.schema(raw).parquet(path)
+        for f in declared.fields:
+            if phys.get(f.name) == "timestamp[ns]":
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+                )
+        return df
+
+    casts: list[str] = []
+    read_fields = []
+    for f in declared.fields:
+        p = phys.get(f.name, "")
+        if p.startswith("date") and isinstance(f.dataType, T.TimestampType):
+            read_fields.append(T.StructField(f.name, T.DateType(), True))
+            casts.append(f.name)
+        elif p.startswith("timestamp") and isinstance(f.dataType, T.DateType):
+            read_fields.append(T.StructField(f.name, T.TimestampType(), True))
+            casts.append(f.name)
+        else:
+            read_fields.append(f)
+    df = spark.read.schema(T.StructType(read_fields)).parquet(path)
+    for i, f in enumerate(declared.fields):
+        if f.name in casts:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

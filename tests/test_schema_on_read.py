@@ -58,3 +58,32 @@ def test_permissive_json_quarantines_corrupt_record(spark, tmp_path):
     assert [(r["id"], r["like_count"]) for r in good] == [("1", 10)]
     assert len(bad) == 1 and "###" in bad[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_load_table_adapts_to_date_regeneration(spark, tmp_path):
+    """The driver regenerates testdata between rounds and has already
+    switched temporal encodings once (TIMESTAMP(NANOS) -> MICROS,
+    which corrupted 14 queries under a fixed reader). load_table must
+    keep the declared schema stable if a timestamp column ships as
+    DATE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    t = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    idx = t.schema.get_field_index("o_orderdate")
+    t2 = t.set_column(
+        idx, pa.field("o_orderdate", pa.date32()), t.column(idx).cast(pa.date32())
+    )
+    pq.write_table(t2, str(tmp_path / "orders.parquet"))
+    df = load_table(spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    ref = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert df.count() == ref.count()
+    assert (
+        df.select("o_orderkey", "o_orderdate")
+        .exceptAll(ref.select("o_orderkey", "o_orderdate"))
+        .count()
+        == 0
+    )
