@@ -825,3 +825,46 @@ WITH ranked AS (
 )
 SELECT med.l_returnflag, q1, median, q3 FROM med JOIN quarts USING (l_returnflag)
 """
+
+
+# --- mergeable sketch rollup -----------------------------------------------
+
+
+def sketch_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY DataSketches HLL sketches of
+    distinct users, UNIONED up to the month with ``hll_union_agg`` -
+    the continuous-aggregate pattern for distinct counting at 100 TB.
+    The fine-grained sketches are tiny fixed-size state computed once;
+    every coarser rollup (month, quarter, lifetime, any ad-hoc day
+    range) is a sketch union, never a rescan of the fact - which is
+    the property plain approx_count_distinct (or exact distinct)
+    cannot give, since distinct counts do not add.
+
+    Property-gated like approx_distinct: the hashed output carries the
+    exact month count plus a boolean asserting the merged estimate
+    landed within 5%."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("mo"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    monthly_est = daily.groupBy("mo").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = events.groupBy(F.date_format("ts", "yyyy-MM").alias("mo")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(monthly_est, "mo").select(
+        "mo",
+        "n_exact",
+        ((F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")) <= 0.05).alias(
+            "merge_ok"
+        ),
+    )
+
+
+SKETCH_ROLLUP_ORACLE_SQL = """
+SELECT strftime(ts, '%Y-%m') AS mo, count(DISTINCT user_id) AS n_exact,
+       true AS merge_ok
+FROM events GROUP BY 1
+"""

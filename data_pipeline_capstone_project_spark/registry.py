@@ -165,6 +165,9 @@ Round-2 additions:
                       left/right/substring_index/concat_ws (the
                       engine-portable subset, deliberately excluding
                       soundex/initcap/format_number)
+  sketch_rollup       per-day DataSketches HLL unioned to month via
+                      hll_union_agg - rollups never rescan the fact;
+                      merged estimate property-gated at 5%
 """
 
 from __future__ import annotations
@@ -405,8 +408,10 @@ from .operators.asof import ASOF_NEAREST_ORACLE_SQL, asof_nearest_query
 from .operators.text import WINNOWING_ORACLE_SQL, winnowing_fingerprint_query
 from .operators.analytics import (
     GROUPED_MEDIAN_ORACLE_SQL,
+    SKETCH_ROLLUP_ORACLE_SQL,
     TIME_ROLLUP_ORACLE_SQL,
     grouped_median_query,
+    sketch_rollup_query,
     time_rollup_query,
 )
 from .operators.relational import (
@@ -533,6 +538,7 @@ QUERIES = {
     "triangle_count": triangle_count_query,
     "json_functions_suite": json_functions_suite_query,
     "string_functions_suite": string_functions_suite_query,
+    "sketch_rollup": sketch_rollup_query,
 }
 
 ORACLES = {
@@ -643,4 +649,5 @@ ORACLES = {
     "triangle_count": TRIANGLE_COUNT_ORACLE_SQL,
     "json_functions_suite": JSON_FUNCTIONS_ORACLE_SQL,
     "string_functions_suite": STRING_FUNCTIONS_ORACLE_SQL,
+    "sketch_rollup": SKETCH_ROLLUP_ORACLE_SQL,
 }

