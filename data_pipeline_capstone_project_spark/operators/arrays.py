@@ -38,11 +38,19 @@ def array_functions_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("item")).alias("items")
     )
-    cents = F.transform(F.col("items"), lambda s: s.cents)
-    qtys = F.transform(F.col("items"), lambda s: s.qty)
+    # Materialize the projected arrays once - expressions repeated
+    # across output columns re-evaluate per column (HOFs are
+    # interpreted, so the struct-field transform is not free).
+    grouped = grouped.select(
+        "l_orderkey",
+        F.transform(F.col("items"), lambda s: s.cents).alias("cents_arr"),
+        F.transform(F.col("items"), lambda s: s.qty).alias("qtys_arr"),
+    )
+    cents = F.col("cents_arr")
+    qtys = F.col("qtys_arr")
     return grouped.select(
         "l_orderkey",
-        F.size("items").alias("n_items"),
+        F.size(cents).alias("n_items"),
         F.aggregate(cents, F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "total_cents"
         ),

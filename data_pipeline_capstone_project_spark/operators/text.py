@@ -406,11 +406,18 @@ def winnowing_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     min_toks = WINNOW_K + WINNOW_W - 1
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
-        lambda i: F.array_join(F.slice(toks, i + F.lit(1), WINNOW_K), " "),
+    # Materialize the token array BEFORE any lambda references it:
+    # higher-order functions are interpreted, and an outer expression
+    # (the split) referenced inside a lambda re-evaluates per element
+    # (README lesson #1 - measured ~5x here).
+    base = docs.filter(F.size(toks) >= min_toks).select(
+        "doc_id", toks.alias("toks")
     )
-    with_hashes = docs.filter(F.size(toks) >= min_toks).select(
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - WINNOW_K),
+        lambda i: F.array_join(F.slice(F.col("toks"), i + F.lit(1), WINNOW_K), " "),
+    )
+    with_hashes = base.select(
         "doc_id", F.transform(grams, lambda g: md5_word_hash(g)).alias("hs")
     )
     wins = F.transform(
