@@ -168,6 +168,11 @@ Round-2 additions:
   sketch_rollup       per-day DataSketches HLL unioned to month via
                       hll_union_agg - rollups never rescan the fact;
                       merged estimate property-gated at 5%
+  data_quality_suite  A10/A11 generalized: uniqueness, FK integrity,
+                      null rate, domain range, volume - one report
+                      row per constraint
+  retention_prune     ST6 retention policy as a partition-level
+                      dry-run report (expired flag per day)
 """
 
 from __future__ import annotations
@@ -214,7 +219,14 @@ from .operators.multimodal import (
     frame_sample_query,
     multimodal_meta_query,
 )
-from .operators.quality import QUALITY_GATES_ORACLE_SQL, quality_gates_query
+from .operators.quality import (
+    DATA_QUALITY_SUITE_ORACLE_SQL,
+    QUALITY_GATES_ORACLE_SQL,
+    RETENTION_PRUNE_ORACLE_SQL,
+    data_quality_suite_query,
+    quality_gates_query,
+    retention_prune_query,
+)
 from .operators.relational import (
     ABOVE_CUSTOMER_AVG_ORACLE_SQL,
     ANTI_JOIN_ORACLE_SQL,
@@ -539,6 +551,8 @@ QUERIES = {
     "json_functions_suite": json_functions_suite_query,
     "string_functions_suite": string_functions_suite_query,
     "sketch_rollup": sketch_rollup_query,
+    "data_quality_suite": data_quality_suite_query,
+    "retention_prune": retention_prune_query,
 }
 
 ORACLES = {
@@ -650,4 +664,6 @@ ORACLES = {
     "json_functions_suite": JSON_FUNCTIONS_ORACLE_SQL,
     "string_functions_suite": STRING_FUNCTIONS_ORACLE_SQL,
     "sketch_rollup": SKETCH_ROLLUP_ORACLE_SQL,
+    "data_quality_suite": DATA_QUALITY_SUITE_ORACLE_SQL,
+    "retention_prune": RETENTION_PRUNE_ORACLE_SQL,
 }

@@ -294,3 +294,23 @@ def test_sketch_rollup_union_matches_exact_within_tolerance(spark, sf_dir):
     )
     for r in direct.collect():
         assert r.d > 0
+
+
+def test_data_quality_suite_all_pass_on_clean_data(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.quality import (
+        data_quality_suite_query,
+    )
+
+    rows = data_quality_suite_query(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.passed for r in rows), [r.check_name for r in rows if not r.passed]
+
+
+def test_retention_prune_flags_only_pre_cutoff_days(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.quality import (
+        RETENTION_CUTOFF,
+        retention_prune_query,
+    )
+
+    for r in retention_prune_query(spark, sf_dir).collect():
+        assert r.expired == (1 if r.day < RETENTION_CUTOFF else 0)
