@@ -456,14 +456,14 @@ QUERIES = {
     "scalar_suite": scalar_suite_query,
     "quality_gates": quality_gates_query,
     "pricing_summary": pricing_summary_query,
-    "pricing_rollup": pricing_rollup_query,
-    "skew_salted_agg": skew_salted_agg_query,
+    "cdc_merge": cdc_merge_query,
+    "ewma_smoothing": ewma_smoothing_query,
     "sessionize": sessionize_query,
     "text_stats": text_stats_query,
     "lang_id": lang_id_query,
     "token_count": token_count_query,
     "doc_fingerprint": fingerprint_query,
-    "vocab_top_terms": vocab_top_terms_query,
+    "winnowing_fingerprint": winnowing_fingerprint_query,
     "tfidf_top_terms": tfidf_query,
     "dedup_exact": dedup_exact_query,
     "dedup_ngram_jaccard": dedup_ngram_query,
@@ -482,20 +482,26 @@ QUERIES = {
     "keyword_search": keyword_search_query,
     "json_lake_ingest": json_lake_ingest_query,
     "train_test_split": train_test_split_query,
-    "dedup_clusters": dedup_clusters_query,
+    "grouped_median": grouped_median_query,
     "approx_distinct": approx_distinct_query,
     "value_percentiles": value_percentiles_query,
     "interval_join": interval_join_query,
     "streaming_dedup": streaming_dedup_query,
-    "set_ops": set_ops_query,
+    "array_functions_suite": array_functions_suite_query,
     "tpch_shipping_priority": shipping_priority_query,
     "tpch_regional_volume": regional_volume_query,
     "scd2_history": scd2_history_query,
     "stats_suite": stats_suite_query,
-    "user_rank_suite": user_rank_suite_query,
+    "tpch_market_share": market_share_query,
     "pagerank": pagerank_query,
     "heavy_hitters": heavy_hitters_query,
     # --- end of curated first 50 ---
+    "pricing_rollup": pricing_rollup_query,
+    "skew_salted_agg": skew_salted_agg_query,
+    "vocab_top_terms": vocab_top_terms_query,
+    "dedup_clusters": dedup_clusters_query,
+    "set_ops": set_ops_query,
+    "user_rank_suite": user_rank_suite_query,
     "event_pivot": event_pivot_query,
     "user_timeseries": user_timeseries_query,
     "pricing_cube": pricing_cube_query,
@@ -533,19 +539,13 @@ QUERIES = {
     "weighted_sample": weighted_sample_query,
     "streaming_multi_sink": streaming_multi_sink_query,
     # --- round 2 additions ---
-    "cdc_merge": cdc_merge_query,
-    "array_functions_suite": array_functions_suite_query,
     "feature_scaling": feature_scaling_query,
     "feature_binning": feature_binning_query,
     "asof_nearest": asof_nearest_query,
-    "winnowing_fingerprint": winnowing_fingerprint_query,
     "time_rollup": time_rollup_query,
     "join_types_suite": join_types_suite_query,
-    "tpch_market_share": market_share_query,
     "tpch_promo_revenue": promo_revenue_query,
     "tpch_parts_supplier": parts_supplier_query,
-    "grouped_median": grouped_median_query,
-    "ewma_smoothing": ewma_smoothing_query,
     "map_functions_suite": map_functions_suite_query,
     "triangle_count": triangle_count_query,
     "json_functions_suite": json_functions_suite_query,
