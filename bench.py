@@ -34,24 +34,34 @@ def main() -> None:
     # (what a long-running cluster job sees), not first-query JIT cost.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for fn in queries.values():
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        for name, fn in queries.items():
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # pragma: no cover - defensive
+                print(f"warm {name} failed: {exc}", file=sys.stderr)
 
     # Best-of-2 per query: a long-lived 32-thread local JVM shows
     # multi-x run-to-run noise (GC pauses, page cache, codegen cache
     # eviction); the min is the honest steady-state number a warmed
-    # executor would see.
+    # executor would see. A failing query records -1 and must not kill
+    # the run - the driver json-parses the final line either way.
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name, fn in queries.items():
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # pragma: no cover - defensive
+            timings[name] = -1.0
+            errors.append(name)
+            print(f"{name} FAILED: {exc}", file=sys.stderr)
         print(f"{name}: {timings[name]}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query detail goes to a sidecar file; the stdout line must
     # stay short enough to survive the driver's bounded tail capture
     # (round-1 BENCH recorded parsed=null because a ~3 KB line with all
@@ -93,6 +103,7 @@ def main() -> None:
                 "queries": keep,
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_failed": len(errors),
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
