@@ -343,3 +343,112 @@ WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
 GROUP BY 1, 2, 3
 ORDER BY supplier_cnt DESC, p_brand, p_type, size_band
 """
+
+
+Q6_YEAR_START = "1996-01-01"
+Q6_YEAR_END = "1997-01-01"
+
+
+def revenue_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-sum - every predicate
+    (date range, discount band, quantity cap) must reach the parquet
+    scan as a PushedFilter so row groups outside the year are never
+    decompressed. One scan, one exchange (the 1-row final agg),
+    nothing else - the sanity check that the engine's simplest query
+    is also its most efficient."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= Q6_YEAR_START)
+            & (F.col("l_shipdate") < Q6_YEAR_END)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+REVENUE_FILTER_ORACLE_SQL = f"""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START}'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR_END}'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def shipmode_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation after a fact-fact
+    join - high/low-priority order counts per return flag (shipmode
+    stand-in). The CASE sums reduce in the same single aggregate as
+    the count: one join shuffle, one agg shuffle, no second pass per
+    priority class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SHIPMODE_PRIORITY_ORACLE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def discounted_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates
+    across a join (OR-of-ANDs on part attributes x lineitem
+    quantities). The planner must (a) push the common residue of the
+    disjunction to both scans and (b) evaluate the OR as a residual
+    on the joined row - not expand it into a union of three joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_type") == "STANDARD") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_type") == "LARGE") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 15))
+    )
+    return joined.filter(band).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+DISCOUNTED_REVENUE_ORACLE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'PROMO'    AND l_quantity BETWEEN 1  AND 11 AND p_size <= 5)
+   OR (p_type = 'STANDARD' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_type = 'LARGE'    AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""

@@ -173,6 +173,12 @@ Round-2 additions:
                       row per constraint
   retention_prune     ST6 retention policy as a partition-level
                       dry-run report (expired flag per day)
+  tpch_revenue_filter Q6 shape: pure filter-sum, every predicate
+                      pushed to the scan
+  tpch_shipmode_priority  Q12 shape: CASE aggregation after a
+                      fact-fact join, one pass for both classes
+  tpch_discounted_revenue Q19 shape: OR-of-ANDs band predicate as a
+                      join residual, never a union of joins
 """
 
 from __future__ import annotations
@@ -351,16 +357,22 @@ from .operators.analytics import (
 from .operators.asof import INTERVAL_JOIN_ORACLE_SQL, interval_join_query
 from .operators.tpch import (
     BIG_SPENDERS_ORACLE_SQL,
+    DISCOUNTED_REVENUE_ORACLE_SQL,
     MARKET_SHARE_ORACLE_SQL,
     PARTS_SUPPLIER_ORACLE_SQL,
     PROMO_REVENUE_ORACLE_SQL,
     REGIONAL_VOLUME_ORACLE_SQL,
+    REVENUE_FILTER_ORACLE_SQL,
+    SHIPMODE_PRIORITY_ORACLE_SQL,
     SHIPPING_PRIORITY_ORACLE_SQL,
     big_spenders_query,
+    discounted_revenue_query,
     market_share_query,
     parts_supplier_query,
     promo_revenue_query,
     regional_volume_query,
+    revenue_filter_query,
+    shipmode_priority_query,
     shipping_priority_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
@@ -553,6 +565,9 @@ QUERIES = {
     "sketch_rollup": sketch_rollup_query,
     "data_quality_suite": data_quality_suite_query,
     "retention_prune": retention_prune_query,
+    "tpch_revenue_filter": revenue_filter_query,
+    "tpch_shipmode_priority": shipmode_priority_query,
+    "tpch_discounted_revenue": discounted_revenue_query,
 }
 
 ORACLES = {
@@ -666,4 +681,7 @@ ORACLES = {
     "sketch_rollup": SKETCH_ROLLUP_ORACLE_SQL,
     "data_quality_suite": DATA_QUALITY_SUITE_ORACLE_SQL,
     "retention_prune": RETENTION_PRUNE_ORACLE_SQL,
+    "tpch_revenue_filter": REVENUE_FILTER_ORACLE_SQL,
+    "tpch_shipmode_priority": SHIPMODE_PRIORITY_ORACLE_SQL,
+    "tpch_discounted_revenue": DISCOUNTED_REVENUE_ORACLE_SQL,
 }

@@ -314,3 +314,46 @@ def test_retention_prune_flags_only_pre_cutoff_days(spark, sf_dir):
 
     for r in retention_prune_query(spark, sf_dir).collect():
         assert r.expired == (1 if r.day < RETENTION_CUTOFF else 0)
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import (
+        revenue_filter_query,
+    )
+
+    import contextlib
+    import io
+
+    df = revenue_filter_query(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the shipdate range must be pushed, not just evaluated post-scan
+    # (executedPlan().toString() elides long filter lists, so use the
+    # formatted explain which prints PushedFilters in full)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert df.collect()[0].n_rows > 0
+
+
+def test_q19_stays_single_join(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import (
+        discounted_revenue_query,
+    )
+
+    df = discounted_revenue_query(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2  # one join node (+ its codegen echo)
+    assert "Union" not in plan
+    assert df.collect()[0].revenue > 0
+
+
+def test_q12_priority_classes_partition_rows(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import (
+        shipmode_priority_query,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    rows = shipmode_priority_query(spark, sf_dir).collect()
+    total = sum(r.high_priority + r.low_priority for r in rows)
+    assert total == load_table(spark, sf_dir, "lineitem").count()
