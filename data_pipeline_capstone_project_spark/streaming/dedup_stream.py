@@ -65,15 +65,18 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
             ["event_id"]
         )
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from . import sized_state_partitions
+
+        with sized_state_partitions(spark):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         res = spark.table(qname).select(
             "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value"
         )

@@ -152,17 +152,20 @@ def streaming_lsh_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{src}/*")
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                lambda batch, _epoch: lsh_index_merge_batch(
-                    spark, batch, bands_dir, shingles_dir, pairs_dir
+        from . import sized_state_partitions
+
+        with sized_state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda batch, _epoch: lsh_index_merge_batch(
+                        spark, batch, bands_dir, shingles_dir, pairs_dir
+                    )
                 )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         pairs = _store(spark, pairs_dir, _PAIRS_SCHEMA)
         return spark.createDataFrame(pairs.collect(), schema=_PAIRS_SCHEMA)
     finally:

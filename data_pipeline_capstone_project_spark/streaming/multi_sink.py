@@ -57,17 +57,20 @@ def fanout_batch(batch: DataFrame, epoch_id: int, detail_dir: str, agg_dir: str)
 
 
 def _run(spark: SparkSession, src: str, ckpt: str, detail: str, agg: str) -> None:
-    q = (
-        spark.readStream.schema(_SCHEMA)
-        .parquet(src)
-        .writeStream.foreachBatch(
-            lambda b, e: fanout_batch(b, e, detail, agg)
+    from . import sized_state_partitions
+
+    with sized_state_partitions(spark):
+        q = (
+            spark.readStream.schema(_SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, e: fanout_batch(b, e, detail, agg)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def streaming_multi_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,15 +117,18 @@ def streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append",
             GroupStateTimeout.NoTimeout,
         )
-        q = (
-            emitted.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from . import sized_state_partitions
+
+        with sized_state_partitions(spark):
+            q = (
+                emitted.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         res = spark.table(qname)
         out = spark.createDataFrame(res.collect(), schema=res.schema)
         spark.catalog.dropTempView(qname)  # free the memory-sink table

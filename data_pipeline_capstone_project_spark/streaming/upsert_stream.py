@@ -128,10 +128,13 @@ def streaming_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     try:
+        from . import sized_state_partitions
+
         wave1.write.mode("overwrite").parquet(os.path.join(src, "wave1"))
-        streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, schema, key_cols, order)
-        wave2.write.mode("overwrite").parquet(os.path.join(src, "wave2"))
-        streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, schema, key_cols, order)
+        with sized_state_partitions(spark):
+            streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, schema, key_cols, order)
+            wave2.write.mode("overwrite").parquet(os.path.join(src, "wave2"))
+            streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, schema, key_cols, order)
         final = spark.read.schema(schema).parquet(tgt).select(
             "user_id",
             "event_type",

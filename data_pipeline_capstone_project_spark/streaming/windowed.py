@@ -65,14 +65,17 @@ def streaming_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("value").alias("max_value"),
             )
         )
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from . import sized_state_partitions
+
+        with sized_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(qname)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         res = spark.table(qname).select(
             F.unix_micros("win.start").alias("win_start_us"),
             "event_type",
