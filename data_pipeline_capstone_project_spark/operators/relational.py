@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.scalar import extract_extension, hex_color
 from ..sources.readers import load_table
@@ -509,4 +510,88 @@ SELECT p_partkey,
        split_part(p_name, ' ', 1) AS first_word,
        concat_ws('-', p_brand, p_type) AS brand_type
 FROM part
+"""
+
+
+# --- error-safe arithmetic / cast surface ----------------------------------
+
+
+def safe_arithmetic_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: try_cast of dirty strings, try_divide
+    (NULL on zero denominator instead of error/Inf), integer div/mod,
+    and nullif guards. The ingest path needs these semantics because
+    PERMISSIVE JSON reads deliver dirty values (the reference's
+    BLANKSASNULL load flags are the same idea, ``stage_redshift.py:64``)
+    - and ANSI engines differ on whether 1/0 errors, returns NULL, or
+    returns Inf, so the portable form pins NULL."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = F.when(F.col("p_partkey") % 3 == 0, F.concat(F.col("p_partkey").cast("string"), F.lit("x"))).otherwise(
+        F.col("p_partkey").cast("string")
+    )
+    zero_every_5 = F.when(F.col("p_size") % 5 == 0, F.lit(0)).otherwise(F.col("p_size"))
+    return part.select(
+        "p_partkey",
+        dirty.try_cast("long").alias("clean_key"),
+        F.try_divide(F.col("p_retailprice"), zero_every_5).alias("price_per_size"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.floor(F.col("p_partkey") / 7).alias("key_div"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("brand_or_null"),
+    )
+
+
+SAFE_ARITHMETIC_ORACLE_SQL = """
+SELECT p_partkey,
+       TRY_CAST(CASE WHEN p_partkey % 3 = 0
+                     THEN p_partkey || 'x' ELSE CAST(p_partkey AS VARCHAR) END
+                AS BIGINT) AS clean_key,
+       p_retailprice / nullif(CASE WHEN p_size % 5 = 0 THEN 0 ELSE p_size END, 0)
+         AS price_per_size,
+       p_partkey % 7 AS key_mod,
+       CAST(floor(p_partkey / 7.0) AS BIGINT) AS key_div,
+       nullif(p_brand, 'Brand#1') AS brand_or_null
+FROM part
+"""
+
+
+# --- window navigation surface ---------------------------------------------
+
+
+def window_navigation_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation completeness: first_value / last_value /
+    nth_value with IGNORE NULLS over the full-partition frame, and
+    lead with an explicit default - the functions user_timeseries'
+    frame windows do not cover. One Window node (same partition and
+    order for every function), signal sparsified so the null-skipping
+    semantics actually bite."""
+    events = load_table(spark, sf_dir, "events")
+    sig = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first(sig, ignorenulls=True).over(w_full).alias("first_purchase"),
+        F.last(sig, ignorenulls=True).over(w_full).alias("last_purchase"),
+        F.nth_value(sig, 2, ignoreNulls=True).over(w_full).alias("second_purchase"),
+        F.lead("event_id", 1, -1).over(w_seq).alias("next_event_id"),
+    )
+
+
+WINDOW_NAVIGATION_ORACLE_SQL = """
+SELECT event_id, user_id,
+       first_value(CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS) OVER w_full AS first_purchase,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS) OVER w_full AS last_purchase,
+       nth_value(CASE WHEN event_type = 'purchase' THEN value END, 2
+                 IGNORE NULLS) OVER w_full AS second_purchase,
+       lead(event_id, 1, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_event_id
+FROM events
+WINDOW w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """

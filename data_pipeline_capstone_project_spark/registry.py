@@ -179,6 +179,10 @@ Round-2 additions:
                       fact-fact join, one pass for both classes
   tpch_discounted_revenue Q19 shape: OR-of-ANDs band predicate as a
                       join residual, never a union of joins
+  safe_arithmetic_suite  try_cast/try_divide/nullif error-safe scalar
+                      semantics (NULL, never error or Inf)
+  window_navigation_suite  first/last/nth_value IGNORE NULLS + lead
+                      default, one Window node
 """
 
 from __future__ import annotations
@@ -441,10 +445,14 @@ from .operators.analytics import (
 from .operators.relational import (
     JOIN_TYPES_ORACLE_SQL,
     JSON_FUNCTIONS_ORACLE_SQL,
+    SAFE_ARITHMETIC_ORACLE_SQL,
     STRING_FUNCTIONS_ORACLE_SQL,
+    WINDOW_NAVIGATION_ORACLE_SQL,
     join_types_suite_query,
     json_functions_suite_query,
+    safe_arithmetic_suite_query,
     string_functions_suite_query,
+    window_navigation_suite_query,
 )
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
@@ -568,6 +576,8 @@ QUERIES = {
     "tpch_revenue_filter": revenue_filter_query,
     "tpch_shipmode_priority": shipmode_priority_query,
     "tpch_discounted_revenue": discounted_revenue_query,
+    "safe_arithmetic_suite": safe_arithmetic_suite_query,
+    "window_navigation_suite": window_navigation_suite_query,
 }
 
 ORACLES = {
@@ -684,4 +694,6 @@ ORACLES = {
     "tpch_revenue_filter": REVENUE_FILTER_ORACLE_SQL,
     "tpch_shipmode_priority": SHIPMODE_PRIORITY_ORACLE_SQL,
     "tpch_discounted_revenue": DISCOUNTED_REVENUE_ORACLE_SQL,
+    "safe_arithmetic_suite": SAFE_ARITHMETIC_ORACLE_SQL,
+    "window_navigation_suite": WINDOW_NAVIGATION_ORACLE_SQL,
 }

@@ -357,3 +357,30 @@ def test_q12_priority_classes_partition_rows(spark, sf_dir):
     rows = shipmode_priority_query(spark, sf_dir).collect()
     total = sum(r.high_priority + r.low_priority for r in rows)
     assert total == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_safe_arithmetic_nulls_where_expected(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.relational import (
+        safe_arithmetic_suite_query,
+    )
+
+    df = safe_arithmetic_suite_query(spark, sf_dir).cache()
+    assert df.filter((F.col("p_partkey") % 3 == 0) & F.col("clean_key").isNotNull()).count() == 0
+    assert df.filter((F.col("p_partkey") % 3 != 0) & F.col("clean_key").isNull()).count() == 0
+    assert df.filter(F.col("price_per_size").isNull()).count() > 0
+    df.unpersist()
+
+
+def test_window_navigation_consistency(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.relational import (
+        window_navigation_suite_query,
+    )
+
+    df = window_navigation_suite_query(spark, sf_dir)
+    # users with >= 2 purchases must have second_purchase set; users
+    # with none must have all three navigation columns null
+    per_user = df.groupBy("user_id").agg(
+        F.first("first_purchase").alias("fp"),
+        F.first("second_purchase").alias("sp"),
+    )
+    assert per_user.filter(F.col("fp").isNull() & F.col("sp").isNotNull()).count() == 0
