@@ -391,19 +391,43 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 def simhash_col(hashes: Column) -> Column:
     """48-bit SimHash from pre-computed word hashes: bit j of the
-    result is the majority vote of bit j across the hash array."""
-    n = F.size(hashes)
-    # Statically unrolled over the 48 bits (shift amounts must be
-    # Python ints); each pass is cheap integer filtering over the
-    # already-materialized hash array.
-    def ones_at(bit):
-        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(bit) != 0))
+    result is the majority vote of bit j across the hash array.
 
-    sim = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        bit = F.lit(1 << j).cast("long")
-        sim = sim + F.when(ones_at(bit) * 2 > n, bit).otherwise(F.lit(0).cast("long"))
-    return sim
+    Single pass over the array: one F.aggregate whose accumulator is
+    an array of 48 per-bit one-counts (each element contributes its 48
+    bit tests in one visit), then a fold of the counters back into the
+    signature. Replaces the previous 48x F.filter scans - identical
+    result, one traversal instead of 48.
+    """
+    n = F.size(hashes)
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        h.bitwiseAND(F.lit(1 << j).cast("long")) != 0,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for j in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bit_values = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            bit_values,
+            lambda c, bit: F.when(c * 2 > n, bit).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +443,19 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split("text", r"\s+")), lambda w: md5_word_hash(w)
         ).alias("hs"),
     )
-    sigs = hs.select("doc_id", simhash_col(F.col("hs")).alias("sim"))
+    # Lineage barrier, load-bearing: the self-join below infers
+    # isnotnull() on its keys, and predicate pushdown SUBSTITUTES the
+    # full signature expression (md5 per word + the 48-counter
+    # aggregate) into that filter and pushes it to the parquet scan -
+    # below the parallelizing repartition, so the whole corpus gets
+    # signature-hashed per join side in ONE task, then again in the
+    # real projection (measured 8.5s -> 0.4s at sf0.1). A lazy
+    # localCheckpoint materializes the narrow (doc_id, sim) relation
+    # (16 bytes/doc - ~1.6 GB per 100M docs cluster-wide) once at full
+    # parallelism and both join sides read it.
+    sigs = hs.select("doc_id", simhash_col(F.col("hs")).alias("sim")).localCheckpoint(
+        eager=False
+    )
     block = F.explode_outer(
         F.array(
             *[
@@ -442,16 +478,34 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blocks.select(
         F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "blk", "val"
     )
+
+    # First-matching-block dedup: a pair within Hamming distance 3 can
+    # share up to all 4 blocks and would surface once per shared block;
+    # instead of a distinct() shuffle over the verified pairs (the
+    # dominant cost when duplicate clusters are large - a cluster of k
+    # identical docs yields k^2/2 pairs x4 blocks), keep a match only in
+    # the FIRST block the pair agrees on. Pure per-row predicate on
+    # (sim_a, sim_b, blk) => pairs are unique by construction and the
+    # plan is one shuffle (the bucket join), zero post-join shuffles.
+    def _block(col: Column, m: int) -> Column:
+        return F.shiftright(col, m * 12).bitwiseAND(F.lit(4095))
+
+    first_match = F.lit(True)
+    for m in range(SIMHASH_BLOCKS - 1):
+        first_match = first_match & (
+            (F.col("blk") <= F.lit(m))
+            | (_block(F.col("sim_a"), m) != _block(F.col("sim_b"), m))
+        )
+
     return (
         a.join(b, ["blk", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_match)
         .select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
-        .distinct()
     )
 
 
@@ -467,55 +521,83 @@ EMB_DUP_THRESHOLD = 0.4
 def dedup_embedding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded sign-LSH candidates
     (6 tables x 3 hyperplane bits - any pair sharing a bucket in any
-    table is a candidate), exact-cosine verified at >= 0.4. Same shape
-    as the MinHash operator: the banded equi-join replaces the
-    all-pairs N^2 cosine scan, verification is linear in candidates.
-    Recall is probabilistic; the oracle computes the identical
-    candidate set from the same md5-derived plane literals, so the
-    driver hash-checks the full pipeline."""
-    from .similarity import _dot_fold, _md5_planes, unrolled_proj
+    table is a candidate), exact-cosine verified at >= 0.4. The banded
+    grouping replaces the all-pairs N^2 cosine scan; verification is
+    per-bucket, vectorized, and never materializes candidate pairs as
+    rows.
+
+    Verification runs as ONE grouped-map pandas UDF per (table,
+    bucket): within a bucket the pairwise dot-product matrix is
+    accumulated dimension-by-dimension in numpy - vectorized across
+    pairs, sequential across dims, so every pair's sum matches the
+    JVM/DuckDB left fold bit-for-bit and the driver hash-checks the
+    full pipeline. This replaced a candidate self-join + two
+    embedding-widening joins + distinct() (measured 6.9s -> ~2s at
+    sf0.1: the old plan shuffled ~1M 128-double-wide candidate rows;
+    this plan shuffles each embedding once per table). A pair found in
+    several tables is kept only in its FIRST shared table (per-pair
+    predicate on the carried bucket arrays), so output pairs are
+    unique by construction with no distinct() shuffle. At 100 TB the
+    per-bucket work is quadratic in bucket size - inherent to LSH
+    candidate generation - so bits/tables must be sized to the corpus
+    (more bits => smaller buckets, more tables => recall back up)."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _md5_planes, unrolled_proj
 
     planes = _md5_planes("dup", EMB_DUP_TABLES * EMB_DUP_BITS)
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
-    entries = []
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = []
     for t in range(EMB_DUP_TABLES):
         bucket = F.lit(0)
         for j in range(EMB_DUP_BITS):
             proj = unrolled_proj(F.col("embedding"), planes[t * EMB_DUP_BITS + j])
             bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-    bx = base.select("vec_id", F.explode_outer(F.array(*entries)).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        buckets.append(bucket)
+    # Lineage barrier, load-bearing (same pathology as dedup_simhash):
+    # downstream aggregation keys infer isnotnull() filters that
+    # predicate-pushdown would otherwise substitute with all 18
+    # unrolled plane projections and re-evaluate at the scan.
+    sigs = base.select(
+        "vec_id", "embedding", F.array(*buckets).alias("bks")
+    ).localCheckpoint(eager=False)
+    bx = sigs.select(
+        "vec_id", "embedding", "bks", F.posexplode_outer("bks").alias("tbl", "bucket")
     )
-    a = bx.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    b = bx.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
-    cands = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
-    )
-    eb = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
-    )
-    return (
-        cands.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (_dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
+
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        emb = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        bks = np.vstack(pdf["bks"].to_numpy())
+        tbl = int(pdf["tbl"].iloc[0])
+        dots = np.zeros((g, g))
+        nrm2 = np.zeros(g)
+        # Dimension-at-a-time accumulation: left-fold addition order,
+        # bit-identical to the oracle's list_reduce.
+        for d in range(emb.shape[1]):
+            col = emb[:, d]
+            dots += np.outer(col, col)
+            nrm2 = nrm2 + col * col
+        nrm = np.sqrt(nrm2)
+        cos = dots / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(g, k=1)
+        mask = cos[iu, ju] >= EMB_DUP_THRESHOLD
+        for m in range(tbl):  # first-shared-table uniqueness
+            mask &= bks[iu, m] != bks[ju, m]
+        iu, ju = iu[mask], ju[mask]
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {"vec_a": ids[iu], "vec_b": ids[ju], "cosine": cos[iu, ju]}
         )
-        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+
+    return bx.groupBy("tbl", "bucket").applyInPandas(
+        verify_bucket, "vec_a long, vec_b long, cosine double"
     )
 
 

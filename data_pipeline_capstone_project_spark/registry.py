@@ -457,78 +457,17 @@ from .operators.relational import (
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
-# Registration order is deliberate: the driver's correctness gate
-# evaluated exactly the first 50 entries in round 1, so the first 50
-# here are curated for breadth - reference-core ops, every brief-named
-# training-data op (dedup x5, similarity x3, text x4, multimodal x2),
-# streaming, TPC-H multiway joins, SCD2, rank suite, exact stats, and
-# iterative graph. Near-duplicate variants (fused/cube/props twins)
-# follow after.
 QUERIES = {
-    "q1_history": history_fact,
-    "rolling_engagement": rolling_engagement,
-    "latest_wins": latest_wins_query,
-    "top_k_per_group": top_k_query,
-    "recent_n_per_user": recent_n_query,
-    "asof_enrichment": asof_query,
-    "posts_flatten": posts_flatten_query,
-    "anti_join": anti_join_query,
-    "scalar_suite": scalar_suite_query,
-    "quality_gates": quality_gates_query,
-    "pricing_summary": pricing_summary_query,
-    "cdc_merge": cdc_merge_query,
-    "ewma_smoothing": ewma_smoothing_query,
-    "sessionize": sessionize_query,
-    "text_stats": text_stats_query,
-    "lang_id": lang_id_query,
-    "token_count": token_count_query,
-    "doc_fingerprint": fingerprint_query,
-    "winnowing_fingerprint": winnowing_fingerprint_query,
-    "tfidf_top_terms": tfidf_query,
-    "dedup_exact": dedup_exact_query,
-    "dedup_ngram_jaccard": dedup_ngram_query,
-    "dedup_minhash_lsh": dedup_minhash_query,
-    "dedup_simhash": dedup_simhash_query,
-    "dedup_embedding_cosine": dedup_embedding_query,
-    "similarity_topk": similarity_topk_query,
-    "similarity_lsh_ann": similarity_lsh_query,
-    "similarity_ivf_ann": similarity_ivf_query,
-    "multimodal_meta": multimodal_meta_query,
-    "frame_sample": frame_sample_query,
-    "color_palette": color_palette_query,
-    "streaming_upsert": streaming_upsert_query,
-    "streaming_window_agg": streaming_window_query,
-    "streaming_stateful": streaming_stateful_query,
-    "keyword_search": keyword_search_query,
-    "json_lake_ingest": json_lake_ingest_query,
-    "train_test_split": train_test_split_query,
-    "grouped_median": grouped_median_query,
-    "approx_distinct": approx_distinct_query,
-    "value_percentiles": value_percentiles_query,
-    "interval_join": interval_join_query,
-    "streaming_dedup": streaming_dedup_query,
-    "array_functions_suite": array_functions_suite_query,
-    "tpch_shipping_priority": shipping_priority_query,
-    "tpch_regional_volume": regional_volume_query,
-    "scd2_history": scd2_history_query,
-    "stats_suite": stats_suite_query,
-    "tpch_market_share": market_share_query,
-    "pagerank": pagerank_query,
-    "heavy_hitters": heavy_hitters_query,
-    # --- end of curated first 50 ---
-    "pricing_rollup": pricing_rollup_query,
-    "skew_salted_agg": skew_salted_agg_query,
-    "vocab_top_terms": vocab_top_terms_query,
-    "dedup_clusters": dedup_clusters_query,
-    "set_ops": set_ops_query,
+    # Round-3 rotation: the driver's correctness gate reads the FIRST 50
+    # entries only. Rounds 1+2 gave green rows to 62 entries
+    # (CORRECTNESS_r01/r02 on record); the 49 entries never yet
+    # driver-checked are rotated to the front here so every registry
+    # name gets a green row in some CORRECTNESS_r*.json. Slot 50 is
+    # dedup_simhash, whose implementation was rewritten this round
+    # (single-pass F.aggregate) and needs re-verification. Rotation
+    # across rounds is deliberate and recorded: see VERDICT.md r2 item 1
+    # and ADVICE.md (keep a ledger, rotate the window, lose nothing).
     "user_rank_suite": user_rank_suite_query,
-    "event_pivot": event_pivot_query,
-    "user_timeseries": user_timeseries_query,
-    "pricing_cube": pricing_cube_query,
-    "color_palette_props": color_palette_props_query,
-    "semi_join": semi_join_query,
-    "set_ops_fused": set_ops_fused_query,
-    "label_centroids": label_centroids_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
     "dedup_clusters_star": dedup_clusters_star_query,
     "skew_salted_join": skew_salted_join_query,
@@ -558,7 +497,6 @@ QUERIES = {
     "argminmax": argminmax_query,
     "weighted_sample": weighted_sample_query,
     "streaming_multi_sink": streaming_multi_sink_query,
-    # --- round 2 additions ---
     "feature_scaling": feature_scaling_query,
     "feature_binning": feature_binning_query,
     "asof_nearest": asof_nearest_query,
@@ -578,6 +516,70 @@ QUERIES = {
     "tpch_discounted_revenue": discounted_revenue_query,
     "safe_arithmetic_suite": safe_arithmetic_suite_query,
     "window_navigation_suite": window_navigation_suite_query,
+    "dedup_simhash": dedup_simhash_query,
+    # --- end of round-3 gate window (50) ---
+    # Previously driver-verified (green rows in CORRECTNESS_r01/r02):
+    "q1_history": history_fact,
+    "rolling_engagement": rolling_engagement,
+    "latest_wins": latest_wins_query,
+    "top_k_per_group": top_k_query,
+    "recent_n_per_user": recent_n_query,
+    "asof_enrichment": asof_query,
+    "posts_flatten": posts_flatten_query,
+    "anti_join": anti_join_query,
+    "scalar_suite": scalar_suite_query,
+    "quality_gates": quality_gates_query,
+    "pricing_summary": pricing_summary_query,
+    "cdc_merge": cdc_merge_query,
+    "ewma_smoothing": ewma_smoothing_query,
+    "sessionize": sessionize_query,
+    "text_stats": text_stats_query,
+    "lang_id": lang_id_query,
+    "token_count": token_count_query,
+    "doc_fingerprint": fingerprint_query,
+    "winnowing_fingerprint": winnowing_fingerprint_query,
+    "tfidf_top_terms": tfidf_query,
+    "dedup_exact": dedup_exact_query,
+    "dedup_ngram_jaccard": dedup_ngram_query,
+    "dedup_minhash_lsh": dedup_minhash_query,
+    "dedup_embedding_cosine": dedup_embedding_query,
+    "similarity_topk": similarity_topk_query,
+    "similarity_lsh_ann": similarity_lsh_query,
+    "similarity_ivf_ann": similarity_ivf_query,
+    "multimodal_meta": multimodal_meta_query,
+    "frame_sample": frame_sample_query,
+    "color_palette": color_palette_query,
+    "streaming_upsert": streaming_upsert_query,
+    "streaming_window_agg": streaming_window_query,
+    "streaming_stateful": streaming_stateful_query,
+    "keyword_search": keyword_search_query,
+    "json_lake_ingest": json_lake_ingest_query,
+    "train_test_split": train_test_split_query,
+    "grouped_median": grouped_median_query,
+    "approx_distinct": approx_distinct_query,
+    "value_percentiles": value_percentiles_query,
+    "interval_join": interval_join_query,
+    "streaming_dedup": streaming_dedup_query,
+    "array_functions_suite": array_functions_suite_query,
+    "tpch_shipping_priority": shipping_priority_query,
+    "tpch_regional_volume": regional_volume_query,
+    "scd2_history": scd2_history_query,
+    "stats_suite": stats_suite_query,
+    "tpch_market_share": market_share_query,
+    "pagerank": pagerank_query,
+    "heavy_hitters": heavy_hitters_query,
+    "pricing_rollup": pricing_rollup_query,
+    "skew_salted_agg": skew_salted_agg_query,
+    "vocab_top_terms": vocab_top_terms_query,
+    "dedup_clusters": dedup_clusters_query,
+    "set_ops": set_ops_query,
+    "event_pivot": event_pivot_query,
+    "user_timeseries": user_timeseries_query,
+    "pricing_cube": pricing_cube_query,
+    "color_palette_props": color_palette_props_query,
+    "semi_join": semi_join_query,
+    "set_ops_fused": set_ops_fused_query,
+    "label_centroids": label_centroids_query,
 }
 
 ORACLES = {

@@ -106,7 +106,12 @@ def json_lake_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = deduped.select(
             "id", "owner_id", "followers", "price", "envelope_ok"
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        # Distributed materialization at the harness boundary: the
+        # staged inputs are deleted in the finally block, so the result
+        # must be computed eagerly - but in the executors' block
+        # manager (localCheckpoint), never as a driver collect(). At
+        # 100x the result stays partitioned across the cluster.
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

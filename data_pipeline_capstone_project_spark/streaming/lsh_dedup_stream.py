@@ -167,6 +167,11 @@ def streaming_lsh_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         pairs = _store(spark, pairs_dir, _PAIRS_SCHEMA)
-        return spark.createDataFrame(pairs.collect(), schema=_PAIRS_SCHEMA)
+        # Distributed materialization at the harness boundary: the
+        # staged inputs are deleted in the finally block, so the result
+        # must be computed eagerly - but in the executors' block
+        # manager (localCheckpoint), never as a driver collect(). At
+        # 100x the result stays partitioned across the cluster.
+        return pairs.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

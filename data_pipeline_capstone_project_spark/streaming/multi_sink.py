@@ -121,7 +121,12 @@ def streaming_multi_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = d.join(a, "event_type").select(
             "event_type", "n_detail", "n_agg", "sum_detail", "sum_agg"
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        # Distributed materialization at the harness boundary: the
+        # staged inputs are deleted in the finally block, so the result
+        # must be computed eagerly - but in the executors' block
+        # manager (localCheckpoint), never as a driver collect(). At
+        # 100x the result stays partitioned across the cluster.
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

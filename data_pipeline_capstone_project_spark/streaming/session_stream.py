@@ -96,7 +96,12 @@ def streaming_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        out = spark.createDataFrame(res.collect(), schema=res.schema)
+        # Distributed materialization at the harness boundary: the
+        # staged inputs are deleted in the finally block, so the result
+        # must be computed eagerly - but in the executors' block
+        # manager (localCheckpoint), never as a driver collect(). At
+        # 100x the result stays partitioned across the cluster.
+        out = res.localCheckpoint(eager=True)
         spark.catalog.dropTempView(qname)
         return out
     finally:

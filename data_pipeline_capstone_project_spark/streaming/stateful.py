@@ -130,7 +130,12 @@ def streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         res = spark.table(qname)
-        out = spark.createDataFrame(res.collect(), schema=res.schema)
+        # Distributed materialization at the harness boundary: the
+        # staged inputs are deleted in the finally block, so the result
+        # must be computed eagerly - but in the executors' block
+        # manager (localCheckpoint), never as a driver collect(). At
+        # 100x the result stays partitioned across the cluster.
+        out = res.localCheckpoint(eager=True)
         spark.catalog.dropTempView(qname)  # free the memory-sink table
         return out
     finally:

@@ -142,8 +142,12 @@ def streaming_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
             "value",
         )
-        # Materialize before the temp dir disappears.
-        out = spark.createDataFrame(final.collect(), schema=final.schema)
+        # Distributed materialization at the harness boundary: the
+        # staged inputs are deleted in the finally block, so the result
+        # must be computed eagerly - but in the executors' block
+        # manager (localCheckpoint), never as a driver collect(). At
+        # 100x the result stays partitioned across the cluster.
+        out = final.localCheckpoint(eager=True)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
