@@ -40,26 +40,35 @@ def main() -> None:
             except Exception as exc:  # pragma: no cover - defensive
                 print(f"warm {name} failed: {exc}", file=sys.stderr)
 
-    # Best-of-2 per query: a long-lived 32-thread local JVM shows
-    # multi-x run-to-run noise (GC pauses, page cache, codegen cache
-    # eviction); the min is the honest steady-state number a warmed
-    # executor would see. A failing query records -1 and must not kill
-    # the run - the driver json-parses the final line either way.
+    # Best-of-3 per query, all runs recorded: a long-lived 32-thread
+    # local JVM shows multi-x run-to-run noise (GC pauses, page cache,
+    # codegen cache eviction, background load) - round 2 recorded a 10x
+    # "regression" on interval_join that vanished in isolation. The min
+    # is the honest steady-state number a warmed executor would see;
+    # the full per-run list goes to BENCH_DETAIL.json so a regression
+    # is only treated as signal when the spread is tight. A failing
+    # query records -1 and must not kill the run - the driver
+    # json-parses the final line either way.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     errors: list[str] = []
     for name, fn in queries.items():
-        best = float("inf")
+        times: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                times.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(times)
+            spreads[name] = times
         except Exception as exc:  # pragma: no cover - defensive
             timings[name] = -1.0
+            spreads[name] = times
             errors.append(name)
             print(f"{name} FAILED: {exc}", file=sys.stderr)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+        print(f"{name}: {timings[name]}s {spreads[name]}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query detail goes to a sidecar file; the stdout line must
@@ -74,6 +83,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
+                "all_runs": spreads,
+                "loadavg_start": load_start,
+                "loadavg_end": os.getloadavg(),
                 "sf": sf,
             },
             f,

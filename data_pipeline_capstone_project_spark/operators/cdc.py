@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 
-INSERT_KEY_OFFSET = 100_000_000
+# Synthetic insert keys live in the NEGATIVE key space: TPC-H orderkeys
+# are strictly positive at every scale factor, so -k can never collide
+# with a real key (a fixed positive offset would - orderkeys pass 100M
+# well below SF100, silently breaking the merged-key uniqueness
+# invariant while the oracle, repeating the same arithmetic, still
+# matched).
 
 
 def merge_cdc(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
@@ -50,7 +55,7 @@ def cdc_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit showed 6 parquet scans for what is logically 2 reads).
     k7 = F.col("o_orderkey") % 7
     changes = orders.filter(k7.isin(0, 1, 2)).select(
-        F.when(k7 == 2, F.col("o_orderkey") + INSERT_KEY_OFFSET)
+        F.when(k7 == 2, -F.col("o_orderkey"))
         .otherwise(F.col("o_orderkey"))
         .alias("o_orderkey"),
         F.when(k7 == 0, "U").when(k7 == 1, "D").otherwise("I").alias("op"),
@@ -67,7 +72,7 @@ def cdc_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_cdc(orders, changes, "o_orderkey")
 
 
-CDC_MERGE_ORACLE_SQL = f"""
+CDC_MERGE_ORACLE_SQL = """
 WITH ch AS (
   SELECT o_orderkey, 'U' AS op, 'U' AS o_orderstatus, o_totalprice,
          '1-CDC-UPDATED' AS o_orderpriority
@@ -76,7 +81,7 @@ WITH ch AS (
   SELECT o_orderkey, 'D', o_orderstatus, o_totalprice, o_orderpriority
   FROM orders WHERE o_orderkey % 7 = 1
   UNION ALL
-  SELECT o_orderkey + {INSERT_KEY_OFFSET}, 'I', 'N', o_totalprice,
+  SELECT -o_orderkey, 'I', 'N', o_totalprice,
          '5-CDC-INSERTED'
   FROM orders WHERE o_orderkey % 7 = 2
 )

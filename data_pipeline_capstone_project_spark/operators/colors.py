@@ -104,14 +104,19 @@ def _palette(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map body: rebuild arrays from binary + shape, BGR->RGB
     flip (reference ``image[..., ::-1]``, ``spark_image.py:149``),
     concat all images (``:151-154``), cluster, rank by frequency."""
-    mats = []
-    for _, row in pdf.iterrows():
-        if row["mode"] != 16:  # F13: only 8-bit 3-channel BGR
-            continue
-        arr = np.frombuffer(row["data"], dtype=np.uint8).reshape(
-            row["height"], row["width"], 3
+    # Columnwise numpy access, not iterrows(): per-row pandas object
+    # construction dominated the UDF body at many-images-per-user
+    # scale; zipping the three ndarrays keeps the loop near-free and
+    # the per-image work is a zero-copy frombuffer view.
+    keep = pdf["mode"].to_numpy() == 16  # F13: only 8-bit 3-channel BGR
+    mats = [
+        np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)[..., ::-1].reshape(-1, 3)
+        for buf, h, w in zip(
+            pdf["data"].to_numpy()[keep],
+            pdf["height"].to_numpy()[keep],
+            pdf["width"].to_numpy()[keep],
         )
-        mats.append(arr[..., ::-1].reshape(-1, 3))
+    ]
     ig_id = pdf["igId"].iloc[0]
     if not mats:
         return pd.DataFrame({"igId": [ig_id], "colors": [""]})

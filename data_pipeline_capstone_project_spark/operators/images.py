@@ -1,0 +1,301 @@
+"""Real image bytes through the multimodal path (SURVEY S4/A7-A9).
+
+The reference's image job reads a real store with Spark's image source
+and clusters decoded pixels (``spark/spark_image.py:182-191``). This
+container has no image library, but that does NOT force the decode
+seam to stay synthetic: PNG is decodable with nothing beyond stdlib
+``zlib``/``struct``, and Spark's JVM image source decodes PNG via
+ImageIO on its own. This module provides
+
+- :func:`make_png` / :func:`png_meta` / :func:`png_pixels`: a minimal
+  pure-Python truecolor PNG codec (encoder: filter-0 rows; decoder:
+  all five scanline filters). No new dependencies.
+- :func:`image_decode_query`: stages a deterministic PNG store, reads
+  it BOTH ways - ``binaryFile`` -> Arrow-batched ``mapInPandas``
+  decode with this codec, and ``format("image")`` -> JVM ImageIO
+  decode - and emits per-image dimensions plus a pixel-exact
+  cross-check of the two decoders (python RGB vs JVM BGR flipped).
+- :func:`color_palette_png_query`: the reference's palette pipeline
+  over REAL decoded PNG bytes: image source -> mode-16 filter ->
+  grouped-map KMeans (``operators/colors.py``). Fixtures are solid
+  4x4 tiles, three distinct colors per user with equal pixel counts,
+  so the expected palette is CLOSED-FORM and the DuckDB oracle asserts
+  the exact JSON the UDF must emit - percentages, RGB order (a BGR/RGB
+  flip bug changes the hex and fails the hash), ranking.
+
+Scale: the staged store is fixture plumbing; the operators themselves
+are the scale path - binaryFile/image scans partition by file,
+mapInPandas streams Arrow batches (payloads never on the driver), and
+the palette is one shuffle (the groupBy) of decoded-pixel rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import tempfile
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_IMG_USERS = 8
+COLORS_PER_USER = 3
+IMG_W = 4
+IMG_H = 4
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a truecolor PNG
+    (8-bit, no interlace, filter 0 on every scanline)."""
+    h, w = pixels.shape[:2]
+    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", header)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR chunk - the header-parse decode
+    used by :func:`~.multimodal.decode_media_meta` for PNG inputs."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("IHDR not first chunk")
+    w, h = struct.unpack(">II", payload[16:24])
+    return w, h
+
+
+def png_pixels(payload: bytes) -> np.ndarray:
+    """Full pure-Python decode of an 8-bit truecolor non-interlaced
+    PNG: concatenate IDAT, inflate, undo the per-scanline filter
+    (types 0-4 incl. Paeth). Returns (h, w, 3) uint8 RGB."""
+    w, h = png_meta(payload)
+    bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">BBBBB", payload[24:29]
+    )
+    if (bit_depth, color_type, interlace) != (8, 2, 0):
+        raise ValueError("only 8-bit truecolor non-interlaced supported")
+    idat = bytearray()
+    off = 8
+    while off < len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += payload[off + 8 : off + 8 + length]
+        off += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        cur = np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the left neighbor: sequential
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    base = a
+                elif ftype == 3:
+                    base = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    base = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+                cur[x] = (line[x] + base) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
+def _user_colors(user: int) -> list[tuple[int, int, int]]:
+    """Three distinct solid RGB colors per user, strictly increasing
+    brightness, components deliberately asymmetric (r != g != b) so a
+    BGR/RGB channel swap anywhere in the pipeline changes the result."""
+    return [
+        (40 * j + 7 * user, 40 * j + 7 * user + 1, 40 * j + 7 * user + 2)
+        for j in range(COLORS_PER_USER)
+    ]
+
+
+def _stage_png_store(root: str) -> None:
+    """Write the deterministic PNG fixture store: per user, one solid
+    IMG_W x IMG_H tile per color. Tiny driver-side staging (the store
+    stands in for an object store prefix)."""
+    for user in range(N_IMG_USERS):
+        for j, rgb in enumerate(_user_colors(user)):
+            px = np.tile(np.array(rgb, dtype=np.uint8), (IMG_H, IMG_W, 1))
+            with open(os.path.join(root, f"u{user:02d}_c{j}.png"), "wb") as f:
+                f.write(make_png(px))
+
+
+def image_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode REAL PNG bytes two independent ways and
+    cross-check pixel-exactly. ``binaryFile`` rows go through the
+    Arrow-batched python codec (header + full unfilter); the same
+    files via ``format("image")`` are decoded by JVM ImageIO into BGR.
+    Output: per-image dims from the python decode plus pixels_match
+    (python RGB reversed == JVM BGR bytes)."""
+    work = tempfile.mkdtemp(prefix="png_store_")
+    try:
+        _stage_png_store(work)
+
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("img_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                metas = [png_meta(p) for p in pdf["payload"]]
+                # python decode -> RGB -> flip to BGR for the JVM compare
+                bgr = [
+                    png_pixels(p)[..., ::-1].tobytes() for p in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "img_name": pdf["img_name"],
+                        "width": [m[0] for m in metas],
+                        "height": [m[1] for m in metas],
+                        "py_bgr": bgr,
+                    }
+                )
+
+        py = bin_df.mapInPandas(
+            decode_batches, "img_name string, width int, height int, py_bgr binary"
+        )
+        jvm = (
+            spark.read.format("image")
+            .option("dropInvalid", True)
+            .load(work)
+            .select("image.*")
+            .select(
+                F.element_at(F.split("origin", "/"), -1).alias("img_name"),
+                F.col("width").alias("jvm_width"),
+                F.col("height").alias("jvm_height"),
+                F.col("data").alias("jvm_bgr"),
+            )
+        )
+        out = py.join(jvm, "img_name").select(
+            "img_name",
+            "width",
+            "height",
+            (
+                (F.col("width") == F.col("jvm_width"))
+                & (F.col("height") == F.col("jvm_height"))
+                & (F.col("py_bgr") == F.col("jvm_bgr"))
+            ).alias("pixels_match"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _expected_palette_json(user: int) -> str:
+    """The closed-form palette for a user's fixture images: three
+    equal-weight solid colors ranked by ascending brightness (counts
+    tie, center-sum breaks the tie)."""
+    colors = []
+    for r, g, b in _user_colors(user):
+        colors.append(
+            {
+                "percentage": round(1.0 / COLORS_PER_USER, 4),
+                "red": r,
+                "green": g,
+                "blue": b,
+                "hex": f"#{r:02x}{g:02x}{b:02x}",
+            }
+        )
+    return json.dumps(colors)
+
+
+def color_palette_png_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the reference's palette pipeline over real
+    decoded PNGs (``spark_image.py:182-191``): image source (JVM
+    decode, BGR mode-16 rows) -> hoisted mode filter -> per-user
+    grouped-map KMeans. The fixture design makes the correct output
+    closed-form, so the DuckDB oracle hash-checks the EXACT JSON."""
+    from .colors import color_palette
+
+    work = tempfile.mkdtemp(prefix="png_palette_")
+    try:
+        _stage_png_store(work)
+        imgs = (
+            spark.read.format("image")
+            .option("dropInvalid", True)
+            .load(work)
+            .select("image.*")
+            .filter(F.col("mode") == 16)  # F13 hoisted, prunes before Python
+            .select(
+                F.regexp_extract(
+                    F.element_at(F.split("origin", "/"), -1), r"u(\d+)_", 1
+                ).cast("int").cast("string").alias("igId"),
+                "origin",
+                "height",
+                "width",
+                "mode",
+                "nChannels",
+                "data",
+            )
+        )
+        return color_palette(imgs).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _palette_oracle() -> str:
+    rows = ", ".join(
+        f"({u}, '{_expected_palette_json(u)}')" for u in range(N_IMG_USERS)
+    )
+    return (
+        "SELECT CAST(u AS VARCHAR) AS igId, c AS colors "
+        f"FROM (VALUES {rows}) AS t(u, c)"
+    )
+
+
+IMAGE_DECODE_ORACLE_SQL = f"""
+WITH users AS (SELECT unnest(range(0, {N_IMG_USERS})) AS u),
+imgs AS (
+  SELECT u, unnest(range(0, {COLORS_PER_USER})) AS j FROM users
+)
+SELECT printf('u%02d_c%d.png', u, j) AS img_name,
+       {IMG_W} AS width,
+       {IMG_H} AS height,
+       true AS pixels_match
+FROM imgs
+"""
+
+COLOR_PALETTE_PNG_ORACLE_SQL = _palette_oracle()

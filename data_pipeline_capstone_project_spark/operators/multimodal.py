@@ -41,9 +41,19 @@ THUMB_LIMIT = 64
 
 
 def real_decode(payload: bytes) -> tuple[int, int]:
-    """Seam for a real image codec (PIL/cv2). Not available in this
-    environment - the deterministic :func:`fake_decode` stands in."""
-    raise NotImplementedError("no image codec in this environment; use fake_decode")
+    """Real codec dispatch. PNG decodes with the in-repo pure-Python
+    codec (:mod:`.images` - header parse here; full pixel decode via
+    ``png_pixels``, cross-checked pixel-exact against the JVM image
+    source by the ``image_decode`` registry query). Other formats
+    (JPEG/audio/video) still need an external library this
+    environment lacks - that seam stays explicit."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .images import png_meta
+
+        return png_meta(payload)
+    raise NotImplementedError(
+        "no codec for this format in this environment (PNG is supported)"
+    )
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:

@@ -443,7 +443,16 @@ def json_functions_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse (``from_json`` - the F14 operator the ingest path uses), and
     JSON re-serialization of a built struct (``to_json``). Output
     strings are engine-canonical: both engines emit compact
-    ``{"k":v}`` with preserved field order, which the oracle proves."""
+    ``{"k":v}`` with preserved field order, which the oracle proves.
+
+    Every payload field is null-guarded with coalesce because the two
+    engines canonicalize nulls differently (Spark ``to_json`` OMITS a
+    null struct field; DuckDB emits ``"t":null``) - a null
+    ``event_type`` would diverge even though both are "correct".
+    ``from_json('k LONG')`` also nulls a QUOTED numeric ``"k":"7"``
+    that ``get_json_object``+cast would parse; the fixture invariant
+    (props.k is numeric-or-absent) is asserted by
+    ``tests/test_round2_ops.py::test_json_suite_fixture_invariants``."""
     events = load_table(spark, sf_dir, "events")
     k_typed = F.from_json("props", "k LONG").getField("k")
     return events.select(
@@ -453,7 +462,7 @@ def json_functions_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(
                 (F.coalesce(k_typed, F.lit(0)) * 2).alias("k2"),
-                F.col("event_type").alias("t"),
+                F.coalesce(F.col("event_type"), F.lit("")).alias("t"),
             )
         ).alias("payload"),
         F.length("props").alias("raw_len"),
@@ -466,7 +475,7 @@ SELECT event_id,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
        to_json(struct_pack(
          k2 := coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0) * 2,
-         t := event_type)) AS payload,
+         t := coalesce(event_type, ''))) AS payload,
        length(props) AS raw_len
 FROM events
 """

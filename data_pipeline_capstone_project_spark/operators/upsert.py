@@ -72,3 +72,56 @@ FROM (
   FROM events
 ) WHERE rn = 1
 """
+
+
+def upsert_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins with the audit signal an Elasticsearch upsert store
+    maintains per document: ``version_count`` (the reference's
+    ``_version`` - how many writes hit the key, ``README.md:373,432``,
+    ``s3-to-es_aws.py:48-54``) and ``changed`` (did the newest write
+    alter the payload vs the key's first write - the create-vs-update
+    distinction of the ES document API).
+
+    Spark-first: ONE aggregation, not a window - ``max_by``/``min_by``
+    over the recency tuple plus ``count(*)`` all combine map-side, so
+    the plan is a single partial-agg shuffle keyed by the upsert key.
+    At 100 TB that is strictly better than the row_number window
+    (which must materialize and sort every version of every key after
+    the shuffle); latest_wins keeps the window form because it must
+    return whole rows unchanged."""
+    events = load_table(spark, sf_dir, "events")
+    recency = F.struct(F.col("ts"), F.col("event_id"))
+    agg = events.groupBy("user_id", "event_type").agg(
+        F.max_by(F.struct("event_id", "ts", "value"), recency).alias("latest"),
+        F.min_by(F.col("value"), recency).alias("first_value"),
+        F.count(F.lit(1)).alias("version_count"),
+    )
+    return agg.select(
+        "user_id",
+        "event_type",
+        F.col("latest.event_id").alias("event_id"),
+        F.unix_micros("latest.ts").alias("ts_us"),
+        F.col("latest.value").alias("value"),
+        "version_count",
+        (~F.col("latest.value").eqNullSafe(F.col("first_value"))).alias("changed"),
+    )
+
+
+UPSERT_AUDIT_ORACLE_SQL = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+       version_count, changed
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type)
+             AS version_count,
+         (value IS DISTINCT FROM first_value(value) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             AS changed
+  FROM events
+) WHERE rn = 1
+"""

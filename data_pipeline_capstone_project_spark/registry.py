@@ -289,7 +289,18 @@ from .operators.text import (
     token_count_query,
     vocab_top_terms_query,
 )
-from .operators.upsert import LATEST_WINS_ORACLE_SQL, latest_wins_query
+from .operators.images import (
+    COLOR_PALETTE_PNG_ORACLE_SQL,
+    IMAGE_DECODE_ORACLE_SQL,
+    color_palette_png_query,
+    image_decode_query,
+)
+from .operators.upsert import (
+    LATEST_WINS_ORACLE_SQL,
+    UPSERT_AUDIT_ORACLE_SQL,
+    latest_wins_query,
+    upsert_audit_query,
+)
 from .streaming.upsert_stream import (
     STREAMING_UPSERT_ORACLE_SQL,
     streaming_upsert_query,
@@ -580,12 +591,19 @@ QUERIES = {
     "semi_join": semi_join_query,
     "set_ops_fused": set_ops_fused_query,
     "label_centroids": label_centroids_query,
+    # --- round 3 additions (rotate into the gate window next round) ---
+    "upsert_audit": upsert_audit_query,
+    "image_decode": image_decode_query,
+    "color_palette_png": color_palette_png_query,
 }
 
 ORACLES = {
     "q1_history": HISTORY_ORACLE_SQL,
     "rolling_engagement": ROLLING_ENGAGEMENT_ORACLE_SQL,
     "latest_wins": LATEST_WINS_ORACLE_SQL,
+    "upsert_audit": UPSERT_AUDIT_ORACLE_SQL,
+    "image_decode": IMAGE_DECODE_ORACLE_SQL,
+    "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -27,21 +27,32 @@ from pyspark.sql import types as T
 from ..schemas import TESTDATA_SCHEMAS
 
 
-#: path -> {column: physical arrow type string}; footer reads are O(KB)
-#: regardless of table size, but once per (path, process) is enough.
-_PHYSICAL_CACHE: dict[str, dict[str, str]] = {}
+#: (path, mtime_ns, size) -> {column: physical arrow type string}.
+#: Footer reads are O(KB) regardless of table size; keying on the
+#: file's stat identity (not just path) means a regenerated file with a
+#: different temporal encoding - the exact scenario this adaptive
+#: reader exists for - is re-sniffed instead of decoded with stale
+#: physical types.
+_PHYSICAL_CACHE: dict[tuple[str, int, int], dict[str, str]] = {}
 
 
 def _physical_types(path: str) -> dict[str, str]:
-    if path not in _PHYSICAL_CACHE:
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, -1, -1)
+    if key not in _PHYSICAL_CACHE:
         try:
             import pyarrow.parquet as pq
 
             sch = pq.read_schema(path)
-            _PHYSICAL_CACHE[path] = {f.name: str(f.type) for f in sch}
+            _PHYSICAL_CACHE[key] = {f.name: str(f.type) for f in sch}
         except Exception:
-            _PHYSICAL_CACHE[path] = {}
-    return _PHYSICAL_CACHE[path]
+            _PHYSICAL_CACHE[key] = {}
+    return _PHYSICAL_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

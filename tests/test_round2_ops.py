@@ -10,10 +10,7 @@ from data_pipeline_capstone_project_spark.operators.arrays import (
     array_functions_suite_query,
 )
 from data_pipeline_capstone_project_spark.operators.asof import asof_nearest_query
-from data_pipeline_capstone_project_spark.operators.cdc import (
-    INSERT_KEY_OFFSET,
-    cdc_merge_query,
-)
+from data_pipeline_capstone_project_spark.operators.cdc import cdc_merge_query
 from data_pipeline_capstone_project_spark.operators.features import (
     N_BINS,
     feature_binning_query,
@@ -35,13 +32,13 @@ def test_cdc_merge_applies_all_three_verbs(spark, sf_dir):
     n_del = base.filter(F.col("o_orderkey") % 7 == 1).count()
     n_ins = base.filter(F.col("o_orderkey") % 7 == 2).count()
     assert merged.count() == base.count() - n_del + n_ins
-    # deletes gone
-    assert merged.filter((F.col("o_orderkey") % 7 == 1) & (F.col("o_orderkey") < INSERT_KEY_OFFSET)).count() == 0
+    # deletes gone (real keys are strictly positive)
+    assert merged.filter((F.col("o_orderkey") % 7 == 1) & (F.col("o_orderkey") > 0)).count() == 0
     # updates applied in place
-    upd = merged.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < INSERT_KEY_OFFSET))
+    upd = merged.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") > 0))
     assert upd.filter(F.col("o_orderpriority") != "1-CDC-UPDATED").count() == 0
-    # inserts present under offset keys
-    assert merged.filter(F.col("o_orderkey") >= INSERT_KEY_OFFSET).count() == n_ins
+    # inserts present under negative (collision-free) keys
+    assert merged.filter(F.col("o_orderkey") < 0).count() == n_ins
     # keys stay unique
     assert merged.select("o_orderkey").distinct().count() == merged.count()
     merged.unpersist()
@@ -266,6 +263,21 @@ def test_json_suite_roundtrip(spark, sf_dir):
         (F.col("k_typed") * 2).alias("expect"),
     )
     assert reparsed.filter(F.col("k2") != F.col("expect")).count() == 0
+
+
+def test_json_suite_fixture_invariants(spark, sf_dir):
+    """The suite's oracle equivalence relies on two fixture
+    invariants (see json_functions_suite_query docstring): props.k is
+    numeric-or-absent (a QUOTED numeric would make from_json('k LONG')
+    null where get_json_object+cast parses), and any null event_type
+    is tolerated via coalesce in both engines (asserted here only so a
+    future fixture change that breaks the quoted-k invariant fails
+    loudly instead of as an oracle hash flicker)."""
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    quoted_k = events.filter(F.col("props").rlike(r'"k"\s*:\s*"'))
+    assert quoted_k.count() == 0
 
 
 def test_string_suite_shape(spark, sf_dir):
