@@ -1,0 +1,313 @@
+"""Training-corpus curation operators: benchmark decontamination,
+Gopher-style quality rules, sequence packing, and dedup resolution.
+
+These are the corpus-preparation stages a large-scale LLM data
+pipeline runs between raw ingest and tokenization - the brief's
+"operations a large-scale training-data pipeline would need" beyond
+the reference's own surface. All four are pure DataFrame plans (no
+UDFs) with DuckDB oracle twins.
+
+Published rule sources (public papers only): the quality heuristics
+follow Rae et al. 2021 (Gopher, Appendix A1.1) and Raffel et al. 2020
+(C4); decontamination is the n-gram-overlap test-set filter described
+in Brown et al. 2020 (GPT-3, Appendix C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .text import md5_word_hash, tokens_col
+
+# --- benchmark decontamination --------------------------------------------
+
+DECONTAM_N = 8  # gram width; GPT-3 used 13 on web-scale docs
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 plays the held-out benchmark
+
+
+def _gram_hashes(text_toks) -> F.Column:
+    """All DECONTAM_N-grams of a token array as 60-bit md5 hashes
+    (portable hash family shared with the dedup operators)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(text_toks) - DECONTAM_N + 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(text_toks, i, DECONTAM_N), " "),
+    )
+    return F.array_distinct(F.transform(grams, lambda g: md5_word_hash(g)))
+
+
+def decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents sharing any DECONTAM_N-gram with a
+    benchmark set (here: every BENCH_MOD-th doc stands in for the
+    held-out eval suite). Output per training doc: how many distinct
+    grams leak, and the drop flag.
+
+    Scale shape: both sides reduce to (doc, gram-hash) pairs that are
+    per-doc DISTINCT before the join, the benchmark side is tiny by
+    construction (eval suites are KBs against TBs of training data) so
+    AQE broadcasts its distinct gram set, and the count is a
+    map-combinable re-aggregation keyed by doc - one real shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    with_grams = docs.select(
+        "doc_id", F.explode_outer(_gram_hashes(toks)).alias("gram")
+    )
+    train = with_grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench_grams = (
+        with_grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    leaks = (
+        train.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_grams"))
+    )
+    train_docs = docs.select("doc_id").filter(F.col("doc_id") % BENCH_MOD != 0)
+    return train_docs.join(leaks, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_leaked_grams", F.lit(0)).alias("n_leaked_grams"),
+        (F.coalesce("n_leaked_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+DECONTAMINATION_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - {DECONTAM_N} + 1, 0) + 1),
+           i -> ('0x' || substr(md5(array_to_string(w[i:i+{DECONTAM_N}-1], ' ')), 1, 15))::BIGINT
+         )) AS gs
+  FROM tok
+),
+pairs AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM pairs WHERE doc_id % {BENCH_MOD} = 0),
+leaks AS (
+  SELECT p.doc_id, count(*) AS n FROM pairs p
+  JOIN bench b ON p.gram = b.gram
+  WHERE p.doc_id % {BENCH_MOD} != 0
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(l.n, 0) AS n_leaked_grams,
+       coalesce(l.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} != 0) d
+LEFT JOIN leaks l ON d.doc_id = l.doc_id
+"""
+
+
+# --- Gopher quality rules --------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule metrics + pass flags per document (Rae et
+    al. 2021, Appendix A1.1), entirely as column expressions: word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# and ellipsis) <= 0.1, >= 80% of words contain an
+    alphabetic character, and >= 2 distinct members of an 8-stopword
+    list. The conjunction is the keep signal a C4/Gopher-style filter
+    stage applies before tokenization; all-scan, zero-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_words = F.size(toks)
+    mean_len = (
+        F.aggregate(F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        / n_words
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))) / n_words
+    )
+    low = F.transform(toks, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low, s),
+        )
+    )
+    pass_words = (n_words >= 50) & (n_words <= 100_000)
+    pass_mean = (mean_len >= 3) & (mean_len <= 10)
+    pass_symbol = symbol_ratio <= 0.1
+    pass_alpha = alpha_frac >= 0.8
+    pass_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        (pass_words & pass_mean & pass_symbol & pass_alpha & pass_stop).alias(
+            "gopher_pass"
+        ),
+    )
+
+
+def _sw(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+GOPHER_QUALITY_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / len(w)
+           AS mean_word_len,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)
+           / len(w) AS symbol_ratio,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) / len(w)
+           AS alpha_frac,
+         len(list_filter([{_sw(GOPHER_STOPWORDS)}],
+             s -> list_contains(list_transform(w, x -> lower(x)), s)))
+           AS n_stopwords
+  FROM tok
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3 AND 10)
+       AND symbol_ratio <= 0.1
+       AND alpha_frac >= 0.8
+       AND n_stopwords >= 2 AS gopher_pass
+FROM m
+"""
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_CTX = 128  # context length in whitespace tokens
+
+
+def sequence_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style
+    tokenization layout): within each source shard, documents are laid
+    end-to-end in doc_id order and cut into PACK_CTX-token training
+    sequences; each document reports the sequence span it occupies.
+
+    Scale shape: the running offset is a window cumsum PER SOURCE
+    SHARD - this is deliberate. A corpus-global ordering would funnel
+    the cumsum through one partition; real pipelines pack per shard
+    (each shard's sequences are independent), so the plan is one
+    shuffle keyed by shard and parallelism = shard count. Downstream
+    chunk assembly groups by (source, seq) without re-shuffling the
+    fact table."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("tok_offset"),
+            F.floor((cum - F.col("n_tokens")) / PACK_CTX).alias("first_seq"),
+            F.floor((cum - 1) / PACK_CTX).alias("last_seq"),
+        )
+    )
+
+
+SEQUENCE_PACKING_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+       CAST((cum - n_tokens) // {PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {PACK_CTX} AS BIGINT) AS last_seq
+FROM c
+"""
+
+
+# --- dedup resolution ------------------------------------------------------
+
+
+def dedup_resolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup clusters to one KEPT document each: connected
+    components over the MinHash-LSH pair graph (reuses
+    ``dedup_clusters``'s CC), canonical = the longest document in the
+    cluster (tie: lowest doc_id) - the "keep best, drop rest" policy a
+    corpus dedup stage applies, where `best` is a quality signal
+    rather than the arbitrary min-id. Singletons keep themselves.
+
+    Scale shape: CC is the existing O(log^2 n) star-contraction; the
+    canonical pick is one map-combinable max_by per cluster joined
+    back - two narrow shuffles beyond the pair graph."""
+    from .clustering import dedup_clusters_query
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = dedup_clusters_query(spark, sf_dir).select("doc_id", "cluster_id")
+    membered = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    canon = membered.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")))
+        ).alias("canonical_id")
+    )
+    return membered.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
+def _resolution_oracle() -> str:
+    from .clustering import DEDUP_CLUSTERS_ORACLE_SQL
+
+    # Reuse the recursive-CTE component assignment, then pick the
+    # longest doc (tie: lowest id) per cluster.
+    inner = DEDUP_CLUSTERS_ORACLE_SQL.strip()
+    return f"""
+WITH comp AS ({inner}),
+membered AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         first_value(doc_id) OVER (
+             PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS canonical_id
+  FROM membered
+)
+SELECT doc_id, cluster_id, canonical_id,
+       doc_id = canonical_id AS keep
+FROM ranked
+"""
+
+
+DEDUP_RESOLUTION_ORACLE_SQL = _resolution_oracle()

@@ -289,6 +289,16 @@ from .operators.text import (
     token_count_query,
     vocab_top_terms_query,
 )
+from .operators.curation import (
+    DECONTAMINATION_ORACLE_SQL,
+    DEDUP_RESOLUTION_ORACLE_SQL,
+    GOPHER_QUALITY_ORACLE_SQL,
+    SEQUENCE_PACKING_ORACLE_SQL,
+    decontamination_query,
+    dedup_resolution_query,
+    gopher_quality_query,
+    sequence_packing_query,
+)
 from .operators.images import (
     COLOR_PALETTE_PNG_ORACLE_SQL,
     IMAGE_DECODE_ORACLE_SQL,
@@ -595,6 +605,10 @@ QUERIES = {
     "upsert_audit": upsert_audit_query,
     "image_decode": image_decode_query,
     "color_palette_png": color_palette_png_query,
+    "decontamination": decontamination_query,
+    "gopher_quality": gopher_quality_query,
+    "sequence_packing": sequence_packing_query,
+    "dedup_resolution": dedup_resolution_query,
 }
 
 ORACLES = {
@@ -604,6 +618,10 @@ ORACLES = {
     "upsert_audit": UPSERT_AUDIT_ORACLE_SQL,
     "image_decode": IMAGE_DECODE_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
+    "decontamination": DECONTAMINATION_ORACLE_SQL,
+    "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
+    "sequence_packing": SEQUENCE_PACKING_ORACLE_SQL,
+    "dedup_resolution": DEDUP_RESOLUTION_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
