@@ -186,6 +186,169 @@ FROM m
 """
 
 
+# --- repetition rules (the other half of Gopher's filter) -----------------
+
+TOP_GRAM_MAX_FRAC = 0.20  # most frequent 2-gram may cover <= 20% of grams
+DUP_GRAM_MAX_FRAC = 0.30  # fraction of non-distinct 3-grams <= 30%
+
+
+def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Rae et al. 2021 A1.1, the
+    repetition half of the Gopher filter): the coverage fraction of
+    the single most-frequent 2-gram, and the fraction of 3-grams that
+    are duplicates of an earlier 3-gram in the same document.
+
+    Scale shape: the duplicate fraction is pure per-row array algebra
+    (size vs array_distinct size - zero shuffle). The top-gram
+    fraction needs a per-(doc, gram) mode, which deliberately goes
+    through explode -> two map-combinable aggregations instead of a
+    quadratic count-each-distinct-gram-in-array expression: per-doc
+    work stays linear for 100k-token documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def grams_of(n: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+
+    base = docs.select(
+        "doc_id",
+        grams_of(2).alias("g2"),
+        grams_of(3).alias("g3"),
+    ).select(
+        "doc_id",
+        "g2",
+        F.size("g2").alias("n_g2"),
+        (
+            (F.size("g3") - F.size(F.array_distinct("g3")))
+            / F.greatest(F.size("g3"), F.lit(1))
+        ).alias("dup_g3_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode_outer("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.when(F.col("g").isNotNull(), F.col("c"))).alias("top_c"))
+    )
+    return (
+        base.drop("g2")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            (F.coalesce("top_c", F.lit(0)) / F.greatest("n_g2", F.lit(1))).alias(
+                "top_g2_frac"
+            ),
+            "dup_g3_frac",
+            (
+                (
+                    F.coalesce("top_c", F.lit(0)) / F.greatest("n_g2", F.lit(1))
+                    <= TOP_GRAM_MAX_FRAC
+                )
+                & (F.col("dup_g3_frac") <= DUP_GRAM_MAX_FRAC)
+            ).alias("rep_pass"),
+        )
+    )
+
+
+REPETITION_FILTER_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                        i -> array_to_string(w[i:i+1], ' ')) AS g2,
+         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS g3
+  FROM tok
+),
+base AS (
+  SELECT doc_id, g2, len(g2) AS n_g2,
+         (len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1)
+           AS dup_g3_frac
+  FROM g
+),
+ex AS (SELECT doc_id, unnest(g2) AS gram FROM base),
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(t.top_c, 0) / greatest(b.n_g2, 1) AS top_g2_frac,
+       b.dup_g3_frac,
+       (coalesce(t.top_c, 0) / greatest(b.n_g2, 1) <= {TOP_GRAM_MAX_FRAC})
+       AND (b.dup_g3_frac <= {DUP_GRAM_MAX_FRAC}) AS rep_pass
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+# --- temperature-scaled source mixing --------------------------------------
+
+MIX_TEMPERATURE = 0.5  # 1/T = 2: the weight power stays exact arithmetic
+
+
+def source_mixture_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for corpus mixing: raw token share
+    per source, re-weighted with a sampling temperature
+    (share^(1/T), renormalized - the multilingual/domain re-balancing
+    scheme of Conneau & Lample 2019). T = 0.5 keeps the power integral
+    (share^2), so both engines compute it as exact multiplication and
+    the oracle hash-compares doubles safely.
+
+    Scale shape: one map-combinable aggregation keyed by source plus a
+    broadcastable totals row - the fact table is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+    # share^2 / sum(share^2) == n_tokens^2 / sum(n_tokens^2): the
+    # total cancels, so the weight is ONE division of two exact
+    # integers - no engine-order-dependent double summation anywhere
+    # (a double sum of shares across sources can differ in the last
+    # ulp between engines and flicker the oracle hash).
+    powed = per_src.select(
+        "*", (F.col("n_tokens") * F.col("n_tokens")).alias("p")
+    )
+    z = powed.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("p").alias("z")
+    )
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("tot_tokens")).alias("raw_share"),
+            (F.col("p") / F.col("z")).alias("mix_weight"),
+        )
+    )
+
+
+SOURCE_MIXTURE_ORACLE_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / CAST((SELECT sum(n_tokens) FROM per_src) AS DOUBLE) AS raw_share,
+       CAST(n_tokens * n_tokens AS DOUBLE)
+         / CAST((SELECT sum(n_tokens * n_tokens) FROM per_src) AS DOUBLE)
+         AS mix_weight
+FROM per_src
+"""
+
+
 # --- sequence packing ------------------------------------------------------
 
 PACK_CTX = 128  # context length in whitespace tokens

@@ -294,10 +294,14 @@ from .operators.curation import (
     DEDUP_RESOLUTION_ORACLE_SQL,
     GOPHER_QUALITY_ORACLE_SQL,
     SEQUENCE_PACKING_ORACLE_SQL,
+    REPETITION_FILTER_ORACLE_SQL,
+    SOURCE_MIXTURE_ORACLE_SQL,
     decontamination_query,
     dedup_resolution_query,
     gopher_quality_query,
+    repetition_filter_query,
     sequence_packing_query,
+    source_mixture_query,
 )
 from .operators.images import (
     COLOR_PALETTE_PNG_ORACLE_SQL,
@@ -609,6 +613,8 @@ QUERIES = {
     "gopher_quality": gopher_quality_query,
     "sequence_packing": sequence_packing_query,
     "dedup_resolution": dedup_resolution_query,
+    "repetition_filter": repetition_filter_query,
+    "source_mixture": source_mixture_query,
 }
 
 ORACLES = {
@@ -622,6 +628,8 @@ ORACLES = {
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
     "sequence_packing": SEQUENCE_PACKING_ORACLE_SQL,
     "dedup_resolution": DEDUP_RESOLUTION_ORACLE_SQL,
+    "repetition_filter": REPETITION_FILTER_ORACLE_SQL,
+    "source_mixture": SOURCE_MIXTURE_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

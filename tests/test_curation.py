@@ -59,6 +59,35 @@ def test_sequence_packing_offsets_contiguous_per_shard(spark, sf_dir):
     df.unpersist()
 
 
+def test_repetition_metrics_bounded(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        repetition_filter_query,
+    )
+
+    df = repetition_filter_query(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    assert df.count() == docs.count()
+    assert df.filter((F.col("top_g2_frac") < 0) | (F.col("top_g2_frac") > 1)).count() == 0
+    assert df.filter((F.col("dup_g3_frac") < 0) | (F.col("dup_g3_frac") > 1)).count() == 0
+    df.unpersist()
+
+
+def test_source_mixture_weights_normalized(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        source_mixture_query,
+    )
+
+    rows = source_mixture_query(spark, sf_dir).collect()
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-9
+    # temperature < 1 flattens: the max source's weight share must not
+    # exceed its raw share ordering-wise... (T=0.5 sharpens: squares);
+    # verify the exact power relation instead
+    tot2 = sum(r.n_tokens**2 for r in rows)
+    for r in rows:
+        assert abs(r.mix_weight - r.n_tokens**2 / tot2) < 1e-12
+
+
 def test_dedup_resolution_one_keeper_per_cluster(spark, sf_dir):
     df = dedup_resolution_query(spark, sf_dir).cache()
     docs = load_table(spark, sf_dir, "documents")
