@@ -51,3 +51,80 @@ WHERE contains(text, '{SUBSTRING}')
    OR list_contains(string_split_regex(text, '\\s+'), '{TOKEN}')
    OR regexp_matches(text, '{PATTERN}')
 """
+
+
+# --- ranked retrieval ------------------------------------------------------
+
+QUERY_TERMS = ("join", "merge", "filter")
+
+
+def keyword_search_ranked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked retrieval - the ordering an ES user gets on
+    top of the boolean filters (VERDICT r2 "What's missing" #4). A
+    tf-idf-family score kept inside EXACT arithmetic so the oracle
+    hash-compares doubles safely: per query term,
+    ``tf * (N - df) / doc_len`` (tf, N, df integers; one double
+    division per term; terms added in fixed order). Rarer terms score
+    higher via the (N - df) factor - the same monotonic shape as
+    idf - without crossing engine-specific log/pow libm behavior.
+
+    Scale shape: term frequencies are per-row column expressions (no
+    explode); the three document frequencies reduce to one broadcast
+    scalar row - a single scan plus a tiny global aggregate. At
+    100 TB the df aggregation is the only full pass and it is
+    map-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    def tf_of(term: str):
+        # single-arg lambda: a 2-arg signature would be interpreted
+        # as pyspark's (element, index) form
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    tf_cols = [tf_of(t).alias(f"tf_{t}") for t in QUERY_TERMS]
+    base = docs.select("doc_id", F.size(toks).alias("doc_len"), *tf_cols)
+    dfs = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    score = None
+    for t in QUERY_TERMS:
+        part = (
+            F.col(f"tf_{t}") * (F.col("n_docs") - F.col(f"df_{t}"))
+        ) / F.col("doc_len")
+        score = part if score is None else score + part
+    return (
+        base.crossJoin(F.broadcast(dfs))
+        .select("doc_id", *[f"tf_{t}" for t in QUERY_TERMS], score.alias("score"))
+        .filter(F.col("score") > 0)
+    )
+
+
+def _ranked_oracle() -> str:
+    tf_exprs = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in QUERY_TERMS
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in QUERY_TERMS
+    )
+    score = " + ".join(
+        f"(tf_{t} * (n_docs - df_{t})) / doc_len" for t in QUERY_TERMS
+    )
+    tf_list = ", ".join(f"tf_{t}" for t in QUERY_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS doc_len, {tf_exprs}
+  FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w
+        FROM documents)
+),
+dfs AS (SELECT count(*) AS n_docs, {df_exprs} FROM base)
+SELECT doc_id, {tf_list}, {score} AS score
+FROM base CROSS JOIN dfs
+WHERE {score} > 0
+"""
+
+
+KEYWORD_SEARCH_RANKED_ORACLE_SQL = _ranked_oracle()

@@ -262,7 +262,12 @@ from .operators.topk import (
     recent_n_query,
     top_k_query,
 )
-from .operators.search import KEYWORD_SEARCH_ORACLE_SQL, keyword_search_query
+from .operators.search import (
+    KEYWORD_SEARCH_ORACLE_SQL,
+    KEYWORD_SEARCH_RANKED_ORACLE_SQL,
+    keyword_search_query,
+    keyword_search_ranked_query,
+)
 from .operators.similarity import (
     SIMILARITY_IVF_ORACLE_SQL,
     SIMILARITY_LSH_ORACLE_SQL,
@@ -615,6 +620,7 @@ QUERIES = {
     "dedup_resolution": dedup_resolution_query,
     "repetition_filter": repetition_filter_query,
     "source_mixture": source_mixture_query,
+    "keyword_search_ranked": keyword_search_ranked_query,
 }
 
 ORACLES = {
@@ -630,6 +636,7 @@ ORACLES = {
     "dedup_resolution": DEDUP_RESOLUTION_ORACLE_SQL,
     "repetition_filter": REPETITION_FILTER_ORACLE_SQL,
     "source_mixture": SOURCE_MIXTURE_ORACLE_SQL,
+    "keyword_search_ranked": KEYWORD_SEARCH_RANKED_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
