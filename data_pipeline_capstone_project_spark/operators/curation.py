@@ -51,9 +51,14 @@ def decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable re-aggregation keyed by doc - one real shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
+    # Materialized once: the train and benchmark branches both derive
+    # from this relation, and without a barrier each branch re-runs
+    # the md5-per-gram projection against its own scan (plus the
+    # isnotnull-pushdown substitution pathology documented in
+    # operators/dedup.py). Narrow (doc_id, gram-hash) rows.
     with_grams = docs.select(
         "doc_id", F.explode_outer(_gram_hashes(toks)).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     train = with_grams.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench_grams = (
         with_grams.filter(F.col("doc_id") % BENCH_MOD == 0)
