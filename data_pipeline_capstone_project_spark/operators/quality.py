@@ -32,6 +32,9 @@ def require_rows(df: DataFrame, table: str = "<df>") -> int:
 
 
 def require_no_nulls(df: DataFrame, col: str, table: str = "<df>") -> int:
+    # Gate ACTION, not a plan node: the collect() is a 1-row aggregate
+    # scalar (the violation count), never result data - the pattern is
+    # safe at any scale because the aggregation happens cluster-side.
     violations = df.agg(
         (F.count("*") - F.count(col)).alias("violations")
     ).collect()[0]["violations"]

@@ -566,3 +566,52 @@ SELECT vec_id, label,
        {_oracle_rp()}
 FROM embeddings
 """
+
+
+# --- ANN quality evaluation ------------------------------------------------
+
+
+def ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the sign-LSH ANN path against the exact
+    brute-force top-k, per query vector - the evaluation loop an ANN
+    deployment runs before trading exactness for scale. Pure
+    composition of the two existing plans: a semi-join counts how many
+    of each query's true top-k survive in the LSH result; the recall
+    division is two exact integers, so the oracle hash-compares
+    doubles safely."""
+    exact = similarity_topk_query(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = similarity_lsh_query(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        (F.coalesce("n_matched", F.lit(0)) / F.col("n_exact")).alias("recall"),
+    )
+
+
+ANN_RECALL_ORACLE_SQL = f"""
+WITH exact AS ({SIMILARITY_TOPK_ORACLE_SQL}),
+approx AS ({{LSH_SQL}}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_matched
+  FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id)
+  GROUP BY e.query_id
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT t.query_id, t.n_exact, coalesce(h.n_matched, 0) AS n_matched,
+       coalesce(h.n_matched, 0) / t.n_exact AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
+def _ann_recall_oracle() -> str:
+    return ANN_RECALL_ORACLE_SQL.replace("{LSH_SQL}", _lsh_oracle())

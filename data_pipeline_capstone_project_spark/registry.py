@@ -273,6 +273,8 @@ from .operators.similarity import (
     SIMILARITY_LSH_ORACLE_SQL,
     SIMILARITY_QUANTIZED_ORACLE_SQL,
     SIMILARITY_TOPK_ORACLE_SQL,
+    _ann_recall_oracle,
+    ann_recall_query,
     similarity_ivf_query,
     similarity_lsh_query,
     similarity_quantized_query,
@@ -621,6 +623,7 @@ QUERIES = {
     "repetition_filter": repetition_filter_query,
     "source_mixture": source_mixture_query,
     "keyword_search_ranked": keyword_search_ranked_query,
+    "ann_recall": ann_recall_query,
 }
 
 ORACLES = {
@@ -637,6 +640,7 @@ ORACLES = {
     "repetition_filter": REPETITION_FILTER_ORACLE_SQL,
     "source_mixture": SOURCE_MIXTURE_ORACLE_SQL,
     "keyword_search_ranked": KEYWORD_SEARCH_RANKED_ORACLE_SQL,
+    "ann_recall": _ann_recall_oracle(),
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -176,3 +176,14 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert c_by_supp == 8           # ...but the other column reads all
     assert z_by_order <= 4          # z-order: both dimensions skip
     assert z_by_supp <= 4
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
+    from data_pipeline_capstone_project_spark.sources.writers import write_orc
+
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
