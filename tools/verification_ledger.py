@@ -1,0 +1,102 @@
+"""Generate VERIFICATION.md: one row per registry entry recording
+every verification signal it has - driver CORRECTNESS rounds, local
+oracle sweeps (sf0.01 / sf0.1), and whether it sits inside the
+driver's 50-entry gate window this round.
+
+Usage: python tools/verification_ledger.py [sf001_log] [sf01_log]
+(logs are `tools/check_oracle.py` outputs; pass "-" to skip one).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_rounds() -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for path in sorted(os.listdir(REPO)):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        data = json.load(open(os.path.join(REPO, path)))
+        for name, row in data.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") in (True, None))
+            )
+            out.setdefault(name, []).append(
+                f"r{int(m.group(1))}{'' if ok else '(FAIL)'}"
+            )
+    return out
+
+
+def _local_log(path: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    if path == "-" or not os.path.isfile(path):
+        return out
+    for line in open(path, errors="replace"):
+        line = line.replace("\r", "\n").split("\n")[-1] if "\r" in line else line
+        m = re.match(r"^([a-z0-9_]+)\s+(OK|FAIL|rows-only)", line.strip())
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
+
+
+def main() -> None:
+    from data_pipeline_capstone_project_spark.registry import ORACLES, QUERIES
+
+    sf001 = _local_log(sys.argv[1] if len(sys.argv) > 1 else "-")
+    sf01 = _local_log(sys.argv[2] if len(sys.argv) > 2 else "-")
+    driver = _driver_rounds()
+
+    names = list(QUERIES)
+    lines = [
+        "# VERIFICATION — per-entry verification ledger",
+        "",
+        "Maintained so rotating the driver's 50-entry correctness-gate",
+        "window never silently drops coverage (VERDICT r2 / ADVICE r2):",
+        "every registry entry, with every verification signal on record.",
+        "`driver` = green row in a CORRECTNESS_r*.json; `sf0.01`/`sf0.1` =",
+        "local full-registry oracle sweeps (tools/check_oracle.py);",
+        "`window` = inside the first-50 gate window THIS round.",
+        "",
+        "| # | entry | oracle | window | driver | sf0.01 | sf0.1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for i, name in enumerate(names):
+        lines.append(
+            "| {} | {} | {} | {} | {} | {} | {} |".format(
+                i + 1,
+                name,
+                "yes" if name in ORACLES else "rows-only",
+                "yes" if i < 50 else "",
+                " ".join(driver.get(name, [])) or "-",
+                sf001.get(name, "-"),
+                sf01.get(name, "-"),
+            )
+        )
+    never_driver = [n for n in names if n not in driver]
+    lines += [
+        "",
+        f"Entries: {len(names)}. Never driver-checked: {len(never_driver)}",
+        f"({', '.join(never_driver) if never_driver else 'none'}).",
+        "Entries added after the round-3 window was fixed rotate into",
+        "the gate window next round.",
+    ]
+    with open(os.path.join(REPO, "VERIFICATION.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote VERIFICATION.md ({len(names)} entries, "
+          f"{len(never_driver)} never driver-checked)")
+
+
+if __name__ == "__main__":
+    main()
