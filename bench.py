@@ -122,7 +122,14 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # Hard exit: after a registry full of streaming/foreachBatch runs,
+    # spark.stop() has been observed to hang the process even though
+    # the JSON line is already printed (a stale bench held a JVM for
+    # 80+ minutes). The driver consumes stdout only; kill the JVM with
+    # the process instead of waiting on graceful teardown.
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -452,3 +452,113 @@ WHERE (p_type = 'PROMO'    AND l_quantity BETWEEN 1  AND 11 AND p_size <= 5)
    OR (p_type = 'STANDARD' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
    OR (p_type = 'LARGE'    AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
 """
+
+
+def customer_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    including zero-order customers - the left-outer-join + double
+    aggregation that trips engines which fuse the two group-bys. The
+    filtered join predicate (exclude 'special' priority orders) rides
+    the join, not a pre-filter on customer.
+
+    Scale shape: first aggregation is map-combinable per customer
+    after one shuffle keyed by custkey (AQE broadcasts nothing here -
+    both sides are fact-sized); the second group-by is over at most
+    |distinct order counts| rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+CUSTOMER_DISTRIBUTION_ORACLE_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def sales_opportunity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: acct-balance segments of customers with no
+    orders whose balance beats the positive-balance average - the
+    scalar-subquery + anti-join combination. The average is computed
+    in decimal (exact, order-free) and compared as one broadcast
+    scalar; customers without orders come from a left-anti join (the
+    engine's EXISTS-free spelling).
+
+    Scale shape: one broadcast scalar row, one anti-join shuffle keyed
+    by custkey, one map-combinable segment aggregation."""
+    # the fixture's customer table carries no phone column; the
+    # country segment comes from the nation key instead (same Q22
+    # shape: a derived low-cardinality segment column)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+        "c_acctbal",
+    )
+    # anti-join against the URGENT subset (customers with no urgent
+    # orders): the unfiltered form is vacuous on this fixture (nearly
+    # every customer has some order), which would make the oracle
+    # compare an empty set
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    # exact decimal sum, ONE double division - no engine-specific
+    # decimal-division scale rules in the compared value
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+SALES_OPPORTUNITY_ORACLE_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey % 10 AS cntrycode,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey % 10
+"""

@@ -410,6 +410,10 @@ from .operators.tpch import (
     revenue_filter_query,
     shipmode_priority_query,
     shipping_priority_query,
+    CUSTOMER_DISTRIBUTION_ORACLE_SQL,
+    SALES_OPPORTUNITY_ORACLE_SQL,
+    customer_distribution_query,
+    sales_opportunity_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import (
@@ -624,6 +628,8 @@ QUERIES = {
     "source_mixture": source_mixture_query,
     "keyword_search_ranked": keyword_search_ranked_query,
     "ann_recall": ann_recall_query,
+    "tpch_customer_distribution": customer_distribution_query,
+    "tpch_sales_opportunity": sales_opportunity_query,
 }
 
 ORACLES = {
@@ -641,6 +647,8 @@ ORACLES = {
     "source_mixture": SOURCE_MIXTURE_ORACLE_SQL,
     "keyword_search_ranked": KEYWORD_SEARCH_RANKED_ORACLE_SQL,
     "ann_recall": _ann_recall_oracle(),
+    "tpch_customer_distribution": CUSTOMER_DISTRIBUTION_ORACLE_SQL,
+    "tpch_sales_opportunity": SALES_OPPORTUNITY_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -162,3 +162,27 @@ def test_weighted_sample_prefers_heavy_weights(spark, sf_dir):
     # Inclusion probability rises with weight; with weights 1..5 the
     # sampled mean must sit clearly above the population mean.
     assert smp_mean > pop_mean + 0.3, (smp_mean, pop_mean)
+
+
+def test_customer_distribution_accounts_for_every_customer(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import (
+        customer_distribution_query,
+    )
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+    dist = customer_distribution_query(spark, sf_dir)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert dist.agg(F.sum("custdist")).collect()[0][0] == n_cust
+    # zero-order bucket exists only if the left join really is outer
+    assert dist.filter(F.col("c_count") == 0).count() <= 1
+
+
+def test_sales_opportunity_segments_disjoint_from_urgent(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.tpch import (
+        sales_opportunity_query,
+    )
+
+    rows = sales_opportunity_query(spark, sf_dir).collect()
+    assert rows, "fixture should produce non-empty segments"
+    for r in rows:
+        assert r.numcust > 0 and r.totacctbal > 0
