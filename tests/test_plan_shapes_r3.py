@@ -67,3 +67,13 @@ def test_gopher_quality_zero_shuffle(spark, sf_dir):
     )
 
     assert "Exchange" not in _plan(gopher_quality_query(spark, sf_dir))
+
+
+def test_repetition_filter_zero_shuffle(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        repetition_filter_query,
+    )
+
+    # the per-doc mode is sort+fold inside the scan projection - the
+    # explode + re-aggregation form this replaced cost two exchanges
+    assert "Exchange" not in _plan(repetition_filter_query(spark, sf_dir))
