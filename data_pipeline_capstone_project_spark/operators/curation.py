@@ -195,6 +195,7 @@ FROM m
 
 TOP_GRAM_MAX_FRAC = 0.20  # most frequent 2-gram may cover <= 20% of grams
 DUP_GRAM_MAX_FRAC = 0.30  # fraction of non-distinct 3-grams <= 30%
+_REP_M = 1_000_000_000_000_037  # prime near 1e15: (h % M) * 31 stays in int64
 
 
 def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,21 +209,42 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction - a per-document mode - is sort-the-array + one fold
     counting the longest equal run, all inside the scan projection:
     sorting groups equal grams adjacently, so the max run length IS
-    the mode count. For a 100k-token document that is an in-memory
-    O(n log n) sort per row, strictly cheaper than shuffling 100k
-    (doc, gram) string rows through an exchange (measured 3.1s ->
-    ~0.6s at sf0.1 vs the explode + two-aggregation form)."""
+    the mode count. Grams are INTEGER hashes folded from per-word
+    md5 hashes with exact modular arithmetic (one md5 per word, not
+    per gram; no gram strings are ever built - string gram
+    construction plus string sorts measured 3x slower), so for a
+    100k-token document the per-row cost is one word-hash pass plus
+    an O(n log n) long sort - strictly cheaper than shuffling 100k
+    (doc, gram) rows through an exchange. Cross-engine equality is
+    exact: the oracle folds the identical arithmetic; hash collisions
+    (~1e-9 at 1e15 space) would affect both engines identically."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
 
-    def grams_of(n: int):
+    M = _REP_M
+
+    def gram2(wh):
+        return F.zip_with(
+            F.slice(wh, 1, F.greatest(F.size(wh) - 1, F.lit(0))),
+            F.slice(wh, 2, F.greatest(F.size(wh) - 1, F.lit(0))),
+            lambda a, b: ((a % M) * 31 + b) % M,
+        )
+
+    def gram3(wh):
         return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0))),
+            lambda i: (
+                (
+                    ((F.element_at(wh, i) % M) * 31 + F.element_at(wh, i + 1)) % M
+                )
+                * 31
+                + F.element_at(wh, i + 2)
+            )
+            % M,
         )
 
     run_zero = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(-1).cast("long").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("best"),
     )
@@ -241,13 +263,24 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return F.aggregate(F.array_sort(arr), run_zero, step)["best"]
 
-    base = docs.select(
+    # Two selects, load-bearing (README lesson #1): downstream refers
+    # to wh/g2/g3 as COLUMNS referenced more than once, so
+    # CollapseProject keeps these projections separate and each array
+    # is built once per row.
+    hashed = docs.select(
         "doc_id",
-        F.size(grams_of(2)).alias("n_g2"),
-        longest_run(grams_of(2)).alias("top_c"),
+        F.transform(toks, lambda w: md5_word_hash(w)).alias("wh"),
+    )
+    staged = hashed.select(
+        "doc_id", gram2(F.col("wh")).alias("g2"), gram3(F.col("wh")).alias("g3")
+    )
+    base = staged.select(
+        "doc_id",
+        F.size("g2").alias("n_g2"),
+        longest_run(F.col("g2")).alias("top_c"),
         (
-            (F.size(grams_of(3)) - F.size(F.array_distinct(grams_of(3))))
-            / F.greatest(F.size(grams_of(3)), F.lit(1))
+            (F.size("g3") - F.size(F.array_distinct("g3")))
+            / F.greatest(F.size("g3"), F.lit(1))
         ).alias("dup_g3_frac"),
     )
     top_frac = F.col("top_c") / F.greatest("n_g2", F.lit(1))
@@ -264,14 +297,18 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REPETITION_FILTER_ORACLE_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '\\s+'),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS wh
+  FROM documents
 ),
 g AS (
   SELECT doc_id,
-         list_transform(range(1, greatest(len(w) - 1, 0) + 1),
-                        i -> array_to_string(w[i:i+1], ' ')) AS g2,
-         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                        i -> array_to_string(w[i:i+2], ' ')) AS g3
+         list_transform(range(1, greatest(len(wh) - 1, 0) + 1),
+           i -> ((wh[i] % {_REP_M}) * 31 + wh[i+1]) % {_REP_M}) AS g2,
+         list_transform(range(1, greatest(len(wh) - 2, 0) + 1),
+           i -> (((wh[i] % {_REP_M}) * 31 + wh[i+1]) % {_REP_M} * 31
+                 + wh[i+2]) % {_REP_M}) AS g3
   FROM tok
 ),
 base AS (
