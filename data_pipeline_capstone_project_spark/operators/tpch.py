@@ -562,3 +562,76 @@ WHERE c_acctbal > avg_bal
                     AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey % 10
 """
+
+
+def waiting_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's date columns):
+    suppliers who were the SOLE late shipper on a multi-supplier
+    order - the correlated exists + not-exists pair that exercises
+    semi-join and anti-join against the same fact at different
+    predicates. "Late" = shipped > 60 days after the order date.
+
+    Scale shape: the order-level structure (how many suppliers, how
+    many late suppliers) is ONE map-combinable aggregation over
+    lineitem x orders instead of two correlated per-row subqueries -
+    the relational decorrelation a warehouse engine applies to Q21;
+    the final filter is a broadcastable join back to the per-supplier
+    late rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    with_late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_order = with_late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    sole_late = (
+        with_late.filter("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        sole_late.join(sup, sole_late.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+WAITING_SUPPLIERS_ORACLE_SQL = """
+WITH with_late AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_suppliers
+  FROM with_late GROUP BY l_orderkey
+),
+sole_late AS (
+  SELECT DISTINCT w.l_orderkey, w.l_suppkey
+  FROM with_late w
+  JOIN per_order p ON w.l_orderkey = p.l_orderkey
+  WHERE w.late AND p.n_suppliers > 1 AND p.n_late_suppliers = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM sole_late JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""

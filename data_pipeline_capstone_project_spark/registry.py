@@ -414,6 +414,8 @@ from .operators.tpch import (
     SALES_OPPORTUNITY_ORACLE_SQL,
     customer_distribution_query,
     sales_opportunity_query,
+    WAITING_SUPPLIERS_ORACLE_SQL,
+    waiting_suppliers_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import (
@@ -630,6 +632,7 @@ QUERIES = {
     "ann_recall": ann_recall_query,
     "tpch_customer_distribution": customer_distribution_query,
     "tpch_sales_opportunity": sales_opportunity_query,
+    "tpch_waiting_suppliers": waiting_suppliers_query,
 }
 
 ORACLES = {
@@ -649,6 +652,7 @@ ORACLES = {
     "ann_recall": _ann_recall_oracle(),
     "tpch_customer_distribution": CUSTOMER_DISTRIBUTION_ORACLE_SQL,
     "tpch_sales_opportunity": SALES_OPPORTUNITY_ORACLE_SQL,
+    "tpch_waiting_suppliers": WAITING_SUPPLIERS_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
