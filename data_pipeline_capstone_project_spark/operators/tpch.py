@@ -635,3 +635,320 @@ SELECT s_name, count(*) AS numwait
 FROM sole_late JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 """
+
+
+Q4_START = "1997-01-01"
+Q4_END = "1997-04-01"
+
+
+def order_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the fixture has no l_commitdate /
+    l_receiptdate, so "late" = shipped > 30 days after the order
+    date): count orders per priority that had at least one late line,
+    in one quarter - the correlated EXISTS whose subquery references
+    BOTH tables.
+
+    Scale shape: a left-semi join on the order key with the late
+    predicate as a residual condition - Spark dedups the fact side
+    inside the semi join, so no distinct and one shuffle; the priority
+    roll-up is map-combinable over the few surviving rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_START) & (F.col("o_orderdate") < Q4_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_ORACLE_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o_orderdate <  TIMESTAMP '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_START = "1996-01-01"
+Q7_END = "1998-01-01"
+
+
+def volume_shipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year - supplier nation on the lineitem side, customer nation
+    on the order side, either direction, two years.
+
+    Scale shape: both nation dims broadcast (25 rows), the cross-
+    nation pair predicate evaluated as a residual AFTER the cheap
+    broadcast joins tag each row with its two nation names - the big
+    facts join once on their natural keys; no fact is scanned twice
+    for the two directions."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = F.broadcast(
+        nation.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust_nation = F.broadcast(
+        nation.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q7_START) & (F.col("l_shipdate") < Q7_END)
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust_nation, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_revenue().cast("decimal(38,6)")).cast("double").alias("revenue"))
+    )
+
+
+VOLUME_SHIPPING_ORACLE_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '{Q7_START}'
+  AND l_shipdate <  TIMESTAMP '{Q7_END}'
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+Q9_TYPE = "ECONOMY"
+
+
+def product_profit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp/ps_supplycost in the
+    fixture, so profit = revenue): profit from one product type by
+    supplier nation and order year - the five-way join whose part
+    filter must prune the fact BEFORE the wide joins.
+
+    Scale shape: the filtered part dim joins lineitem first (partkey),
+    so downstream joins see only matching lines; nation broadcast;
+    orders joined only for its date column."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q9_TYPE
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(_revenue().cast("decimal(38,6)")).cast("double").alias("sum_profit"))
+    )
+
+
+PRODUCT_PROFIT_ORACLE_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = '{Q9_TYPE}'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+Q10_START = "1996-07-01"
+Q10_END = "1996-10-01"
+
+
+def returned_items_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in one quarter - fact x fact join pruned by both date and return
+    flag before the shuffle, customer dim joined AFTER the per-customer
+    roll-up so the wide name/balance columns never ride the big join.
+
+    Scale shape: orders(quarter) x lineitem(returned) shuffle on
+    orderkey; per-customer agg is map-combinable; the top-20 is
+    TakeOrderedAndProject; the final customer/nation joins touch only
+    20 rows (broadcast)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_START) & (F.col("o_orderdate") < Q10_END)
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue().cast("decimal(38,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_custkey")
+        .limit(20)
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        F.broadcast(per_cust)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+RETURNED_ITEMS_ORACLE_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_START}'
+    AND o_orderdate <  TIMESTAMP '{Q10_END}'
+  GROUP BY o_custkey
+  ORDER BY revenue DESC, o_custkey
+  LIMIT 20
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def top_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over
+    one quarter - the view + scalar-max self-reference. The per-
+    supplier revenue is computed ONCE and compared against its own
+    max via a broadcast scalar, not a re-evaluated view; the compare
+    happens on the exact decimal so float round-off cannot split or
+    fake a tie.
+
+    Scale shape: one shuffle (suppkey roll-up), one broadcast scalar,
+    supplier dim joined to the (tiny) winner set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_START) & (F.col("l_shipdate") < Q15_END)
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue().cast("decimal(38,6)")).alias("rev_exact")
+    )
+    max_rev = revenue.agg(F.max("rev_exact").alias("max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_exact") == F.col("max_rev"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_exact").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_ORACLE_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_exact
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate <  TIMESTAMP '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
+"""
+
+
+Q17_BRAND = "Brand#3"
+
+
+def small_quantity_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that would be lost by dropping
+    small-quantity orders of one brand - the correlated scalar
+    subquery (per-part average quantity) decorrelated into a grouped
+    aggregate joined back to the fact.
+
+    Scale shape: the brand filter prunes part to a small dim that is
+    broadcast into BOTH passes over lineitem; the per-part average is
+    one map-combinable shuffle over only the brand's lines; the
+    final reduction is a single global row."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_ORACLE_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey AS avg_partkey, avg(l_quantity) * 0.2 AS qty_cut
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN per_part ON l_partkey = avg_partkey
+WHERE l_quantity < qty_cut
+"""

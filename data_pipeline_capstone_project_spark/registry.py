@@ -416,6 +416,18 @@ from .operators.tpch import (
     sales_opportunity_query,
     WAITING_SUPPLIERS_ORACLE_SQL,
     waiting_suppliers_query,
+    ORDER_PRIORITY_ORACLE_SQL,
+    PRODUCT_PROFIT_ORACLE_SQL,
+    RETURNED_ITEMS_ORACLE_SQL,
+    SMALL_QUANTITY_REVENUE_ORACLE_SQL,
+    TOP_SUPPLIER_ORACLE_SQL,
+    VOLUME_SHIPPING_ORACLE_SQL,
+    order_priority_query,
+    product_profit_query,
+    returned_items_query,
+    small_quantity_revenue_query,
+    top_supplier_query,
+    volume_shipping_query,
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import (
@@ -633,6 +645,12 @@ QUERIES = {
     "tpch_customer_distribution": customer_distribution_query,
     "tpch_sales_opportunity": sales_opportunity_query,
     "tpch_waiting_suppliers": waiting_suppliers_query,
+    "tpch_order_priority": order_priority_query,
+    "tpch_volume_shipping": volume_shipping_query,
+    "tpch_product_profit": product_profit_query,
+    "tpch_returned_items": returned_items_query,
+    "tpch_top_supplier": top_supplier_query,
+    "tpch_small_qty_revenue": small_quantity_revenue_query,
 }
 
 ORACLES = {
@@ -653,6 +671,12 @@ ORACLES = {
     "tpch_customer_distribution": CUSTOMER_DISTRIBUTION_ORACLE_SQL,
     "tpch_sales_opportunity": SALES_OPPORTUNITY_ORACLE_SQL,
     "tpch_waiting_suppliers": WAITING_SUPPLIERS_ORACLE_SQL,
+    "tpch_order_priority": ORDER_PRIORITY_ORACLE_SQL,
+    "tpch_volume_shipping": VOLUME_SHIPPING_ORACLE_SQL,
+    "tpch_product_profit": PRODUCT_PROFIT_ORACLE_SQL,
+    "tpch_returned_items": RETURNED_ITEMS_ORACLE_SQL,
+    "tpch_top_supplier": TOP_SUPPLIER_ORACLE_SQL,
+    "tpch_small_qty_revenue": SMALL_QUANTITY_REVENUE_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
