@@ -522,3 +522,176 @@ FROM ranked
 
 
 DEDUP_RESOLUTION_ORACLE_SQL = _resolution_oracle()
+
+
+# --- corpus-level duplicated-n-gram fraction --------------------------------
+
+DUP_NGRAM_N = DECONTAM_N  # same 8-gram family as decontamination
+DUP_FRAC_MAX = 0.5  # drop docs more than half made of corpus-duplicated grams
+
+
+def corpus_dup_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 8-grams that occur in at
+    least one OTHER document - the corpus-level duplication signal
+    behind exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): suffix-array
+    dedup removes shared substrings; this operator measures the same
+    sharing at fixed n-gram granularity, which is the shuffle-friendly
+    spelling of it.
+
+    Scale shape: documents reduce to per-doc-DISTINCT (doc, gram-hash)
+    pairs once (localCheckpoint barrier - both the gram-frequency
+    branch and the join-back branch reuse the relation without
+    re-hashing). The gram document-frequency is ONE map-combinable
+    shuffle keyed by gram; the join back is on the same gram key -
+    under AQE the duplicated-gram side (web corpora: a small fraction
+    of the distinct-gram space) broadcasts or co-partitions with the
+    first shuffle's output. No pair of documents is ever compared
+    directly: cost is linear in total grams at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_grams = docs.select(
+        "doc_id", F.explode_outer(_gram_hashes(tokens_col())).alias("gram")
+    ).localCheckpoint(eager=False)
+    # one row per (doc, gram), grams per-doc distinct => count(*) is
+    # the gram's document frequency
+    dup_grams = (
+        with_grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        with_grams.join(dup_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("is_dup").alias("n_dup_grams"),
+        )
+    )
+    dup_frac = F.col("n_dup_grams") / F.greatest("n_grams", F.lit(1))
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= DUP_FRAC_MAX).alias("unique_pass"),
+    )
+
+
+CORPUS_DUP_NGRAMS_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - {DUP_NGRAM_N} + 1, 0) + 1),
+           i -> ('0x' || substr(md5(array_to_string(w[i:i+{DUP_NGRAM_N}-1], ' ')), 1, 15))::BIGINT
+         )) AS gs
+  FROM tok
+),
+pairs AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+dup AS (SELECT gram FROM pairs GROUP BY gram HAVING count(*) >= 2),
+per_doc AS (
+  SELECT p.doc_id,
+         count(p.gram) AS n_grams,
+         count(d.gram) AS n_dup_grams
+  FROM pairs p LEFT JOIN dup d ON p.gram = d.gram
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       n_dup_grams / greatest(n_grams, 1) AS dup_frac,
+       n_dup_grams / greatest(n_grams, 1) <= {DUP_FRAC_MAX} AS unique_pass
+FROM per_doc
+"""
+
+
+# --- unigram-LM rarity score (perplexity-filter proxy) ----------------------
+
+IPF_SCALE = 1_000_000  # fixed-point scale for exact inverse-frequency
+RARITY_MIN = 1.0  # mean inverse probability is >= 1 by construction
+RARITY_MAX = 50_000.0  # drop gibberish tails
+
+
+def lm_rarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean inverse unigram probability - the engine's
+    perplexity-filter stage (Wenzek et al. 2019, CCNet, filters on a
+    KenLM score; the unsmoothed unigram arithmetic-mean variant keeps
+    the same too-common/too-rare ranking while staying exactly
+    portable across engines). For token w with corpus count c(w) and
+    corpus size N, the token's inverse probability N/c(w) is computed
+    in fixed-point integer arithmetic (floor(N*1e6 / c)), summed
+    exactly as BIGINT, and divided ONCE at the end - no float sum
+    whose order could differ between engines. Common-word boilerplate
+    scores near 1; random strings score near N.
+
+    Scale shape: tokens reduce to per-doc word counts (one
+    map-combinable shuffle keyed by (doc, word-hash)); the corpus
+    frequency table is a second map-combinable shuffle keyed by
+    word-hash (vocab-sized output, Zipf-bounded); the join back is
+    vocab x per-doc-distinct-words on the word key; the scalar N
+    broadcasts. Nothing is ever per-token past the first combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(tokens_col(), lambda w: md5_word_hash(w))
+        ).alias("w"),
+    ).localCheckpoint(eager=False)
+    doc_words = words.filter(F.col("w").isNotNull()).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c_dw")
+    )
+    freq = doc_words.groupBy("w").agg(F.sum("c_dw").alias("c_w"))
+    total = freq.agg(F.sum("c_w").alias("n_total"))
+    scored = (
+        doc_words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dw").alias("n_tokens"),
+            F.sum(
+                F.col("c_dw")
+                * F.floor(F.lit(IPF_SCALE) * F.col("n_total") / F.col("c_w")).cast(
+                    "long"
+                )
+            ).alias("ipf_sum"),
+        )
+    )
+    rarity = F.col("ipf_sum") / (F.col("n_tokens") * F.lit(float(IPF_SCALE)))
+    all_docs = docs.select("doc_id")
+    return all_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce(rarity, F.lit(0.0)).alias("mean_ipf"),
+        (
+            F.coalesce(rarity, F.lit(0.0)).between(RARITY_MIN, RARITY_MAX)
+        ).alias("rarity_pass"),
+    )
+
+
+LM_RARITY_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split_regex(text, '\\s+'),
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS w
+  FROM documents
+),
+doc_words AS (
+  SELECT doc_id, w, count(*) AS c_dw FROM tok GROUP BY doc_id, w
+),
+freq AS (SELECT w, sum(c_dw) AS c_w FROM doc_words GROUP BY w),
+total AS (SELECT sum(c_w) AS n_total FROM freq),
+scored AS (
+  SELECT doc_id,
+         sum(c_dw) AS n_tokens,
+         sum(c_dw * CAST(floor({IPF_SCALE} * n_total / c_w) AS BIGINT)) AS ipf_sum
+  FROM doc_words JOIN freq USING (w) CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(s.ipf_sum / (s.n_tokens * {float(IPF_SCALE)}), 0.0) AS mean_ipf,
+       coalesce(s.ipf_sum / (s.n_tokens * {float(IPF_SCALE)}), 0.0)
+         BETWEEN {RARITY_MIN} AND {RARITY_MAX} AS rarity_pass
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""

@@ -303,9 +303,13 @@ from .operators.curation import (
     SEQUENCE_PACKING_ORACLE_SQL,
     REPETITION_FILTER_ORACLE_SQL,
     SOURCE_MIXTURE_ORACLE_SQL,
+    CORPUS_DUP_NGRAMS_ORACLE_SQL,
+    LM_RARITY_ORACLE_SQL,
+    corpus_dup_ngrams_query,
     decontamination_query,
     dedup_resolution_query,
     gopher_quality_query,
+    lm_rarity_query,
     repetition_filter_query,
     sequence_packing_query,
     source_mixture_query,
@@ -651,6 +655,8 @@ QUERIES = {
     "tpch_returned_items": returned_items_query,
     "tpch_top_supplier": top_supplier_query,
     "tpch_small_qty_revenue": small_quantity_revenue_query,
+    "corpus_dup_ngrams": corpus_dup_ngrams_query,
+    "lm_rarity": lm_rarity_query,
 }
 
 ORACLES = {
@@ -677,6 +683,8 @@ ORACLES = {
     "tpch_returned_items": RETURNED_ITEMS_ORACLE_SQL,
     "tpch_top_supplier": TOP_SUPPLIER_ORACLE_SQL,
     "tpch_small_qty_revenue": SMALL_QUANTITY_REVENUE_ORACLE_SQL,
+    "corpus_dup_ngrams": CORPUS_DUP_NGRAMS_ORACLE_SQL,
+    "lm_rarity": LM_RARITY_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
