@@ -433,6 +433,7 @@ from .operators.tpch import (
     top_supplier_query,
     volume_shipping_query,
 )
+from .operators.kmeans import KMEANS_LLOYD_ORACLE_SQL, kmeans_lloyd_query
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import (
     PAGERANK_ORACLE_SQL,
@@ -657,6 +658,7 @@ QUERIES = {
     "tpch_small_qty_revenue": small_quantity_revenue_query,
     "corpus_dup_ngrams": corpus_dup_ngrams_query,
     "lm_rarity": lm_rarity_query,
+    "kmeans_lloyd": kmeans_lloyd_query,
 }
 
 ORACLES = {
@@ -685,6 +687,7 @@ ORACLES = {
     "tpch_small_qty_revenue": SMALL_QUANTITY_REVENUE_ORACLE_SQL,
     "corpus_dup_ngrams": CORPUS_DUP_NGRAMS_ORACLE_SQL,
     "lm_rarity": LM_RARITY_ORACLE_SQL,
+    "kmeans_lloyd": KMEANS_LLOYD_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
