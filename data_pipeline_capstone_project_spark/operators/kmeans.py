@@ -161,3 +161,142 @@ c2 AS ({update.format(assigned='a2')})
 
 
 KMEANS_LLOYD_ORACLE_SQL = _kmeans_oracle()
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+# cosine threshold as an exact rational: cos >= SEM_TAU_NUM/SEM_TAU_DEN
+# (0.4: same operating point as dedup_embedding_cosine's verify stage)
+SEM_TAU_NUM = 2
+SEM_TAU_DEN = 5
+
+
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus semantically,
+    then compare ONLY within clusters - pairs split across clusters
+    are never enumerated. A vector is dropped when a lower-id member
+    of its own cluster is cosine-similar above the threshold; the
+    lowest id of each near-dup group survives.
+
+    The cosine test is exact integer arithmetic end-to-end: with the
+    2^20 fixed-point vectors, ``cos(a,b) >= t`` (for positive dot)
+    rewrites as ``den^2 * dot^2 >= num^2 * |a|^2 * |b|^2`` - BIGINT
+    dots widened to DECIMAL(38,0) for the squares (~1e28, well inside
+    38 digits; the oracle uses HUGEINT), so no sqrt, no float, no
+    engine divergence at the threshold boundary.
+
+    Scale shape: the pair space is quadratic only WITHIN a cluster -
+    that is SemDeDup's whole design: k grows with the corpus
+    (k ~ n / target_cluster_size, e.g. 50k clusters for LAION-440M in
+    the paper) so per-cluster membership, and with it the per-task
+    pair count, stays bounded. Here the self-join shuffles both sides
+    by cluster id once; everything after is projection + one
+    map-combinable exists-aggregation keyed by the higher vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select(
+        "vec_id", _quant(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=False)
+    centroids = vectors.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("q").alias("c")
+    )
+    for _ in range(LLOYD_ITERS):
+        centroids = _update(_assign(vectors, centroids))
+    members = _assign(vectors, centroids).select("vec_id", "cluster", "q")
+    a = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("a_q"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("b_q"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_q"), F.col("b_q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cluster",
+            "a_id",
+            "b_id",
+            dot.alias("dot"),
+            _sq_dist(F.col("a_q"), F.array_repeat(F.lit(0).cast("long"), DIM)).alias(
+                "na2"
+            ),
+            _sq_dist(F.col("b_q"), F.array_repeat(F.lit(0).cast("long"), DIM)).alias(
+                "nb2"
+            ),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                dec(F.col("dot")) * dec(F.col("dot")) * F.lit(SEM_TAU_DEN * SEM_TAU_DEN)
+                >= dec(F.col("na2")) * dec(F.col("nb2")) * F.lit(SEM_TAU_NUM * SEM_TAU_NUM)
+            )
+        )
+    )
+    dropped = pairs.groupBy(F.col("b_id").alias("vec_id")).agg(
+        F.min("a_id").alias("dup_of")
+    )
+    return (
+        members.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce("dup_of", F.col("vec_id")).alias("canonical_id"),
+        )
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, {DIM} + 1), "
+        "i -> a.qv[i] * b.qv[i])), (x, y) -> x + y)"
+    )
+    norm = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, {DIM} + 1), "
+        "i -> {v}.qv[i] * {v}.qv[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH members AS ({KMEANS_LLOYD_ORACLE_SQL.strip()}),
+q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * {float(Q_SCALE)}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT ma.vec_id AS a_id, mb.vec_id AS b_id,
+         {dot} AS dot,
+         {norm.format(v='a')} AS na2,
+         {norm.format(v='b')} AS nb2
+  FROM members ma
+  JOIN members mb ON ma.cluster = mb.cluster AND ma.vec_id < mb.vec_id
+  JOIN q a ON a.vec_id = ma.vec_id
+  JOIN q b ON b.vec_id = mb.vec_id
+),
+dropped AS (
+  SELECT b_id AS vec_id, min(a_id) AS dup_of
+  FROM pairs
+  WHERE dot > 0
+    AND CAST(dot AS HUGEINT) * dot * {SEM_TAU_DEN * SEM_TAU_DEN}
+        >= CAST(na2 AS HUGEINT) * nb2 * {SEM_TAU_NUM * SEM_TAU_NUM}
+  GROUP BY b_id
+)
+SELECT m.vec_id, m.cluster,
+       d.dup_of IS NULL AS keep,
+       coalesce(d.dup_of, m.vec_id) AS canonical_id
+FROM members m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+
+SEMANTIC_DEDUP_ORACLE_SQL = _semantic_dedup_oracle()

@@ -433,7 +433,12 @@ from .operators.tpch import (
     top_supplier_query,
     volume_shipping_query,
 )
-from .operators.kmeans import KMEANS_LLOYD_ORACLE_SQL, kmeans_lloyd_query
+from .operators.kmeans import (
+    KMEANS_LLOYD_ORACLE_SQL,
+    SEMANTIC_DEDUP_ORACLE_SQL,
+    kmeans_lloyd_query,
+    semantic_dedup_query,
+)
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import (
     PAGERANK_ORACLE_SQL,
@@ -659,6 +664,7 @@ QUERIES = {
     "corpus_dup_ngrams": corpus_dup_ngrams_query,
     "lm_rarity": lm_rarity_query,
     "kmeans_lloyd": kmeans_lloyd_query,
+    "semantic_dedup": semantic_dedup_query,
 }
 
 ORACLES = {
@@ -688,6 +694,7 @@ ORACLES = {
     "corpus_dup_ngrams": CORPUS_DUP_NGRAMS_ORACLE_SQL,
     "lm_rarity": LM_RARITY_ORACLE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_ORACLE_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

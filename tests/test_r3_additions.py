@@ -176,3 +176,21 @@ def test_kmeans_assignment_is_broadcast_not_window(spark, sf_dir):
     # argmin via min-struct aggregation, never a per-vector sort window
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_dedup_canonicals_survive(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.kmeans import (
+        semantic_dedup_query,
+    )
+
+    rows = semantic_dedup_query(spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert any(not r.keep for r in rows)  # fixture plants near-dups
+    for r in rows:
+        # keep <=> self-canonical; dropped vectors point to a LOWER id
+        # in the SAME cluster (the canonical may itself be dropped in
+        # a chain a~b~c without a~c - the pairwise rule, not CC)
+        assert r.keep == (r.canonical_id == r.vec_id)
+        if not r.keep:
+            assert r.canonical_id < r.vec_id
+            assert by_id[r.canonical_id].cluster == r.cluster
