@@ -695,3 +695,133 @@ SELECT d.doc_id,
          BETWEEN {RARITY_MIN} AND {RARITY_MAX} AS rarity_pass
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
+
+
+# --- end-to-end curation funnel --------------------------------------------
+
+
+def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation decision per document: quality rules ->
+    repetition rules -> exact dedup -> benchmark decontamination,
+    composed in the order a production pipeline applies them, with the
+    first failing stage named per doc. This is the end-to-end answer
+    to "which of my 100 TB survives, and why was each drop dropped" -
+    the drop-reason histogram is the first thing a curation run
+    reports (C4, Gopher, RefinedWeb all publish exactly this funnel).
+
+    Scale shape: the two rule stages (:func:`gopher_quality_query`,
+    :func:`repetition_filter_query`) are zero-shuffle scan
+    projections; their flag outputs join on doc_id - rows entering
+    these joins are (id, bool) narrow whatever the corpus width. The
+    dedup keep-set and the contamination set are the outputs of their
+    own (already shuffle-minimal) stages, joined by the same key. Four
+    narrow hash joins on the same key, AQE-broadcastable as the flag
+    sets shrink; the document TEXT is scanned by each text stage and
+    never shuffled.
+
+    `benchmark` docs (the decontamination holdout) are excluded from
+    training by definition - they fail first with 'benchmark'.
+
+    The funnel's quality stage reuses :func:`gopher_quality_query`'s
+    METRIC columns but drops the stopword rule from the conjunction:
+    the synthetic corpus contains no English stopwords at all
+    (measured 0% pass on that one rule), which would collapse the
+    whole funnel into 'gopher' and leave every later stage untested.
+    A real deployment keeps the full conjunction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gq = gopher_quality_query(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("n_words").between(50, 100_000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_frac") >= 0.8)
+        ).alias("gopher_pass"),
+    )
+    rep = repetition_filter_query(spark, sf_dir).select("doc_id", "rep_pass")
+    from .dedup import dedup_exact_query
+
+    keep_set = dedup_exact_query(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("in_keep")
+    )
+    decon = decontamination_query(spark, sf_dir).select("doc_id", "contaminated")
+    joined = (
+        docs.join(gq, "doc_id")
+        .join(rep, "doc_id")
+        .join(keep_set, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "rep_pass",
+            F.coalesce("in_keep", F.lit(False)).alias("dedup_keep"),
+            (~F.coalesce("contaminated", F.lit(True))).alias("decontam_pass"),
+            (F.col("doc_id") % BENCH_MOD == 0).alias("benchmark"),
+        )
+    )
+    first_fail = (
+        F.when(F.col("benchmark"), "benchmark")
+        .when(~F.col("gopher_pass"), "gopher")
+        .when(~F.col("rep_pass"), "repetition")
+        .when(~F.col("dedup_keep"), "duplicate")
+        .when(~F.col("decontam_pass"), "contaminated")
+        .otherwise("kept")
+    )
+    return joined.select(
+        "doc_id",
+        "gopher_pass",
+        "rep_pass",
+        "dedup_keep",
+        "decontam_pass",
+        first_fail.alias("first_fail"),
+        (first_fail == "kept").alias("final_keep"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from .dedup import DEDUP_EXACT_ORACLE_SQL
+
+    return f"""
+WITH gq_full AS ({GOPHER_QUALITY_ORACLE_SQL.strip()}),
+gq AS (
+  SELECT doc_id,
+         (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_ratio <= 0.1
+         AND alpha_frac >= 0.8 AS gopher_pass
+  FROM gq_full
+),
+rep AS ({REPETITION_FILTER_ORACLE_SQL.strip()}),
+de AS ({DEDUP_EXACT_ORACLE_SQL.strip()}),
+dc AS ({DECONTAMINATION_ORACLE_SQL.strip()}),
+flags AS (
+  SELECT d.doc_id,
+         gq.gopher_pass,
+         rep.rep_pass,
+         (k.keep_doc_id IS NOT NULL) AS dedup_keep,
+         NOT coalesce(dc.contaminated, TRUE) AS decontam_pass,
+         d.doc_id % {BENCH_MOD} = 0 AS benchmark
+  FROM documents d
+  JOIN gq USING (doc_id)
+  JOIN rep USING (doc_id)
+  LEFT JOIN (SELECT keep_doc_id FROM de) k ON d.doc_id = k.keep_doc_id
+  LEFT JOIN dc ON d.doc_id = dc.doc_id
+)
+SELECT doc_id, gopher_pass, rep_pass, dedup_keep, decontam_pass,
+       CASE WHEN benchmark THEN 'benchmark'
+            WHEN NOT gopher_pass THEN 'gopher'
+            WHEN NOT rep_pass THEN 'repetition'
+            WHEN NOT dedup_keep THEN 'duplicate'
+            WHEN NOT decontam_pass THEN 'contaminated'
+            ELSE 'kept' END AS first_fail,
+       CASE WHEN benchmark THEN 'benchmark'
+            WHEN NOT gopher_pass THEN 'gopher'
+            WHEN NOT rep_pass THEN 'repetition'
+            WHEN NOT dedup_keep THEN 'duplicate'
+            WHEN NOT decontam_pass THEN 'contaminated'
+            ELSE 'kept' END = 'kept' AS final_keep
+FROM flags
+"""
+
+
+CURATION_FUNNEL_ORACLE_SQL = _funnel_oracle()

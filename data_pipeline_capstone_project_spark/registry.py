@@ -304,8 +304,10 @@ from .operators.curation import (
     REPETITION_FILTER_ORACLE_SQL,
     SOURCE_MIXTURE_ORACLE_SQL,
     CORPUS_DUP_NGRAMS_ORACLE_SQL,
+    CURATION_FUNNEL_ORACLE_SQL,
     LM_RARITY_ORACLE_SQL,
     corpus_dup_ngrams_query,
+    curation_funnel_query,
     decontamination_query,
     dedup_resolution_query,
     gopher_quality_query,
@@ -665,6 +667,7 @@ QUERIES = {
     "lm_rarity": lm_rarity_query,
     "kmeans_lloyd": kmeans_lloyd_query,
     "semantic_dedup": semantic_dedup_query,
+    "curation_funnel": curation_funnel_query,
 }
 
 ORACLES = {
@@ -695,6 +698,7 @@ ORACLES = {
     "lm_rarity": LM_RARITY_ORACLE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_ORACLE_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_ORACLE_SQL,
+    "curation_funnel": CURATION_FUNNEL_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -194,3 +194,18 @@ def test_semantic_dedup_canonicals_survive(spark, sf_dir):
         if not r.keep:
             assert r.canonical_id < r.vec_id
             assert by_id[r.canonical_id].cluster == r.cluster
+
+
+def test_curation_funnel_consistency(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        curation_funnel_query,
+    )
+
+    rows = curation_funnel_query(spark, sf_dir).collect()
+    reasons = {r.first_fail for r in rows}
+    # the funnel must actually exercise more than one stage
+    assert "kept" in reasons and len(reasons) >= 3
+    for r in rows:
+        assert r.final_keep == (r.first_fail == "kept")
+        if r.first_fail == "kept":
+            assert r.gopher_pass and r.rep_pass and r.dedup_keep and r.decontam_pass
