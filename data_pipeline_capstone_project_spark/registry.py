@@ -435,6 +435,7 @@ from .operators.tpch import (
     top_supplier_query,
     volume_shipping_query,
 )
+from .sources.api_source import API_INGEST_ORACLE_SQL, api_ingest_query
 from .operators.kmeans import (
     KMEANS_LLOYD_ORACLE_SQL,
     SEMANTIC_DEDUP_ORACLE_SQL,
@@ -668,6 +669,7 @@ QUERIES = {
     "kmeans_lloyd": kmeans_lloyd_query,
     "semantic_dedup": semantic_dedup_query,
     "curation_funnel": curation_funnel_query,
+    "api_ingest": api_ingest_query,
 }
 
 ORACLES = {
@@ -699,6 +701,7 @@ ORACLES = {
     "kmeans_lloyd": KMEANS_LLOYD_ORACLE_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_ORACLE_SQL,
     "curation_funnel": CURATION_FUNNEL_ORACLE_SQL,
+    "api_ingest": API_INGEST_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

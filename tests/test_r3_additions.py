@@ -209,3 +209,38 @@ def test_curation_funnel_consistency(spark, sf_dir):
         assert r.final_keep == (r.first_fail == "kept")
         if r.first_fail == "kept":
             assert r.gopher_pass and r.rep_pass and r.dedup_keep and r.decontam_pass
+
+
+# --- custom Python data source ----------------------------------------------
+
+
+def test_api_source_partitions_fan_out(spark):
+    from data_pipeline_capstone_project_spark.sources.api_source import (
+        API_PARTITIONS,
+        API_ROWS,
+        register_social_api,
+    )
+
+    register_social_api(spark)
+    posts = spark.read.format("social_api").load()
+    # executors fetch pages in parallel: one task per InputPartition
+    assert posts.rdd.getNumPartitions() == API_PARTITIONS
+    assert posts.count() == API_ROWS
+    # post_id is globally unique across partitions (no page overlap)
+    assert posts.select("post_id").distinct().count() == API_ROWS
+
+
+def test_api_source_honors_options(spark):
+    from data_pipeline_capstone_project_spark.sources.api_source import (
+        register_social_api,
+    )
+
+    register_social_api(spark)
+    posts = (
+        spark.read.format("social_api")
+        .option("rows", "100")
+        .option("partitions", "3")
+        .load()
+    )
+    assert posts.count() == 100
+    assert posts.rdd.getNumPartitions() == 3
