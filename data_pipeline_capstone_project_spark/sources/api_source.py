@@ -1,10 +1,11 @@
 """Custom Python Data Source: the reference's HTTP API-ingest seam as
 a first-class Spark source.
 
-The reference pulls post/user JSON from the Instagram Graph API inside
-Lambdas (``get_instagram_data.py``, SURVEY §2.1 S10 - previously
-declared out of engine scope because a side-effecting HTTP fetch is
-not a relational operator). Spark 4's Python Data Source API
+The reference fetches media/stats over HTTP inside its Lambdas
+(``s3-to-es_aws.py:101,113,121``, ``statsApp.py:117`` - SURVEY §2.1
+S10, previously declared out of engine scope because a side-effecting
+HTTP fetch is not a relational operator). Spark 4's Python Data Source
+API
 (``pyspark.sql.datasource``) is the idiomatic way to bring such an
 ingest INTO the engine: the source declares its schema and partitions,
 executors pull their own partition's pages in parallel, and the result
