@@ -344,6 +344,7 @@ from .streaming.dedup_stream import (
     STREAMING_DEDUP_ORACLE_SQL,
     streaming_dedup_query,
 )
+from .streaming.api_stream import streaming_api_ingest_query
 from .streaming.lsh_dedup_stream import streaming_lsh_dedup_query
 from .streaming.join_stream import (
     STREAMING_JOIN_ORACLE_SQL,
@@ -670,6 +671,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup_query,
     "curation_funnel": curation_funnel_query,
     "api_ingest": api_ingest_query,
+    "streaming_api_ingest": streaming_api_ingest_query,
 }
 
 ORACLES = {
@@ -702,6 +704,9 @@ ORACLES = {
     "semantic_dedup": SEMANTIC_DEDUP_ORACLE_SQL,
     "curation_funnel": CURATION_FUNNEL_ORACLE_SQL,
     "api_ingest": API_INGEST_ORACLE_SQL,
+    # the incremental two-epoch crawl must reproduce the one-shot
+    # batch crawl exactly - same oracle, hash-compared
+    "streaming_api_ingest": API_INGEST_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

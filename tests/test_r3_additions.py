@@ -244,3 +244,36 @@ def test_api_source_honors_options(spark):
     )
     assert posts.count() == 100
     assert posts.rdd.getNumPartitions() == 3
+
+
+def test_streaming_api_ingest_is_incremental(spark, tmp_path):
+    """Epoch 2 must consume ONLY pages beyond the committed offset:
+    after a first run over the full corpus, a rerun with the same
+    checkpoint adds zero rows."""
+    import glob
+
+    from data_pipeline_capstone_project_spark.streaming.api_stream import (
+        _register_stream_source,
+    )
+    from data_pipeline_capstone_project_spark.sources.api_source import _SCHEMA
+
+    _register_stream_source(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run(rows):
+        q = (
+            spark.readStream.format("social_api_stream")
+            .option("rows", str(rows))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(_SCHEMA).parquet(sink).count()
+
+    assert run(500) == 500
+    assert run(500) == 500  # restart, no new pages: nothing re-fetched
+    assert run(800) == 800  # growth: only pages 500..800 consumed
