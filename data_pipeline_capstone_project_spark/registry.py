@@ -436,6 +436,14 @@ from .operators.tpch import (
     top_supplier_query,
     volume_shipping_query,
 )
+from .operators.tpch_supply import (
+    IMPORTANT_STOCK_ORACLE_SQL,
+    MIN_COST_SUPPLIER_ORACLE_SQL,
+    PART_PROMOTION_ORACLE_SQL,
+    important_stock_query,
+    min_cost_supplier_query,
+    part_promotion_query,
+)
 from .sources.api_source import API_INGEST_ORACLE_SQL, api_ingest_query
 from .operators.kmeans import (
     KMEANS_LLOYD_ORACLE_SQL,
@@ -672,6 +680,9 @@ QUERIES = {
     "curation_funnel": curation_funnel_query,
     "api_ingest": api_ingest_query,
     "streaming_api_ingest": streaming_api_ingest_query,
+    "tpch_min_cost_supplier": min_cost_supplier_query,
+    "tpch_important_stock": important_stock_query,
+    "tpch_part_promotion": part_promotion_query,
 }
 
 ORACLES = {
@@ -707,6 +718,9 @@ ORACLES = {
     # the incremental two-epoch crawl must reproduce the one-shot
     # batch crawl exactly - same oracle, hash-compared
     "streaming_api_ingest": API_INGEST_ORACLE_SQL,
+    "tpch_min_cost_supplier": MIN_COST_SUPPLIER_ORACLE_SQL,
+    "tpch_important_stock": IMPORTANT_STOCK_ORACLE_SQL,
+    "tpch_part_promotion": PART_PROMOTION_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
