@@ -825,3 +825,123 @@ FROM flags
 
 
 CURATION_FUNNEL_ORACLE_SQL = _funnel_oracle()
+
+
+# --- DSIR importance resampling --------------------------------------------
+
+#: Hashed bag-of-words feature space (DSIR, Xie et al. 2023, "Data
+#: Selection for Language Models via Importance Resampling" - the
+#: paper hashes n-grams into 10^4 buckets; the principle is the bucket
+#: count bounds the model size independent of vocabulary).
+DSIR_BUCKETS = 128
+#: Fixed-point scale for the per-bucket target/raw probability ratio.
+DSIR_SCALE = 1 << 20
+#: The target domain: English documents stand in for the paper's
+#: high-quality target corpus (Wikipedia+books in the original).
+DSIR_TARGET_LANG = "en"
+#: How many documents the resampling keeps.
+DSIR_TOP_K = 100
+
+
+def importance_resampling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by how target-like its hashed bag-of-words is, then keep
+    the top-K. The paper computes log(p_target/p_raw) under two
+    hashed-unigram models and Gumbel-resamples; this operator keeps
+    the same estimator structure but replaces the float log-ratio
+    with a fixed-point integer ratio (add-one smoothed,
+    ``(tgt+1)*SCALE div (raw+1)``) and the stochastic resample with a
+    deterministic top-K - every arithmetic step is BIGINT, so the
+    ranking is bit-identical across engines (same reason lm_rarity
+    avoids float perplexity).
+
+    Per-doc score = mean per-token bucket ratio (sum div token count),
+    so long documents are not favored by accumulation.
+
+    Scale design: ONE pass over the corpus builds both bucket models
+    (conditional count in the same aggregate - target docs are a
+    subset of raw, no second scan); the model is DSIR_BUCKETS rows,
+    broadcast back; per-doc scoring is a map-side join + one
+    map-combinable sum; the final selection is TakeOrderedAndProject
+    (per-partition top-K, never a global sort). At 100 TB the only
+    shuffles are the bucket-count roll-up and the per-doc sum - both
+    map-combinable on bounded key spaces (buckets / doc ids).
+
+    Reference tie-in: no counterpart (the reference selects data by
+    recency filters only, ``get_elastic_data.py:61-68``); this is part
+    of the training-data curation family (SURVEY §2 extensions).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens_col()).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (md5_word_hash(F.col("tok"), seed=F.lit("dsir")) % DSIR_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    model = occ.groupBy("bucket").agg(
+        F.count("*").alias("raw_cnt"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("tgt_cnt"),
+    )
+    weights = model.select(
+        "bucket",
+        F.expr(f"(tgt_cnt + 1) * {DSIR_SCALE} div (raw_cnt + 1)").alias("w"),
+    )
+    per_doc = (
+        occ.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("w_sum"),
+            F.sum("cnt").alias("n_tok"),
+        )
+        .select(
+            "doc_id", F.expr("w_sum div n_tok").alias("dsir_weight"), "n_tok"
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "dsir_weight", "n_tok")
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
+
+
+IMPORTANCE_RESAMPLING_ORACLE_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5('dsir' || '|' || tok), 1, 15)) AS BIGINT)
+              % {DSIR_BUCKETS} AS INTEGER) AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents)
+),
+model AS (
+  SELECT bucket, count(*) AS raw_cnt,
+         count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tgt_cnt
+  FROM occ GROUP BY bucket
+),
+weights AS (
+  SELECT bucket, (tgt_cnt + 1) * {DSIR_SCALE} // (raw_cnt + 1) AS w
+  FROM model
+),
+per_doc AS (
+  -- sums cast to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT
+  SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS w_sum,
+         CAST(sum(cnt) AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2)
+  JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, d.lang, w_sum // n_tok AS dsir_weight, n_tok
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+ORDER BY dsir_weight DESC, p.doc_id
+LIMIT {DSIR_TOP_K}
+"""

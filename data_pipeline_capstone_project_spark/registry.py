@@ -305,9 +305,11 @@ from .operators.curation import (
     SOURCE_MIXTURE_ORACLE_SQL,
     CORPUS_DUP_NGRAMS_ORACLE_SQL,
     CURATION_FUNNEL_ORACLE_SQL,
+    IMPORTANCE_RESAMPLING_ORACLE_SQL,
     LM_RARITY_ORACLE_SQL,
     corpus_dup_ngrams_query,
     curation_funnel_query,
+    importance_resampling_query,
     decontamination_query,
     dedup_resolution_query,
     gopher_quality_query,
@@ -683,6 +685,7 @@ QUERIES = {
     "tpch_min_cost_supplier": min_cost_supplier_query,
     "tpch_important_stock": important_stock_query,
     "tpch_part_promotion": part_promotion_query,
+    "importance_resampling": importance_resampling_query,
 }
 
 ORACLES = {
@@ -721,6 +724,7 @@ ORACLES = {
     "tpch_min_cost_supplier": MIN_COST_SUPPLIER_ORACLE_SQL,
     "tpch_important_stock": IMPORTANT_STOCK_ORACLE_SQL,
     "tpch_part_promotion": PART_PROMOTION_ORACLE_SQL,
+    "importance_resampling": IMPORTANCE_RESAMPLING_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -111,3 +111,36 @@ def test_dedup_resolution_one_keeper_per_cluster(spark, sf_dir):
         == 0
     )
     df.unpersist()
+
+
+def test_importance_resampling_prefers_target_lang(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        importance_resampling_query,
+    )
+
+    rows = importance_resampling_query(spark, sf_dir).collect()
+    assert rows
+    # the hashed-ngram ratio model must pull the selection toward the
+    # target domain: a strict majority of selected docs are target-lang
+    tgt = sum(1 for r in rows if r.lang == DSIR_TARGET_LANG)
+    assert tgt > len(rows) / 2
+    ws = [r.dsir_weight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_importance_resampling_topk_never_global_sorts(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        importance_resampling_query,
+    )
+
+    plan = (
+        importance_resampling_query(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # selection is per-partition top-K, and the 128-bucket model joins
+    # broadcast - no global sort, no shuffled model join
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
