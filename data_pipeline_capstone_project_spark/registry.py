@@ -342,6 +342,10 @@ from .streaming.stateful import (
     STREAMING_STATEFUL_ORACLE_SQL,
     streaming_stateful_query,
 )
+from .streaming.transform_state import (
+    STREAMING_TRANSFORM_STATE_ORACLE_SQL,
+    streaming_transform_state_query,
+)
 from .streaming.dedup_stream import (
     STREAMING_DEDUP_ORACLE_SQL,
     streaming_dedup_query,
@@ -686,6 +690,7 @@ QUERIES = {
     "tpch_important_stock": important_stock_query,
     "tpch_part_promotion": part_promotion_query,
     "importance_resampling": importance_resampling_query,
+    "streaming_transform_state": streaming_transform_state_query,
 }
 
 ORACLES = {
@@ -725,6 +730,7 @@ ORACLES = {
     "tpch_important_stock": IMPORTANT_STOCK_ORACLE_SQL,
     "tpch_part_promotion": PART_PROMOTION_ORACLE_SQL,
     "importance_resampling": IMPORTANCE_RESAMPLING_ORACLE_SQL,
+    "streaming_transform_state": STREAMING_TRANSFORM_STATE_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
