@@ -667,3 +667,167 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.val = b.val
 WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_DIST}
 """
+
+
+# --- Bloom-filter membership (incremental-ingest dedup gate) ---------------
+
+#: 4096 words x 32 bits = 131072-bit filter; 3 hash functions. At
+#: sf0.1 the history inserts ~3.3k signatures (~10k set bits, 7.6%
+#: load -> false-positive rate (0.076)^3 ~ 0.04%); a production
+#: filter scales m with n at constant bits/insertion. Bits live in
+#: the LOW 32 bits of a BIGINT word so `1 << (pos % 32)` is positive
+#: on every engine (no sign-bit semantics to agree on).
+BLOOM_WORDS = 4096
+BLOOM_WORD_BITS = 32
+BLOOM_K = 3
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+#: history = doc_id % 3 != 0 (the standing corpus); probes = the rest.
+BLOOM_SPLIT_MOD = 3
+
+
+def _canon_text() -> F.Column:
+    """The corpus's canonical content form (sorted distinct word set
+    - its duplication mode is reordering; same definition as
+    :func:`dedup_exact_query`)."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", r"\s+"))), "|"
+    )
+
+
+_CANON_SQL = (
+    "array_to_string(list_sort(list_distinct("
+    "string_split_regex(text, '\\s+'))), '|')"
+)
+
+
+def bloom_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate for incremental ingest: the
+    standing corpus folds its canonical content signatures into a
+    128 Kbit filter (ONE map-combinable bit_or aggregate -> <= 4096
+    rows, 32 KB), the filter broadcasts, and new documents probe it
+    map-side - the at-scale primitive for "skip the expensive dedup
+    join unless the filter says maybe" (the same idempotency
+    economics as the reference's existence check before image
+    download, ``s3-to-es_aws.py:94-100`` / SURVEY S9/O4, with O(1)
+    broadcast state instead of a keyed store).
+
+    Output per probe doc: ``bloom_hit`` (filter says maybe-duplicate)
+    and ``true_dup`` (exact canonical-signature match against
+    history). The Bloom contract - no false negatives, bounded false
+    positives - is visible in the result: every ``true_dup`` row has
+    ``bloom_hit``, and the test + oracle pin it.
+
+    All hashing is the shared md5 family and all filter arithmetic is
+    integer bit ops, so filter words, hits, and flags are
+    bit-identical to the DuckDB oracle.
+
+    Scale shape: history is scanned once (map-side position expand ->
+    bit_or keyed by <= 4096 words); probes never shuffle beyond their
+    own per-doc aggregation (broadcast filter join on the word index
+    + broadcast distinct-signature join for the truth flag)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _canon_text().alias("canon")
+    )
+    sig = md5_word_hash(F.col("canon"))
+    hist = docs.filter(F.col("doc_id") % BLOOM_SPLIT_MOD != 0)
+    probe = docs.filter(F.col("doc_id") % BLOOM_SPLIT_MOD == 0)
+
+    def positions() -> F.Column:
+        return F.array(
+            *[
+                (
+                    md5_word_hash(F.col("canon"), seed=F.lit(f"bloom{i}"))
+                    % BLOOM_BITS
+                ).cast("int")
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bits = (
+        hist.select(F.explode(positions()).alias("p"))
+        .select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), p % {BLOOM_WORD_BITS})").alias(
+                "b"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    hist_sigs = hist.select(sig.alias("h_sig")).distinct()
+    probed = (
+        probe.select("doc_id", sig.alias("sig"), F.explode(positions()).alias("p"))
+        .select(
+            "doc_id",
+            "sig",
+            (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), p % {BLOOM_WORD_BITS})").alias(
+                "b"
+            ),
+        )
+        .join(F.broadcast(bits), "word", "left")
+        .select(
+            "doc_id",
+            "sig",
+            F.expr("(b & coalesce(bits, cast(0 as bigint))) != 0").alias("hit"),
+        )
+        .groupBy("doc_id", "sig")
+        .agg(F.bool_and("hit").alias("bloom_hit"))
+    )
+    return (
+        probed.join(
+            F.broadcast(hist_sigs), F.col("sig") == F.col("h_sig"), "left"
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("h_sig").isNotNull().alias("true_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_oracle() -> str:
+    md5_60 = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    pos_union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {md5_60.format(x=repr('bloom' + str(i)) + ' || ' + repr('|') + ' || canon')}"
+        f" % {BLOOM_BITS} AS INTEGER) AS p FROM {{side}}"
+        for i in range(BLOOM_K)
+    )
+    sig = "CAST(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT) AS BIGINT)"
+    return f"""
+WITH canon_docs AS (
+  SELECT doc_id, {_CANON_SQL} AS canon FROM documents
+),
+hist AS (SELECT * FROM canon_docs WHERE doc_id % {BLOOM_SPLIT_MOD} <> 0),
+probe AS (SELECT * FROM canon_docs WHERE doc_id % {BLOOM_SPLIT_MOD} = 0),
+hpos AS (
+{pos_union.format(side='hist')}
+),
+bits AS (
+  SELECT p // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << (p % {BLOOM_WORD_BITS})) AS bits
+  FROM hpos GROUP BY 1
+),
+hsig AS (SELECT DISTINCT {sig} AS h_sig FROM hist),
+ppos AS (
+{pos_union.format(side='probe')}
+),
+probed AS (
+  SELECT pp.doc_id,
+         bool_and(((CAST(1 AS BIGINT) << (pp.p % {BLOOM_WORD_BITS}))
+                   & coalesce(b.bits, 0)) <> 0) AS bloom_hit
+  FROM ppos pp
+  LEFT JOIN bits b ON pp.p // {BLOOM_WORD_BITS} = b.word
+  GROUP BY pp.doc_id
+)
+SELECT pr.doc_id, pr.bloom_hit,
+       (hsig.h_sig IS NOT NULL) AS true_dup
+FROM probed pr
+JOIN probe d ON pr.doc_id = d.doc_id
+LEFT JOIN hsig ON {sig.replace('canon', 'd.canon')} = hsig.h_sig
+ORDER BY pr.doc_id
+"""
+
+
+BLOOM_DEDUP_ORACLE_SQL = _bloom_oracle()

@@ -206,11 +206,13 @@ from .operators.analytics import (
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
 from .operators.inference import DOC_SCORE_ORACLE_SQL, doc_score_inference_query
 from .operators.dedup import (
+    BLOOM_DEDUP_ORACLE_SQL,
     DEDUP_EMBEDDING_ORACLE_SQL,
     DEDUP_EXACT_ORACLE_SQL,
     DEDUP_MINHASH_ORACLE_SQL,
     DEDUP_NGRAM_ORACLE_SQL,
     DEDUP_SIMHASH_ORACLE_SQL,
+    bloom_dedup_query,
     dedup_embedding_query,
     dedup_exact_query,
     dedup_minhash_query,
@@ -691,6 +693,7 @@ QUERIES = {
     "tpch_part_promotion": part_promotion_query,
     "importance_resampling": importance_resampling_query,
     "streaming_transform_state": streaming_transform_state_query,
+    "bloom_dedup": bloom_dedup_query,
 }
 
 ORACLES = {
@@ -731,6 +734,7 @@ ORACLES = {
     "tpch_part_promotion": PART_PROMOTION_ORACLE_SQL,
     "importance_resampling": IMPORTANCE_RESAMPLING_ORACLE_SQL,
     "streaming_transform_state": STREAMING_TRANSFORM_STATE_ORACLE_SQL,
+    "bloom_dedup": BLOOM_DEDUP_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -159,3 +159,31 @@ def test_quantized_search_recall_vs_exact(spark, sf_dir):
         for r in similarity_quantized_query(spark, sf_dir).collect()
     }
     assert len(quant & exact) / len(exact) >= 0.9
+
+
+def test_bloom_dedup_contract(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        bloom_dedup_query,
+    )
+
+    rows = bloom_dedup_query(spark, sf_dir).collect()
+    assert rows
+    # the Bloom guarantee: NO false negatives - every true duplicate
+    # must be flagged maybe-duplicate by the filter
+    assert all(r.bloom_hit for r in rows if r.true_dup)
+
+
+def test_bloom_dedup_broadcasts_filter(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        bloom_dedup_query,
+    )
+
+    plan = (
+        bloom_dedup_query(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both the <=4096-row filter and the distinct-signature set join
+    # broadcast: the probe side never shuffles against history
+    assert plan.count("BroadcastHashJoin") >= 2
