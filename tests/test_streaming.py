@@ -206,3 +206,28 @@ def test_multi_sink_epoch_overwrite_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(detail).count() == n0
     fanout_batch(batch, 1, detail, agg)  # genuinely new epoch: appends
     assert spark.read.parquet(detail).count() == 2 * n0
+
+
+def test_transform_state_emission_log(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.streaming.transform_state import (
+        streaming_transform_state_query,
+    )
+
+    rows = streaming_transform_state_query(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, emits in by_user.items():
+        # exactly one emission per micro-batch the key appeared in
+        assert 1 <= len(emits) <= 2
+        emits.sort(key=lambda r: r.cum_events)
+        # cumulative state is monotone and consistent with the batch
+        # delta; batch-1 emission has cum == batch
+        assert emits[0].cum_events == emits[0].batch_events
+        if len(emits) == 2:
+            assert (
+                emits[1].cum_events
+                == emits[0].cum_events + emits[1].batch_events
+            )
+            assert emits[1].cum_cents >= emits[0].cum_cents
