@@ -183,6 +183,30 @@ Round-2 additions:
                       semantics (NULL, never error or Inf)
   window_navigation_suite  first/last/nth_value IGNORE NULLS + lead
                       default, one Window node
+
+Round-3 additions (full table with scale notes: SURVEY.md §8):
+  upsert_audit image_decode color_palette_png    reference-fidelity
+                      closures (ES _version audit, real PNG decode)
+  decontamination gopher_quality repetition_filter sequence_packing
+  dedup_resolution source_mixture corpus_dup_ngrams lm_rarity
+  curation_funnel importance_resampling          published-paper
+                      corpus-curation family (GPT-3 App C, Gopher
+                      A1.1, Lee et al. 2021, CCNet, Conneau & Lample
+                      2019, DSIR Xie et al. 2023)
+  kmeans_lloyd semantic_dedup                    distributed Lloyd's
+                      + SemDeDup (Abbas et al. 2023), integer-exact
+  keyword_search_ranked ann_recall               retrieval ranking +
+                      recall@k evaluation
+  tpch_customer_distribution .. tpch_part_promotion  the remaining
+                      TPC-H shapes - all 22 now covered (Q2/Q11/Q20
+                      via the lineitem-derived partsupp proxy)
+  api_ingest streaming_api_ingest                S10 HTTP ingest as
+                      Spark 4 Python Data Source (batch + stream)
+  streaming_transform_state                      Spark 4
+                      transformWithState, runtime-gated with an
+                      applyInPandasWithState twin
+  bloom_dedup                                    Bloom membership
+                      gate: one bit_or pass -> 32 KB broadcast filter
 """
 
 from __future__ import annotations
