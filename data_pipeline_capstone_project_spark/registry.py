@@ -485,8 +485,10 @@ from .operators.kmeans import (
 )
 from .operators.scd import SCD2_HISTORY_ORACLE_SQL, scd2_history_query
 from .operators.graph import (
+    BFS_DISTANCES_ORACLE_SQL,
     PAGERANK_ORACLE_SQL,
     TRIANGLE_COUNT_ORACLE_SQL,
+    bfs_distances_query,
     pagerank_query,
     triangle_count_query,
 )
@@ -718,6 +720,7 @@ QUERIES = {
     "importance_resampling": importance_resampling_query,
     "streaming_transform_state": streaming_transform_state_query,
     "bloom_dedup": bloom_dedup_query,
+    "bfs_distances": bfs_distances_query,
 }
 
 ORACLES = {
@@ -759,6 +762,7 @@ ORACLES = {
     "importance_resampling": IMPORTANCE_RESAMPLING_ORACLE_SQL,
     "streaming_transform_state": STREAMING_TRANSFORM_STATE_ORACLE_SQL,
     "bloom_dedup": BLOOM_DEDUP_ORACLE_SQL,
+    "bfs_distances": BFS_DISTANCES_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

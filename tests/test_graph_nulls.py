@@ -58,3 +58,19 @@ def test_big_spenders_all_above_threshold(spark, sf_dir):
     # HashAggregate consumes the lineitem scan, not a join output.
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
+
+
+def test_bfs_distances_bipartite_parity(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.graph import (
+        bfs_distances_query,
+    )
+
+    rows = bfs_distances_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the trade graph is bipartite: customers sit at even hop
+        # distances from the customer seed set, suppliers at odd
+        assert r.dist % 2 == (0 if r.node.startswith("c") else 1), r
+        assert 0 <= r.dist <= 4
+    # seeds themselves are present at distance 0
+    assert any(r.dist == 0 for r in rows)
