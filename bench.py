@@ -69,6 +69,13 @@ def main() -> None:
             errors.append(name)
             print(f"{name} FAILED: {exc}", file=sys.stderr)
         print(f"{name}: {timings[name]}s {spreads[name]}", file=sys.stderr)
+        # Release this query's persisted relations before the next one
+        # starts: the iterative ops (pagerank, bfs, clustering) persist
+        # inside their plans, and CacheManager matches by canonicalized
+        # plan so re-runs of the SAME query still reuse a warm cache -
+        # but 145 queries' worth of leftover blocks otherwise stack up
+        # and bleed GC/memory pressure into later measurements.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query detail goes to a sidecar file; the stdout line must
