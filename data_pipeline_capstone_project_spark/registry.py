@@ -372,6 +372,10 @@ from .streaming.transform_state import (
     STREAMING_TRANSFORM_STATE_ORACLE_SQL,
     streaming_transform_state_query,
 )
+from .streaming.late_data import (
+    STREAMING_LATE_DATA_ORACLE_SQL,
+    streaming_late_data_query,
+)
 from .streaming.dedup_stream import (
     STREAMING_DEDUP_ORACLE_SQL,
     streaming_dedup_query,
@@ -721,6 +725,7 @@ QUERIES = {
     "streaming_transform_state": streaming_transform_state_query,
     "bloom_dedup": bloom_dedup_query,
     "bfs_distances": bfs_distances_query,
+    "streaming_late_data": streaming_late_data_query,
 }
 
 ORACLES = {
@@ -763,6 +768,7 @@ ORACLES = {
     "streaming_transform_state": STREAMING_TRANSFORM_STATE_ORACLE_SQL,
     "bloom_dedup": BLOOM_DEDUP_ORACLE_SQL,
     "bfs_distances": BFS_DISTANCES_ORACLE_SQL,
+    "streaming_late_data": STREAMING_LATE_DATA_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

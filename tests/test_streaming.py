@@ -231,3 +231,36 @@ def test_transform_state_emission_log(spark, sf_dir):
                 == emits[0].cum_events + emits[1].batch_events
             )
             assert emits[1].cum_cents >= emits[0].cum_cents
+
+
+def test_late_data_drops_are_visible(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+    from data_pipeline_capstone_project_spark.streaming.late_data import (
+        streaming_late_data_query,
+    )
+
+    emitted = {
+        r.window_start: r.n_events
+        for r in streaming_late_data_query(spark, sf_dir).collect()
+    }
+    assert emitted
+    events = load_table(spark, sf_dir, "events")
+    full = {
+        r.ws: r.n
+        for r in events.groupBy(
+            F.window("ts", "1 day").start.alias("ws")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    # every emitted window is a real data window, and at least one
+    # CLOSED window emitted fewer events than the full batch count -
+    # the engine really dropped the late wave there
+    assert set(emitted) <= set(full)
+    dropped_windows = [w for w in emitted if emitted[w] < full[w]]
+    accepted_windows = [w for w in emitted if emitted[w] == full[w]]
+    assert dropped_windows, "no window shows late-row drops"
+    assert accepted_windows, "no open window accepted the late wave"
+    # drops happen strictly BEFORE acceptances in event time (the
+    # watermark frontier separates them)
+    assert max(dropped_windows) < min(accepted_windows)
