@@ -85,8 +85,24 @@ def lsh_index_merge_batch(
     pairs_dir: str,
 ) -> None:
     """Process one micro-batch of (doc_id, text) against the index."""
-    sh_new = shingles_of_docs(batch).localCheckpoint(eager=True)
-    bands_new = bands_of_shingles(sh_new).localCheckpoint(eager=True)
+    # A file-source micro-batch arrives with the staged file's layout —
+    # often ONE partition (one file per trigger). Shingling + banding
+    # are the CPU-heavy phases; left as-is they run single-threaded per
+    # batch. Spread the batch before hashing — the shuffle moves only
+    # (doc_id, text), far cheaper than serializing the shingle work.
+    # Sized to the stream's shuffle-partition setting, NOT
+    # defaultParallelism: AQE is disabled inside streaming, so an
+    # over-wide repartition here becomes a storm of unmergeable
+    # per-task overheads on every downstream shuffle.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if batch.rdd.getNumPartitions() < n_shuffle:
+        batch = batch.repartition(n_shuffle)
+    # persist, not eager localCheckpoint: both are compute-once, but
+    # persist materializes DURING the first consuming job instead of
+    # paying a dedicated materialization job per batch — at 3 batches
+    # x 2 intermediates that is 6 fewer job launches per invocation.
+    sh_new = shingles_of_docs(batch).persist()
+    bands_new = bands_of_shingles(sh_new).persist()
 
     bands_all = _store(spark, bands_dir, _BANDS_SCHEMA).unionByName(bands_new)
     sh_all = _store(spark, shingles_dir, _SHINGLES_SCHEMA).unionByName(sh_new)
@@ -122,6 +138,8 @@ def lsh_index_merge_batch(
     verified.write.mode("append").parquet(pairs_dir)
     bands_new.write.mode("append").parquet(bands_dir)
     sh_new.write.mode("append").parquet(shingles_dir)
+    bands_new.unpersist()
+    sh_new.unpersist()
 
 
 def streaming_lsh_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
