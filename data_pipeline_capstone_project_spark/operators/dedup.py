@@ -30,7 +30,7 @@ re-hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -831,3 +831,270 @@ ORDER BY pr.doc_id
 
 
 BLOOM_DEDUP_ORACLE_SQL = _bloom_oracle()
+
+
+# --- exact substring (duplicated-span) dedup -------------------------------
+
+#: Word-gram length for duplicated-span removal. Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better",
+#: github.com/google-research/deduplicate-text-datasets) remove every
+#: repeated 50-token span via a suffix array; 8 words suits this
+#: corpus's ~45-word synthetic documents while still being long enough
+#: that a duplicated gram means a genuinely repeated passage, not a
+#: vocabulary collision (measured at sf0.01: 2,101 duplicate
+#: instances at K=8 vs 16,741 at K=3).
+SUBSTR_K = 8
+
+
+def substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal, the distributed re-expression of
+    Lee et al.'s ExactSubstr: every K-word gram that occurs more than
+    once in the corpus is removed from every position except its first
+    occurrence (ordered by doc_id, then position), and each document's
+    text is rebuilt from its surviving tokens.
+
+    Where the reference implementation builds one giant suffix array
+    (shared-memory, single machine), the Spark shape is two shuffles,
+    both linear in corpus token count:
+
+    1. gram instances shuffle by gram hash — ``row_number`` over
+       (gram) picks the kept first occurrence; every later instance of
+       a duplicated gram marks its K-token span for removal;
+    2. removal spans shuffle back by doc_id into one start-position
+       array per document — coverage is then a per-row array
+       expression (token p dies iff a span starts in
+       [p-K+1, p]), no per-token join.
+
+    Grams are compared by md5 (the same engine-portable idiom as the
+    LSH band buckets); the gram string itself never leaves the map
+    side. Output is every document with its token count, number of
+    removed tokens, and the rebuilt text."""
+    docs = _parallel_docs(spark, sf_dir)
+    words = docs.select("doc_id", F.split("text", r"\s+").alias("w"))
+    # 1-based gram start positions, matching SQL list indexing; docs
+    # shorter than K words produce an empty sequence (greatest(...,0)).
+    pos = words.select(
+        "doc_id",
+        "w",
+        F.explode_outer(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("w") - (SUBSTR_K - 1), F.lit(0))
+            )
+        ).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    grams = pos.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("pos"), SUBSTR_K))).alias("gh"),
+    )
+    w_gram = Window.partitionBy("gh")
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    removal = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(w_gram))
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    with_spans = words.join(removal, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    # Token at 1-based position p = j + 1 (Spark filter index j is
+    # 0-based) survives unless a removal span starts in [p-K+1, p].
+    kept = F.filter(
+        F.col("w"),
+        lambda x, j: ~F.exists(
+            "starts",
+            lambda s: (s <= j + 1) & (s >= j + 2 - SUBSTR_K),
+        ),
+    )
+    return with_spans.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
+SUBSTRING_DEDUP_ORACLE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(range(1, greatest(len(w) - {SUBSTR_K} + 2, 1))) AS pos
+  FROM words
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(w, pos, pos + {SUBSTR_K} - 1), ' ')) AS gh
+  FROM pos
+),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gh) AS cnt,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+removal AS (
+  SELECT doc_id, list_sort(list(pos)) AS starts
+  FROM marked WHERE cnt > 1 AND rn > 1
+  GROUP BY doc_id
+),
+spans AS (
+  SELECT words.doc_id, words.w, coalesce(removal.starts, []) AS starts
+  FROM words LEFT JOIN removal ON words.doc_id = removal.doc_id
+),
+rebuilt AS (
+  SELECT doc_id, w,
+         list_filter(w, (x, j) ->
+           len(list_filter(starts,
+               s -> s <= j AND s >= j + 1 - {SUBSTR_K})) = 0) AS kept
+  FROM spans
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(w) - len(kept) AS n_removed,
+       -- engine alignment: DuckDB's array_to_string([]) is NULL,
+       -- Spark's concat_ws over an empty array is '' (a fully
+       -- deduplicated document has empty text, not null text)
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM rebuilt
+"""
+
+
+# --- LSH banding quality evaluation ----------------------------------------
+
+
+def dedup_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH *candidate generation*
+    against exact ground truth — the dedup twin of ``ann_recall``.
+
+    Ground truth (all pairs with true Jaccard >= threshold) is NOT an
+    all-pairs scan: any pair with Jaccard > 0 shares at least one
+    shingle, so the exact pair set comes from a shingle inverted
+    index — explode distinct shingles, self-join on the shingle hash,
+    and the count of joined rows per pair IS |A ∩ B|, from which
+    Jaccard follows without ever touching the arrays again. Work is
+    sum of squared posting-list lengths, the standard inverted-index
+    bound, distributed by shingle then by pair.
+
+    Predicted = the raw (band, bucket) collision pairs BEFORE exact
+    verification — evaluating the banding scheme itself, which is the
+    part of the LSH pipeline that trades recall for work (the
+    verification step after it is exact and cannot lose pairs).
+    Output is one row of counts plus precision/recall (two double
+    divisions of exact integers)."""
+    # localCheckpoint: the shingle projection is the expensive pass
+    # and feeds BOTH sides of the posting self-join, the size lookups,
+    # and the band build - five consumers. Left lazy, Spark recomputes
+    # the md5 + shingle HOF chain per consumer (measured 115 s vs
+    # ~2 s at sf0.1). One eager materialization into executor block
+    # storage makes every consumer a block read; blocks are released
+    # when the plan is garbage-collected.
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sizes = sh.select("doc_id", F.size("shs").alias("n"))
+    posting = sh.select("doc_id", F.explode("shs").alias("s"))
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "s")
+    truth = (
+        pa.join(pb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    bands = bands_of_shingles(sh)
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # One lazy plan, ONE action: a full-outer join of truth vs
+    # candidate pairs feeds a single 3-counter aggregate - no
+    # driver-side counts, no intermediate persists to leak. The
+    # result row only materializes when the caller executes the
+    # returned DataFrame.
+    t = truth.select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+    c = cand.select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+    return (
+        t.join(c, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("is_true").alias("n_true"),
+            F.count("is_cand").alias("n_cand"),
+            F.sum(
+                (F.col("is_true").isNotNull() & F.col("is_cand").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("tp"),
+        )
+        .select(
+            "n_true",
+            "n_cand",
+            "tp",
+            (F.col("tp") / F.col("n_cand")).alias("precision"),
+            (F.col("tp") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+DEDUP_EVAL_ORACLE_SQL = f"""
+WITH {_ORACLE_SHINGLES},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.common / (sa.n + sb.n - p.common) >= {JACCARD_THRESHOLD}
+),
+hs AS (
+  SELECT doc_id, list_transform(shs, s -> s % 4294967296) AS hs FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {NUM_HASHES}),
+           i -> list_min(list_transform(hs,
+             h -> ({_A_LIST}[i + 1]::BIGINT * h + {_B_LIST}[i + 1]::BIGINT)
+                  % {MINHASH_PRIME})))
+           AS sig
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(
+           list_transform(sig[band * {ROWS_PER_BAND} + 1 : band * {ROWS_PER_BAND} + {ROWS_PER_BAND}],
+                          h -> CAST(h AS VARCHAR)), ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {NUM_BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b)) AS tp
+)
+SELECT n_true, n_cand, tp,
+       tp / n_cand AS precision,
+       tp / n_true AS recall
+FROM counts
+"""

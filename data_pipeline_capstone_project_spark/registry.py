@@ -207,6 +207,12 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       applyInPandasWithState twin
   bloom_dedup                                    Bloom membership
                       gate: one bit_or pass -> 32 KB broadcast filter
+  substring_dedup                                exact duplicated-span
+                      removal (Lee et al. 2022 ExactSubstr re-shaped
+                      as two linear shuffles: by gram hash, by doc)
+  dedup_eval                                     banding-scheme
+                      precision/recall vs exact inverted-index ground
+                      truth (the dedup twin of ann_recall)
 """
 
 from __future__ import annotations
@@ -232,16 +238,20 @@ from .operators.inference import DOC_SCORE_ORACLE_SQL, doc_score_inference_query
 from .operators.dedup import (
     BLOOM_DEDUP_ORACLE_SQL,
     DEDUP_EMBEDDING_ORACLE_SQL,
+    DEDUP_EVAL_ORACLE_SQL,
     DEDUP_EXACT_ORACLE_SQL,
     DEDUP_MINHASH_ORACLE_SQL,
     DEDUP_NGRAM_ORACLE_SQL,
     DEDUP_SIMHASH_ORACLE_SQL,
+    SUBSTRING_DEDUP_ORACLE_SQL,
     bloom_dedup_query,
     dedup_embedding_query,
+    dedup_eval_query,
     dedup_exact_query,
     dedup_minhash_query,
     dedup_ngram_query,
     dedup_simhash_query,
+    substring_dedup_query,
 )
 from .operators.colors import (
     COLOR_PALETTE_PROPS_ORACLE_SQL,
@@ -726,6 +736,8 @@ QUERIES = {
     "bloom_dedup": bloom_dedup_query,
     "bfs_distances": bfs_distances_query,
     "streaming_late_data": streaming_late_data_query,
+    "substring_dedup": substring_dedup_query,
+    "dedup_eval": dedup_eval_query,
 }
 
 ORACLES = {
@@ -769,6 +781,8 @@ ORACLES = {
     "bloom_dedup": BLOOM_DEDUP_ORACLE_SQL,
     "bfs_distances": BFS_DISTANCES_ORACLE_SQL,
     "streaming_late_data": STREAMING_LATE_DATA_ORACLE_SQL,
+    "substring_dedup": SUBSTRING_DEDUP_ORACLE_SQL,
+    "dedup_eval": DEDUP_EVAL_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

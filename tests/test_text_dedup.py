@@ -187,3 +187,57 @@ def test_bloom_dedup_broadcasts_filter(spark, sf_dir):
     # both the <=4096-row filter and the distinct-signature set join
     # broadcast: the probe side never shuffles against history
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_substring_dedup_known_span(spark, tmp_path):
+    """A hand-built corpus with one duplicated 8-word span: the first
+    occurrence (lowest doc_id, position) survives, the later one is
+    cut, and untouched documents pass through byte-identical."""
+    from data_pipeline_capstone_project_spark.operators import dedup as D
+
+    span = "a b c d e f g h"  # exactly SUBSTR_K words
+    rows = [
+        (1, f"{span} x y"),
+        (2, f"q w {span} z"),
+        (3, "totally unrelated words with no duplicate run here"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        D, "load_table", lambda sp, d, t: sp.read.parquet(src)
+    ):
+        out = {
+            r.doc_id: r for r in D.substring_dedup_query(spark, "ignored").collect()
+        }
+    assert out[1].n_removed == 0 and out[1].cleaned_text == f"{span} x y"
+    assert out[2].cleaned_text == "q w z" and out[2].n_removed == 8
+    assert out[3].n_removed == 0
+
+
+def test_substring_dedup_counts_consistent(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        substring_dedup_query,
+    )
+
+    rows = substring_dedup_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        kept = len(r.cleaned_text.split()) if r.cleaned_text else 0
+        assert r.n_tokens - r.n_removed == kept
+        assert 0 <= r.n_removed <= r.n_tokens
+
+
+def test_dedup_eval_is_single_row_and_sound(spark, sf_dir):
+    """The banding evaluation must agree with the operators it
+    evaluates: tp <= min(n_true, n_cand), and recall == 1 exactly when
+    every true pair collides in some band."""
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        dedup_eval_query,
+    )
+
+    [r] = dedup_eval_query(spark, sf_dir).collect()
+    assert r.tp <= min(r.n_true, r.n_cand)
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
