@@ -1098,3 +1098,72 @@ SELECT n_true, n_cand, tp,
        tp / n_true AS recall
 FROM counts
 """
+
+
+# --- prefix-filtered exact similarity self-join (AllPairs/PPJoin) ----------
+
+
+def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity self-join with PREFIX FILTERING — the
+    AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.
+    WWW'08), which is the standard way to get the exact
+    ``dedup_ngram_jaccard`` result without its posting-list blowup.
+
+    With every document's shingles sorted by one global order
+    (ascending document frequency, rarest first, ties by hash), two
+    sets with Jaccard >= t MUST share an element inside their first
+    ``n - ceil(t*n) + 1`` elements — so only those short prefixes are
+    exploded into the candidate join. Frequent shingles (the postings
+    that dominate sum-of-df^2 cost in the naive inverted index) land
+    at the END of the sort and never enter the join at all. Candidates
+    are then verified with one exact ``array_intersect`` pass.
+
+    Result-identical to ``dedup_ngram_query`` (same pairs, same
+    jaccard values), so it shares ``DEDUP_NGRAM_ORACLE_SQL`` — the
+    driver hash-checks that the optimized plan changes nothing.
+
+    Scale shape: one map-combinable df aggregate, one re-group by
+    doc, a candidate equi-join sized by *prefix* postings only, and
+    verification linear in candidates."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    shx = sh.select("doc_id", F.explode_outer("shs").alias("s"))
+    freq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shx.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ss"))
+    )
+    plen = (
+        F.size("ss")
+        - F.ceil(F.size("ss") * F.lit(JACCARD_THRESHOLD)).cast("int")
+        + 1
+    )
+    # explode_outer, not explode: see dedup_ngram_query (inferred
+    # size()>0 filters re-inline the whole interpreted chain).
+    pre = ranked.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(F.slice("ss", F.lit(1), plen), lambda st: st["s"])
+        ).alias("s"),
+    )
+    ca = pre.select(F.col("doc_id").alias("doc_a"), "s")
+    cb = pre.select(F.col("doc_id").alias("doc_b"), "s")
+    cands = (
+        ca.join(cb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (common / (F.size("shs_a") + F.size("shs_b") - common)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -213,6 +213,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   dedup_eval                                     banding-scheme
                       precision/recall vs exact inverted-index ground
                       truth (the dedup twin of ann_recall)
+  similarity_join_exact                          AllPairs/PPJoin
+                      prefix-filtered exact similarity self-join,
+                      hash-checked pair-identical to the naive plan
 """
 
 from __future__ import annotations
@@ -251,6 +254,7 @@ from .operators.dedup import (
     dedup_minhash_query,
     dedup_ngram_query,
     dedup_simhash_query,
+    similarity_join_exact_query,
     substring_dedup_query,
 )
 from .operators.colors import (
@@ -738,6 +742,7 @@ QUERIES = {
     "streaming_late_data": streaming_late_data_query,
     "substring_dedup": substring_dedup_query,
     "dedup_eval": dedup_eval_query,
+    "similarity_join_exact": similarity_join_exact_query,
 }
 
 ORACLES = {
@@ -783,6 +788,9 @@ ORACLES = {
     "streaming_late_data": STREAMING_LATE_DATA_ORACLE_SQL,
     "substring_dedup": SUBSTRING_DEDUP_ORACLE_SQL,
     "dedup_eval": DEDUP_EVAL_ORACLE_SQL,
+    # result-identical to the naive inverted-index plan by design -
+    # the optimized prefix-filter plan must change nothing
+    "similarity_join_exact": DEDUP_NGRAM_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -241,3 +241,23 @@ def test_dedup_eval_is_single_row_and_sound(spark, sf_dir):
     [r] = dedup_eval_query(spark, sf_dir).collect()
     assert r.tp <= min(r.n_true, r.n_cand)
     assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+
+
+def test_prefix_filter_join_equals_naive(spark, sf_dir):
+    """AllPairs prefix filtering is an optimization, not an
+    approximation: pair-for-pair identical to the inverted-index
+    plan."""
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        dedup_ngram_query,
+        similarity_join_exact_query,
+    )
+
+    naive = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_query(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in similarity_join_exact_query(spark, sf_dir).collect()
+    }
+    assert naive == pref
