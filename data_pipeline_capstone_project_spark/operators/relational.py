@@ -481,6 +481,48 @@ FROM events
 """
 
 
+# --- VARIANT semi-structured surface (Spark 4) -----------------------------
+
+
+def variant_json_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type over the same ``events.props`` payload:
+    ``parse_json`` decodes the string ONCE into the binary variant
+    encoding, and every ``variant_get`` after that is a cheap typed
+    path lookup — the modern replacement for re-parsing a JSON string
+    per extraction (at 100 TB the parse happens once per row at
+    ingest, and a shredded variant column serves any number of typed
+    reads). ``try_variant_get`` on a missing path yields NULL instead
+    of an error, the semi-structured twin of the F17/F18 error-safe
+    scalar family.
+
+    The variant column itself never reaches the output (binary
+    encodings are engine-private); only typed extractions are
+    hash-compared with DuckDB's JSON path operators."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.absent", "long").alias("missing"),
+        F.try_variant_get(v, "$.k", "long").isNotNull().alias("has_k"),
+        (F.coalesce(F.variant_get(v, "$.k", "long"), F.lit(0)) % 10).alias(
+            "k_mod"
+        ),
+    )
+
+
+VARIANT_JSON_ORACLE_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.absent') AS BIGINT) AS missing,
+       json_extract(props, '$.k') IS NOT NULL AS has_k,
+       coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0) % 10 AS k_mod
+FROM events
+"""
+
+
 # --- string scalar surface -------------------------------------------------
 
 

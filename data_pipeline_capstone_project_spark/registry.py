@@ -216,6 +216,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   similarity_join_exact                          AllPairs/PPJoin
                       prefix-filtered exact similarity self-join,
                       hash-checked pair-identical to the naive plan
+  variant_json_suite                             Spark 4 VARIANT:
+                      parse_json once -> typed variant_get paths,
+                      try_variant_get error-safe missing-path reads
 """
 
 from __future__ import annotations
@@ -569,6 +572,8 @@ from .operators.analytics import (
 from .operators.relational import (
     JOIN_TYPES_ORACLE_SQL,
     JSON_FUNCTIONS_ORACLE_SQL,
+    VARIANT_JSON_ORACLE_SQL,
+    variant_json_suite_query,
     SAFE_ARITHMETIC_ORACLE_SQL,
     STRING_FUNCTIONS_ORACLE_SQL,
     WINDOW_NAVIGATION_ORACLE_SQL,
@@ -743,6 +748,7 @@ QUERIES = {
     "substring_dedup": substring_dedup_query,
     "dedup_eval": dedup_eval_query,
     "similarity_join_exact": similarity_join_exact_query,
+    "variant_json_suite": variant_json_suite_query,
 }
 
 ORACLES = {
@@ -791,6 +797,7 @@ ORACLES = {
     # result-identical to the naive inverted-index plan by design -
     # the optimized prefix-filter plan must change nothing
     "similarity_join_exact": DEDUP_NGRAM_ORACLE_SQL,
+    "variant_json_suite": VARIANT_JSON_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
