@@ -143,3 +143,54 @@ FROM keys k JOIN weighted w ON k.o_orderkey = w.o_orderkey
 ORDER BY k.es_key DESC, k.o_orderkey
 LIMIT {WS_K}
 """
+
+
+# --- class-balanced downsampling -------------------------------------------
+
+
+def balanced_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every ``lang`` stratum is cut to
+    the size of the SMALLEST stratum, membership chosen by a
+    deterministic md5 order (no RNG - re-runs and both engines pick
+    identical rows). This is the standard rebalancing step before
+    training on a language/domain-skewed corpus when upweighting
+    (``source_mixture``) is not an option.
+
+    Scale shape: one map-combinable count aggregate reduced to a
+    broadcast scalar (the minority size m), plus one window shuffle
+    partitioned by lang for the exact per-class rank. Exact-k per
+    class serializes each class through one reducer - same documented
+    trade-off as split_stratified above; at 100 TB use the hash-mod
+    THRESHOLD form (keep where bucket < m/n_class * M), which is a
+    pure projection at the cost of +-binomial-noise class sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    ranked = docs.select("doc_id", "lang", h.alias("h")).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+    )
+    m = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").alias("m")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+BALANCED_SAMPLE_ORACLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+m AS (
+  SELECT min(cnt) AS m
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang, rk
+FROM ranked, m
+WHERE rk <= m.m
+"""

@@ -219,6 +219,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   variant_json_suite                             Spark 4 VARIANT:
                       parse_json once -> typed variant_get paths,
                       try_variant_get error-safe missing-path reads
+  balanced_sample                                class-balanced
+                      downsampling to the minority stratum size,
+                      deterministic md5 pick order
 """
 
 from __future__ import annotations
@@ -416,6 +419,8 @@ from .sources.ingest_lake import (
     json_lake_ingest_query,
 )
 from .operators.sampling import (
+    BALANCED_SAMPLE_ORACLE_SQL,
+    balanced_sample_query,
     TRAIN_TEST_SPLIT_ORACLE_SQL,
     WEIGHTED_SAMPLE_ORACLE_SQL,
     train_test_split_query,
@@ -749,6 +754,7 @@ QUERIES = {
     "dedup_eval": dedup_eval_query,
     "similarity_join_exact": similarity_join_exact_query,
     "variant_json_suite": variant_json_suite_query,
+    "balanced_sample": balanced_sample_query,
 }
 
 ORACLES = {
@@ -798,6 +804,7 @@ ORACLES = {
     # the optimized prefix-filter plan must change nothing
     "similarity_join_exact": DEDUP_NGRAM_ORACLE_SQL,
     "variant_json_suite": VARIANT_JSON_ORACLE_SQL,
+    "balanced_sample": BALANCED_SAMPLE_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
