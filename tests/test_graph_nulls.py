@@ -27,7 +27,7 @@ def test_pagerank_ranks_above_base_and_suppliers_dominate(spark, sf_dir):
     try:
         assert df.filter(F.col("rank_scaled") <= BASE).count() == 0
         top = df.orderBy(F.desc("rank_scaled")).limit(10).collect()
-        assert all(r["node"].startswith("s") for r in top)
+        assert all(r["node"] % 2 == 1 for r in top)  # odd = supplier
     finally:
         df.unpersist()
 
@@ -70,7 +70,7 @@ def test_bfs_distances_bipartite_parity(spark, sf_dir):
     for r in rows:
         # the trade graph is bipartite: customers sit at even hop
         # distances from the customer seed set, suppliers at odd
-        assert r.dist % 2 == (0 if r.node.startswith("c") else 1), r
+        assert r.dist % 2 == r.node % 2, r  # even node = customer
         assert 0 <= r.dist <= 4
     # seeds themselves are present at distance 0
     assert any(r.dist == 0 for r in rows)
