@@ -208,3 +208,93 @@ comp AS (
 )
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp
 """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation/test split
+# ---------------------------------------------------------------------------
+#
+# A hash-split over doc_id silently leaks: two near-duplicate documents
+# can land in train and test, inflating eval scores (the classic
+# contamination mechanism the dedup literature warns about - see e.g.
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", ACL'22 §5). The leakage-safe split hashes the near-dup
+# *cluster*, not the document, so every member of a duplicate group
+# lands in the same partition by construction.
+#
+# Scale shape: the expensive part is the LSH pair detection + CC, both
+# already bucketed / O(log n)-round (above); the split itself is one
+# broadcast-or-shuffle left join of (doc_id -> cluster_id) onto the
+# corpus plus pure column arithmetic - no extra shuffle beyond the
+# join. The multiplicative hash is engine-portable integer arithmetic
+# (identical in Spark and DuckDB), so the oracle checks the exact
+# assignment, not just the ratios.
+
+SPLIT_HASH_MOD = 1_000_003  # prime; bounds the product below 2^63
+SPLIT_MULT = 2_654_435_761  # Knuth multiplicative-hash constant (2^32/phi)
+
+
+def leakage_safe_split(docs: DataFrame, comp: DataFrame,
+                       train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """(doc_id) corpus + (doc_id, cluster_id) components ->
+    (doc_id, cluster_id, split) with whole clusters assigned to one
+    split. Documents in no component are their own singleton cluster."""
+    labeled = docs.join(comp.select("doc_id", "cluster_id"), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    bucket = (
+        (F.col("cluster_id") % F.lit(SPLIT_HASH_MOD)).cast("long")
+        * F.lit(SPLIT_MULT) % F.lit(2**32) % F.lit(100)
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "validation")
+        .otherwise("test")
+    )
+    return labeled.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 80/10/10 split of the documents corpus where
+    MinHash-LSH near-duplicate clusters never straddle splits."""
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(dedup_minhash_query(spark, sf_dir))
+    return leakage_safe_split(docs, comp)
+
+
+LEAKAGE_SAFE_SPLIT_ORACLE_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_MINHASH_ORACLE_SQL}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    WHERE e.dst != r.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+bucketed AS (
+  SELECT doc_id, cluster_id,
+         (cluster_id % 1000003) * 2654435761 % 4294967296 % 100 AS bucket
+  FROM labeled
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM bucketed
+"""

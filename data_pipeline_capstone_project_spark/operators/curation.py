@@ -945,3 +945,73 @@ FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 ORDER BY dsir_weight DESC, p.doc_id
 LIMIT {DSIR_TOP_K}
 """
+
+
+# --- adaptive per-language quality thresholds ------------------------------
+#
+# Fixed quality cutoffs (Gopher-style constants) systematically
+# over-prune low-resource languages whose score distribution sits
+# lower: a punctuation-ratio threshold tuned on English discards
+# well-formed text in languages with different orthography. The
+# adaptive filter instead computes the threshold per language from the
+# corpus itself - drop the bottom decile *within each language* - so
+# pruning pressure is uniform across languages (the per-language
+# calibration argument in Laurencon et al. 2022, "The BigScience ROOTS
+# Corpus", §3.1).
+#
+# Scale shape: quality features are pure column expressions over one
+# scan; the decile is a window percent_rank partitioned by lang - ONE
+# shuffle keyed by a low-cardinality column. At 100 TB the lang
+# partition is skewed (English dominates); percent_rank needs a total
+# sort per partition, so the scale path swaps the window for an
+# approx_percentile(lang) aggregate broadcast back - same semantics
+# within sketch error, no giant sort. The exact-rank form here is the
+# oracle-checkable contract.
+
+ADAPTIVE_QUALITY_DROP_PCT = 0.10
+
+
+def adaptive_quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above their language's 10th quality
+    percentile; emit the per-doc percentile so downstream mixers can
+    re-weight. percent_rank = (rank-1)/(n-1) is ANSI-identical in
+    Spark and DuckDB, and the quality score is bit-identical
+    float64 arithmetic in both engines, so assignment is exact."""
+    from .text import text_stats_query
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = text_stats_query(spark, sf_dir).select("doc_id", "quality_score")
+    joined = docs.join(stats, "doc_id")
+    pct = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    )
+    return (
+        joined.select("doc_id", "lang", "quality_score", pct.alias("quality_pct"))
+        .where(F.col("quality_pct") >= ADAPTIVE_QUALITY_DROP_PCT)
+    )
+
+
+from .text import STOPWORDS as _STOPWORDS, _sw_list as _sw
+
+ADAPTIVE_QUALITY_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, string_split_regex(text, '\\s+') AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         least(1.0, len(w) / 100.0)
+           * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / length(text))
+           * (0.25 + 0.75 * least(1.0,
+                (len(list_filter(w, x -> x IN ({_sw(_STOPWORDS)}))) / len(w)) * 5))
+           AS quality_score
+  FROM tok
+),
+ranked AS (
+  SELECT doc_id, lang, quality_score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id)
+           AS quality_pct
+  FROM scored
+)
+SELECT doc_id, lang, quality_score, quality_pct
+FROM ranked WHERE quality_pct >= 0.10
+"""

@@ -222,6 +222,12 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   balanced_sample                                class-balanced
                       downsampling to the minority stratum size,
                       deterministic md5 pick order
+  leakage_safe_split                             train/val/test split
+                      hashing the near-dup CLUSTER id, so duplicate
+                      groups never straddle splits (Lee et al. 2022)
+  adaptive_quality_filter                        per-language quality
+                      decile threshold (ROOTS calibration) via one
+                      lang-keyed percent_rank window
 """
 
 from __future__ import annotations
@@ -343,6 +349,8 @@ from .operators.text import (
     vocab_top_terms_query,
 )
 from .operators.curation import (
+    ADAPTIVE_QUALITY_ORACLE_SQL,
+    adaptive_quality_filter_query,
     DECONTAMINATION_ORACLE_SQL,
     DEDUP_RESOLUTION_ORACLE_SQL,
     GOPHER_QUALITY_ORACLE_SQL,
@@ -428,8 +436,10 @@ from .operators.sampling import (
 )
 from .operators.clustering import (
     DEDUP_CLUSTERS_ORACLE_SQL,
+    LEAKAGE_SAFE_SPLIT_ORACLE_SQL,
     dedup_clusters_query,
     dedup_clusters_star_query,
+    leakage_safe_split_query,
 )
 from .operators.similarity import (
     LABEL_CENTROIDS_ORACLE_SQL,
@@ -755,6 +765,8 @@ QUERIES = {
     "similarity_join_exact": similarity_join_exact_query,
     "variant_json_suite": variant_json_suite_query,
     "balanced_sample": balanced_sample_query,
+    "leakage_safe_split": leakage_safe_split_query,
+    "adaptive_quality_filter": adaptive_quality_filter_query,
 }
 
 ORACLES = {
@@ -805,6 +817,8 @@ ORACLES = {
     "similarity_join_exact": DEDUP_NGRAM_ORACLE_SQL,
     "variant_json_suite": VARIANT_JSON_ORACLE_SQL,
     "balanced_sample": BALANCED_SAMPLE_ORACLE_SQL,
+    "leakage_safe_split": LEAKAGE_SAFE_SPLIT_ORACLE_SQL,
+    "adaptive_quality_filter": ADAPTIVE_QUALITY_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

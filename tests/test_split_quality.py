@@ -1,0 +1,71 @@
+"""Invariant tests for leakage_safe_split and adaptive_quality_filter.
+
+The oracle sweep checks exact value parity with DuckDB; these tests
+check the *semantic contracts* the oracle cannot see: no near-dup
+pair straddles a split, the split partitions the corpus, and the
+adaptive filter prunes (at most) the bottom decile per language.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_capstone_project_spark.operators.clustering import (
+    leakage_safe_split_query,
+)
+from data_pipeline_capstone_project_spark.operators.curation import (
+    ADAPTIVE_QUALITY_DROP_PCT,
+    adaptive_quality_filter_query,
+)
+from data_pipeline_capstone_project_spark.operators.dedup import dedup_minhash_query
+from data_pipeline_capstone_project_spark.sources.readers import load_table
+
+
+def test_leakage_safe_split_partitions_corpus(spark, sf_dir):
+    split = leakage_safe_split_query(spark, sf_dir).cache()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # every document exactly once
+    assert split.count() == n_docs
+    assert split.select("doc_id").distinct().count() == n_docs
+    # only the three split labels
+    labels = {r["split"] for r in split.select("split").distinct().collect()}
+    assert labels <= {"train", "validation", "test"}
+    # train is the dominant partition (80/10/10 target; generous band
+    # because assignment is cluster-level, not doc-level)
+    frac = split.where(F.col("split") == "train").count() / n_docs
+    assert 0.6 < frac < 0.95
+    split.unpersist()
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    split = leakage_safe_split_query(spark, sf_dir)
+    pairs = dedup_minhash_query(spark, sf_dir)
+    straddling = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+
+
+def test_adaptive_quality_filter_per_lang_decile(spark, sf_dir):
+    kept = adaptive_quality_filter_query(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang_total = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang_kept = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, total in per_lang_total.items():
+        k = per_lang_kept.get(lang, 0)
+        # drops at most the bottom decile (plus the percent_rank==0 row
+        # boundary), never a larger share of any single language
+        assert k >= int(total * (1 - ADAPTIVE_QUALITY_DROP_PCT)) - 1, lang
+        assert k <= total
+    # the kept set respects the threshold column it emits
+    assert kept.where(F.col("quality_pct") < ADAPTIVE_QUALITY_DROP_PCT).count() == 0
+    kept.unpersist()
