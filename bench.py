@@ -9,6 +9,7 @@ which lets Catalyst prune the projection).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -76,6 +77,14 @@ def main() -> None:
         # but 145 queries' worth of leftover blocks otherwise stack up
         # and bleed GC/memory pressure into later measurements.
         spark.catalog.clearCache()
+        # ContextCleaner only reclaims broadcasts / localCheckpoint
+        # RDDs once the Python-side references die; without an explicit
+        # collect they survive until CPython's generational GC happens
+        # to run, and 150 queries' worth of pinned blocks turn into GC
+        # pauses that showed up as a 3-22s spread on late-positioned
+        # iterative queries (pagerank). Forcing the collect here makes
+        # each measurement start from a reclaimed block manager.
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query detail goes to a sidecar file; the stdout line must

@@ -85,7 +85,7 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     nodes = nodes.persist()
 
     ranks = nodes.withColumn("rank_scaled", F.lit(SCALE).cast("long"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             ranked_edges.join(F.broadcast(ranks), ranked_edges.src == ranks.node)
             .select(
@@ -110,6 +110,14 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
                 )
             ).cast("long").alias("rank_scaled"),
         )
+        # Truncate lineage each iteration: without this the final plan
+        # nests every earlier iteration inside each rank broadcast
+        # (~44 exchanges for 4 iterations), and re-planning plus the
+        # pinned nested-broadcast chain measured multi-second jitter in
+        # long-lived sessions. |nodes| rows is tiny relative to |edges|
+        # - exactly the rank-table checkpoint a 100 TB run would take.
+        if i < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
