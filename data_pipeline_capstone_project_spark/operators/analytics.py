@@ -868,3 +868,134 @@ SELECT strftime(ts, '%Y-%m') AS mo, count(DISTINCT user_id) AS n_exact,
        true AS merge_ok
 FROM events GROUP BY 1
 """
+
+
+# --- mergeable histogram quantile rollup -----------------------------------
+#
+# approx_percentile at coarse grain rescans the fact for every grain a
+# dashboard asks for; the continuous-aggregate answer (sketch_rollup's
+# quantile twin) is a fixed-bin histogram: per-(event_type, day) bin
+# counts are exact mergeable integers, so ANY coarser rollup - month,
+# lifetime, ad-hoc ranges - is a SUM of bin counts, never a rescan.
+# Quantile extraction walks the cumulative histogram; error is bounded
+# by one bin width by construction (Greenwald-Khanna/KLL trade finer
+# guarantees for dynamic bins, but lose the exact-integer mergeability
+# that makes this oracle-checkable).
+
+QR_BINS = 128
+QR_WIDTH = 4.0  # values land in [0, 512); last bin catches the tail
+
+
+def _qr_bin() -> F.Column:
+    return F.least(F.floor(F.col("value") / QR_WIDTH), F.lit(QR_BINS - 1)).cast("int")
+
+
+def quantile_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: p50/p95/p99 lower-bin-bound estimates extracted
+    from DAY-grain histograms merged up to lifetime grain. The merge
+    stage touches only (type, day, bin) rows - at 100 TB that is
+    |types| x |days| x 128 tiny integers against trillions of events."""
+    events = load_table(spark, sf_dir, "events")
+    fine = (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), _qr_bin().alias("bin")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = fine.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("total"),
+    )
+
+    def q_bin(q: float) -> F.Column:
+        # smallest bin whose cumulative count reaches ceil(q * n)
+        hit = F.when(F.col("cum") >= F.ceil(F.col("total") * q), F.col("bin"))
+        return (F.min(hit) * QR_WIDTH).alias(f"p{int(q * 100)}_lo")
+
+    return cum.groupBy("event_type").agg(q_bin(0.5), q_bin(0.95), q_bin(0.99))
+
+
+QUANTILE_ROLLUP_ORACLE_SQL = f"""
+WITH binned AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(least(floor(value / {QR_WIDTH}), {QR_BINS - 1}) AS INT) AS bin
+  FROM events
+),
+fine AS (
+  SELECT event_type, day, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bin, sum(cnt) AS cnt FROM fine GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM merged
+)
+SELECT event_type,
+       min(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) * {QR_WIDTH} AS p50_lo,
+       min(CASE WHEN cum >= ceil(total * 0.95) THEN bin END) * {QR_WIDTH} AS p95_lo,
+       min(CASE WHEN cum >= ceil(total * 0.99) THEN bin END) * {QR_WIDTH} AS p99_lo
+FROM cum GROUP BY event_type
+"""
+
+
+# --- robust anomaly detection (median / MAD) -------------------------------
+#
+# Mean/stddev z-scores break exactly when you need them: the outliers
+# being hunted inflate the stddev that normalizes them (masking). The
+# robust spelling is the median absolute deviation (Hampel filter):
+# both location and scale estimators have a 50% breakdown point. Two
+# grouped exact medians and two equi-joins on user_id - at scale the
+# per-user median is one sort-based agg per key (Spark's percentile
+# is a partial-merge TypedImperativeAggregate, map-combinable), and
+# the tiny (user, med, mad) table broadcasts back onto the stream.
+
+ANOMALY_K = 3.0  # Hampel multiplier; 3 x 1.4826*MAD ~ 4.4 sigma if normal
+
+
+def anomaly_mad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value deviates from the USER's median by more
+    than ANOMALY_K times the user's MAD. Zero-MAD users (constant
+    values) flag nothing - matching the Hampel convention."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = events.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = events.join(med, "user_id").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("abs_dev").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "med",
+            "mad",
+            (F.col("abs_dev") > ANOMALY_K * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
+ANOMALY_MAD_ORACLE_SQL = f"""
+WITH med AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.event_id, e.user_id, e.value, m.med, abs(e.value - m.med) AS abs_dev
+  FROM events e JOIN med m ON e.user_id = m.user_id
+),
+mad AS (
+  SELECT user_id, median(abs_dev) AS mad FROM dev GROUP BY user_id
+)
+SELECT d.event_id, d.user_id, d.value, d.med, a.mad,
+       d.abs_dev > {ANOMALY_K} * a.mad AS is_anomaly
+FROM dev d JOIN mad a ON d.user_id = a.user_id
+"""

@@ -228,11 +228,20 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   adaptive_quality_filter                        per-language quality
                       decile threshold (ROOTS calibration) via one
                       lang-keyed percent_rank window
+  quantile_rollup                                mergeable fixed-bin
+                      histogram quantiles: coarse grains are bin-count
+                      SUMS, never a fact rescan (sketch_rollup twin)
+  anomaly_mad                                    Hampel outlier filter
+                      (median/MAD), two exact-median aggs + broadcast
 """
 
 from __future__ import annotations
 
 from .operators.analytics import (
+    ANOMALY_MAD_ORACLE_SQL,
+    QUANTILE_ROLLUP_ORACLE_SQL,
+    anomaly_mad_query,
+    quantile_rollup_query,
     EVENT_PIVOT_ORACLE_SQL,
     PRICING_GROUPING_SETS_ORACLE_SQL,
     PRICING_ROLLUP_ORACLE_SQL,
@@ -767,6 +776,8 @@ QUERIES = {
     "balanced_sample": balanced_sample_query,
     "leakage_safe_split": leakage_safe_split_query,
     "adaptive_quality_filter": adaptive_quality_filter_query,
+    "quantile_rollup": quantile_rollup_query,
+    "anomaly_mad": anomaly_mad_query,
 }
 
 ORACLES = {
@@ -819,6 +830,8 @@ ORACLES = {
     "balanced_sample": BALANCED_SAMPLE_ORACLE_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_ORACLE_SQL,
     "adaptive_quality_filter": ADAPTIVE_QUALITY_ORACLE_SQL,
+    "quantile_rollup": QUANTILE_ROLLUP_ORACLE_SQL,
+    "anomaly_mad": ANOMALY_MAD_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

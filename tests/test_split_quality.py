@@ -69,3 +69,42 @@ def test_adaptive_quality_filter_per_lang_decile(spark, sf_dir):
     # the kept set respects the threshold column it emits
     assert kept.where(F.col("quality_pct") < ADAPTIVE_QUALITY_DROP_PCT).count() == 0
     kept.unpersist()
+
+
+def test_quantile_rollup_brackets_exact_percentiles(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        QR_WIDTH,
+        quantile_rollup_query,
+    )
+
+    import math
+
+    est = {r["event_type"]: r for r in quantile_rollup_query(spark, sf_dir).collect()}
+    vals: dict[str, list[float]] = {}
+    for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, row in est.items():
+        xs = sorted(vals[et])
+        for q in (0.5, 0.95, 0.99):
+            # the histogram returns the lower bound of the bin holding
+            # the DISCRETE quantile (the ceil(q*n)-th order statistic)
+            disc = xs[math.ceil(q * len(xs)) - 1]
+            lo = row[f"p{int(q * 100)}_lo"]
+            assert lo <= disc < lo + QR_WIDTH, (et, q, lo, disc)
+
+
+def test_anomaly_mad_contract(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        anomaly_mad_query,
+    )
+
+    out = anomaly_mad_query(spark, sf_dir).cache()
+    # every event classified exactly once
+    assert out.count() == load_table(spark, sf_dir, "events").count()
+    # flagged events really deviate; unflagged really don't (k=3)
+    bad = out.where(
+        (F.col("is_anomaly") & (F.abs(F.col("value") - F.col("med")) <= 3 * F.col("mad")))
+        | (~F.col("is_anomaly") & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")))
+    ).count()
+    assert bad == 0
+    out.unpersist()
