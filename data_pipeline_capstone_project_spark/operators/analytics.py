@@ -964,38 +964,42 @@ ANOMALY_K = 3.0  # Hampel multiplier; 3 x 1.4826*MAD ~ 4.4 sigma if normal
 def anomaly_mad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag events whose value deviates from the USER's median by more
     than ANOMALY_K times the user's MAD. Zero-MAD users (constant
-    values) flag nothing - matching the Hampel convention."""
+    values) flag nothing - matching the Hampel convention.
+
+    Both medians are unbounded window aggregates over the SAME
+    user_id partitioning, so the plan is one scan and ONE shuffle -
+    the second window reuses the first's exchange (vs the naive
+    groupBy+join spelling: 4 scans of the fact, 3 exchanges)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    med = events.groupBy("user_id").agg(F.median("value").alias("med"))
-    dev = events.join(med, "user_id").withColumn(
-        "abs_dev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("user_id").agg(F.median("abs_dev").alias("mad"))
-    return (
-        dev.join(mad, "user_id")
-        .select(
-            "event_id",
-            "user_id",
-            "value",
-            "med",
-            "mad",
-            (F.col("abs_dev") > ANOMALY_K * F.col("mad")).alias("is_anomaly"),
-        )
+    by_user = Window.partitionBy("user_id")
+    dev = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.median("value").over(by_user).alias("med"),
+    ).withColumn("abs_dev", F.abs(F.col("value") - F.col("med")))
+    return dev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        F.median("abs_dev").over(by_user).alias("mad"),
+        (F.col("abs_dev") > ANOMALY_K * F.median("abs_dev").over(by_user)).alias(
+            "is_anomaly"
+        ),
     )
 
 
 ANOMALY_MAD_ORACLE_SQL = f"""
-WITH med AS (
-  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
-),
-dev AS (
-  SELECT e.event_id, e.user_id, e.value, m.med, abs(e.value - m.med) AS abs_dev
-  FROM events e JOIN med m ON e.user_id = m.user_id
-),
-mad AS (
-  SELECT user_id, median(abs_dev) AS mad FROM dev GROUP BY user_id
+WITH dev AS (
+  SELECT event_id, user_id, value,
+         median(value) OVER (PARTITION BY user_id) AS med,
+         abs(value - median(value) OVER (PARTITION BY user_id)) AS abs_dev
+  FROM events
 )
-SELECT d.event_id, d.user_id, d.value, d.med, a.mad,
-       d.abs_dev > {ANOMALY_K} * a.mad AS is_anomaly
-FROM dev d JOIN mad a ON d.user_id = a.user_id
+SELECT event_id, user_id, value, med,
+       median(abs_dev) OVER (PARTITION BY user_id) AS mad,
+       abs_dev > {ANOMALY_K} * median(abs_dev) OVER (PARTITION BY user_id)
+         AS is_anomaly
+FROM dev
 """

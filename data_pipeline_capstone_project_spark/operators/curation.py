@@ -977,16 +977,16 @@ def adaptive_quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame
     re-weight. percent_rank = (rank-1)/(n-1) is ANSI-identical in
     Spark and DuckDB, and the quality score is bit-identical
     float64 arithmetic in both engines, so assignment is exact."""
-    from .text import text_stats_query
+    from .text import quality_score_col
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    stats = text_stats_query(spark, sf_dir).select("doc_id", "quality_score")
-    joined = docs.join(stats, "doc_id")
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score_col().alias("quality_score")
+    )
     pct = F.percent_rank().over(
         Window.partitionBy("lang").orderBy("quality_score", "doc_id")
     )
     return (
-        joined.select("doc_id", "lang", "quality_score", pct.alias("quality_pct"))
+        scored.select("doc_id", "lang", "quality_score", pct.alias("quality_pct"))
         .where(F.col("quality_pct") >= ADAPTIVE_QUALITY_DROP_PCT)
     )
 

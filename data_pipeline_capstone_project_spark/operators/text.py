@@ -50,6 +50,23 @@ def md5_word_hash(col: Column, seed: Column | None = None) -> Column:
     return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
 
 
+def quality_score_col() -> Column:
+    """The composite quality score (length-saturating x punctuation-
+    penalized x stopword-boosted) as a pure column expression over the
+    ``text`` column - shared by text_stats_query and the per-language
+    adaptive filter so both compute bit-identical float64 scores."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    return (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        * (F.lit(1.0) - punct / n_chars)
+        * (F.lit(0.25) + F.lit(0.75) * F.least(F.lit(1.0), (sw / n_tokens) * 5))
+    )
+
+
 def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, mean token length,
     punctuation ratio, stopword ratio, and a composite quality score
@@ -65,11 +82,7 @@ def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     punct_ratio = punct / n_chars
     stopword_ratio = sw / n_tokens
-    quality = (
-        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        * (F.lit(1.0) - punct_ratio)
-        * (F.lit(0.25) + F.lit(0.75) * F.least(F.lit(1.0), stopword_ratio * 5))
-    )
+    quality = quality_score_col()
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
