@@ -198,6 +198,51 @@ DUP_GRAM_MAX_FRAC = 0.30  # fraction of non-distinct 3-grams <= 30%
 _REP_M = 1_000_000_000_000_037  # prime near 1e15: (h % M) * 31 stays in int64
 
 
+def _gram2(wh):
+    """2-gram integer hashes from a word-hash array (exact modular
+    arithmetic; shared by repetition_filter and the curation funnel)."""
+    M = _REP_M
+    return F.zip_with(
+        F.slice(wh, 1, F.greatest(F.size(wh) - 1, F.lit(0))),
+        F.slice(wh, 2, F.greatest(F.size(wh) - 1, F.lit(0))),
+        lambda a, b: ((a % M) * 31 + b) % M,
+    )
+
+
+def _gram3(wh):
+    M = _REP_M
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0))),
+        lambda i: (
+            (((F.element_at(wh, i) % M) * 31 + F.element_at(wh, i + 1)) % M) * 31
+            + F.element_at(wh, i + 2)
+        )
+        % M,
+    )
+
+
+def _longest_run(arr):
+    """Longest equal-adjacent run after sorting = the mode's count."""
+    run_zero = F.struct(
+        F.lit(-1).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(a, x):
+        new_run = (
+            F.when(x == a["prev"], a["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(a["best"], new_run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), run_zero, step)["best"]
+
+
 def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition metrics (Rae et al. 2021 A1.1, the
     repetition half of the Gopher filter): the coverage fraction of
@@ -221,48 +266,6 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
 
-    M = _REP_M
-
-    def gram2(wh):
-        return F.zip_with(
-            F.slice(wh, 1, F.greatest(F.size(wh) - 1, F.lit(0))),
-            F.slice(wh, 2, F.greatest(F.size(wh) - 1, F.lit(0))),
-            lambda a, b: ((a % M) * 31 + b) % M,
-        )
-
-    def gram3(wh):
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(wh) - 2, F.lit(0))),
-            lambda i: (
-                (
-                    ((F.element_at(wh, i) % M) * 31 + F.element_at(wh, i + 1)) % M
-                )
-                * 31
-                + F.element_at(wh, i + 2)
-            )
-            % M,
-        )
-
-    run_zero = F.struct(
-        F.lit(-1).cast("long").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
-
-    def longest_run(arr):
-        def step(a, x):
-            new_run = (
-                F.when(x == a["prev"], a["run"] + F.lit(1).cast("long"))
-                .otherwise(F.lit(1).cast("long"))
-            )
-            return F.struct(
-                x.alias("prev"),
-                new_run.alias("run"),
-                F.greatest(a["best"], new_run).alias("best"),
-            )
-
-        return F.aggregate(F.array_sort(arr), run_zero, step)["best"]
-
     # Two selects, load-bearing (README lesson #1): downstream refers
     # to wh/g2/g3 as COLUMNS referenced more than once, so
     # CollapseProject keeps these projections separate and each array
@@ -272,12 +275,12 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, lambda w: md5_word_hash(w)).alias("wh"),
     )
     staged = hashed.select(
-        "doc_id", gram2(F.col("wh")).alias("g2"), gram3(F.col("wh")).alias("g3")
+        "doc_id", _gram2(F.col("wh")).alias("g2"), _gram3(F.col("wh")).alias("g3")
     )
     base = staged.select(
         "doc_id",
         F.size("g2").alias("n_g2"),
-        longest_run(F.col("g2")).alias("top_c"),
+        _longest_run(F.col("g2")).alias("top_c"),
         (
             (F.size("g3") - F.size(F.array_distinct("g3")))
             / F.greatest(F.size("g3"), F.lit(1))
@@ -709,15 +712,20 @@ def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop-reason histogram is the first thing a curation run
     reports (C4, Gopher, RefinedWeb all publish exactly this funnel).
 
-    Scale shape: the two rule stages (:func:`gopher_quality_query`,
-    :func:`repetition_filter_query`) are zero-shuffle scan
-    projections; their flag outputs join on doc_id - rows entering
-    these joins are (id, bool) narrow whatever the corpus width. The
-    dedup keep-set and the contamination set are the outputs of their
-    own (already shuffle-minimal) stages, joined by the same key. Four
-    narrow hash joins on the same key, AQE-broadcastable as the flag
-    sets shrink; the document TEXT is scanned by each text stage and
-    never shuffled.
+    Scale shape: ONE scan of the corpus. Every stage's signal is a
+    per-row expression (gopher metrics, repetition gram algebra, the
+    exact-dedup signature, the decontamination gram hashes), so a
+    single projection computes them all and a localCheckpoint barrier
+    holds the narrow derived relation (doc_id, two bools, one md5,
+    gram-hash array - no text) for its three consumers. At 100 TB
+    the naive per-stage composition re-reads and RE-TOKENIZES the
+    corpus once per stage - four full passes of the most expensive
+    CPU in the pipeline; sharing the scan is the difference between
+    one tokenization pass and four. The dedup keep-set is a partial-
+    agg groupBy on the signature joined back on doc_id (measured
+    faster than a window min, which sorts the full relation); the
+    contamination join is gram-keyed against the tiny benchmark side,
+    AQE-broadcast.
 
     `benchmark` docs (the decontamination holdout) are excluded from
     training by definition - they fail first with 'benchmark'.
@@ -728,34 +736,92 @@ def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 0% pass on that one rule), which would collapse the
     whole funnel into 'gopher' and leave every later stage untested.
     A real deployment keeps the full conjunction."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    gq = gopher_quality_query(spark, sf_dir).select(
-        "doc_id",
-        (
-            F.col("n_words").between(50, 100_000)
-            & F.col("mean_word_len").between(3, 10)
-            & (F.col("symbol_ratio") <= 0.1)
-            & (F.col("alpha_frac") >= 0.8)
-        ).alias("gopher_pass"),
-    )
-    rep = repetition_filter_query(spark, sf_dir).select("doc_id", "rep_pass")
-    from .dedup import dedup_exact_query
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
 
-    keep_set = dedup_exact_query(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("in_keep")
+    # -- gopher metrics (per-row; stopword rule dropped, see above) --
+    n_words = F.size(toks)
+    mean_len = (
+        F.aggregate(F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        / n_words
     )
-    decon = decontamination_query(spark, sf_dir).select("doc_id", "contaminated")
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    gopher_pass = (
+        n_words.between(50, 100_000)
+        & mean_len.between(3, 10)
+        & (((n_hash + n_ellipsis) / n_words) <= 0.1)
+        & ((F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))) / n_words) >= 0.8)
+    )
+    # -- exact-dedup signature + decontamination grams (per-row) --
+    from .dedup import exact_signature_col
+
+    # Staged selects so wh/g2/g3 stay single-evaluation columns (same
+    # CollapseProject constraint as repetition_filter_query).
+    hashed = docs.select(
+        "doc_id",
+        gopher_pass.alias("gopher_pass"),
+        exact_signature_col().alias("sig"),
+        _gram_hashes(toks).alias("grams"),
+        F.transform(toks, lambda w: md5_word_hash(w)).alias("wh"),
+    )
+    grammed = hashed.select(
+        "doc_id", "gopher_pass", "sig", "grams",
+        _gram2(F.col("wh")).alias("g2"), _gram3(F.col("wh")).alias("g3"),
+    )
+    top_frac = _longest_run(F.col("g2")) / F.greatest(F.size("g2"), F.lit(1))
+    dup_g3_frac = (
+        (F.size("g3") - F.size(F.array_distinct("g3")))
+        / F.greatest(F.size("g3"), F.lit(1))
+    )
+    base = grammed.select(
+        "doc_id",
+        "gopher_pass",
+        ((top_frac <= TOP_GRAM_MAX_FRAC) & (dup_g3_frac <= DUP_GRAM_MAX_FRAC)).alias(
+            "rep_pass"
+        ),
+        "sig",
+        "grams",
+    ).localCheckpoint(eager=False)
+
+    # -- dedup keep: partial-agg groupBy to a tiny keep-set, broadcast
+    # back (beats a window min: no sort of the full relation by sig) --
+    keep_set = (
+        base.groupBy("sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("in_keep"))
+    )
+
+    # -- decontamination: gram join against the tiny benchmark side --
+    pairs = base.select("doc_id", F.explode_outer("grams").alias("gram"))
+    bench_grams = (
+        pairs.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    leaked = (
+        pairs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(bench_grams, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
     joined = (
-        docs.join(gq, "doc_id")
-        .join(rep, "doc_id")
+        base.select("doc_id", "gopher_pass", "rep_pass")
         .join(keep_set, "doc_id", "left")
-        .join(decon, "doc_id", "left")
+        .withColumn("dedup_keep", F.coalesce("in_keep", F.lit(False)))
+        .drop("in_keep")
+        .join(leaked, "doc_id", "left")
         .select(
             "doc_id",
             "gopher_pass",
             "rep_pass",
-            F.coalesce("in_keep", F.lit(False)).alias("dedup_keep"),
-            (~F.coalesce("contaminated", F.lit(True))).alias("decontam_pass"),
+            "dedup_keep",
+            (
+                ~F.when(F.col("doc_id") % BENCH_MOD == 0, F.lit(True)).otherwise(
+                    F.coalesce("contaminated", F.lit(False))
+                )
+            ).alias("decontam_pass"),
             (F.col("doc_id") % BENCH_MOD == 0).alias("benchmark"),
         )
     )

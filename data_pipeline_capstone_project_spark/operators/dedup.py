@@ -158,12 +158,21 @@ def bands_of_shingles(sh: DataFrame) -> DataFrame:
 
 # --- exact dedup -----------------------------------------------------------
 
+def exact_signature_col():
+    """Canonicalized content signature (md5 of the sorted distinct
+    word set) over the ``text`` column - shared by dedup_exact and
+    the curation funnel."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", r"\s+"))), "|")
+    )
+
+
 def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a canonicalized content signature (md5 of the
     sorted distinct word set - catches reorderings, the synthetic
     corpus's duplication mode). Keeps the minimum doc_id per group."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", r"\s+"))), "|"))
+    sig = exact_signature_col()
     return (
         docs.select(sig.alias("sig"), "doc_id")
         .groupBy("sig")
