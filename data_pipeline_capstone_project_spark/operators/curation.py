@@ -1081,3 +1081,163 @@ ranked AS (
 SELECT doc_id, lang, quality_score, quality_pct
 FROM ranked WHERE quality_pct >= 0.10
 """
+
+
+# --- bigram LM fluency scoring (stupid backoff) ----------------------------
+#
+# lm_rarity's unigram inverse-frequency catches too-rare vocabulary
+# but not broken word ORDER - "the of and is a" scores as perfectly
+# common unigrams. The CCNet recipe (Wenzek et al. 2019) trains an LM
+# on a clean corpus and filters the crawl by perplexity; this is that
+# stage with a bigram stupid-backoff model (Brants et al. 2007 - the
+# web-scale LM designed for exactly this setting: no discounting
+# hyperparameters, counts only, embarrassingly distributable).
+#
+# Portability design (same fixed-point discipline as lm_rarity):
+# surprise of a transition is the inverse conditional probability as
+# an exact BIGINT - floor(S*c(prev)/c(prev,cur)) on the bigram path,
+# floor(5*S*N/(2*c(cur))) on the backoff path (1/0.4 = 5/2 exactly),
+# floor(S*N/1) for OOV - summed exactly and divided once. Train/eval
+# split by doc_id so held-out docs genuinely hit unseen bigrams and
+# exercise the backoff (scoring the training corpus never would).
+#
+# Scale shape: counts are two map-combinable shuffles (bigram-keyed,
+# unigram-keyed) producing Zipf-bounded model tables; the scoring
+# joins are per-doc-DISTINCT bigram multisets against those tables
+# (model side shrinks to the eval side's key set under AQE); the
+# scalar N broadcasts. Nothing is per-token past the first combine.
+
+LM_EVAL_MOD = 10  # doc_id % LM_EVAL_MOD == 0 is the held-out eval slice
+
+
+def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # The tokenize+md5 pass is the expensive CPU; checkpoint the
+    # hashed-token relation so the bigram AND unigram branches both
+    # derive from one materialization (explodes are cheap, hashing
+    # is not) - one corpus scan, one tokenization.
+    hashed = docs.select(
+        "doc_id", F.transform(tokens_col(), lambda w: md5_word_hash(w)).alias("wh")
+    ).localCheckpoint(eager=False)
+    n1 = F.greatest(F.size("wh") - 1, F.lit(0))
+    pairs = hashed.select(
+        "doc_id",
+        F.explode_outer(
+            F.zip_with(
+                F.slice("wh", 1, n1),
+                F.slice("wh", 2, n1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    is_train = F.col("doc_id") % LM_EVAL_MOD != 0
+
+    train_words = (
+        hashed.filter(is_train)
+        .select(F.explode_outer("wh").alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+    unis = train_words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    total = unis.agg(F.sum("c_w").alias("n_total"))
+    bigs = (
+        pairs.filter(is_train & F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_pc"))
+    )
+
+    doc_bg = (
+        pairs.filter(~is_train & F.col("prev").isNotNull())
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_db"))
+    )
+    S = IPF_SCALE
+    scored = (
+        doc_bg.join(bigs, ["prev", "cur"], "left")
+        .join(unis.select(F.col("w").alias("prev"), F.col("c_w").alias("c_prev")), "prev", "left")
+        .join(unis.select(F.col("w").alias("cur"), F.col("c_w").alias("c_cur")), "cur", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "c_db",
+            F.when(
+                F.col("c_pc").isNotNull(),
+                F.floor(F.lit(S) * F.col("c_prev") / F.col("c_pc")),
+            )
+            .when(
+                F.col("c_cur").isNotNull(),
+                F.floor(F.lit(5 * S) * F.col("n_total") / (F.lit(2) * F.col("c_cur"))),
+            )
+            .otherwise(F.lit(S) * F.col("n_total"))
+            .cast("long")
+            .alias("surprise"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_db").alias("n_bigrams"),
+            F.sum(F.col("c_db") * F.col("surprise")).alias("surprise_sum"),
+        )
+    )
+    eval_docs = docs.select("doc_id").filter(~is_train)
+    mean_surprise = F.col("surprise_sum") / (F.col("n_bigrams") * F.lit(float(S)))
+    return eval_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce(mean_surprise, F.lit(0.0)).alias("mean_surprise"),
+    )
+
+
+BIGRAM_LM_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '\\s+'),
+                        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS wh
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, unnest(list_transform(
+           range(2, len(wh) + 1),
+           i -> struct_pack(prev := wh[i-1], cur := wh[i]))) AS bg
+  FROM tok WHERE len(wh) >= 2
+),
+p2 AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM pairs),
+unis AS (
+  SELECT w, count(*) AS c_w FROM (
+    SELECT unnest(wh) AS w FROM tok WHERE doc_id % {LM_EVAL_MOD} != 0
+  ) GROUP BY w
+),
+total AS (SELECT sum(c_w) AS n_total FROM unis),
+bigs AS (
+  SELECT prev, cur, count(*) AS c_pc FROM p2
+  WHERE doc_id % {LM_EVAL_MOD} != 0 GROUP BY prev, cur
+),
+doc_bg AS (
+  SELECT doc_id, prev, cur, count(*) AS c_db FROM p2
+  WHERE doc_id % {LM_EVAL_MOD} = 0 GROUP BY doc_id, prev, cur
+),
+scored AS (
+  SELECT d.doc_id, d.c_db,
+         CASE
+           WHEN b.c_pc IS NOT NULL
+             THEN CAST(floor({IPF_SCALE} * up.c_w / b.c_pc) AS BIGINT)
+           WHEN uc.c_w IS NOT NULL
+             THEN CAST(floor({5 * IPF_SCALE} * t.n_total / (2 * uc.c_w)) AS BIGINT)
+           ELSE {IPF_SCALE} * t.n_total
+         END AS surprise
+  FROM doc_bg d
+  LEFT JOIN bigs b ON d.prev = b.prev AND d.cur = b.cur
+  LEFT JOIN unis up ON d.prev = up.w
+  LEFT JOIN unis uc ON d.cur = uc.w
+  CROSS JOIN total t
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_bigrams,
+         CAST(sum(c_db * surprise) AS BIGINT) AS surprise_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT e.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.surprise_sum / (a.n_bigrams * {float(IPF_SCALE)}), 0.0)
+         AS mean_surprise
+FROM (SELECT doc_id FROM documents WHERE doc_id % {LM_EVAL_MOD} = 0) e
+LEFT JOIN agg a ON e.doc_id = a.doc_id
+"""

