@@ -1241,3 +1241,89 @@ SELECT e.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {LM_EVAL_MOD} = 0) e
 LEFT JOIN agg a ON e.doc_id = a.doc_id
 """
+
+
+# --- cross-corpus overlap matrix -------------------------------------------
+#
+# Before mixing N sources into a training blend, measure how much they
+# overlap: near-identical sources double-weight their content (the
+# implicit-duplication failure mode source-mixture weighting cannot
+# see). The overlap of two sources is the exact Jaccard similarity of
+# their distinct DECONTAM_N-gram sets - corpus-level (not doc-level,
+# which is corpus_dup_ngrams) and pairwise across sources.
+#
+# Scale shape: the corpus reduces to per-source-DISTINCT (source,
+# gram) rows - one shuffle. The pair stage is a gram-keyed self-join:
+# per gram the fanout is (sources containing it choose 2), bounded by
+# the SOURCE cardinality (dozens), never by corpus size; the
+# source-pair intersection counts are a map-combinable re-aggregation
+# on a (|S| choose 2)-row output. Set sizes broadcast back. At 100 TB
+# the only heavy operand is the distinct - exactly the same shape the
+# dedup family already pays.
+
+
+def cross_corpus_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, n_shared, jaccard) for every
+    unordered source pair with at least one shared gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    source_grams = (
+        docs.select("source", F.explode_outer(_gram_hashes(tokens_col())).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = source_grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        source_grams.join(
+            source_grams.select(
+                F.col("source").alias("source_b"), F.col("gram").alias("gram")
+            ),
+            "gram",
+        )
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+CROSS_CORPUS_OVERLAP_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT source, string_split_regex(text, '\\s+') AS w FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source, unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - {DECONTAM_N} + 1, 0) + 1),
+             i -> ('0x' || substr(md5(array_to_string(w[i:i+{DECONTAM_N}-1], ' ')), 1, 15))::BIGINT
+           ))) AS gram
+    FROM tok
+  )
+),
+sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, sa.n_grams AS n_a, sb.n_grams AS n_b,
+       s.n_shared,
+       s.n_shared / (sa.n_grams + sb.n_grams - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.source_a = sa.source
+JOIN sizes sb ON s.source_b = sb.source
+"""

@@ -237,6 +237,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       filter: bigram stupid-backoff LM trained on the
                       90% slice, held-out docs scored in exact
                       fixed-point surprise
+  cross_corpus_overlap                           exact source-pair
+                      n-gram Jaccard matrix; gram-keyed self-join
+                      with fanout bounded by source cardinality
 """
 
 from __future__ import annotations
@@ -364,8 +367,10 @@ from .operators.text import (
 from .operators.curation import (
     ADAPTIVE_QUALITY_ORACLE_SQL,
     BIGRAM_LM_ORACLE_SQL,
+    CROSS_CORPUS_OVERLAP_ORACLE_SQL,
     adaptive_quality_filter_query,
     bigram_lm_score_query,
+    cross_corpus_overlap_query,
     DECONTAMINATION_ORACLE_SQL,
     DEDUP_RESOLUTION_ORACLE_SQL,
     GOPHER_QUALITY_ORACLE_SQL,
@@ -785,6 +790,7 @@ QUERIES = {
     "quantile_rollup": quantile_rollup_query,
     "anomaly_mad": anomaly_mad_query,
     "bigram_lm_score": bigram_lm_score_query,
+    "cross_corpus_overlap": cross_corpus_overlap_query,
 }
 
 ORACLES = {
@@ -840,6 +846,7 @@ ORACLES = {
     "quantile_rollup": QUANTILE_ROLLUP_ORACLE_SQL,
     "anomaly_mad": ANOMALY_MAD_ORACLE_SQL,
     "bigram_lm_score": BIGRAM_LM_ORACLE_SQL,
+    "cross_corpus_overlap": CROSS_CORPUS_OVERLAP_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -131,3 +131,25 @@ def test_bigram_lm_score_orders_scrambled_text(spark, sf_dir):
     avg = sum(r["mean_surprise"] for r in scored) / len(scored)
     assert avg < 1_000_000, avg
     out.unpersist()
+
+
+def test_cross_corpus_overlap_matrix(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.curation import (
+        cross_corpus_overlap_query,
+    )
+
+    out = cross_corpus_overlap_query(spark, sf_dir).cache()
+    rows = out.collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    # at most (|S| choose 2) unordered pairs, each listed once
+    assert len(rows) <= n_sources * (n_sources - 1) // 2
+    assert len({(r["source_a"], r["source_b"]) for r in rows}) == len(rows)
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+        union = r["n_a"] + r["n_b"] - r["n_shared"]
+        assert abs(r["jaccard"] - r["n_shared"] / union) < 1e-12
+        assert 0.0 < r["jaccard"] <= 1.0
+    out.unpersist()
