@@ -467,3 +467,47 @@ SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp,
        CAST(list_sum(list_transform(fps, x -> x % {MOD_PRIME})) AS BIGINT) AS sum_mod
 FROM w
 """
+
+
+def lang_id_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-label recall for the lang_id heuristic -
+    the eval twin of lang_id (same pattern as dedup_eval / ann_recall:
+    every heuristic stage ships with the query that measures it).
+    Output one row per (labeled_lang, pred_lang) cell with the cell
+    count and the labeled class's total and recall share.
+
+    Scale shape: the classifier is a zero-shuffle scan projection; the
+    matrix is ONE map-combinable groupBy on a <= |langs|^2 key space,
+    and the per-label totals come from a window sum over that tiny
+    aggregated output - nothing post-shuffle exceeds |langs|^2 rows."""
+    from pyspark.sql.window import Window
+
+    preds = lang_id_query(spark, sf_dir).select("labeled_lang", "pred_lang")
+    cells = preds.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    label_total = F.sum("n").over(Window.partitionBy("labeled_lang"))
+    return cells.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        label_total.alias("label_total"),
+        (F.col("n") / label_total).alias("share"),
+        (F.col("labeled_lang") == F.col("pred_lang")).alias("is_correct_cell"),
+    )
+
+
+LANG_ID_EVAL_ORACLE_SQL = f"""
+WITH preds AS (
+{LANG_ID_ORACLE_SQL}
+),
+cells AS (
+  SELECT labeled_lang, pred_lang, count(*) AS n
+  FROM preds GROUP BY 1, 2
+)
+SELECT labeled_lang, pred_lang, n,
+       CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS label_total,
+       n / sum(n) OVER (PARTITION BY labeled_lang) AS share,
+       labeled_lang = pred_lang AS is_correct_cell
+FROM cells
+"""

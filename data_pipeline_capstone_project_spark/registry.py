@@ -240,6 +240,8 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   cross_corpus_overlap                           exact source-pair
                       n-gram Jaccard matrix; gram-keyed self-join
                       with fanout bounded by source cardinality
+  lang_id_eval                                   confusion matrix +
+                      per-label recall for lang_id (eval-twin pattern)
 """
 
 from __future__ import annotations
@@ -352,6 +354,8 @@ from .operators.text import (
     FINGERPRINT_ORACLE_SQL,
     HEAVY_HITTERS_ORACLE_SQL,
     LANG_ID_ORACLE_SQL,
+    LANG_ID_EVAL_ORACLE_SQL,
+    lang_id_eval_query,
     TEXT_STATS_ORACLE_SQL,
     TFIDF_ORACLE_SQL,
     TOKEN_COUNT_ORACLE_SQL,
@@ -791,6 +795,7 @@ QUERIES = {
     "anomaly_mad": anomaly_mad_query,
     "bigram_lm_score": bigram_lm_score_query,
     "cross_corpus_overlap": cross_corpus_overlap_query,
+    "lang_id_eval": lang_id_eval_query,
 }
 
 ORACLES = {
@@ -847,6 +852,7 @@ ORACLES = {
     "anomaly_mad": ANOMALY_MAD_ORACLE_SQL,
     "bigram_lm_score": BIGRAM_LM_ORACLE_SQL,
     "cross_corpus_overlap": CROSS_CORPUS_OVERLAP_ORACLE_SQL,
+    "lang_id_eval": LANG_ID_EVAL_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
