@@ -242,6 +242,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       with fanout bounded by source cardinality
   lang_id_eval                                   confusion matrix +
                       per-label recall for lang_id (eval-twin pattern)
+  bpe_train                                      BPE tokenizer
+                      training: one corpus-sized shuffle to the word-
+                      frequency table, then K merge rounds on the
+                      Zipf-bounded vocab (greedy fold, exact oracle)
 """
 
 from __future__ import annotations
@@ -458,6 +462,7 @@ from .operators.sampling import (
     train_test_split_query,
     weighted_sample_query,
 )
+from .operators.bpe import BPE_TRAIN_ORACLE_SQL, bpe_train_query
 from .operators.clustering import (
     DEDUP_CLUSTERS_ORACLE_SQL,
     LEAKAGE_SAFE_SPLIT_ORACLE_SQL,
@@ -796,6 +801,7 @@ QUERIES = {
     "bigram_lm_score": bigram_lm_score_query,
     "cross_corpus_overlap": cross_corpus_overlap_query,
     "lang_id_eval": lang_id_eval_query,
+    "bpe_train": bpe_train_query,
 }
 
 ORACLES = {
@@ -853,6 +859,7 @@ ORACLES = {
     "bigram_lm_score": BIGRAM_LM_ORACLE_SQL,
     "cross_corpus_overlap": CROSS_CORPUS_OVERLAP_ORACLE_SQL,
     "lang_id_eval": LANG_ID_EVAL_ORACLE_SQL,
+    "bpe_train": BPE_TRAIN_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -153,3 +153,41 @@ def test_cross_corpus_overlap_matrix(spark, sf_dir):
         assert abs(r["jaccard"] - r["n_shared"] / union) < 1e-12
         assert 0.0 < r["jaccard"] <= 1.0
     out.unpersist()
+
+
+def test_bpe_train_merge_semantics(spark, sf_dir):
+    """Pin the BPE contract: ranks are 1..K, pair counts are non-
+    increasing in rank (each merge removes the most frequent pair),
+    and the greedy merge fold matches hand-computed cases."""
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_capstone_project_spark.operators.bpe import (
+        N_MERGES,
+        _merge_fold,
+        bpe_train_query,
+    )
+
+    rules = bpe_train_query(spark, sf_dir).collect()
+    assert [r["merge_rank"] for r in rules] == list(range(1, N_MERGES + 1))
+    counts = [r["pair_count"] for r in rules]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # merged symbols are concatenations of existing symbols
+    for r in rules:
+        assert r["left_sym"] and r["right_sym"]
+
+    # fold semantics: greedy leftmost non-overlapping
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["b", "a", "b", "a"],), (["a", "b"],)],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(_merge_fold(SF.col("syms"), "a", "a").alias("m")).collect()
+    ]
+    assert got[0] == ["aa", "a"]
+    got2 = [
+        r["m"]
+        for r in df.select(_merge_fold(SF.col("syms"), "b", "a").alias("m")).collect()
+    ]
+    assert got2[1] == ["ba", "ba"]
+    assert got2[2] == ["a", "b"]
