@@ -78,11 +78,13 @@ def _merge_fold(syms, left: str, right: str):
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
-def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn N_MERGES BPE merge rules; returns one row per rule:
-    (merge_rank, left_sym, right_sym, pair_count)."""
+def _train(spark: SparkSession, sf_dir: str):
+    """Run the merge loop; returns (rules, encoded_vocab) where rules
+    is [(rank, left, right, pair_count)] and encoded_vocab is the
+    (word, cnt, syms) relation AFTER all merges - shared by the
+    train-rules query and the corpus encoder."""
     vocab = _vocab(spark, sf_dir).select(
-        "cnt", F.regexp_extract_all("word", F.lit("[a-z]"), 0).alias("syms")
+        "word", "cnt", F.regexp_extract_all("word", F.lit("[a-z]"), 0).alias("syms")
     ).localCheckpoint(eager=True)
 
     rules = []
@@ -109,13 +111,53 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, c = best[0]["l"], best[0]["r"], best[0]["pair_count"]
         rules.append((rank, l, r, c))
-        if rank < N_MERGES:
-            vocab = vocab.select(
-                "cnt", _merge_fold(F.col("syms"), l, r).alias("syms")
-            ).localCheckpoint(eager=True)
+        vocab = vocab.select(
+            "word", "cnt", _merge_fold(F.col("syms"), l, r).alias("syms")
+        ).localCheckpoint(eager=True)
 
+    return rules, vocab
+
+
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn N_MERGES BPE merge rules; returns one row per rule:
+    (merge_rank, left_sym, right_sym, pair_count)."""
+    rules, _ = _train(spark, sf_dir)
     return spark.createDataFrame(
         rules, "merge_rank INT, left_sym STRING, right_sym STRING, pair_count LONG"
+    )
+
+
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the learned merges: per document, the
+    subword-token count against its alphabetic word count.
+
+    Scale shape: encoding applies per DISTINCT word (the Zipf-bounded
+    vocab relation carries its post-merge symbol arrays out of
+    training), so the corpus-sized work is one explode + one join of
+    (doc, word) against the broadcastable vocab + one map-combinable
+    re-aggregation keyed by doc. The corpus text is never re-folded -
+    encode once per vocabulary entry, not once per occurrence."""
+    _, vocab = _train(spark, sf_dir)
+    word_len = vocab.select("word", F.size("syms").alias("n_subwords"))
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = (
+        docs.select("doc_id", F.explode_outer(tokens_col()).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("word"))
+        .filter(F.col("word").rlike(_WORD_RE))
+    )
+    return (
+        doc_words.join(word_len, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("n_words")).alias("tokens_per_word"),
+        )
     )
 
 
@@ -130,7 +172,8 @@ def _bpe_oracle() -> str:
     parts = [
         f"""
 WITH v1 AS MATERIALIZED (
-  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|' AS s,
+  SELECT word,
+         '|' || array_to_string(string_split(word, ''), '||') || '|' AS s,
          CAST(count(*) AS BIGINT) AS cnt
   FROM (
     SELECT lower(unnest(string_split_regex(text, '\\s+'))) AS word FROM documents
@@ -161,22 +204,50 @@ b{i} AS MATERIALIZED (
   ORDER BY pair_count DESC, l, r LIMIT 1
 )"""
         )
-        if i < N_MERGES:
-            parts.append(
-                f""",
+        parts.append(
+            f""",
 v{i + 1} AS MATERIALIZED (
-  SELECT replace(s,
+  SELECT word,
+         replace(s,
                  '|' || (SELECT l FROM b{i}) || '||' || (SELECT r FROM b{i}) || '|',
                  '|' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '|') AS s,
          cnt
   FROM v{i}
 )"""
-            )
-    selects = " UNION ALL ".join(
+        )
+    return "".join(parts)
+
+
+def _train_select() -> str:
+    return " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, pair_count FROM b{i}"
         for i in range(1, N_MERGES + 1)
     )
-    return "".join(parts) + "\n" + selects
 
 
-BPE_TRAIN_ORACLE_SQL = _bpe_oracle()
+BPE_TRAIN_ORACLE_SQL = _bpe_oracle() + "\n" + _train_select()
+
+BPE_ENCODE_ORACLE_SQL = (
+    _bpe_oracle()
+    + f""",
+word_len AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(s, '|'), x -> x != '')) AS n_subwords
+  FROM v{N_MERGES + 1}
+),
+doc_words AS (
+  SELECT doc_id, lower(unnest(string_split_regex(text, '\\s+'))) AS word
+  FROM documents
+),
+agg AS (
+  SELECT d.doc_id,
+         count(*) AS n_words,
+         CAST(sum(w.n_subwords) AS BIGINT) AS n_tokens
+  FROM doc_words d JOIN word_len w ON d.word = w.word
+  WHERE regexp_matches(d.word, '{_WORD_RE}')
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_words, n_tokens, n_tokens / n_words AS tokens_per_word
+FROM agg
+"""
+)

@@ -462,7 +462,12 @@ from .operators.sampling import (
     train_test_split_query,
     weighted_sample_query,
 )
-from .operators.bpe import BPE_TRAIN_ORACLE_SQL, bpe_train_query
+from .operators.bpe import (
+    BPE_ENCODE_ORACLE_SQL,
+    BPE_TRAIN_ORACLE_SQL,
+    bpe_encode_query,
+    bpe_train_query,
+)
 from .operators.clustering import (
     DEDUP_CLUSTERS_ORACLE_SQL,
     LEAKAGE_SAFE_SPLIT_ORACLE_SQL,
@@ -802,6 +807,7 @@ QUERIES = {
     "cross_corpus_overlap": cross_corpus_overlap_query,
     "lang_id_eval": lang_id_eval_query,
     "bpe_train": bpe_train_query,
+    "bpe_encode": bpe_encode_query,
 }
 
 ORACLES = {
@@ -860,6 +866,7 @@ ORACLES = {
     "cross_corpus_overlap": CROSS_CORPUS_OVERLAP_ORACLE_SQL,
     "lang_id_eval": LANG_ID_EVAL_ORACLE_SQL,
     "bpe_train": BPE_TRAIN_ORACLE_SQL,
+    "bpe_encode": BPE_ENCODE_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
