@@ -246,6 +246,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       training: one corpus-sized shuffle to the word-
                       frequency table, then K merge rounds on the
                       Zipf-bounded vocab (greedy fold, exact oracle)
+  bpe_encode                                     tokenize under the
+                      learned merges, once per DISTINCT word; per-doc
+                      subword counts via broadcastable vocab join
 """
 
 from __future__ import annotations
