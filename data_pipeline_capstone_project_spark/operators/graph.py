@@ -205,8 +205,14 @@ def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement is degree-ordered orientation (point each edge at the
     higher-degree endpoint), which bounds out-degree by sqrt(|E|) and
     the join by |E|^1.5 - same plan, different orientation column.
-    The closing-edge probe is an equi-join on the (a,c) pair key."""
-    e = _cooccurrence_edges(spark, sf_dir)
+    The closing-edge probe is an equi-join on the (a,c) pair key.
+
+    The edge list is localCheckpointed: it appears in all three join
+    roles, and without the barrier each role re-executes the edge
+    DERIVATION (a lineitem self-join + support groupBy) - three full
+    passes of the most expensive stage. Exactly the materialization a
+    100 TB run would do before a multi-way self-join."""
+    e = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     ab = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
     bc = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
     ac = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
