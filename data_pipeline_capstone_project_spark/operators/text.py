@@ -511,3 +511,83 @@ SELECT labeled_lang, pred_lang, n,
        labeled_lang = pred_lang AS is_correct_cell
 FROM cells
 """
+
+
+# --- vocabulary growth curve (Heaps' law diagnostic) -----------------------
+
+VG_BUCKETS = 20  # corpus split into 5% arrival slices
+
+
+VG_GRAM_N = 8  # same gram width as the decontamination/dup family
+
+
+def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 8-gram vocabulary growth as the corpus is consumed in
+    doc_id order: per 5% slice, how many NEVER-SEEN-BEFORE grams
+    appear, and the cumulative gram-vocabulary size. The curve's
+    flattening rate (Heaps' law) is how corpus curators detect
+    saturation - when new data stops contributing new language, more
+    of the same source has diminishing value (the data-scaling
+    argument of Hoffmann et al. 2022 applied at the n-gram level).
+    Grams, not words: word vocabularies saturate almost immediately;
+    the gram space is what dedup/contamination economics live in.
+
+    Scale shape: one (gram -> min doc_id) map-combinable aggregate -
+    first-occurrence is an associative min, so no ordered scan is
+    needed - then a VG_BUCKETS-row cumulative window. The corpus never
+    sorts; the axis comes from integer doc_id arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - VG_GRAM_N + 1, F.lit(0))),
+        lambda i: md5_word_hash(F.array_join(F.slice(toks, i, VG_GRAM_N), " ")),
+    )
+    words = docs.select("doc_id", F.explode_outer(grams).alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    first_seen = words.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(F.col("first_doc") * VG_BUCKETS / F.col("n_docs")),
+                F.lit(VG_BUCKETS - 1),
+            ).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    cum = F.sum("new_words").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return bucketed.select("bucket", "new_words", cum.alias("vocab_size"))
+
+
+VOCAB_GROWTH_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(w) - {VG_GRAM_N} + 1, 0) + 1),
+           i -> ('0x' || substr(md5(array_to_string(w[i:i+{VG_GRAM_N}-1], ' ')), 1, 15))::BIGINT
+         )) AS gram
+  FROM tok
+),
+first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM words GROUP BY gram
+),
+bounds AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+bucketed AS (
+  SELECT CAST(least(floor(first_doc * {VG_BUCKETS} / n_docs),
+                    {VG_BUCKETS - 1}) AS INT) AS bucket,
+         count(*) AS new_words
+  FROM first_seen CROSS JOIN bounds
+  GROUP BY 1
+)
+SELECT bucket, new_words,
+       CAST(sum(new_words) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS vocab_size
+FROM bucketed
+"""

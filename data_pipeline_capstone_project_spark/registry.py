@@ -249,6 +249,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   bpe_encode                                     tokenize under the
                       learned merges, once per DISTINCT word; per-doc
                       subword counts via broadcastable vocab join
+  vocab_growth                                   Heaps'-law gram-
+                      vocabulary growth curve; first-occurrence as an
+                      associative min aggregate, no ordered scan
 """
 
 from __future__ import annotations
@@ -362,7 +365,9 @@ from .operators.text import (
     HEAVY_HITTERS_ORACLE_SQL,
     LANG_ID_ORACLE_SQL,
     LANG_ID_EVAL_ORACLE_SQL,
+    VOCAB_GROWTH_ORACLE_SQL,
     lang_id_eval_query,
+    vocab_growth_query,
     TEXT_STATS_ORACLE_SQL,
     TFIDF_ORACLE_SQL,
     TOKEN_COUNT_ORACLE_SQL,
@@ -811,6 +816,7 @@ QUERIES = {
     "lang_id_eval": lang_id_eval_query,
     "bpe_train": bpe_train_query,
     "bpe_encode": bpe_encode_query,
+    "vocab_growth": vocab_growth_query,
 }
 
 ORACLES = {
@@ -870,6 +876,7 @@ ORACLES = {
     "lang_id_eval": LANG_ID_EVAL_ORACLE_SQL,
     "bpe_train": BPE_TRAIN_ORACLE_SQL,
     "bpe_encode": BPE_ENCODE_ORACLE_SQL,
+    "vocab_growth": VOCAB_GROWTH_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

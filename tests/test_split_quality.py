@@ -191,3 +191,44 @@ def test_bpe_train_merge_semantics(spark, sf_dir):
     ]
     assert got2[1] == ["ba", "ba"]
     assert got2[2] == ["a", "b"]
+
+
+def test_bpe_fold_exhaustive_vs_reference(spark):
+    """Exhaustively compare the Spark merge fold against a Python
+    reference for EVERY sequence of length <= 5 over {a, b} and every
+    pair - the full space where greedy/overlap edge cases live."""
+    from itertools import product
+
+    from pyspark.sql import functions as SF
+
+    from data_pipeline_capstone_project_spark.operators.bpe import _merge_fold
+
+    def ref_merge(syms, l, r):
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = [
+        list(seq)
+        for n in range(0, 6)
+        for seq in product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+    )
+    for l, r in [("a", "b"), ("a", "a"), ("b", "a"), ("b", "b")]:
+        got = {
+            row["i"]: row["m"]
+            for row in df.select(
+                "i", _merge_fold(SF.col("syms"), l, r).alias("m")
+            ).collect()
+        }
+        for i, case in enumerate(cases):
+            assert got[i] == ref_merge(case, l, r), (case, l, r, got[i])
