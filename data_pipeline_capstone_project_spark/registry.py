@@ -252,6 +252,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   vocab_growth                                   Heaps'-law gram-
                       vocabulary growth curve; first-occurrence as an
                       associative min aggregate, no ordered scan
+  streaming_quantile                             incremental mergeable
+                      histogram store; per-batch fold, bit-identical
+                      to the batch rollup (same oracle)
 """
 
 from __future__ import annotations
@@ -470,6 +473,7 @@ from .operators.sampling import (
     train_test_split_query,
     weighted_sample_query,
 )
+from .streaming.quantile_stream import streaming_quantile_query
 from .operators.bpe import (
     BPE_ENCODE_ORACLE_SQL,
     BPE_TRAIN_ORACLE_SQL,
@@ -817,6 +821,7 @@ QUERIES = {
     "bpe_train": bpe_train_query,
     "bpe_encode": bpe_encode_query,
     "vocab_growth": vocab_growth_query,
+    "streaming_quantile": streaming_quantile_query,
 }
 
 ORACLES = {
@@ -877,6 +882,10 @@ ORACLES = {
     "bpe_train": BPE_TRAIN_ORACLE_SQL,
     "bpe_encode": BPE_ENCODE_ORACLE_SQL,
     "vocab_growth": VOCAB_GROWTH_ORACLE_SQL,
+    # the incremental histogram must reproduce the batch rollup
+    # exactly - same oracle, hash-compared (streaming_lsh_dedup
+    # pattern applied to the mergeable-quantile store)
+    "streaming_quantile": QUANTILE_ROLLUP_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,

@@ -1,0 +1,134 @@
+"""Incremental quantile maintenance over an event stream via the
+mergeable fixed-bin histogram (the streaming twin of
+``operators.analytics.quantile_rollup_query``).
+
+The point of choosing a MERGEABLE sketch for percentiles is exactly
+this operator: per micro-batch the stream folds its events into
+(event_type, bin) integer counts and merges them into a persistent
+store by re-aggregating two tiny tables - work per batch is
+O(|batch| + |types| x bins), state is O(|types| x bins) forever, and
+after any number of batches the store is BIT-IDENTICAL to the
+histogram a from-scratch batch job would build. The registry entry
+therefore shares ``QUANTILE_ROLLUP_ORACLE_SQL`` verbatim: the
+incremental path is hash-compared against the recompute-the-world
+semantics it replaces (same correctness pattern as
+``streaming_lsh_dedup``).
+
+At scale: the store is a keyed table (Delta/Iceberg) of a few
+thousand rows regardless of corpus size; the per-batch merge is one
+map-combinable aggregation; quantile extraction is driver-cheap and
+can run on every trigger for a live dashboard.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.analytics import QR_BINS, QR_WIDTH, _qr_bin
+from ..sources.readers import load_table
+
+_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def _store(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(_STORE_SCHEMA).parquet(path)
+    return spark.createDataFrame([], _STORE_SCHEMA)
+
+
+def histogram_merge_batch(spark: SparkSession, batch: DataFrame, store_dir: str) -> None:
+    """Fold one micro-batch into the persistent histogram store."""
+    delta = batch.groupBy("event_type", _qr_bin().alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = (
+        _store(spark, store_dir)
+        .unionByName(delta)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # Compact rewrite: the store is O(|types| x bins) rows however
+    # large the stream history - rewriting it wholesale per batch is
+    # cheaper than any merge-on-read bookkeeping at this cardinality.
+    tmp = store_dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(store_dir):
+        shutil.rmtree(store_dir)
+    os.replace(tmp, store_dir)
+
+
+def streaming_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: three-wave incremental ingest of the events
+    table; the final store's extracted p50/p95/p99 must hash-equal the
+    batch quantile_rollup result (same oracle SQL)."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    work = tempfile.mkdtemp(prefix="stream_quant_")
+    src, ckpt, store_dir = (os.path.join(work, d) for d in ("src", "ckpt", "store"))
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    try:
+        for wave in range(3):
+            events.filter(F.crc32(F.col("event_type")) % 3 == wave).coalesce(
+                1
+            ).write.parquet(os.path.join(src, f"wave{wave}"))
+        # crc32-based wave split is deterministic but uneven; that is
+        # the point - batches of different sizes and type mixes must
+        # still merge to the exact batch histogram.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        from . import sized_state_partitions
+
+        with sized_state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda batch, _epoch: histogram_merge_batch(spark, batch, store_dir)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        from pyspark.sql.window import Window
+
+        merged = _store(spark, store_dir)
+        cum = merged.select(
+            "event_type",
+            "bin",
+            F.sum("cnt").over(
+                Window.partitionBy("event_type").orderBy("bin")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("event_type")).alias("total"),
+        )
+
+        def q_bin(p: float):
+            hit = F.when(F.col("cum") >= F.ceil(F.col("total") * p), F.col("bin"))
+            return (F.min(hit) * QR_WIDTH).alias(f"p{int(p * 100)}_lo")
+
+        out = cum.groupBy("event_type").agg(q_bin(0.5), q_bin(0.95), q_bin(0.99))
+        # Materialize before the temp store disappears - executor-side,
+        # never a driver collect (harness-boundary pattern shared with
+        # the other self-staging streams).
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

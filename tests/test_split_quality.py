@@ -232,3 +232,24 @@ def test_bpe_fold_exhaustive_vs_reference(spark):
         }
         for i, case in enumerate(cases):
             assert got[i] == ref_merge(case, l, r), (case, l, r, got[i])
+
+
+def test_streaming_quantile_store_matches_batch(spark, sf_dir):
+    """The incremental histogram's extracted quantiles must equal the
+    batch quantile_rollup result exactly - the mergeability contract."""
+    from data_pipeline_capstone_project_spark.operators.analytics import (
+        quantile_rollup_query,
+    )
+    from data_pipeline_capstone_project_spark.streaming.quantile_stream import (
+        streaming_quantile_query,
+    )
+
+    batch = {
+        r["event_type"]: (r["p50_lo"], r["p95_lo"], r["p99_lo"])
+        for r in quantile_rollup_query(spark, sf_dir).collect()
+    }
+    stream = {
+        r["event_type"]: (r["p50_lo"], r["p95_lo"], r["p99_lo"])
+        for r in streaming_quantile_query(spark, sf_dir).collect()
+    }
+    assert stream == batch
