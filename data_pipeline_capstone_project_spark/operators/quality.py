@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 
@@ -194,4 +195,44 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
        max(CASE WHEN ts < TIMESTAMP '{RETENTION_CUTOFF}' THEN 1 ELSE 0 END)
          AS expired
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- k-anonymity gate ------------------------------------------------------
+
+K_ANON = 5  # minimum group size for a quasi-identifier combination
+
+
+def k_anonymity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per quasi-identifier combination (lang, source): the group
+    size and the suppression verdict - groups smaller than K_ANON
+    re-identify their members and must be suppressed or generalized
+    before a corpus release (Sweeney 2002, the k-anonymity model).
+    Emits every combination with its share of the corpus so the
+    release report shows exactly what survives.
+
+    Scale shape: ONE map-combinable groupBy on the quasi-identifier
+    key; the output is bounded by the QI-combination cardinality
+    (|langs| x |sources|), and the corpus share comes from a window
+    sum over that tiny aggregate - the fact is never re-scanned."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return groups.select(
+        "lang",
+        "source",
+        "n",
+        (F.col("n") / total).alias("corpus_share"),
+        (F.col("n") < K_ANON).alias("suppress"),
+    )
+
+
+K_ANONYMITY_ORACLE_SQL = f"""
+WITH groups AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n,
+       n / sum(n) OVER () AS corpus_share,
+       n < {K_ANON} AS suppress
+FROM groups
 """

@@ -255,6 +255,9 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   streaming_quantile                             incremental mergeable
                       histogram store; per-batch fold, bit-identical
                       to the batch rollup (same oracle)
+  k_anonymity                                    privacy release gate:
+                      QI combos smaller than k flagged for
+                      suppression, one map-combinable groupBy
 """
 
 from __future__ import annotations
@@ -314,9 +317,11 @@ from .operators.multimodal import (
 )
 from .operators.quality import (
     DATA_QUALITY_SUITE_ORACLE_SQL,
+    K_ANONYMITY_ORACLE_SQL,
     QUALITY_GATES_ORACLE_SQL,
     RETENTION_PRUNE_ORACLE_SQL,
     data_quality_suite_query,
+    k_anonymity_query,
     quality_gates_query,
     retention_prune_query,
 )
@@ -822,6 +827,7 @@ QUERIES = {
     "bpe_encode": bpe_encode_query,
     "vocab_growth": vocab_growth_query,
     "streaming_quantile": streaming_quantile_query,
+    "k_anonymity": k_anonymity_query,
 }
 
 ORACLES = {
@@ -886,6 +892,7 @@ ORACLES = {
     # exactly - same oracle, hash-compared (streaming_lsh_dedup
     # pattern applied to the mergeable-quantile store)
     "streaming_quantile": QUANTILE_ROLLUP_ORACLE_SQL,
+    "k_anonymity": K_ANONYMITY_ORACLE_SQL,
     "top_k_per_group": TOP_K_ORACLE_SQL,
     "recent_n_per_user": RECENT_N_ORACLE_SQL,
     "asof_enrichment": ASOF_ORACLE_SQL,
