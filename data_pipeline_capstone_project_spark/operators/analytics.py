@@ -887,7 +887,15 @@ QR_WIDTH = 4.0  # values land in [0, 512); last bin catches the tail
 
 
 def _qr_bin() -> F.Column:
-    return F.least(F.floor(F.col("value") / QR_WIDTH), F.lit(QR_BINS - 1)).cast("int")
+    """Histogram bin for ``value``, total on the full double domain:
+    negatives clamp to bin 0, the tail clamps to the last bin, and a
+    NULL value is EXPLICITLY routed to the last bin (previously it
+    landed there implicitly via least()'s null-skipping - an engine-
+    dependent accident, now a pinned contract mirrored in the oracle).
+    No input can produce a negative or NULL bin."""
+    raw = F.floor(F.col("value") / QR_WIDTH)
+    clamped = F.greatest(F.least(raw, F.lit(QR_BINS - 1)), F.lit(0))
+    return F.coalesce(clamped, F.lit(QR_BINS - 1)).cast("int")
 
 
 def quantile_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,7 +931,10 @@ def quantile_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTILE_ROLLUP_ORACLE_SQL = f"""
 WITH binned AS (
   SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         CAST(least(floor(value / {QR_WIDTH}), {QR_BINS - 1}) AS INT) AS bin
+         -- total binning mirrored from _qr_bin: clamp [0, last], NULL -> last
+         CAST(coalesce(greatest(least(floor(value / {QR_WIDTH}),
+                                      {QR_BINS - 1}), 0), {QR_BINS - 1}) AS INT)
+           AS bin
   FROM events
 ),
 fine AS (

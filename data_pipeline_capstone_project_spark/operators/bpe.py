@@ -78,11 +78,23 @@ def _merge_fold(syms, left: str, right: str):
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+# One training pass per (SparkContext, corpus): bpe_train and
+# bpe_encode both need the merge loop, and it is by far the most
+# expensive stage (N_MERGES driver-collect rounds + localCheckpoints).
+# The checkpointed vocab DataFrame is valid for the lifetime of its
+# SparkContext, so the cache key is (applicationId, sf_dir).
+_TRAIN_CACHE: dict = {}
+
+
 def _train(spark: SparkSession, sf_dir: str):
     """Run the merge loop; returns (rules, encoded_vocab) where rules
     is [(rank, left, right, pair_count)] and encoded_vocab is the
     (word, cnt, syms) relation AFTER all merges - shared by the
-    train-rules query and the corpus encoder."""
+    train-rules query and the corpus encoder (one shared pass, cached
+    per session x corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     vocab = _vocab(spark, sf_dir).select(
         "word", "cnt", F.regexp_extract_all("word", F.lit("[a-z]"), 0).alias("syms")
     ).localCheckpoint(eager=True)
@@ -115,6 +127,7 @@ def _train(spark: SparkSession, sf_dir: str):
             "word", "cnt", _merge_fold(F.col("syms"), l, r).alias("syms")
         ).localCheckpoint(eager=True)
 
+    _TRAIN_CACHE[key] = (rules, vocab)
     return rules, vocab
 
 

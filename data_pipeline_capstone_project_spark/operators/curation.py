@@ -1042,14 +1042,24 @@ def adaptive_quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame
     percentile; emit the per-doc percentile so downstream mixers can
     re-weight. percent_rank = (rank-1)/(n-1) is ANSI-identical in
     Spark and DuckDB, and the quality score is bit-identical
-    float64 arithmetic in both engines, so assignment is exact."""
+    float64 arithmetic in both engines, so assignment is exact.
+
+    Null ordering is PINNED on both sides (asc_nulls_first here,
+    NULLS FIRST in the oracle): quality_score is NULL for empty-text
+    docs (0/0 in the punctuation ratio) and Spark's default NULLS
+    FIRST differs from DuckDB's NULLS LAST - unpinned, rank parity
+    would silently break on the first degenerate document. NULLs
+    sorting first means empty docs land in the bottom decile and are
+    pruned, which is the intended semantics for unscorable text."""
     from .text import quality_score_col
 
     scored = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", quality_score_col().alias("quality_score")
     )
     pct = F.percent_rank().over(
-        Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+        Window.partitionBy("lang").orderBy(
+            F.col("quality_score").asc_nulls_first(), F.col("doc_id").asc()
+        )
     )
     return (
         scored.select("doc_id", "lang", "quality_score", pct.alias("quality_pct"))
@@ -1074,7 +1084,8 @@ scored AS (
 ),
 ranked AS (
   SELECT doc_id, lang, quality_score,
-         percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id)
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY quality_score ASC NULLS FIRST, doc_id ASC)
            AS quality_pct
   FROM scored
 )

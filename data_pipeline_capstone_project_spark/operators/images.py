@@ -224,12 +224,41 @@ def image_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _hsv_roundtrip(r: int, g: int, b: int) -> tuple[tuple, tuple]:
+    """Independent scalar twin (stdlib ``colorsys``, no numpy) of the
+    reference's per-color chain: BGR2HSV on the RGB-flipped pixel then
+    HSV2RGB on the (truncated) center (``spark_image.py:149,160,
+    40-56``). cvtColor reads the flipped array's channel 0 as Blue,
+    so the hue is computed on the R/B-swapped color - reproduced here
+    by feeding colorsys (b, g, r). Returns (hsv8, rgb_out): the 8-bit
+    quantized HSV the clusterer sees and the emitted RGB."""
+    import colorsys
+
+    h, s, v = colorsys.rgb_to_hsv(b / 255.0, g / 255.0, r / 255.0)
+    h8 = int(h * 360.0 / 2.0 + 0.5) % 180
+    s8 = int(s * 255.0 + 0.5)
+    v8 = int(v * 255.0 + 0.5)
+    # solid tiles -> exact integer centers; truncation is a no-op here
+    ro, go, bo = colorsys.hsv_to_rgb(h8 * 2.0 / 360.0, s8 / 255.0, v8 / 255.0)
+    rgb_out = (int(ro * 255.0 + 0.5), int(go * 255.0 + 0.5), int(bo * 255.0 + 0.5))
+    return (h8, s8, v8), rgb_out
+
+
 def _expected_palette_json(user: int) -> str:
     """The closed-form palette for a user's fixture images: three
-    equal-weight solid colors ranked by ascending brightness (counts
-    tie, center-sum breaks the tie)."""
+    equal-weight solid colors clustered in HSV space, ranked by
+    (count desc, HSV-center sum asc) - counts tie, so the HSV sum
+    breaks the tie. Computed through the colorsys scalar twin, fully
+    independent of the operator's vectorized numpy conversions, so a
+    quantization or channel-order drift in either side fails the
+    exact-JSON compare."""
+    scored = []
+    for rgb in _user_colors(user):
+        hsv8, rgb_out = _hsv_roundtrip(*rgb)
+        scored.append((sum(hsv8), rgb_out))
+    scored.sort()  # equal counts -> ascending HSV center sum
     colors = []
-    for r, g, b in _user_colors(user):
+    for _, (r, g, b) in scored:
         colors.append(
             {
                 "percentage": round(1.0 / COLORS_PER_USER, 4),

@@ -237,9 +237,12 @@ def vocab_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency. Two-level aggregation - (term, doc) partial
     counts, then term totals - which is distinct-free: at 100 TB this
     is one map-side-combinable shuffle on term, no count-distinct
-    expansion. The final rank runs on the collapsed term table (tiny
-    relative to the corpus), so the single-partition window is not a
-    bottleneck."""
+    expansion. The top-K is ``orderBy(...).limit(K)``, which Spark
+    compiles to TakeOrderedAndProject: each partition keeps a K-row
+    heap and the driver merges K-row heads, so the web-scale distinct-
+    term table (billions of rows) never funnels through a single
+    partition. Rank is then derived with a window over only the K
+    surviving rows (bounded, 50 rows)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode_outer(tokens_col()).alias("term"))
@@ -249,10 +252,12 @@ def vocab_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = tf.groupBy("term").agg(
         F.sum("tf").alias("term_freq"), F.count("*").alias("doc_freq")
     )
+    top = terms.orderBy(
+        F.col("term_freq").desc(), F.col("term").asc()
+    ).limit(VOCAB_TOP_K)
+    # Window over <= VOCAB_TOP_K rows only - bounded by construction.
     w = Window.orderBy(F.col("term_freq").desc(), F.col("term").asc())
-    return terms.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= VOCAB_TOP_K
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 _ORACLE_TF = """

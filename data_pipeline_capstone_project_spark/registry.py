@@ -653,15 +653,78 @@ from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
 QUERIES = {
-    # Round-3 rotation: the driver's correctness gate reads the FIRST 50
-    # entries only. Rounds 1+2 gave green rows to 62 entries
-    # (CORRECTNESS_r01/r02 on record); the 49 entries never yet
-    # driver-checked are rotated to the front here so every registry
-    # name gets a green row in some CORRECTNESS_r*.json. Slot 50 is
-    # dedup_simhash, whose implementation was rewritten this round
-    # (single-pass F.aggregate) and needs re-verification. Rotation
-    # across rounds is deliberate and recorded: see VERDICT.md r2 item 1
-    # and ADVICE.md (keep a ledger, rotate the window, lose nothing).
+    # Round-4 rotation: the driver's correctness gate reads the FIRST 50
+    # entries only. All 52 entries with no driver row in
+    # CORRECTNESS_r01-r03 (the round-3 additions, upsert_audit ..
+    # k_anonymity) are rotated to the front; the two plain TPC-H SQL
+    # translations (tpch_volume_shipping, tpch_product_profit) sit at
+    # slots 51-52 for the round-5 window, followed by the flagship and
+    # the entries modified this round (HSV palette, vocab_top_terms
+    # TakeOrdered rewrite, EWMA) whose green rows should be refreshed
+    # next. Rotation across rounds is deliberate and recorded: see
+    # VERDICT.md r3 item 1 and VERIFICATION.md (full two-scale ledger).
+    "upsert_audit": upsert_audit_query,
+    "image_decode": image_decode_query,
+    "color_palette_png": color_palette_png_query,
+    "decontamination": decontamination_query,
+    "gopher_quality": gopher_quality_query,
+    "sequence_packing": sequence_packing_query,
+    "dedup_resolution": dedup_resolution_query,
+    "repetition_filter": repetition_filter_query,
+    "source_mixture": source_mixture_query,
+    "keyword_search_ranked": keyword_search_ranked_query,
+    "ann_recall": ann_recall_query,
+    "tpch_customer_distribution": customer_distribution_query,
+    "tpch_sales_opportunity": sales_opportunity_query,
+    "tpch_waiting_suppliers": waiting_suppliers_query,
+    "tpch_order_priority": order_priority_query,
+    "tpch_returned_items": returned_items_query,
+    "tpch_top_supplier": top_supplier_query,
+    "tpch_small_qty_revenue": small_quantity_revenue_query,
+    "corpus_dup_ngrams": corpus_dup_ngrams_query,
+    "lm_rarity": lm_rarity_query,
+    "kmeans_lloyd": kmeans_lloyd_query,
+    "semantic_dedup": semantic_dedup_query,
+    "curation_funnel": curation_funnel_query,
+    "api_ingest": api_ingest_query,
+    "streaming_api_ingest": streaming_api_ingest_query,
+    "tpch_min_cost_supplier": min_cost_supplier_query,
+    "tpch_important_stock": important_stock_query,
+    "tpch_part_promotion": part_promotion_query,
+    "importance_resampling": importance_resampling_query,
+    "streaming_transform_state": streaming_transform_state_query,
+    "bloom_dedup": bloom_dedup_query,
+    "bfs_distances": bfs_distances_query,
+    "streaming_late_data": streaming_late_data_query,
+    "substring_dedup": substring_dedup_query,
+    "dedup_eval": dedup_eval_query,
+    "similarity_join_exact": similarity_join_exact_query,
+    "variant_json_suite": variant_json_suite_query,
+    "balanced_sample": balanced_sample_query,
+    "leakage_safe_split": leakage_safe_split_query,
+    "adaptive_quality_filter": adaptive_quality_filter_query,
+    "quantile_rollup": quantile_rollup_query,
+    "anomaly_mad": anomaly_mad_query,
+    "bigram_lm_score": bigram_lm_score_query,
+    "cross_corpus_overlap": cross_corpus_overlap_query,
+    "lang_id_eval": lang_id_eval_query,
+    "bpe_train": bpe_train_query,
+    "bpe_encode": bpe_encode_query,
+    "vocab_growth": vocab_growth_query,
+    "streaming_quantile": streaming_quantile_query,
+    "k_anonymity": k_anonymity_query,
+    # --- end of round-4 gate window (50) ---
+    # Round-5 rotation candidates: never-driver-checked remainder, then
+    # entries modified in round 4 whose last green row predates the change.
+    "tpch_volume_shipping": volume_shipping_query,
+    "tpch_product_profit": product_profit_query,
+    "q1_history": history_fact,
+    "rolling_engagement": rolling_engagement,
+    "vocab_top_terms": vocab_top_terms_query,
+    "ewma_smoothing": ewma_smoothing_query,
+    "color_palette_props": color_palette_props_query,
+    "color_palette": color_palette_query,
+    # Previously driver-verified (green rows in CORRECTNESS_r01/r02/r03):
     "user_rank_suite": user_rank_suite_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
     "dedup_clusters_star": dedup_clusters_star_query,
@@ -712,10 +775,6 @@ QUERIES = {
     "safe_arithmetic_suite": safe_arithmetic_suite_query,
     "window_navigation_suite": window_navigation_suite_query,
     "dedup_simhash": dedup_simhash_query,
-    # --- end of round-3 gate window (50) ---
-    # Previously driver-verified (green rows in CORRECTNESS_r01/r02):
-    "q1_history": history_fact,
-    "rolling_engagement": rolling_engagement,
     "latest_wins": latest_wins_query,
     "top_k_per_group": top_k_query,
     "recent_n_per_user": recent_n_query,
@@ -726,7 +785,6 @@ QUERIES = {
     "quality_gates": quality_gates_query,
     "pricing_summary": pricing_summary_query,
     "cdc_merge": cdc_merge_query,
-    "ewma_smoothing": ewma_smoothing_query,
     "sessionize": sessionize_query,
     "text_stats": text_stats_query,
     "lang_id": lang_id_query,
@@ -743,7 +801,6 @@ QUERIES = {
     "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
     "frame_sample": frame_sample_query,
-    "color_palette": color_palette_query,
     "streaming_upsert": streaming_upsert_query,
     "streaming_window_agg": streaming_window_query,
     "streaming_stateful": streaming_stateful_query,
@@ -765,69 +822,14 @@ QUERIES = {
     "heavy_hitters": heavy_hitters_query,
     "pricing_rollup": pricing_rollup_query,
     "skew_salted_agg": skew_salted_agg_query,
-    "vocab_top_terms": vocab_top_terms_query,
     "dedup_clusters": dedup_clusters_query,
     "set_ops": set_ops_query,
     "event_pivot": event_pivot_query,
     "user_timeseries": user_timeseries_query,
     "pricing_cube": pricing_cube_query,
-    "color_palette_props": color_palette_props_query,
     "semi_join": semi_join_query,
     "set_ops_fused": set_ops_fused_query,
     "label_centroids": label_centroids_query,
-    # --- round 3 additions (rotate into the gate window next round) ---
-    "upsert_audit": upsert_audit_query,
-    "image_decode": image_decode_query,
-    "color_palette_png": color_palette_png_query,
-    "decontamination": decontamination_query,
-    "gopher_quality": gopher_quality_query,
-    "sequence_packing": sequence_packing_query,
-    "dedup_resolution": dedup_resolution_query,
-    "repetition_filter": repetition_filter_query,
-    "source_mixture": source_mixture_query,
-    "keyword_search_ranked": keyword_search_ranked_query,
-    "ann_recall": ann_recall_query,
-    "tpch_customer_distribution": customer_distribution_query,
-    "tpch_sales_opportunity": sales_opportunity_query,
-    "tpch_waiting_suppliers": waiting_suppliers_query,
-    "tpch_order_priority": order_priority_query,
-    "tpch_volume_shipping": volume_shipping_query,
-    "tpch_product_profit": product_profit_query,
-    "tpch_returned_items": returned_items_query,
-    "tpch_top_supplier": top_supplier_query,
-    "tpch_small_qty_revenue": small_quantity_revenue_query,
-    "corpus_dup_ngrams": corpus_dup_ngrams_query,
-    "lm_rarity": lm_rarity_query,
-    "kmeans_lloyd": kmeans_lloyd_query,
-    "semantic_dedup": semantic_dedup_query,
-    "curation_funnel": curation_funnel_query,
-    "api_ingest": api_ingest_query,
-    "streaming_api_ingest": streaming_api_ingest_query,
-    "tpch_min_cost_supplier": min_cost_supplier_query,
-    "tpch_important_stock": important_stock_query,
-    "tpch_part_promotion": part_promotion_query,
-    "importance_resampling": importance_resampling_query,
-    "streaming_transform_state": streaming_transform_state_query,
-    "bloom_dedup": bloom_dedup_query,
-    "bfs_distances": bfs_distances_query,
-    "streaming_late_data": streaming_late_data_query,
-    "substring_dedup": substring_dedup_query,
-    "dedup_eval": dedup_eval_query,
-    "similarity_join_exact": similarity_join_exact_query,
-    "variant_json_suite": variant_json_suite_query,
-    "balanced_sample": balanced_sample_query,
-    "leakage_safe_split": leakage_safe_split_query,
-    "adaptive_quality_filter": adaptive_quality_filter_query,
-    "quantile_rollup": quantile_rollup_query,
-    "anomaly_mad": anomaly_mad_query,
-    "bigram_lm_score": bigram_lm_score_query,
-    "cross_corpus_overlap": cross_corpus_overlap_query,
-    "lang_id_eval": lang_id_eval_query,
-    "bpe_train": bpe_train_query,
-    "bpe_encode": bpe_encode_query,
-    "vocab_growth": vocab_growth_query,
-    "streaming_quantile": streaming_quantile_query,
-    "k_anonymity": k_anonymity_query,
 }
 
 ORACLES = {

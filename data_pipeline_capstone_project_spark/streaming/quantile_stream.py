@@ -48,8 +48,33 @@ def _store(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame([], _STORE_SCHEMA)
 
 
-def histogram_merge_batch(spark: SparkSession, batch: DataFrame, store_dir: str) -> None:
-    """Fold one micro-batch into the persistent histogram store."""
+def _applied_epoch(store_dir: str) -> int:
+    """Highest epoch already folded into the store (-1 if none).
+
+    The marker lives INSIDE the store directory (underscore-prefixed,
+    so Spark's parquet reader ignores it like ``_SUCCESS``) and is
+    renamed into place atomically WITH the data it describes - there
+    is no window where the store reflects an epoch the marker does
+    not."""
+    marker = os.path.join(store_dir, "_last_epoch")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def histogram_merge_batch(
+    spark: SparkSession, batch: DataFrame, store_dir: str, epoch_id: int
+) -> None:
+    """Fold one micro-batch into the persistent histogram store.
+
+    Idempotent under foreachBatch's at-least-once contract: epoch ids
+    are monotonically increasing per checkpoint and a retried batch
+    replays with the SAME id, so any epoch <= the store's recorded
+    high-water mark has already been merged and is skipped - a batch
+    retry or query restart cannot double-count."""
+    if epoch_id <= _applied_epoch(store_dir):
+        return
     delta = batch.groupBy("event_type", _qr_bin().alias("bin")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -64,6 +89,8 @@ def histogram_merge_batch(spark: SparkSession, batch: DataFrame, store_dir: str)
     # cheaper than any merge-on-read bookkeeping at this cardinality.
     tmp = store_dir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_last_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
     if os.path.isdir(store_dir):
         shutil.rmtree(store_dir)
     os.replace(tmp, store_dir)
@@ -84,9 +111,13 @@ def streaming_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         for wave in range(3):
-            events.filter(F.crc32(F.col("event_type")) % 3 == wave).coalesce(
-                1
-            ).write.parquet(os.path.join(src, f"wave{wave}"))
+            # coalesce(NULL type to '') so crc32 never returns NULL -
+            # every row lands in exactly one wave even if the events
+            # table ever carries NULL event_type.
+            wave_key = F.crc32(F.coalesce(F.col("event_type"), F.lit(""))) % 3
+            events.filter(wave_key == wave).coalesce(1).write.parquet(
+                os.path.join(src, f"wave{wave}")
+            )
         # crc32-based wave split is deterministic but uneven; that is
         # the point - batches of different sizes and type mixes must
         # still merge to the exact batch histogram.
@@ -100,7 +131,9 @@ def streaming_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         with sized_state_partitions(spark):
             q = (
                 stream.writeStream.foreachBatch(
-                    lambda batch, _epoch: histogram_merge_batch(spark, batch, store_dir)
+                    lambda batch, epoch: histogram_merge_batch(
+                        spark, batch, store_dir, epoch
+                    )
                 )
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
