@@ -61,6 +61,74 @@ def ewma_smoothing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_smoothing_fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same integer EWMA recurrence folded ENTIRELY JVM-side: each
+    key's events collapse to one sorted array (sort_array on the
+    (ts, event_id, cents) struct - lexicographic, exactly the Python
+    path's sort keys), one ``F.aggregate`` walks the recurrence
+    appending to the output array, and the result explodes back to
+    rows. No Python workers, no Arrow transfer - whole-stage codegen
+    end to end; bit-identical to :func:`ewma_smoothing_query` and
+    shares its recursive-CTE oracle.
+
+    Trade-off vs the applyInPandas loop (measured at sf0.1, see
+    BASELINE.md "EWMA alternatives"): the fold's array append is a
+    copy per step - O(n^2) bytes per key - so it wins while per-key
+    series are short (<= a few thousand rows) and loses to the O(n)
+    numpy loop on very long keys. Both are one shuffle; pick by key
+    length."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    per_key = events.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "cents"))).alias(
+            "seq"
+        )
+    )
+    head = F.element_at("seq", 1)
+    init = F.struct(
+        head["cents"].alias("prev"),
+        F.array(
+            F.struct(
+                head["event_id"].alias("event_id"),
+                head["cents"].alias("ewma_cents"),
+            )
+        ).alias("out"),
+    )
+    # floor((4*prev + x)/5) == Python's // for the non-negative cents
+    # domain, and 4*prev + x stays far below 2^53 so the double
+    # division is exact.
+    step = lambda acc, x: F.struct(  # noqa: E731
+        F.floor((EWMA_NUM * acc["prev"] + x["cents"]) / EWMA_DEN)
+        .cast("long")
+        .alias("prev"),
+        F.concat(
+            acc["out"],
+            F.array(
+                F.struct(
+                    x["event_id"].alias("event_id"),
+                    F.floor((EWMA_NUM * acc["prev"] + x["cents"]) / EWMA_DEN)
+                    .cast("long")
+                    .alias("ewma_cents"),
+                )
+            ),
+        ).alias("out"),
+    )
+    rest = F.slice("seq", 2, F.greatest(F.size("seq") - 1, F.lit(0)))
+    folded = per_key.select(
+        "user_id", F.aggregate(rest, init, step).getField("out").alias("out")
+    )
+    ex = folded.select("user_id", F.explode("out").alias("e"))
+    return ex.select(
+        "user_id",
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ewma_cents").alias("ewma_cents"),
+    )
+
+
 EWMA_ORACLE_SQL = f"""
 WITH RECURSIVE base AS (
   SELECT user_id, event_id,
