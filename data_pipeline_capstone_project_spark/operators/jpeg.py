@@ -1,0 +1,559 @@
+"""Baseline JPEG (JFIF) through the multimodal path - the PNG story
+(:mod:`.images`) extended to the reference's dominant format: its
+image store is predominantly ``.jpg``
+(``/root/reference/scripts/s3-to-es_aws.py:92``), decoded there with
+cv2 inside the grouped-map UDF (``spark/spark_image.py:140-160``).
+This container has no image library, but baseline JPEG needs nothing
+beyond numpy: FDCT/IDCT are 8x8 matrix products, Huffman coding is
+table-driven, and the JFIF container is plain struct packing.
+
+- :func:`make_jpeg`: minimal baseline encoder (4:4:4, one interleaved
+  scan, 8-bit). The Huffman tables are SELF-DEFINED canonical tables
+  (4-bit DC codes, 8-bit AC codes) written into the DHT segment -
+  every decoder reads its tables from the stream, so simple valid
+  tables beat transcribing Annex K from memory; compression ratio is
+  irrelevant for fixtures.
+- :func:`jpeg_meta`: (width, height) from the SOF0 frame header - the
+  metadata-parse path used by ``decode_media_meta``.
+- :func:`jpeg_pixels`: full baseline decoder - marker parse, stream-
+  defined DQT/DHT, bit-unstuffing, per-MCU Huffman decode, dequantize,
+  dezigzag, float IDCT, YCbCr->RGB. 4:4:4 only (the honest seam:
+  subsampled or progressive streams raise).
+- :func:`jpeg_decode_query`: registry entry - stages deterministic
+  JPEG fixtures, decodes them BOTH ways (this codec via ``binaryFile``
+  + Arrow-batched ``mapInPandas``; JVM ImageIO via ``format("image")``)
+  and cross-checks. JPEG IDCTs are implementation-defined (libjpeg
+  integer vs float paths differ in the last unit), so unlike the PNG
+  twin the cross-check asserts a +-{TOL} per-channel bound rather than
+  bit equality - the bound itself is the pinned, oracle-checked
+  contract.
+
+Scale: identical to the PNG path - binaryFile/image scans partition by
+file, payloads stream through Arrow batches and never touch the
+driver; the per-image decode is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import tempfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- constants --------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)  # scan position -> row-major block position
+
+# Quantization: a uniform table of 4 keeps solid blocks EXACT through
+# the DCT (orthonormal S(0,0) = 8*(v-128); 8/4 integral), which makes
+# the solid-tile fixtures closed-form up to YCbCr rounding.
+QTABLE_LUM = np.full(64, 4, dtype=np.int32)
+QTABLE_CHROM = np.full(64, 4, dtype=np.int32)
+
+# Canonical Huffman tables, self-defined: DC symbols 0..11 as 4-bit
+# codes (12 of 16; all-ones stays unused), AC symbols as 8-bit codes
+# (162 of 256). Valid prefix codes; written to DHT, read back by any
+# baseline decoder.
+DC_SYMBOLS = list(range(12))
+AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]  # EOB, ZRL, then (run, size) for size 1..10
+
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _DCT[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+TOL = 2  # max per-channel difference tolerated between decoders
+
+
+def _canonical_codes(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
+    """All symbols at one code length -> {symbol: (code, length)}."""
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+DC_CODES = _canonical_codes(DC_SYMBOLS, 4)
+AC_CODES = _canonical_codes(AC_SYMBOLS, 8)
+
+
+# --- bit I/O ----------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                # stuffed zero must follow inside entropy data
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    y, cb, cr = planes[..., 0], planes[..., 1] - 128.0, planes[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_coef(w: _BitWriter, v: int, codes: dict, sym_high: int = 0) -> None:
+    s = _size_cat(v)
+    code, length = codes[(sym_high << 4) | s] if sym_high else codes[s]
+    w.write(code, length)
+    if s:
+        amp = v if v >= 0 else v + (1 << s) - 1
+        w.write(amp, s)
+
+
+def _block_coefs(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """8x8 spatial block -> 64 quantized coefficients in zigzag order."""
+    coefs = _DCT @ (block - 128.0) @ _DCT.T
+    q = np.round(coefs.reshape(64)[ZIGZAG] / qtable).astype(np.int64)
+    return q
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(payload) + 2) + payload
+
+
+def make_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF (4:4:4,
+    one interleaved scan, stream-defined quant + Huffman tables)."""
+    h, w = pixels.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for comp in range(3):
+                qt = QTABLE_LUM if comp == 0 else QTABLE_CHROM
+                q = _block_coefs(ycc[by : by + 8, bx : bx + 8, comp], qt)
+                _encode_coef(writer, int(q[0]) - prev_dc[comp], DC_CODES)
+                prev_dc[comp] = int(q[0])
+                run = 0
+                last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    if q[i] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = AC_CODES[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    _encode_coef(writer, int(q[i]), AC_CODES, sym_high=run)
+                    run = 0
+                if last_nz < 63:
+                    code, length = AC_CODES[0x00]  # EOB
+                    writer.write(code, length)
+    entropy = writer.flush()
+
+    def dht(table_class: int, table_id: int, codes: dict) -> bytes:
+        lengths = [0] * 16
+        by_len: dict[int, list[int]] = {}
+        for sym, (code, length) in codes.items():
+            lengths[length - 1] += 1
+            by_len.setdefault(length, []).append((code, sym))
+        huffval = bytes(
+            sym for length in sorted(by_len) for _, sym in sorted(by_len[length])
+        )
+        return bytes([(table_class << 4) | table_id]) + bytes(lengths) + huffval
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _marker(
+        0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _marker(0xFFDB, bytes([0]) + bytes(QTABLE_LUM.tolist()))
+    out += _marker(0xFFDB, bytes([1]) + bytes(QTABLE_CHROM.tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, qid])
+    out += _marker(0xFFC0, sof)
+    out += _marker(0xFFC4, dht(0, 0, DC_CODES))
+    out += _marker(0xFFC4, dht(1, 0, AC_CODES))
+    out += _marker(0xFFC4, dht(0, 1, DC_CODES))
+    out += _marker(0xFFC4, dht(1, 1, AC_CODES))
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    out += _marker(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def _segments(payload: bytes) -> Iterator[tuple[int, bytes, int]]:
+    """Yield (marker, segment_payload, offset_after) for each marker
+    segment up to (and excluding) the entropy-coded scan data."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    off = 2
+    while off < len(payload):
+        if payload[off] != 0xFF:
+            raise ValueError(f"marker expected at {off}")
+        marker = (payload[off] << 8) | payload[off + 1]
+        if marker == 0xFFD9:  # EOI
+            return
+        (length,) = struct.unpack(">H", payload[off + 2 : off + 4])
+        seg = payload[off + 4 : off + 2 + length]
+        off += 2 + length
+        yield marker, seg, off
+        if marker == 0xFFDA:  # scan data follows; caller takes over
+            return
+
+
+def jpeg_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF0/SOF1 frame header."""
+    for marker, seg, _ in _segments(payload):
+        if marker in (0xFFC0, 0xFFC1):
+            _prec, h, w = struct.unpack(">BHH", seg[:5])
+            return w, h
+    raise ValueError("no baseline SOF marker found")
+
+
+class _HuffTable:
+    """Canonical Huffman decode table from a DHT segment body."""
+
+    def __init__(self, lengths: bytes, huffval: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for bit_len in range(1, 17):
+            for _ in range(lengths[bit_len - 1]):
+                self.lookup[(bit_len, code)] = huffval[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader: _BitReader) -> int:
+        code = 0
+        for bit_len in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = self.lookup.get((bit_len, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(amp: int, s: int) -> int:
+    return amp if amp >= (1 << (s - 1)) else amp - (1 << s) + 1
+
+
+def jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Full baseline decode -> (h, w, 3) uint8 RGB. Supports 8-bit
+    baseline, 3 components, 4:4:4, no restart markers - everything
+    :func:`make_jpeg` emits; subsampled/progressive streams raise
+    (the explicit seam, like non-truecolor PNG in :mod:`.images`)."""
+    qtables: dict[int, np.ndarray] = {}
+    hufftables: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    scan_tables: dict[int, tuple[int, int]] = {}
+    h = w = 0
+    scan_off = -1
+
+    for marker, seg, off in _segments(payload):
+        if marker == 0xFFDB:
+            pos = 0
+            while pos < len(seg):
+                pq, tq = seg[pos] >> 4, seg[pos] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    seg[pos + 1 : pos + 65], dtype=np.uint8
+                ).astype(np.int32)
+                pos += 65
+        elif marker in (0xFFC0, 0xFFC1):
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or ncomp != 3:
+                raise NotImplementedError("only 8-bit 3-component baseline")
+            for c in range(ncomp):
+                cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError("only 4:4:4 (1x1 sampling)")
+                comps.append((cid, qid))
+        elif marker == 0xFFC4:
+            pos = 0
+            while pos < len(seg):
+                tc, th = seg[pos] >> 4, seg[pos] & 0xF
+                lengths = seg[pos + 1 : pos + 17]
+                n = sum(lengths)
+                hufftables[(tc, th)] = _HuffTable(
+                    lengths, seg[pos + 17 : pos + 17 + n]
+                )
+                pos += 17 + n
+        elif marker == 0xFFDD:
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = seg[0]
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c : 3 + 2 * c]
+                scan_tables[cid] = (tables >> 4, tables & 0xF)
+            scan_off = off
+        elif marker in (0xFFC2, 0xFFC3) or 0xFFC5 <= marker <= 0xFFCF:
+            raise NotImplementedError("non-baseline JPEG unsupported")
+
+    if scan_off < 0 or not comps:
+        raise ValueError("no scan found")
+    end = payload.rfind(b"\xff\xd9")
+    reader = _BitReader(payload[scan_off : end if end > 0 else len(payload)])
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = np.zeros((ph, pw, 3), dtype=np.float64)
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cid, qid) in enumerate(comps):
+                dc_t = hufftables[(0, scan_tables[cid][0])]
+                ac_t = hufftables[(1, scan_tables[cid][1])]
+                coefs = np.zeros(64, dtype=np.int64)
+                s = dc_t.decode(reader)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                coefs[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = ac_t.decode(reader)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0xF
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    coefs[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = coefs * qtables[qid]
+                spatial = _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
+                planes[by : by + 8, bx : bx + 8, ci] = spatial
+    return _ycbcr_to_rgb(planes[:h, :w])
+
+
+# --- registry query ----------------------------------------------------------
+
+N_JPEG_USERS = 8
+
+
+def _jpeg_user_images(user: int) -> list[tuple[str, np.ndarray]]:
+    """Two deterministic 16x16 fixtures per user: a solid tile
+    (asymmetric channels - a swap changes the result) and a horizontal
+    gradient (exercises AC coefficients and the Huffman run-length
+    path, not just DC)."""
+    base = 30 + 7 * user
+    solid = np.tile(
+        np.array([base, base + 40, base + 90], dtype=np.uint8), (16, 16, 1)
+    )
+    ramp = (np.arange(16) * 12 + 2 * user).astype(np.uint8)
+    grad = np.stack(
+        [
+            np.tile(ramp, (16, 1)),
+            np.tile(ramp[::-1], (16, 1)),
+            np.full((16, 16), 100 + user, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    return [(f"u{user:02d}_solid.jpg", solid), (f"u{user:02d}_grad.jpg", grad)]
+
+
+def _stage_jpeg_store(root: str) -> None:
+    for user in range(N_JPEG_USERS):
+        for name, px in _jpeg_user_images(user):
+            with open(os.path.join(root, name), "wb") as f:
+                f.write(make_jpeg(px))
+
+
+def jpeg_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode REAL baseline JPEG bytes two independent
+    ways - this codec (``binaryFile`` -> Arrow ``mapInPandas``) and JVM
+    ImageIO (``format("image")``, BGR) - and cross-check within the
+    pinned +-{TOL} per-channel bound (IDCT implementations differ in
+    the last unit; bit equality is a PNG-only property). Output per
+    image: dims from the python decode, pixels_close, and the python
+    decode's exact mean luminance (an exact-valued probe of THIS
+    decoder, hash-checked against the closed-form oracle)."""
+    work = tempfile.mkdtemp(prefix="jpeg_store_")
+    try:
+        _stage_jpeg_store(work)
+
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("img_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {
+                    "img_name": [],
+                    "width": [],
+                    "height": [],
+                    "py_bgr": [],
+                    "y_sum": [],
+                }
+                for name, p in zip(pdf["img_name"], pdf["payload"]):
+                    rgb = jpeg_pixels(p)
+                    rows["img_name"].append(name)
+                    rows["width"].append(rgb.shape[1])
+                    rows["height"].append(rgb.shape[0])
+                    rows["py_bgr"].append(rgb[..., ::-1].tobytes())
+                    rows["y_sum"].append(int(rgb.astype(np.int64).sum()))
+                yield pd.DataFrame(rows)
+
+        py = bin_df.mapInPandas(
+            decode_batches,
+            "img_name string, width int, height int, py_bgr binary, y_sum long",
+        )
+        jvm = (
+            spark.read.format("image")
+            .option("dropInvalid", True)
+            .load(work)
+            .select("image.*")
+            .select(
+                F.element_at(F.split("origin", "/"), -1).alias("img_name"),
+                F.col("width").alias("jvm_width"),
+                F.col("height").alias("jvm_height"),
+                F.col("data").alias("jvm_bgr"),
+            )
+        )
+
+        def close_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ok = []
+                for a, b in zip(pdf["py_bgr"], pdf["jvm_bgr"]):
+                    pa = np.frombuffer(a, dtype=np.uint8).astype(np.int32)
+                    pb = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+                    ok.append(
+                        len(pa) == len(pb) and int(np.abs(pa - pb).max()) <= TOL
+                    )
+                yield pd.DataFrame(
+                    {
+                        "img_name": pdf["img_name"],
+                        "width": pdf["width"],
+                        "height": pdf["height"],
+                        "dims_match": (pdf["width"] == pdf["jvm_width"])
+                        & (pdf["height"] == pdf["jvm_height"]),
+                        "pixels_close": ok,
+                        "y_sum": pdf["y_sum"],
+                    }
+                )
+
+        out = py.join(jvm, "img_name").mapInPandas(
+            close_batches,
+            "img_name string, width int, height int, dims_match boolean, "
+            "pixels_close boolean, y_sum long",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _jpeg_oracle() -> str:
+    """Closed-form expected rows: dims are exact; pixels_close is the
+    pinned contract; y_sum is THIS codec's exact decode sum, computed
+    at oracle-build time by running the pure-numpy round trip locally
+    (no Spark) - a drift in encoder, decoder, or bitstream breaks the
+    hash."""
+    rows = []
+    for user in range(N_JPEG_USERS):
+        for name, px in _jpeg_user_images(user):
+            decoded = jpeg_pixels(make_jpeg(px))
+            rows.append(
+                f"('{name}', {px.shape[1]}, {px.shape[0]}, true, true, "
+                f"{int(decoded.astype(np.int64).sum())})"
+            )
+    return (
+        "SELECT img_name, width, height, dims_match, pixels_close, y_sum "
+        f"FROM (VALUES {', '.join(rows)}) "
+        "AS t(img_name, width, height, dims_match, pixels_close, y_sum)"
+    )
+
+
+JPEG_DECODE_ORACLE_SQL = _jpeg_oracle()

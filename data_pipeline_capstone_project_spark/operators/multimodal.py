@@ -44,15 +44,24 @@ def real_decode(payload: bytes) -> tuple[int, int]:
     """Real codec dispatch. PNG decodes with the in-repo pure-Python
     codec (:mod:`.images` - header parse here; full pixel decode via
     ``png_pixels``, cross-checked pixel-exact against the JVM image
-    source by the ``image_decode`` registry query). Other formats
-    (JPEG/audio/video) still need an external library this
-    environment lacks - that seam stays explicit."""
+    source by the ``image_decode`` registry query). Baseline JPEG -
+    the reference store's dominant format (``s3-to-es_aws.py:92``) -
+    decodes with :mod:`.jpeg` (SOF header parse here; full Huffman +
+    IDCT decode via ``jpeg_pixels``, cross-checked against JVM ImageIO
+    by the ``jpeg_decode`` registry query). Audio/video still need an
+    external library this environment lacks - that seam stays
+    explicit."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .images import png_meta
 
         return png_meta(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import jpeg_meta
+
+        return jpeg_meta(payload)
     raise NotImplementedError(
-        "no codec for this format in this environment (PNG is supported)"
+        "no codec for this format in this environment (PNG and baseline "
+        "JPEG are supported)"
     )
 
 

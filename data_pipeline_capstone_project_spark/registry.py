@@ -424,6 +424,7 @@ from .operators.images import (
     color_palette_png_query,
     image_decode_query,
 )
+from .operators.jpeg import JPEG_DECODE_ORACLE_SQL, jpeg_decode_query
 from .operators.upsert import (
     LATEST_WINS_ORACLE_SQL,
     UPSERT_AUDIT_ORACLE_SQL,
@@ -728,6 +729,8 @@ QUERIES = {
     "ewma_smoothing": ewma_smoothing_fused_query,
     "color_palette_props": color_palette_props_query,
     "color_palette": color_palette_query,
+    # --- round 4 additions (rotate into the gate window next round) ---
+    "jpeg_decode": jpeg_decode_query,
     # Previously driver-verified (green rows in CORRECTNESS_r01/r02/r03):
     "user_rank_suite": user_rank_suite_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
@@ -842,6 +845,7 @@ ORACLES = {
     "latest_wins": LATEST_WINS_ORACLE_SQL,
     "upsert_audit": UPSERT_AUDIT_ORACLE_SQL,
     "image_decode": IMAGE_DECODE_ORACLE_SQL,
+    "jpeg_decode": JPEG_DECODE_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,

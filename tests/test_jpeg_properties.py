@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the pure-Python baseline JPEG
+codec (``operators/jpeg.py``) - the lossy sibling of
+``test_png_properties.py``. JPEG is lossy, so the properties are
+BOUNDS, not equality: dimensions survive exactly, the round-trip
+error is bounded by the quantization analysis (uniform qtable of 4
+with an orthonormal DCT bounds the spatial error per coefficient),
+solid blocks survive within YCbCr rounding only, and the entropy
+stream obeys byte stuffing (no bare 0xFF outside markers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_capstone_project_spark.operators.jpeg import (
+    jpeg_meta,
+    jpeg_pixels,
+    make_jpeg,
+)
+
+# Generous but meaningful bound for arbitrary (noise) images: uniform
+# quantization step 4 bounds each DCT coefficient error by 2; the
+# orthonormal IDCT maps that to at most sum(|e_uv|)/8 <= 16 per pixel
+# in the worst case, and the YCbCr round trip adds ~2. Measured noise
+# images land around 7-9; 20 catches real breakage (wrong zigzag,
+# table mixup, bit slip) without flaking.
+NOISE_TOL = 20
+SOLID_TOL = 2
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+_pixels = _dims.flatmap(
+    lambda hw: st.binary(
+        min_size=hw[0] * hw[1] * 3, max_size=hw[0] * hw[1] * 3
+    ).map(lambda b: np.frombuffer(b, dtype=np.uint8).reshape(*hw, 3).copy())
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_pixels)
+def test_dims_survive_and_error_bounded(pixels):
+    payload = make_jpeg(pixels)
+    assert jpeg_meta(payload) == (pixels.shape[1], pixels.shape[0])
+    decoded = jpeg_pixels(payload)
+    assert decoded.shape == pixels.shape
+    assert int(np.abs(decoded.astype(int) - pixels.astype(int)).max()) <= NOISE_TOL
+
+
+@settings(max_examples=30, deadline=None)
+@given(_dims, st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)))
+def test_solid_images_survive_within_rounding(hw, rgb):
+    """Solid blocks have only a DC coefficient, and qtable=4 divides
+    the orthonormal DC gain of 8 - the DCT path is EXACT, leaving only
+    YCbCr forward/backward rounding (<= 2 per channel)."""
+    h, w = hw
+    px = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+    decoded = jpeg_pixels(make_jpeg(px))
+    assert int(np.abs(decoded.astype(int) - px.astype(int)).max()) <= SOLID_TOL
+    # a solid input decodes to a solid output (no block artifacts)
+    assert len(np.unique(decoded.reshape(-1, 3), axis=0)) == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(_pixels)
+def test_entropy_stream_is_byte_stuffed(pixels):
+    """Between SOS payload and EOI, every 0xFF must be followed by
+    0x00 - a decoder that sees a bare 0xFF would treat it as a marker
+    and truncate the scan."""
+    payload = make_jpeg(pixels)
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    (seg_len,) = np.frombuffer(payload[sos + 2 : sos + 4], dtype=">u2")
+    scan = payload[sos + 2 + int(seg_len) : -2]  # up to EOI
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF:
+            assert i + 1 < len(scan) and scan[i + 1] == 0x00
+            i += 2
+        else:
+            i += 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(_pixels)
+def test_decode_is_deterministic(pixels):
+    payload = make_jpeg(pixels)
+    assert np.array_equal(jpeg_pixels(payload), jpeg_pixels(payload))
+
+
+def test_non_baseline_rejected():
+    """Progressive (SOF2) streams must raise, not garble - the honest
+    seam mirroring non-truecolor PNG."""
+    import pytest
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(make_jpeg(px))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(bytes(payload))
+
+
+def test_meta_matches_reference_store_magic():
+    """real_decode dispatches on the JPEG SOI magic - the reference
+    store's format (s3-to-es_aws.py:92)."""
+    from data_pipeline_capstone_project_spark.operators.multimodal import (
+        real_decode,
+    )
+
+    px = np.full((10, 7, 3), 55, dtype=np.uint8)
+    payload = make_jpeg(px)
+    assert payload[:3] == b"\xff\xd8\xff"
+    assert real_decode(payload) == (7, 10)
