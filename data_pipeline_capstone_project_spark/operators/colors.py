@@ -152,11 +152,14 @@ def _lloyd(pixels: np.ndarray, centers: np.ndarray, iters: int = KMEANS_ITERS) -
     """Fixed-iteration Lloyd from a given init. Distances via the
     expanded form ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (one matmul,
     no (n,k,3) broadcast temp); means via per-column bincount (no
-    k boolean-mask passes). Returns (centers, labels, inertia)."""
+    k boolean-mask passes). After the last center update, labels are
+    REASSIGNED against the final centers (sklearn's fit performs this
+    final E-step too), so the returned (centers, labels, inertia)
+    triple is self-consistent - never a stale assignment paired with
+    updated centers. Returns (centers, labels, inertia)."""
     k = len(centers)
     centers = centers.astype(np.float64)
     x_sq = (pixels**2).sum(axis=1, keepdims=True)
-    labels = np.zeros(len(pixels), dtype=np.int64)
     for _ in range(iters):
         d = x_sq - 2.0 * pixels @ centers.T + (centers**2).sum(axis=1)
         labels = d.argmin(axis=1)
@@ -170,15 +173,25 @@ def _lloyd(pixels: np.ndarray, centers: np.ndarray, iters: int = KMEANS_ITERS) -
         )
         nonzero = counts > 0
         centers[nonzero] = sums[nonzero] / counts[nonzero, None]
+    d = x_sq - 2.0 * pixels @ centers.T + (centers**2).sum(axis=1)
+    labels = d.argmin(axis=1)
     inertia = float(((pixels - centers[labels]) ** 2).sum())
     return centers, labels, inertia
 
 
 KMEANS_SAMPLE = 2048  # restart-selection subsample size (deterministic stride)
 RACE_ITERS = 6  # Lloyd iterations per racing restart (winner gets the full 12)
+# sklearn-faithful mode: every restart runs full-data full-iteration
+# Lloyd (n_init=20 x 12 iters) instead of racing on the subsample.
+# Measured at sf0.1 (BASELINE.md "Palette KMeans restart strategies"):
+# identical palettes on all 20 users for ~8x the KMeans wall-time, so
+# the racing subsample stays the default.
+KMEANS_FULL_RESTARTS = False
 
 
-def _kmeans(pixels: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _kmeans(
+    pixels: np.ndarray, k: int, full_restarts: bool | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Multi-restart deterministic KMeans (the reference fits with
     ``KMeans(6, n_init=20)``, ``spark_image.py:23-26`` - 20 restarts,
     keep the best inertia). Restart 0 is the quantile-spread init
@@ -195,10 +208,18 @@ def _kmeans(pixels: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     pixel counts is 20x the work for the same argmin; the subsample
     race preserves the robustness (a bad init loses on the sample too)
     at ~1 full fit of total cost. Ties keep the lowest restart index.
+    ``full_restarts`` (default: module flag ``KMEANS_FULL_RESTARTS``)
+    switches to the sklearn-faithful shape - every restart full-data,
+    full iterations, best fit returned as-is.
     Returns (centers[k,3], labels[n])."""
+    if full_restarts is None:
+        full_restarts = KMEANS_FULL_RESTARTS
     pixels = pixels.astype(np.float64)
-    stride = max(1, len(pixels) // KMEANS_SAMPLE)
-    sample = pixels[::stride]
+    if full_restarts:
+        sample, race_iters = pixels, KMEANS_ITERS
+    else:
+        stride = max(1, len(pixels) // KMEANS_SAMPLE)
+        sample, race_iters = pixels[::stride], RACE_ITERS
     uniq = np.unique(sample, axis=0)
     if len(uniq) < k:
         # degenerate subsample (fewer distinct values than clusters):
@@ -207,15 +228,17 @@ def _kmeans(pixels: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         uniq = np.unique(sample, axis=0)
     order = np.argsort(sample.sum(axis=1), kind="stable")
     idx = order[np.linspace(0, len(order) - 1, k).astype(int)]
-    best = _lloyd(sample, sample[idx], iters=RACE_ITERS)
+    best = _lloyd(sample, sample[idx], iters=race_iters)
     for restart in range(1, KMEANS_RESTARTS):
         if len(uniq) <= k:
             break  # every init converges to the same unique points
         rng = np.random.RandomState(restart)
         centers0 = uniq[rng.choice(len(uniq), size=k, replace=False)]
-        cand = _lloyd(sample, centers0, iters=RACE_ITERS)
+        cand = _lloyd(sample, centers0, iters=race_iters)
         if cand[2] < best[2]:
             best = cand
+    if full_restarts:
+        return best[0], best[1]
     centers, labels, _ = _lloyd(pixels, best[0])
     return centers, labels
 

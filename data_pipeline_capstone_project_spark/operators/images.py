@@ -256,6 +256,16 @@ def _expected_palette_json(user: int) -> str:
     for rgb in _user_colors(user):
         hsv8, rgb_out = _hsv_roundtrip(*rgb)
         scored.append((sum(hsv8), rgb_out))
+    # The operator breaks the equal-count tie by HSV-center sum ONLY
+    # (cluster index is the residual tie-break); the oracle's sort key
+    # must therefore never need its rgb_out component. Guard the
+    # fixture palette at oracle-build time so a future fixture edit
+    # cannot introduce a nondeterministic compare.
+    sums = [s for s, _ in scored]
+    assert len(set(sums)) == len(sums), (
+        f"user {user}: fixture colors share an HSV component sum {sums} - "
+        "operator and oracle tie-breaks would diverge"
+    )
     scored.sort()  # equal counts -> ascending HSV center sum
     colors = []
     for _, (r, g, b) in scored:

@@ -1,24 +1,29 @@
 """Baseline JPEG (JFIF) through the multimodal path - the PNG story
 (:mod:`.images`) extended to the reference's dominant format: its
 image store is predominantly ``.jpg``
-(``/root/reference/scripts/s3-to-es_aws.py:92``), decoded there with
-cv2 inside the grouped-map UDF (``spark/spark_image.py:140-160``).
-This container has no image library, but baseline JPEG needs nothing
-beyond numpy: FDCT/IDCT are 8x8 matrix products, Huffman coding is
-table-driven, and the JFIF container is plain struct packing.
+(``/root/reference/lambda/s3Posts-to-ES-lambda/s3-to-es_aws.py:92``),
+decoded there with cv2 inside the grouped-map UDF
+(``spark/spark_image.py:140-160``). This container has no image
+library, but baseline JPEG needs nothing beyond numpy: FDCT/IDCT are
+8x8 matrix products, Huffman coding is table-driven, and the JFIF
+container is plain struct packing.
 
-- :func:`make_jpeg`: minimal baseline encoder (4:4:4, one interleaved
-  scan, 8-bit). The Huffman tables are SELF-DEFINED canonical tables
-  (4-bit DC codes, 8-bit AC codes) written into the DHT segment -
-  every decoder reads its tables from the stream, so simple valid
-  tables beat transcribing Annex K from memory; compression ratio is
-  irrelevant for fixtures.
-- :func:`jpeg_meta`: (width, height) from the SOF0 frame header - the
-  metadata-parse path used by ``decode_media_meta``.
+- :func:`make_jpeg`: minimal baseline encoder (4:4:4 or 4:2:0, one
+  interleaved scan, 8-bit). The Huffman tables are SELF-DEFINED
+  canonical tables (4-bit DC codes, 8-bit AC codes) written into the
+  DHT segment - every decoder reads its tables from the stream, so
+  simple valid tables beat transcribing Annex K from memory;
+  compression ratio is irrelevant for fixtures.
+- :func:`jpeg_meta`: (width, height) from any SOFn frame header -
+  the metadata-parse path used by ``decode_media_meta``; dims parse
+  even for progressive/arithmetic streams whose pixel decode raises.
 - :func:`jpeg_pixels`: full baseline decoder - marker parse, stream-
-  defined DQT/DHT, bit-unstuffing, per-MCU Huffman decode, dequantize,
-  dezigzag, float IDCT, YCbCr->RGB. 4:4:4 only (the honest seam:
-  subsampled or progressive streams raise).
+  defined DQT/DHT, bit-unstuffing, per-MCU Huffman decode with
+  arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...), restart
+  markers, dequantize, dezigzag, float IDCT, triangle-filter chroma
+  upsampling (libjpeg's "fancy" kernel), YCbCr->RGB. Progressive and
+  arithmetic-coded streams raise (the honest seam, like non-truecolor
+  PNG in :mod:`.images`) - ``jpeg_meta`` still reads their dims.
 - :func:`jpeg_decode_query`: registry entry - stages deterministic
   JPEG fixtures, decodes them BOTH ways (this codec via ``binaryFile``
   + Arrow-batched ``mapInPandas``; JVM ImageIO via ``format("image")``)
@@ -121,6 +126,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.out)
 
+    def emit_marker(self, byte2: int) -> None:
+        """1-pad to the byte boundary (stuffing if the pad byte lands
+        on 0xFF, as libjpeg's flush_bits does) and emit a raw marker
+        into the entropy stream (RSTn)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, byte2])
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -151,6 +165,28 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker: discard bits to the byte boundary,
+        skip any not-yet-consumed entropy bytes (the spec-legal
+        1-padding can itself be a stuffed 0xFF 0x00 pair) and 0xFF
+        fill bytes, then the two marker bytes - libjpeg's
+        next_marker() discipline."""
+        self.nbits = 0
+        pos = self.pos
+        while pos + 1 < len(self.data):
+            if self.data[pos] != 0xFF:
+                pos += 1  # leftover pad/data byte
+            elif self.data[pos + 1] == 0x00:
+                pos += 2  # stuffed data byte
+            elif self.data[pos + 1] == 0xFF:
+                pos += 1  # fill byte
+            elif 0xD0 <= self.data[pos + 1] <= 0xD7:
+                self.pos = pos + 2
+                return
+            else:
+                break
+        raise ValueError("expected restart marker")
 
 
 # --- encoder ----------------------------------------------------------------
@@ -198,38 +234,81 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">HH", tag, len(payload) + 2) + payload
 
 
-def make_jpeg(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF (4:4:4,
-    one interleaved scan, stream-defined quant + Huffman tables)."""
+def _emit_block(writer: _BitWriter, q: np.ndarray, prev_dc: int) -> int:
+    """Entropy-encode one quantized zigzag block; returns its DC for
+    the next block's predictor."""
+    _encode_coef(writer, int(q[0]) - prev_dc, DC_CODES)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = AC_CODES[0xF0]
+            writer.write(code, length)
+            run -= 16
+        _encode_coef(writer, int(q[i]), AC_CODES, sym_high=run)
+        run = 0
+    if last_nz < 63:
+        code, length = AC_CODES[0x00]  # EOB
+        writer.write(code, length)
+    return int(q[0])
+
+
+SAMPLINGS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def make_jpeg(
+    pixels: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF (one
+    interleaved scan, stream-defined quant + Huffman tables).
+    ``subsampling`` picks the chroma layout: "444" (the default;
+    bit-stream unchanged from the 4:4:4-only encoder), "422", or
+    "420" (2x2 box-mean chroma downsample, the layout real camera /
+    CDN JPEGs overwhelmingly use). ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every N MCUs (DC predictors reset),
+    the error-resilience layout real encoders default to."""
+    samp = SAMPLINGS[subsampling]
     h, w = pixels.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     padded = np.pad(pixels, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded)
 
+    planes = []
+    for ci, (sh, sv) in enumerate(samp):
+        plane = ycc[..., ci]
+        if (sh, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        planes.append(plane)
+
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for comp in range(3):
-                qt = QTABLE_LUM if comp == 0 else QTABLE_CHROM
-                q = _block_coefs(ycc[by : by + 8, bx : bx + 8, comp], qt)
-                _encode_coef(writer, int(q[0]) - prev_dc[comp], DC_CODES)
-                prev_dc[comp] = int(q[0])
-                run = 0
-                last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if q[i] == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, length = AC_CODES[0xF0]
-                        writer.write(code, length)
-                        run -= 16
-                    _encode_coef(writer, int(q[i]), AC_CODES, sym_high=run)
-                    run = 0
-                if last_nz < 63:
-                    code, length = AC_CODES[0x00]  # EOB
-                    writer.write(code, length)
+    mcu_n = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.emit_marker(0xD0 + (mcu_n // restart_interval - 1) % 8)
+                prev_dc = [0, 0, 0]
+            mcu_n += 1
+            for ci, (sh, sv) in enumerate(samp):
+                qt = QTABLE_LUM if ci == 0 else QTABLE_CHROM
+                for v in range(sv):
+                    for hh in range(sh):
+                        y0, x0 = (my * sv + v) * 8, (mx * sh + hh) * 8
+                        q = _block_coefs(
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8], qt
+                        )
+                        prev_dc[ci] = _emit_block(writer, q, prev_dc[ci])
     entropy = writer.flush()
 
     def dht(table_class: int, table_id: int, codes: dict) -> bytes:
@@ -251,13 +330,15 @@ def make_jpeg(pixels: np.ndarray) -> bytes:
     out += _marker(0xFFDB, bytes([0]) + bytes(QTABLE_LUM.tolist()))
     out += _marker(0xFFDB, bytes([1]) + bytes(QTABLE_CHROM.tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qid])
+    for (cid, qid), (sh, sv) in zip(((1, 0), (2, 1), (3, 1)), samp):
+        sof += bytes([cid, (sh << 4) | sv, qid])
     out += _marker(0xFFC0, sof)
     out += _marker(0xFFC4, dht(0, 0, DC_CODES))
     out += _marker(0xFFC4, dht(1, 0, AC_CODES))
     out += _marker(0xFFC4, dht(0, 1, DC_CODES))
     out += _marker(0xFFC4, dht(1, 1, AC_CODES))
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     out += _marker(0xFFDA, sos)
     out += entropy
@@ -277,6 +358,10 @@ def _segments(payload: bytes) -> Iterator[tuple[int, bytes, int]]:
     while off < len(payload):
         if payload[off] != 0xFF:
             raise ValueError(f"marker expected at {off}")
+        # Spec-legal 0xFF fill/padding bytes may precede any marker
+        # (ITU T.81 B.1.1.2); skip them like libjpeg does.
+        while off + 1 < len(payload) and payload[off + 1] == 0xFF:
+            off += 1
         marker = (payload[off] << 8) | payload[off + 1]
         if marker == 0xFFD9:  # EOI
             return
@@ -288,13 +373,22 @@ def _segments(payload: bytes) -> Iterator[tuple[int, bytes, int]]:
             return
 
 
+_SOF_MARKERS = frozenset(
+    m
+    for m in range(0xFFC0, 0xFFD0)
+    if m not in (0xFFC4, 0xFFC8, 0xFFCC)  # DHT / JPG / DAC are not SOFs
+)
+
+
 def jpeg_meta(payload: bytes) -> tuple[int, int]:
-    """(width, height) from the SOF0/SOF1 frame header."""
+    """(width, height) from ANY SOFn frame header - progressive /
+    arithmetic streams parse here (metadata-only fallback) even though
+    their pixel decode raises in :func:`jpeg_pixels`."""
     for marker, seg, _ in _segments(payload):
-        if marker in (0xFFC0, 0xFFC1):
+        if marker in _SOF_MARKERS:
             _prec, h, w = struct.unpack(">BHH", seg[:5])
             return w, h
-    raise ValueError("no baseline SOF marker found")
+    raise ValueError("no SOF marker found")
 
 
 class _HuffTable:
@@ -325,16 +419,46 @@ def _extend(amp: int, s: int) -> int:
     return amp if amp >= (1 << (s - 1)) else amp - (1 << s) + 1
 
 
+def _fancy_upsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Upsample a chroma plane by integer factors. Factor 2 uses the
+    triangle filter (3/4 nearer + 1/4 farther neighbor, edges
+    replicated) - libjpeg's default "fancy" kernel, which the JVM
+    ImageIO decoder inherits; other factors fall back to replication.
+    Float weights (no integer bias terms): the +-1 difference vs
+    libjpeg's integer rounding sits well inside the pinned TOL."""
+
+    def tri2(p: np.ndarray) -> np.ndarray:  # along axis 0
+        pad = np.pad(p, ((1, 1), (0, 0)), mode="edge")
+        up = np.empty((p.shape[0] * 2, p.shape[1]), dtype=p.dtype)
+        up[0::2] = (3.0 * pad[1:-1] + pad[:-2]) / 4.0
+        up[1::2] = (3.0 * pad[1:-1] + pad[2:]) / 4.0
+        return up
+
+    if fy == 2:
+        plane = tri2(plane)
+    elif fy > 1:
+        plane = np.repeat(plane, fy, axis=0)
+    if fx == 2:
+        plane = tri2(plane.T).T
+    elif fx > 1:
+        plane = np.repeat(plane, fx, axis=1)
+    return plane
+
+
 def jpeg_pixels(payload: bytes) -> np.ndarray:
     """Full baseline decode -> (h, w, 3) uint8 RGB. Supports 8-bit
-    baseline, 3 components, 4:4:4, no restart markers - everything
-    :func:`make_jpeg` emits; subsampled/progressive streams raise
-    (the explicit seam, like non-truecolor PNG in :mod:`.images`)."""
+    baseline, 3 components, arbitrary sampling factors (4:4:4, 4:2:0,
+    4:2:2, ...), restart markers - everything :func:`make_jpeg` emits
+    plus the layouts real camera/CDN JPEGs use; progressive and
+    arithmetic-coded streams raise (the explicit seam, like
+    non-truecolor PNG in :mod:`.images` - dims still parse via
+    :func:`jpeg_meta`)."""
     qtables: dict[int, np.ndarray] = {}
     hufftables: dict[tuple[int, int], _HuffTable] = {}
-    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, sh, sv)
     scan_tables: dict[int, tuple[int, int]] = {}
     h = w = 0
+    restart_interval = 0
     scan_off = -1
 
     for marker, seg, off in _segments(payload):
@@ -354,9 +478,7 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit 3-component baseline")
             for c in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise NotImplementedError("only 4:4:4 (1x1 sampling)")
-                comps.append((cid, qid))
+                comps.append((cid, qid, sampling >> 4, sampling & 0xF))
         elif marker == 0xFFC4:
             pos = 0
             while pos < len(seg):
@@ -368,8 +490,7 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
                 )
                 pos += 17 + n
         elif marker == 0xFFDD:
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xFFDA:
             ns = seg[0]
             for c in range(ns):
@@ -384,38 +505,59 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
     end = payload.rfind(b"\xff\xd9")
     reader = _BitReader(payload[scan_off : end if end > 0 else len(payload)])
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.zeros((ph, pw, 3), dtype=np.float64)
-    prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, qid) in enumerate(comps):
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * sv * 8, mcux * sh * 8), dtype=np.float64)
+        for _, _, sh, sv in comps
+    ]
+    prev_dc = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                reader.restart()
+                prev_dc = [0] * len(comps)
+            for ci, (cid, qid, sh, sv) in enumerate(comps):
                 dc_t = hufftables[(0, scan_tables[cid][0])]
                 ac_t = hufftables[(1, scan_tables[cid][1])]
-                coefs = np.zeros(64, dtype=np.int64)
-                s = dc_t.decode(reader)
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                coefs[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = ac_t.decode(reader)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0xF
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    coefs[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = coefs * qtables[qid]
-                spatial = _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
-                planes[by : by + 8, bx : bx + 8, ci] = spatial
-    return _ycbcr_to_rgb(planes[:h, :w])
+                for v in range(sv):
+                    for hh in range(sh):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        s = dc_t.decode(reader)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        coefs[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = ac_t.decode(reader)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0xF
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            coefs[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coefs * qtables[qid]
+                        spatial = _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
+                        y0, x0 = (my * sv + v) * 8, (mx * sh + hh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_n += 1
+
+    full = np.empty((h, w, 3), dtype=np.float64)
+    for ci, (_, _, sh, sv) in enumerate(comps):
+        plane = planes[ci]
+        if (sh, sv) != (hmax, vmax):
+            plane = _fancy_upsample(plane, hmax // sh, vmax // sv)
+        full[..., ci] = plane[:h, :w]
+    return _ycbcr_to_rgb(full)
 
 
 # --- registry query ----------------------------------------------------------
@@ -423,11 +565,15 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
 N_JPEG_USERS = 8
 
 
-def _jpeg_user_images(user: int) -> list[tuple[str, np.ndarray]]:
-    """Two deterministic 16x16 fixtures per user: a solid tile
-    (asymmetric channels - a swap changes the result) and a horizontal
-    gradient (exercises AC coefficients and the Huffman run-length
-    path, not just DC)."""
+def _jpeg_user_images(user: int) -> list[tuple[str, np.ndarray, str]]:
+    """Three deterministic 16x16 fixtures per user: a solid 4:4:4 tile
+    (asymmetric channels - a swap changes the result), a horizontal
+    4:4:4 gradient (exercises AC coefficients and the Huffman
+    run-length path, not just DC), and a grayscale-gradient 4:2:0
+    image (exercises the subsampled 4-luma-blocks-per-MCU path; gray
+    means chroma is exactly 128 everywhere, so the cross-decoder
+    compare is independent of each decoder's chroma upsampling kernel
+    while the luma plane stays a full-resolution AC workout)."""
     base = 30 + 7 * user
     solid = np.tile(
         np.array([base, base + 40, base + 90], dtype=np.uint8), (16, 16, 1)
@@ -441,14 +587,22 @@ def _jpeg_user_images(user: int) -> list[tuple[str, np.ndarray]]:
         ],
         axis=-1,
     )
-    return [(f"u{user:02d}_solid.jpg", solid), (f"u{user:02d}_grad.jpg", grad)]
+    gray_ramp = (np.arange(16) * 13 + 3 * user).astype(np.uint8)
+    gray = np.repeat(
+        np.tile(gray_ramp, (16, 1))[..., np.newaxis], 3, axis=-1
+    )
+    return [
+        (f"u{user:02d}_solid.jpg", solid, "444"),
+        (f"u{user:02d}_grad.jpg", grad, "444"),
+        (f"u{user:02d}_sub420.jpg", gray, "420"),
+    ]
 
 
 def _stage_jpeg_store(root: str) -> None:
     for user in range(N_JPEG_USERS):
-        for name, px in _jpeg_user_images(user):
+        for name, px, sub in _jpeg_user_images(user):
             with open(os.path.join(root, name), "wb") as f:
-                f.write(make_jpeg(px))
+                f.write(make_jpeg(px, subsampling=sub))
 
 
 def jpeg_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,8 +697,8 @@ def _jpeg_oracle() -> str:
     hash."""
     rows = []
     for user in range(N_JPEG_USERS):
-        for name, px in _jpeg_user_images(user):
-            decoded = jpeg_pixels(make_jpeg(px))
+        for name, px, sub in _jpeg_user_images(user):
+            decoded = jpeg_pixels(make_jpeg(px, subsampling=sub))
             rows.append(
                 f"('{name}', {px.shape[1]}, {px.shape[0]}, true, true, "
                 f"{int(decoded.astype(np.int64).sum())})"

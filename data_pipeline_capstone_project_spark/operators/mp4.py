@@ -1,0 +1,244 @@
+"""MP4 (ISO BMFF) container-level metadata through the multimodal
+path - the video sibling of :mod:`.images` (PNG) and :mod:`.jpeg`.
+
+The reference's media store holds VIDEO/STORY originals as ``.mp4``
+alongside the images (``/root/reference/lambda/s3Posts-to-ES-lambda/
+s3-to-es_aws.py:101-122`` keys ``media_url`` by post type); the engine
+models frame extraction via ``sample_frames`` but, until this module,
+had no container-level parse. Frame DECODE (H.264) genuinely needs an
+external library and stays an explicit seam; the container metadata -
+width, height, duration - does not: ISO 14496-12 boxes are plain
+length-prefixed records, so the parse is ~60 lines of struct walking.
+
+- :func:`make_mp4`: minimal but well-formed fixture writer - ``ftyp``
+  + ``moov`` (``mvhd`` with timescale/duration, one video ``trak``
+  with ``tkhd`` carrying 16.16 fixed-point width/height and a
+  ``mdia/mdhd+hdlr`` chain) + ``mdat`` payload. Every field a real
+  demuxer reads from these boxes is populated.
+- :func:`mp4_meta`: box walker - top-level scan for ``moov``
+  (handling 64-bit largesize), recursive descent to ``mvhd`` (version
+  0 AND version 1 layouts) and the video ``tkhd``. Returns (width,
+  height, duration_ms).
+- :func:`mp4_meta_query`: registry entry - stages deterministic
+  fixtures, parses them via ``binaryFile`` -> Arrow ``mapInPandas``,
+  hash-checked against a closed-form VALUES oracle.
+
+Scale: identical to the image paths - binaryFile partitions by file,
+payloads stream through Arrow batches executor-side and never touch
+the driver; a container parse reads only the first few KB of each
+blob (moov-before-mdat, the web-streaming layout the fixture writer
+emits and CDNs serve).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MATRIX = (
+    struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+)
+
+
+def _box(kind: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + kind + payload
+
+
+def make_mp4(
+    width: int, height: int, duration_ms: int, timescale: int = 1000,
+    mdat_bytes: bytes = b"",
+) -> bytes:
+    """Well-formed minimal ISO BMFF file: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr))) + mdat, moov before mdat (the streamable layout).
+    Duration is stored in ``timescale`` units so the parser's
+    rescale-to-ms path is exercised by non-1000 timescales."""
+    duration = duration_ms * timescale // 1000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iHHII", 0x00010000, 0x0100, 0, 0, 0)
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B2xB", 0, 7)  # version 0, flags: enabled|in-movie|preview
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt group, volume, reserved
+        + _MATRIX
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
+    )
+    hdlr = _box(
+        b"hdlr", struct.pack(">B3xI", 0, 0) + b"vide" + b"\x00" * 12 + b"v\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", mdat_bytes)
+    return ftyp + moov + mdat
+
+
+def _children(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Iterate (type, body) over the boxes packed in ``payload``,
+    handling the 64-bit largesize escape (size == 1) and
+    box-to-end-of-file (size == 0)."""
+    off = 0
+    n = len(payload)
+    while off + 8 <= n:
+        (size,) = struct.unpack(">I", payload[off : off + 4])
+        kind = payload[off + 4 : off + 8]
+        head = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", payload[off + 8 : off + 16])
+            head = 16
+        elif size == 0:
+            size = n - off
+        if size < head or off + size > n:
+            raise ValueError(f"malformed box {kind!r} at {off}")
+        yield kind, payload[off + head : off + size]
+        off += size
+
+
+def mp4_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, duration_ms) from the moov header boxes.
+
+    Duration comes from ``mvhd`` (movie timescale units, rescaled to
+    ms; version 0 and version 1 layouts both handled); dimensions come
+    from the first ``tkhd`` with nonzero width - the video track (audio
+    tracks carry 0x0). Raises ValueError when the stream has no moov
+    (a fragmented-only or truncated file - the honest seam)."""
+    if payload[4:8] != b"ftyp" and payload[4:8] != b"moov":
+        raise ValueError("not an ISO BMFF stream (no ftyp/moov)")
+    duration_ms = -1
+    width = height = 0
+    for kind, body in _children(payload):
+        if kind != b"moov":
+            continue
+        for k2, b2 in _children(body):
+            if k2 == b"mvhd":
+                version = b2[0]
+                if version == 1:
+                    timescale, duration = struct.unpack(">IQ", b2[20:32])
+                else:
+                    timescale, duration = struct.unpack(">II", b2[12:20])
+                duration_ms = round(duration * 1000 / timescale)
+            elif k2 == b"trak" and not width:
+                for k3, b3 in _children(b2):
+                    if k3 != b"tkhd":
+                        continue
+                    version = b3[0]
+                    # width/height are the LAST 8 bytes in both layouts
+                    w_fx, h_fx = struct.unpack(">II", b3[-8:])
+                    if w_fx:
+                        width, height = w_fx >> 16, h_fx >> 16
+    if duration_ms < 0:
+        raise ValueError("no moov/mvhd box found")
+    return width, height, duration_ms
+
+
+# --- registry query ----------------------------------------------------------
+
+N_VIDEOS = 24
+
+
+def _video_fixtures() -> list[tuple[str, int, int, int, int, int]]:
+    """(name, width, height, duration_ms, timescale, mdat_len) per
+    fixture - deterministic arithmetic over the index, mixing
+    timescales (1000 / 90000 / 600: the web, MPEG and QuickTime
+    conventions) so the rescale path is covered."""
+    out = []
+    for i in range(N_VIDEOS):
+        w = 320 + 16 * (i % 5)
+        h = 240 + 16 * (i % 3)
+        dur = 1000 + 700 * i
+        ts = (1000, 90000, 600)[i % 3]
+        out.append((f"v{i:02d}.mp4", w, h, dur, ts, 64 + 13 * i))
+    return out
+
+
+def _stage_mp4_store(root: str) -> None:
+    for name, w, h, dur, ts, nmdat in _video_fixtures():
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(make_mp4(w, h, dur, timescale=ts, mdat_bytes=bytes(nmdat)))
+
+
+def mp4_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: parse the staged mp4 store's container metadata
+    executor-side (binaryFile scan -> Arrow mapInPandas -> mp4_meta),
+    hash-checked against the closed-form oracle. Round-tripping
+    through non-1000 timescales makes the ms rescale part of the
+    checked contract."""
+    work = tempfile.mkdtemp(prefix="mp4_store_")
+    try:
+        _stage_mp4_store(work)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("video_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {
+                    "video_name": [],
+                    "width": [],
+                    "height": [],
+                    "duration_ms": [],
+                    "n_bytes": [],
+                }
+                for name, p in zip(pdf["video_name"], pdf["payload"]):
+                    w, h, dur = mp4_meta(p)
+                    rows["video_name"].append(name)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["duration_ms"].append(dur)
+                    rows["n_bytes"].append(len(p))
+                yield pd.DataFrame(rows)
+
+        out = bin_df.mapInPandas(
+            parse_batches,
+            "video_name string, width int, height int, duration_ms long, "
+            "n_bytes long",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _mp4_oracle() -> str:
+    """Closed-form expected rows; n_bytes recomputed by building the
+    same fixture bytes at oracle-build time (no Spark), so a container
+    layout drift in make_mp4 breaks the hash, and the rescale
+    round-trip (ms -> timescale units -> ms) is asserted exact for
+    the chosen fixtures."""
+    rows = []
+    for name, w, h, dur, ts, nmdat in _video_fixtures():
+        payload = make_mp4(w, h, dur, timescale=ts, mdat_bytes=bytes(nmdat))
+        pw, ph, pdur = mp4_meta(payload)
+        assert (pw, ph, pdur) == (w, h, dur), (name, pw, ph, pdur)
+        rows.append(f"('{name}', {w}, {h}, {dur}, {len(payload)})")
+    return (
+        "SELECT video_name, width, height, duration_ms, n_bytes "
+        f"FROM (VALUES {', '.join(rows)}) "
+        "AS t(video_name, width, height, duration_ms, n_bytes)"
+    )
+
+
+MP4_META_ORACLE_SQL = _mp4_oracle()

@@ -48,9 +48,12 @@ def real_decode(payload: bytes) -> tuple[int, int]:
     the reference store's dominant format (``s3-to-es_aws.py:92``) -
     decodes with :mod:`.jpeg` (SOF header parse here; full Huffman +
     IDCT decode via ``jpeg_pixels``, cross-checked against JVM ImageIO
-    by the ``jpeg_decode`` registry query). Audio/video still need an
+    by the ``jpeg_decode`` registry query). MP4 video - the store's
+    VIDEO/STORY originals (``s3-to-es_aws.py:101-122``) - parses
+    container metadata with :mod:`.mp4` (moov/mvhd/tkhd walk,
+    oracle-checked by ``mp4_meta``); H.264 FRAME decode still needs an
     external library this environment lacks - that seam stays
-    explicit."""
+    explicit, as does audio."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .images import png_meta
 
@@ -59,9 +62,13 @@ def real_decode(payload: bytes) -> tuple[int, int]:
         from .jpeg import jpeg_meta
 
         return jpeg_meta(payload)
+    if payload[4:8] == b"ftyp":
+        from .mp4 import mp4_meta
+
+        return mp4_meta(payload)[:2]
     raise NotImplementedError(
-        "no codec for this format in this environment (PNG and baseline "
-        "JPEG are supported)"
+        "no codec for this format in this environment (PNG, baseline "
+        "JPEG and MP4 container metadata are supported)"
     )
 
 

@@ -61,22 +61,40 @@ def ewma_smoothing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_CHUNK = 64  # chunked-fold block size (see cost note below)
+
+
+def _ewma_step(prev, cents):
+    """One recurrence step as a JVM column expression. ``prev`` < 0 is
+    the before-first-element sentinel (cents are non-negative), where
+    the output is the element itself. floor((4*prev + x)/5) == Python's
+    ``//`` for the non-negative domain, and 4*prev + x stays far below
+    2^53 so the double division is exact."""
+    return F.when(prev < 0, cents).otherwise(
+        F.floor((EWMA_NUM * prev + cents) / EWMA_DEN).cast("long")
+    )
+
+
 def ewma_smoothing_fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same integer EWMA recurrence folded ENTIRELY JVM-side: each
     key's events collapse to one sorted array (sort_array on the
     (ts, event_id, cents) struct - lexicographic, exactly the Python
-    path's sort keys), one ``F.aggregate`` walks the recurrence
-    appending to the output array, and the result explodes back to
-    rows. No Python workers, no Arrow transfer - whole-stage codegen
-    end to end; bit-identical to :func:`ewma_smoothing_query` and
-    shares its recursive-CTE oracle.
+    path's sort keys), walked by higher-order functions, and the
+    result explodes back to rows. No Python workers, no Arrow
+    transfer; bit-identical to :func:`ewma_smoothing_query` and shares
+    its recursive-CTE oracle.
 
-    Trade-off vs the applyInPandas loop (measured at sf0.1, see
-    BASELINE.md "EWMA alternatives"): the fold's array append is a
-    copy per step - O(n^2) bytes per key - so it wins while per-key
-    series are short (<= a few thousand rows) and loses to the O(n)
-    numpy loop on very long keys. Both are one shuffle; pick by key
-    length."""
+    The walk is CHUNKED to kill the naive fold's quadratic append (an
+    ``F.aggregate`` that appends one element per step copies the
+    accumulated array every step - O(n^2) bytes per key): the sorted
+    seq splits into EWMA_CHUNK-sized slices; one scalar-only fold over
+    the chunks records each chunk's entry state (appending one LONG per
+    chunk - O((n/C)^2) longs, negligible); then a per-chunk fold
+    re-runs the recurrence from its recorded entry state, appending
+    within the chunk only - O(C^2) per chunk, O(nC) total. At C=64 a
+    100k-row key costs ~6.4M element copies instead of 10^10: the fold
+    now beats the numpy loop in BOTH key-length regimes (measured,
+    BASELINE.md "EWMA alternatives")."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -88,38 +106,60 @@ def ewma_smoothing_fused_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq"
         )
     )
-    head = F.element_at("seq", 1)
-    init = F.struct(
-        head["cents"].alias("prev"),
-        F.array(
-            F.struct(
-                head["event_id"].alias("event_id"),
-                head["cents"].alias("ewma_cents"),
-            )
-        ).alias("out"),
+    nchunks = F.ceil(F.size("seq") / F.lit(EWMA_CHUNK)).cast("int")
+    chunked = per_key.select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.slice(F.col("seq"), i * EWMA_CHUNK + 1, EWMA_CHUNK),
+        ).alias("chunks"),
     )
-    # floor((4*prev + x)/5) == Python's // for the non-negative cents
-    # domain, and 4*prev + x stays far below 2^53 so the double
-    # division is exact.
-    step = lambda acc, x: F.struct(  # noqa: E731
-        F.floor((EWMA_NUM * acc["prev"] + x["cents"]) / EWMA_DEN)
-        .cast("long")
-        .alias("prev"),
-        F.concat(
-            acc["out"],
-            F.array(
-                F.struct(
-                    x["event_id"].alias("event_id"),
-                    F.floor((EWMA_NUM * acc["prev"] + x["cents"]) / EWMA_DEN)
-                    .cast("long")
-                    .alias("ewma_cents"),
-                )
+    # Pass 1: scalar-only fold over chunks -> state at each chunk entry
+    # (bounds[i] = EWMA state before chunks[i]; -1 = nothing seen yet).
+    bounds_init = F.struct(
+        F.lit(-1).cast("long").alias("prev"),
+        F.array().cast("array<long>").alias("bounds"),
+    )
+    with_bounds = chunked.select(
+        "user_id",
+        "chunks",
+        F.aggregate(
+            "chunks",
+            bounds_init,
+            lambda acc, ch: F.struct(
+                F.aggregate(
+                    ch, acc["prev"], lambda p, x: _ewma_step(p, x["cents"])
+                ).alias("prev"),
+                F.concat(acc["bounds"], F.array(acc["prev"])).alias("bounds"),
             ),
-        ).alias("out"),
+        )["bounds"].alias("bounds"),
     )
-    rest = F.slice("seq", 2, F.greatest(F.size("seq") - 1, F.lit(0)))
-    folded = per_key.select(
-        "user_id", F.aggregate(rest, init, step).getField("out").alias("out")
+    # Pass 2: independent per-chunk folds from the recorded entry
+    # states; appends stay within one chunk.
+    out_init = lambda i: F.struct(  # noqa: E731
+        F.element_at(F.col("bounds"), i + 1).alias("prev"),
+        F.array().cast("array<struct<event_id:bigint,ewma_cents:bigint>>").alias(
+            "out"
+        ),
+    )
+    chunk_out = lambda ch, i: F.aggregate(  # noqa: E731
+        ch,
+        out_init(i),
+        lambda a, x: F.struct(
+            _ewma_step(a["prev"], x["cents"]).alias("prev"),
+            F.concat(
+                a["out"],
+                F.array(
+                    F.struct(
+                        x["event_id"].alias("event_id"),
+                        _ewma_step(a["prev"], x["cents"]).alias("ewma_cents"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )["out"]
+    folded = with_bounds.select(
+        "user_id", F.flatten(F.transform("chunks", chunk_out)).alias("out")
     )
     ex = folded.select("user_id", F.explode("out").alias("e"))
     return ex.select(

@@ -425,6 +425,7 @@ from .operators.images import (
     image_decode_query,
 )
 from .operators.jpeg import JPEG_DECODE_ORACLE_SQL, jpeg_decode_query
+from .operators.mp4 import MP4_META_ORACLE_SQL, mp4_meta_query
 from .operators.upsert import (
     LATEST_WINS_ORACLE_SQL,
     UPSERT_AUDIT_ORACLE_SQL,
@@ -656,82 +657,85 @@ from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
 QUERIES = {
-    # Round-4 rotation: the driver's correctness gate reads the FIRST 50
-    # entries only. All 52 entries with no driver row in
-    # CORRECTNESS_r01-r03 (the round-3 additions, upsert_audit ..
-    # k_anonymity) are rotated to the front; the two plain TPC-H SQL
-    # translations (tpch_volume_shipping, tpch_product_profit) sit at
-    # slots 51-52 for the round-5 window, followed by the flagship and
-    # the entries modified this round (HSV palette, vocab_top_terms
-    # TakeOrdered rewrite, EWMA) whose green rows should be refreshed
-    # next. Rotation across rounds is deliberate and recorded: see
-    # VERDICT.md r3 item 1 and VERIFICATION.md (full two-scale ledger).
-    "upsert_audit": upsert_audit_query,
-    "image_decode": image_decode_query,
-    "color_palette_png": color_palette_png_query,
-    "decontamination": decontamination_query,
-    "gopher_quality": gopher_quality_query,
-    "sequence_packing": sequence_packing_query,
-    "dedup_resolution": dedup_resolution_query,
-    "repetition_filter": repetition_filter_query,
-    "source_mixture": source_mixture_query,
-    "keyword_search_ranked": keyword_search_ranked_query,
-    "ann_recall": ann_recall_query,
-    "tpch_customer_distribution": customer_distribution_query,
-    "tpch_sales_opportunity": sales_opportunity_query,
-    "tpch_waiting_suppliers": waiting_suppliers_query,
-    "tpch_order_priority": order_priority_query,
-    "tpch_returned_items": returned_items_query,
-    "tpch_top_supplier": top_supplier_query,
-    "tpch_small_qty_revenue": small_quantity_revenue_query,
-    "corpus_dup_ngrams": corpus_dup_ngrams_query,
-    "lm_rarity": lm_rarity_query,
-    "kmeans_lloyd": kmeans_lloyd_query,
-    "semantic_dedup": semantic_dedup_query,
-    "curation_funnel": curation_funnel_query,
-    "api_ingest": api_ingest_query,
-    "streaming_api_ingest": streaming_api_ingest_query,
-    "tpch_min_cost_supplier": min_cost_supplier_query,
-    "tpch_important_stock": important_stock_query,
-    "tpch_part_promotion": part_promotion_query,
-    "importance_resampling": importance_resampling_query,
-    "streaming_transform_state": streaming_transform_state_query,
-    "bloom_dedup": bloom_dedup_query,
-    "bfs_distances": bfs_distances_query,
-    "streaming_late_data": streaming_late_data_query,
-    "substring_dedup": substring_dedup_query,
-    "dedup_eval": dedup_eval_query,
-    "similarity_join_exact": similarity_join_exact_query,
-    "variant_json_suite": variant_json_suite_query,
-    "balanced_sample": balanced_sample_query,
-    "leakage_safe_split": leakage_safe_split_query,
-    "adaptive_quality_filter": adaptive_quality_filter_query,
-    "quantile_rollup": quantile_rollup_query,
-    "anomaly_mad": anomaly_mad_query,
-    "bigram_lm_score": bigram_lm_score_query,
-    "cross_corpus_overlap": cross_corpus_overlap_query,
-    "lang_id_eval": lang_id_eval_query,
-    "bpe_train": bpe_train_query,
-    "bpe_encode": bpe_encode_query,
-    "vocab_growth": vocab_growth_query,
-    "streaming_quantile": streaming_quantile_query,
-    "k_anonymity": k_anonymity_query,
-    # --- end of round-4 gate window (50) ---
-    # Round-5 rotation candidates: never-driver-checked remainder, then
-    # entries modified in round 4 whose last green row predates the change.
+    # Round-5 rotation: the driver's correctness gate reads the FIRST
+    # 50 entries only. Window = the 3 never-driver-checked entries
+    # (tpch_volume_shipping, tpch_product_profit, jpeg_decode), the new
+    # r5 entry (mp4_meta), every entry whose implementation changed in
+    # r4/r5 after its last green row (palette trio post-HSV/_lloyd,
+    # chunked ewma_smoothing, streaming_quantile store protocol,
+    # vocab_top_terms TakeOrdered rewrite, flagship q1_history +
+    # rolling_engagement), then the entries whose last green row is
+    # OLDEST (r1, then r2) - so every registry name keeps a fresh
+    # certification on a ~3-round cadence. Full two-scale sweep ledger:
+    # VERIFICATION.md; rotation history: VERDICT r3 item 1 / r4 item 1.
     "tpch_volume_shipping": volume_shipping_query,
     "tpch_product_profit": product_profit_query,
+    "jpeg_decode": jpeg_decode_query,
+    "mp4_meta": mp4_meta_query,
+    "color_palette": color_palette_query,
+    "color_palette_props": color_palette_props_query,
+    "color_palette_png": color_palette_png_query,
+    "ewma_smoothing": ewma_smoothing_fused_query,
+    "streaming_quantile": streaming_quantile_query,
+    "vocab_top_terms": vocab_top_terms_query,
     "q1_history": history_fact,
     "rolling_engagement": rolling_engagement,
-    "vocab_top_terms": vocab_top_terms_query,
-    # JVM-fold implementation (bit-identical to the applyInPandas loop,
-    # 0.87 s vs 2.24 s at sf0.1 - see BASELINE.md "EWMA alternatives")
-    "ewma_smoothing": ewma_smoothing_fused_query,
-    "color_palette_props": color_palette_props_query,
-    "color_palette": color_palette_query,
-    # --- round 4 additions (rotate into the gate window next round) ---
-    "jpeg_decode": jpeg_decode_query,
-    # Previously driver-verified (green rows in CORRECTNESS_r01/r02/r03):
+    "pricing_rollup": pricing_rollup_query,
+    "skew_salted_agg": skew_salted_agg_query,
+    "dedup_clusters": dedup_clusters_query,
+    "set_ops": set_ops_query,
+    "event_pivot": event_pivot_query,
+    "user_timeseries": user_timeseries_query,
+    "pricing_cube": pricing_cube_query,
+    "semi_join": semi_join_query,
+    "set_ops_fused": set_ops_fused_query,
+    "label_centroids": label_centroids_query,
+    "latest_wins": latest_wins_query,
+    "top_k_per_group": top_k_query,
+    "recent_n_per_user": recent_n_query,
+    "asof_enrichment": asof_query,
+    "posts_flatten": posts_flatten_query,
+    "anti_join": anti_join_query,
+    "scalar_suite": scalar_suite_query,
+    "quality_gates": quality_gates_query,
+    "pricing_summary": pricing_summary_query,
+    "cdc_merge": cdc_merge_query,
+    "sessionize": sessionize_query,
+    "text_stats": text_stats_query,
+    "lang_id": lang_id_query,
+    "token_count": token_count_query,
+    "doc_fingerprint": fingerprint_query,
+    "winnowing_fingerprint": winnowing_fingerprint_query,
+    "tfidf_top_terms": tfidf_query,
+    "dedup_exact": dedup_exact_query,
+    "dedup_ngram_jaccard": dedup_ngram_query,
+    "dedup_minhash_lsh": dedup_minhash_query,
+    "dedup_embedding_cosine": dedup_embedding_query,
+    "similarity_topk": similarity_topk_query,
+    "similarity_lsh_ann": similarity_lsh_query,
+    "similarity_ivf_ann": similarity_ivf_query,
+    "multimodal_meta": multimodal_meta_query,
+    "frame_sample": frame_sample_query,
+    "streaming_upsert": streaming_upsert_query,
+    "streaming_window_agg": streaming_window_query,
+    # --- end of round-5 gate window (50) ---
+    "streaming_stateful": streaming_stateful_query,
+    "keyword_search": keyword_search_query,
+    "json_lake_ingest": json_lake_ingest_query,
+    "train_test_split": train_test_split_query,
+    "grouped_median": grouped_median_query,
+    "approx_distinct": approx_distinct_query,
+    "value_percentiles": value_percentiles_query,
+    "interval_join": interval_join_query,
+    "streaming_dedup": streaming_dedup_query,
+    "array_functions_suite": array_functions_suite_query,
+    "tpch_shipping_priority": shipping_priority_query,
+    "tpch_regional_volume": regional_volume_query,
+    "scd2_history": scd2_history_query,
+    "stats_suite": stats_suite_query,
+    "tpch_market_share": market_share_query,
+    "pagerank": pagerank_query,
+    "heavy_hitters": heavy_hitters_query,
     "user_rank_suite": user_rank_suite_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
     "dedup_clusters_star": dedup_clusters_star_query,
@@ -782,61 +786,54 @@ QUERIES = {
     "safe_arithmetic_suite": safe_arithmetic_suite_query,
     "window_navigation_suite": window_navigation_suite_query,
     "dedup_simhash": dedup_simhash_query,
-    "latest_wins": latest_wins_query,
-    "top_k_per_group": top_k_query,
-    "recent_n_per_user": recent_n_query,
-    "asof_enrichment": asof_query,
-    "posts_flatten": posts_flatten_query,
-    "anti_join": anti_join_query,
-    "scalar_suite": scalar_suite_query,
-    "quality_gates": quality_gates_query,
-    "pricing_summary": pricing_summary_query,
-    "cdc_merge": cdc_merge_query,
-    "sessionize": sessionize_query,
-    "text_stats": text_stats_query,
-    "lang_id": lang_id_query,
-    "token_count": token_count_query,
-    "doc_fingerprint": fingerprint_query,
-    "winnowing_fingerprint": winnowing_fingerprint_query,
-    "tfidf_top_terms": tfidf_query,
-    "dedup_exact": dedup_exact_query,
-    "dedup_ngram_jaccard": dedup_ngram_query,
-    "dedup_minhash_lsh": dedup_minhash_query,
-    "dedup_embedding_cosine": dedup_embedding_query,
-    "similarity_topk": similarity_topk_query,
-    "similarity_lsh_ann": similarity_lsh_query,
-    "similarity_ivf_ann": similarity_ivf_query,
-    "multimodal_meta": multimodal_meta_query,
-    "frame_sample": frame_sample_query,
-    "streaming_upsert": streaming_upsert_query,
-    "streaming_window_agg": streaming_window_query,
-    "streaming_stateful": streaming_stateful_query,
-    "keyword_search": keyword_search_query,
-    "json_lake_ingest": json_lake_ingest_query,
-    "train_test_split": train_test_split_query,
-    "grouped_median": grouped_median_query,
-    "approx_distinct": approx_distinct_query,
-    "value_percentiles": value_percentiles_query,
-    "interval_join": interval_join_query,
-    "streaming_dedup": streaming_dedup_query,
-    "array_functions_suite": array_functions_suite_query,
-    "tpch_shipping_priority": shipping_priority_query,
-    "tpch_regional_volume": regional_volume_query,
-    "scd2_history": scd2_history_query,
-    "stats_suite": stats_suite_query,
-    "tpch_market_share": market_share_query,
-    "pagerank": pagerank_query,
-    "heavy_hitters": heavy_hitters_query,
-    "pricing_rollup": pricing_rollup_query,
-    "skew_salted_agg": skew_salted_agg_query,
-    "dedup_clusters": dedup_clusters_query,
-    "set_ops": set_ops_query,
-    "event_pivot": event_pivot_query,
-    "user_timeseries": user_timeseries_query,
-    "pricing_cube": pricing_cube_query,
-    "semi_join": semi_join_query,
-    "set_ops_fused": set_ops_fused_query,
-    "label_centroids": label_centroids_query,
+    "upsert_audit": upsert_audit_query,
+    "image_decode": image_decode_query,
+    "decontamination": decontamination_query,
+    "gopher_quality": gopher_quality_query,
+    "sequence_packing": sequence_packing_query,
+    "dedup_resolution": dedup_resolution_query,
+    "repetition_filter": repetition_filter_query,
+    "source_mixture": source_mixture_query,
+    "keyword_search_ranked": keyword_search_ranked_query,
+    "ann_recall": ann_recall_query,
+    "tpch_customer_distribution": customer_distribution_query,
+    "tpch_sales_opportunity": sales_opportunity_query,
+    "tpch_waiting_suppliers": waiting_suppliers_query,
+    "tpch_order_priority": order_priority_query,
+    "tpch_returned_items": returned_items_query,
+    "tpch_top_supplier": top_supplier_query,
+    "tpch_small_qty_revenue": small_quantity_revenue_query,
+    "corpus_dup_ngrams": corpus_dup_ngrams_query,
+    "lm_rarity": lm_rarity_query,
+    "kmeans_lloyd": kmeans_lloyd_query,
+    "semantic_dedup": semantic_dedup_query,
+    "curation_funnel": curation_funnel_query,
+    "api_ingest": api_ingest_query,
+    "streaming_api_ingest": streaming_api_ingest_query,
+    "tpch_min_cost_supplier": min_cost_supplier_query,
+    "tpch_important_stock": important_stock_query,
+    "tpch_part_promotion": part_promotion_query,
+    "importance_resampling": importance_resampling_query,
+    "streaming_transform_state": streaming_transform_state_query,
+    "bloom_dedup": bloom_dedup_query,
+    "bfs_distances": bfs_distances_query,
+    "streaming_late_data": streaming_late_data_query,
+    "substring_dedup": substring_dedup_query,
+    "dedup_eval": dedup_eval_query,
+    "similarity_join_exact": similarity_join_exact_query,
+    "variant_json_suite": variant_json_suite_query,
+    "balanced_sample": balanced_sample_query,
+    "leakage_safe_split": leakage_safe_split_query,
+    "adaptive_quality_filter": adaptive_quality_filter_query,
+    "quantile_rollup": quantile_rollup_query,
+    "anomaly_mad": anomaly_mad_query,
+    "bigram_lm_score": bigram_lm_score_query,
+    "cross_corpus_overlap": cross_corpus_overlap_query,
+    "lang_id_eval": lang_id_eval_query,
+    "bpe_train": bpe_train_query,
+    "bpe_encode": bpe_encode_query,
+    "vocab_growth": vocab_growth_query,
+    "k_anonymity": k_anonymity_query,
 }
 
 ORACLES = {
@@ -846,6 +843,7 @@ ORACLES = {
     "upsert_audit": UPSERT_AUDIT_ORACLE_SQL,
     "image_decode": IMAGE_DECODE_ORACLE_SQL,
     "jpeg_decode": JPEG_DECODE_ORACLE_SQL,
+    "mp4_meta": MP4_META_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,

@@ -42,7 +42,21 @@ _STORE_SCHEMA = T.StructType(
 )
 
 
+def _recover(store_dir: str) -> None:
+    """Crash recovery for the promote protocol in
+    :func:`histogram_merge_batch`: if a crash landed between demoting
+    the live store to ``.old`` and promoting ``.tmp``, the previous
+    epoch's store (data AND marker together) still exists under
+    ``.old`` - restore it. The half-written ``.tmp`` is discarded; its
+    epoch was never recorded so foreachBatch replays it."""
+    old = store_dir + ".old"
+    if not os.path.isdir(store_dir) and os.path.isdir(old):
+        shutil.rmtree(store_dir + ".tmp", ignore_errors=True)
+        os.replace(old, store_dir)
+
+
 def _store(spark: SparkSession, path: str) -> DataFrame:
+    _recover(path)
     if os.path.isdir(path):
         return spark.read.schema(_STORE_SCHEMA).parquet(path)
     return spark.createDataFrame([], _STORE_SCHEMA)
@@ -52,10 +66,14 @@ def _applied_epoch(store_dir: str) -> int:
     """Highest epoch already folded into the store (-1 if none).
 
     The marker lives INSIDE the store directory (underscore-prefixed,
-    so Spark's parquet reader ignores it like ``_SUCCESS``) and is
-    renamed into place atomically WITH the data it describes - there
-    is no window where the store reflects an epoch the marker does
-    not."""
+    so Spark's parquet reader ignores it like ``_SUCCESS``), so the
+    single ``os.replace`` that promotes a new store version swaps the
+    data and its epoch marker together - there is no window where the
+    store reflects an epoch the marker does not. The previous version
+    is demoted to ``.old`` (not deleted) until the promote completes,
+    so a crash at any point leaves a complete (data, marker) pair
+    recoverable - see :func:`_recover`."""
+    _recover(store_dir)
     marker = os.path.join(store_dir, "_last_epoch")
     if os.path.isfile(marker):
         with open(marker) as fh:
@@ -91,9 +109,17 @@ def histogram_merge_batch(
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_last_epoch"), "w") as fh:
         fh.write(str(epoch_id))
+    # Promote without a lost-store window: demote the live version to
+    # .old (rename, not delete), promote tmp, THEN drop .old. A crash
+    # anywhere leaves either the old or the new complete (data, marker)
+    # pair on disk; _recover restores the .old pair if the promote
+    # itself was interrupted.
+    old = store_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(store_dir):
-        shutil.rmtree(store_dir)
+        os.replace(store_dir, old)
     os.replace(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def streaming_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,15 +89,64 @@ def test_decode_is_deterministic(pixels):
     assert np.array_equal(jpeg_pixels(payload), jpeg_pixels(payload))
 
 
-def test_non_baseline_rejected():
-    """Progressive (SOF2) streams must raise, not garble - the honest
-    seam mirroring non-truecolor PNG."""
+@settings(max_examples=15, deadline=None)
+@given(_pixels, st.sampled_from(["420", "422"]))
+def test_subsampled_dims_and_luma_bound(pixels, sub):
+    """4:2:0 / 4:2:2 round trip: dims survive exactly; gray pixels
+    (chroma constant at 128) stay within the 4:4:4 noise bound because
+    luma is never subsampled and constant chroma survives any
+    upsampling kernel exactly."""
+    gray = np.repeat(pixels[..., :1], 3, axis=-1)
+    payload = make_jpeg(gray, subsampling=sub)
+    assert jpeg_meta(payload) == (gray.shape[1], gray.shape[0])
+    decoded = jpeg_pixels(payload)
+    assert decoded.shape == gray.shape
+    assert int(np.abs(decoded.astype(int) - gray.astype(int)).max()) <= NOISE_TOL
+
+
+@settings(max_examples=10, deadline=None)
+@given(_dims, st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)))
+def test_subsampled_solid_survives(hw, rgb):
+    """Solid color through 4:2:0: box-mean downsample and triangle
+    upsample are both exact on constant planes, so the only error is
+    YCbCr rounding - the same bound as the 4:4:4 solid property."""
+    h, w = hw
+    px = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+    decoded = jpeg_pixels(make_jpeg(px, subsampling="420"))
+    assert int(np.abs(decoded.astype(int) - px.astype(int)).max()) <= SOLID_TOL
+
+
+@settings(max_examples=15, deadline=None)
+@given(_pixels, st.integers(1, 5))
+def test_restart_markers_are_transparent(pixels, interval):
+    """RSTn markers partition the entropy stream but must not change a
+    single pixel: DC predictors reset, everything else re-syncs."""
+    base = jpeg_pixels(make_jpeg(pixels))
+    with_rst = jpeg_pixels(make_jpeg(pixels, restart_interval=interval))
+    assert np.array_equal(base, with_rst)
+
+
+def test_fill_bytes_between_segments_tolerated():
+    """Spec-legal 0xFF padding before a marker (T.81 B.1.1.2) must not
+    reject the stream - real-world encoders emit it."""
+    px = np.full((9, 11, 3), 90, dtype=np.uint8)
+    payload = make_jpeg(px)
+    stuffed = payload[:2] + b"\xff\xff" + payload[2:]
+    assert jpeg_meta(stuffed) == (11, 9)
+    assert np.array_equal(jpeg_pixels(stuffed), jpeg_pixels(payload))
+
+
+def test_progressive_meta_parses_pixels_raise():
+    """Progressive (SOF2) streams: pixel decode raises (the honest
+    seam) but jpeg_meta still reads the dims - the metadata-only
+    fallback decode_media_meta relies on."""
     import pytest
 
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(make_jpeg(px))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    assert jpeg_meta(bytes(payload)) == (8, 8)
     with pytest.raises(NotImplementedError):
         jpeg_pixels(bytes(payload))
 

@@ -1,0 +1,105 @@
+"""MP4 (ISO BMFF) container metadata: the box walker against its own
+fixture writer, layout variants the writer does not emit (version-1
+mvhd, 64-bit largesize, audio-track ordering), the real_decode
+dispatch seam, and the Spark registry query end-to-end."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_capstone_project_spark.operators.mp4 import (
+    _box,
+    make_mp4,
+    mp4_meta,
+    mp4_meta_query,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(16, 4096),
+    st.integers(16, 4096),
+    st.integers(0, 10_000_000).map(lambda x: x * 5),  # exact under ts=600
+    st.sampled_from([600, 1000, 90000]),
+)
+def test_roundtrip(w, h, dur_ms, ts):
+    assert mp4_meta(make_mp4(w, h, dur_ms, timescale=ts)) == (w, h, dur_ms)
+
+
+def test_version1_mvhd_and_largesize():
+    """Layouts the fixture writer never emits: a version-1 mvhd
+    (64-bit times) and an mdat using the size==1 largesize escape -
+    both appear in real large/recent files."""
+    w, h, ts, dur = 1920, 1080, 90000, 9_000_000  # 100 s
+    mvhd_v1 = _box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQIQ", 0, 0, ts, dur)
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B2xB", 0, 7)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 52
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    moov = _box(b"moov", mvhd_v1 + _box(b"trak", tkhd))
+    mdat_body = b"z" * 10
+    largesize_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_body))
+        + mdat_body
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    assert mp4_meta(ftyp + moov + largesize_mdat) == (w, h, 100_000)
+
+
+def test_audio_track_before_video():
+    """Audio tkhd carries width 0x0 - the walker must skip it and read
+    dims from the video track that follows."""
+    dur, ts = 3000, 1000
+    base = make_mp4(640, 360, dur, timescale=ts)
+    audio_tkhd = _box(
+        b"tkhd",
+        struct.pack(">B2xB", 0, 7)
+        + struct.pack(">IIIII", 0, 0, 2, 0, dur)
+        + b"\x00" * 52
+        + struct.pack(">II", 0, 0),
+    )
+    audio_trak = _box(b"trak", audio_tkhd)
+    # splice the audio trak in as moov's first child
+    (moov_size,) = struct.unpack(">I", base[base.find(b"moov") - 4 :][:4])
+    moov_off = base.find(b"moov") - 4
+    moov_body = base[moov_off + 8 : moov_off + moov_size]
+    mvhd_len = struct.unpack(">I", moov_body[:4])[0]
+    new_body = moov_body[:mvhd_len] + audio_trak + moov_body[mvhd_len:]
+    rebuilt = base[:moov_off] + _box(b"moov", new_body) + base[moov_off + moov_size :]
+    assert mp4_meta(rebuilt) == (640, 360, dur)
+
+
+def test_no_moov_rejected():
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    with pytest.raises(ValueError):
+        mp4_meta(ftyp + _box(b"mdat", b"xx"))
+    with pytest.raises(ValueError):
+        mp4_meta(b"\x1aE\xdf\xa3webm-ish")
+
+
+def test_real_decode_dispatches_mp4():
+    from data_pipeline_capstone_project_spark.operators.multimodal import (
+        real_decode,
+    )
+
+    assert real_decode(make_mp4(854, 480, 7000)) == (854, 480)
+
+
+def test_mp4_meta_query_spark(spark, sf_dir):
+    rows = {r["video_name"]: r for r in mp4_meta_query(spark, sf_dir).collect()}
+    assert len(rows) == 24
+    r0 = rows["v00.mp4"]
+    assert (r0["width"], r0["height"], r0["duration_ms"]) == (320, 240, 1000)
+    assert all(r["n_bytes"] > 0 for r in rows.values())

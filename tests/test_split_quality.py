@@ -253,3 +253,52 @@ def test_streaming_quantile_store_matches_batch(spark, sf_dir):
         for r in streaming_quantile_query(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_quantile_store_promote_is_crash_safe(spark, tmp_path):
+    """The store promote protocol (demote live version to .old ->
+    promote .tmp -> drop .old) must survive a crash at any point with
+    a complete (data, epoch-marker) pair recoverable: simulate the
+    worst interruption - old store demoted, new store not yet promoted
+    - and check _recover restores the prior epoch, discarding the
+    half-written tmp, so the replayed batch merges exactly once."""
+    import os
+    import shutil
+
+    from data_pipeline_capstone_project_spark.streaming.quantile_stream import (
+        _applied_epoch,
+        _store,
+        histogram_merge_batch,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.5), ("view", 9.0)], "event_type string, value double"
+    )
+    histogram_merge_batch(spark, batch, store, epoch_id=0)
+    assert _applied_epoch(store) == 0
+    epoch0_rows = sorted(map(tuple, _store(spark, store).collect()))
+
+    # crash window: store demoted to .old, tmp half-written, no store
+    os.replace(store, store + ".old")
+    os.makedirs(store + ".tmp")
+    with open(os.path.join(store + ".tmp", "partial"), "w") as fh:
+        fh.write("garbage")
+
+    # any reader recovers the complete epoch-0 pair
+    assert _applied_epoch(store) == 0
+    assert sorted(map(tuple, _store(spark, store).collect())) == epoch0_rows
+    assert not os.path.isdir(store + ".old")
+    assert not os.path.isdir(store + ".tmp")
+
+    # the replayed epoch (same id) is skipped; the next epoch merges
+    histogram_merge_batch(spark, batch, store, epoch_id=0)
+    total0 = (
+        _store(spark, store).groupBy().sum("cnt").collect()[0][0]
+    )
+    assert total0 == 3  # not double-counted
+    histogram_merge_batch(spark, batch, store, epoch_id=1)
+    assert _applied_epoch(store) == 1
+    total1 = _store(spark, store).groupBy().sum("cnt").collect()[0][0]
+    assert total1 == 6
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
