@@ -8,22 +8,28 @@ library, but baseline JPEG needs nothing beyond numpy: FDCT/IDCT are
 8x8 matrix products, Huffman coding is table-driven, and the JFIF
 container is plain struct packing.
 
-- :func:`make_jpeg`: minimal baseline encoder (4:4:4 or 4:2:0, one
-  interleaved scan, 8-bit). The Huffman tables are SELF-DEFINED
-  canonical tables (4-bit DC codes, 8-bit AC codes) written into the
-  DHT segment - every decoder reads its tables from the stream, so
-  simple valid tables beat transcribing Annex K from memory;
-  compression ratio is irrelevant for fixtures.
+- :func:`make_jpeg`: encoder for baseline (SOF0) AND progressive
+  (SOF2, libjpeg's canonical 10-scan simple-progression script with
+  spectral selection, successive approximation and EOB runs), 4:4:4 /
+  4:2:2 / 4:2:0 chroma layouts, optional restart intervals. The
+  Huffman tables are SELF-DEFINED canonical tables (4-bit DC codes,
+  8-bit AC codes) written into the DHT segment - every decoder reads
+  its tables from the stream, so simple valid tables beat
+  transcribing Annex K from memory; compression ratio is irrelevant
+  for fixtures.
 - :func:`jpeg_meta`: (width, height) from any SOFn frame header -
   the metadata-parse path used by ``decode_media_meta``; dims parse
-  even for progressive/arithmetic streams whose pixel decode raises.
-- :func:`jpeg_pixels`: full baseline decoder - marker parse, stream-
-  defined DQT/DHT, bit-unstuffing, per-MCU Huffman decode with
-  arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...), restart
-  markers, dequantize, dezigzag, float IDCT, triangle-filter chroma
-  upsampling (libjpeg's "fancy" kernel), YCbCr->RGB. Progressive and
-  arithmetic-coded streams raise (the honest seam, like non-truecolor
-  PNG in :mod:`.images`) - ``jpeg_meta`` still reads their dims.
+  even for lossless/arithmetic streams whose pixel decode raises.
+- :func:`jpeg_pixels`: full decoder - multi-scan marker parse,
+  stream-defined DQT/DHT, bit-unstuffing, baseline per-MCU Huffman
+  decode AND progressive DC/AC first+refinement scans (T.81 G.2) with
+  EOB runs, arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
+  restart markers, dequantize, dezigzag, float IDCT, triangle-filter
+  chroma upsampling over the true sample extent (libjpeg's "fancy"
+  kernel and border discipline), YCbCr->RGB. Only lossless /
+  hierarchical / arithmetic-coded variants still raise (the honest
+  seam, like non-truecolor PNG in :mod:`.images`) - ``jpeg_meta``
+  still reads their dims.
 - :func:`jpeg_decode_query`: registry entry - stages deterministic
   JPEG fixtures, decodes them BOTH ways (this codec via ``binaryFile``
   + Arrow-batched ``mapInPandas``; JVM ImageIO via ``format("image")``)
@@ -98,6 +104,12 @@ def _canonical_codes(symbols: list[int], length: int) -> dict[int, tuple[int, in
 
 DC_CODES = _canonical_codes(DC_SYMBOLS, 4)
 AC_CODES = _canonical_codes(AC_SYMBOLS, 8)
+
+# Progressive AC scans additionally need the end-of-band-run symbols
+# (r<<4 for r = 1..14: EOBRUN lengths 2..32767); 176 symbols still fit
+# one 8-bit canonical table.
+PROG_AC_SYMBOLS = AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+PROG_AC_CODES = _canonical_codes(PROG_AC_SYMBOLS, 8)
 
 
 # --- bit I/O ----------------------------------------------------------------
@@ -264,16 +276,23 @@ SAMPLINGS = {
 
 
 def make_jpeg(
-    pixels: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF (one
-    interleaved scan, stream-defined quant + Huffman tables).
-    ``subsampling`` picks the chroma layout: "444" (the default;
-    bit-stream unchanged from the 4:4:4-only encoder), "422", or
-    "420" (2x2 box-mean chroma downsample, the layout real camera /
-    CDN JPEGs overwhelmingly use). ``restart_interval`` > 0 emits a
-    DRI segment and RSTn markers every N MCUs (DC predictors reset),
-    the error-resilience layout real encoders default to."""
+    """Encode an (h, w, 3) uint8 RGB array as JFIF with stream-defined
+    quant + Huffman tables. ``subsampling`` picks the chroma layout:
+    "444" (the default; bit-stream unchanged from the 4:4:4-only
+    encoder), "422", or "420" (2x2 box-mean chroma downsample, the
+    layout real camera / CDN JPEGs overwhelmingly use).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (DC predictors reset), the error-resilience layout
+    real encoders default to. ``progressive`` emits SOF2 with
+    libjpeg's canonical 10-scan simple-progression script (spectral
+    selection + successive approximation, EOB runs) instead of one
+    baseline scan - LOSSLESSLY re-ordered: the decoded image is
+    bit-identical to the baseline encoding of the same pixels."""
     samp = SAMPLINGS[subsampling]
     h, w = pixels.shape[:2]
     hmax = max(s[0] for s in samp)
@@ -291,36 +310,21 @@ def make_jpeg(
             plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
         planes.append(plane)
 
-    writer = _BitWriter()
-    prev_dc = [0, 0, 0]
-    mcu_n = 0
-    for my in range(ph // mcu_h):
-        for mx in range(pw // mcu_w):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                writer.emit_marker(0xD0 + (mcu_n // restart_interval - 1) % 8)
-                prev_dc = [0, 0, 0]
-            mcu_n += 1
-            for ci, (sh, sv) in enumerate(samp):
-                qt = QTABLE_LUM if ci == 0 else QTABLE_CHROM
-                for v in range(sv):
-                    for hh in range(sh):
-                        y0, x0 = (my * sv + v) * 8, (mx * sh + hh) * 8
-                        q = _block_coefs(
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8], qt
-                        )
-                        prev_dc[ci] = _emit_block(writer, q, prev_dc[ci])
-    entropy = writer.flush()
-
-    def dht(table_class: int, table_id: int, codes: dict) -> bytes:
-        lengths = [0] * 16
-        by_len: dict[int, list[int]] = {}
-        for sym, (code, length) in codes.items():
-            lengths[length - 1] += 1
-            by_len.setdefault(length, []).append((code, sym))
-        huffval = bytes(
-            sym for length in sorted(by_len) for _, sym in sorted(by_len[length])
-        )
-        return bytes([(table_class << 4) | table_id]) + bytes(lengths) + huffval
+    # Precompute per-component quantized coefficient arrays (zigzag
+    # order): the baseline writer streams them in MCU order; the
+    # progressive writer re-walks them once per scan.
+    coef: list[np.ndarray] = []
+    for ci, (sh, sv) in enumerate(samp):
+        qt = QTABLE_LUM if ci == 0 else QTABLE_CHROM
+        plane = planes[ci]
+        by_n, bx_n = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.empty((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                arr[by, bx] = _block_coefs(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt
+                )
+        coef.append(arr)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -332,18 +336,265 @@ def make_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for (cid, qid), (sh, sv) in zip(((1, 0), (2, 1), (3, 1)), samp):
         sof += bytes([cid, (sh << 4) | sv, qid])
-    out += _marker(0xFFC0, sof)
-    out += _marker(0xFFC4, dht(0, 0, DC_CODES))
-    out += _marker(0xFFC4, dht(1, 0, AC_CODES))
-    out += _marker(0xFFC4, dht(0, 1, DC_CODES))
-    out += _marker(0xFFC4, dht(1, 1, AC_CODES))
-    if restart_interval:
+    out += _marker(0xFFC2 if progressive else 0xFFC0, sof)
+    ac_codes = PROG_AC_CODES if progressive else AC_CODES
+    out += _marker(0xFFC4, _dht(0, 0, DC_CODES))
+    out += _marker(0xFFC4, _dht(1, 0, ac_codes))
+    out += _marker(0xFFC4, _dht(0, 1, DC_CODES))
+    out += _marker(0xFFC4, _dht(1, 1, ac_codes))
+    if restart_interval and not progressive:
         out += _marker(0xFFDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        for scan_comps, ss, se, ah, al, entropy in _progressive_scans(
+            coef, samp, h, w
+        ):
+            sos = bytes([len(scan_comps)])
+            for ci in scan_comps:
+                sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += _marker(0xFFDA, sos)
+            out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    mcu_n = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.emit_marker(0xD0 + (mcu_n // restart_interval - 1) % 8)
+                prev_dc = [0, 0, 0]
+            mcu_n += 1
+            for ci, (sh, sv) in enumerate(samp):
+                for v in range(sv):
+                    for hh in range(sh):
+                        prev_dc[ci] = _emit_block(
+                            writer, coef[ci][my * sv + v, mx * sh + hh],
+                            prev_dc[ci],
+                        )
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     out += _marker(0xFFDA, sos)
-    out += entropy
+    out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _dht(table_class: int, table_id: int, codes: dict) -> bytes:
+    lengths = [0] * 16
+    by_len: dict[int, list[int]] = {}
+    for sym, (code, length) in codes.items():
+        lengths[length - 1] += 1
+        by_len.setdefault(length, []).append((code, sym))
+    huffval = bytes(
+        sym for length in sorted(by_len) for _, sym in sorted(by_len[length])
+    )
+    return bytes([(table_class << 4) | table_id]) + bytes(lengths) + huffval
+
+
+# --- progressive encoder -----------------------------------------------------
+
+# libjpeg's canonical "simple progression" scan script for 3-component
+# YCbCr (jcparam.c) - the script real progressive JPEGs on the web
+# overwhelmingly follow: coarse DC first, luma AC in two bands at
+# reduced precision, chroma AC, then successive-approximation
+# refinement passes down to full precision.
+PROG_SCRIPT = (
+    # (component indexes, Ss, Se, Ah, Al)
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _flush_eobrun(
+    w: _BitWriter, eobrun: int, pending: list[int], ac_codes: dict
+) -> int:
+    """Emit a pending end-of-band run (sym = nbits<<4 + extension
+    bits), then any correction bits accumulated during the EOB'd
+    blocks (refinement scans only). Returns the reset run (0)."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        code, length = ac_codes[nb << 4]
+        w.write(code, length)
+        if nb:
+            w.write(eobrun - (1 << nb), nb)
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+    return 0
+
+
+def _emit_ac_first_scan(
+    arr: np.ndarray, rows: int, cols: int, ss: int, se: int, al: int
+) -> bytes:
+    w = _BitWriter()
+    eobrun = 0
+    no_bits: list[int] = []
+    for by in range(rows):
+        for bx in range(cols):
+            block = arr[by, bx]
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(block[k])
+                t = abs(v) >> al
+                vals.append(t if v >= 0 else -t)
+            last = max((i for i, v in enumerate(vals) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(w, eobrun, no_bits, PROG_AC_CODES)
+                continue
+            eobrun = _flush_eobrun(w, eobrun, no_bits, PROG_AC_CODES)
+            r = 0
+            for i in range(last + 1):
+                sv = vals[i]
+                if sv == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = PROG_AC_CODES[0xF0]
+                    w.write(code, length)
+                    r -= 16
+                s = abs(sv).bit_length()
+                code, length = PROG_AC_CODES[(r << 4) | s]
+                w.write(code, length)
+                amp = sv if sv >= 0 else sv + (1 << s) - 1
+                w.write(amp, s)
+                r = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(w, eobrun, no_bits, PROG_AC_CODES)
+    _flush_eobrun(w, eobrun, no_bits, PROG_AC_CODES)
+    return w.flush()
+
+
+def _emit_ac_refine_scan(
+    arr: np.ndarray, rows: int, cols: int, ss: int, se: int, al: int
+) -> bytes:
+    """Successive-approximation AC refinement (T.81 G.1.2.3 shape):
+    newly-visible coefficients emit (run,1)+sign, already-visible ones
+    ride as correction bits flushed after the next emitted symbol (or
+    with the EOB run for fully-quiet block tails)."""
+    w = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits pending with the EOB run
+    for by in range(rows):
+        for bx in range(cols):
+            block = arr[by, bx]
+            t = []
+            sign = []
+            for k in range(ss, se + 1):
+                v = int(block[k])
+                t.append(abs(v) >> al)
+                sign.append(1 if v >= 0 else 0)
+            # ZRLs may only be emitted up to the last newly-visible
+            # coefficient - beyond it the tail folds into the EOB run.
+            eob_idx = max((i for i, v in enumerate(t) if v == 1), default=-1)
+            r = 0
+            br: list[int] = []  # correction bits since last symbol
+            for i in range(len(t)):
+                if t[i] == 0:
+                    r += 1
+                    continue
+                # Emit required ZRLs at EVERY nonzero coefficient
+                # (libjpeg's discipline): a history coefficient's
+                # correction bit buffered past a pending ZRL would be
+                # read by the decoder in the wrong walk.
+                while r > 15 and i <= eob_idx:
+                    eobrun = _flush_eobrun(w, eobrun, be, PROG_AC_CODES)
+                    code, length = PROG_AC_CODES[0xF0]
+                    w.write(code, length)
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                    r -= 16
+                if t[i] > 1:
+                    br.append(t[i] & 1)
+                    continue
+                # newly visible coefficient: terminate any EOB run
+                # from prior blocks, then emit (run, 1) + sign + bits
+                eobrun = _flush_eobrun(w, eobrun, be, PROG_AC_CODES)
+                code, length = PROG_AC_CODES[(r << 4) | 1]
+                w.write(code, length)
+                w.write(sign[i], 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(w, eobrun, be, PROG_AC_CODES)
+    _flush_eobrun(w, eobrun, be, PROG_AC_CODES)
+    return w.flush()
+
+
+def _progressive_scans(
+    coef: list[np.ndarray], samp: tuple, h: int, w: int
+) -> list[tuple]:
+    """Run PROG_SCRIPT over the coefficient arrays; yields
+    (scan_comps, Ss, Se, Ah, Al, entropy_bytes) per scan. DC scans are
+    interleaved in MCU order over the (padded) block grids; AC scans
+    are single-component over that component's true data-unit grid
+    (T.81 A.2.2 - no MCU padding)."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcuy = coef[0].shape[0] // samp[0][1]
+    mcux = coef[0].shape[1] // samp[0][0]
+    scans = []
+    for scan_comps, ss, se, ah, al in PROG_SCRIPT:
+        if ss == 0:  # DC scan, interleaved
+            writer = _BitWriter()
+            if ah == 0:
+                preds = [0] * len(coef)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in scan_comps:
+                            sh, sv = samp[ci]
+                            for v in range(sv):
+                                for hh in range(sh):
+                                    val = (
+                                        int(coef[ci][my * sv + v, mx * sh + hh, 0])
+                                        >> al
+                                    )
+                                    _encode_coef(
+                                        writer, val - preds[ci], DC_CODES
+                                    )
+                                    preds[ci] = val
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in scan_comps:
+                            sh, sv = samp[ci]
+                            for v in range(sv):
+                                for hh in range(sh):
+                                    bit = (
+                                        int(coef[ci][my * sv + v, mx * sh + hh, 0])
+                                        >> al
+                                    ) & 1
+                                    writer.write(bit, 1)
+            scans.append((scan_comps, ss, se, ah, al, writer.flush()))
+        else:  # AC scan, single component, true data-unit grid
+            (ci,) = scan_comps
+            sh, sv = samp[ci]
+            rows = -(-(h * sv) // (vmax * 8))
+            cols = -(-(w * sh) // (hmax * 8))
+            emit = _emit_ac_first_scan if ah == 0 else _emit_ac_refine_scan
+            scans.append(
+                (scan_comps, ss, se, ah, al, emit(coef[ci], rows, cols, ss, se, al))
+            )
+    return scans
 
 
 # --- decoder ----------------------------------------------------------------
@@ -445,119 +696,340 @@ def _fancy_upsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
     return plane
 
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """First offset at/after ``start`` holding a real marker (0xFF
+    followed by anything but a stuffed 0x00, an RSTn, or a 0xFF fill
+    byte) - the end of one scan's entropy-coded data."""
+    i, n = start, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+        elif payload[i + 1] == 0x00:
+            i += 2
+        elif payload[i + 1] == 0xFF or 0xD0 <= payload[i + 1] <= 0xD7:
+            i += 1 if payload[i + 1] == 0xFF else 2
+        else:
+            return i
+    return n
+
+
+def _decode_block_baseline(
+    reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
+    coef: np.ndarray, pred: int,
+) -> int:
+    """One full baseline block into ``coef`` (64, zigzag order);
+    returns the new DC predictor."""
+    s = dc_t.decode(reader)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        sym = ac_t.decode(reader)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0xF
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        coef[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(
+    reader: _BitReader, ac_t: _HuffTable, coef: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Progressive AC first scan (Ah == 0) for one block (T.81 G.2.2);
+    returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = ac_t.decode(reader)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(
+    reader: _BitReader, ac_t: _HuffTable, coef: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Progressive AC refinement scan (Ah > 0) for one block - the
+    correction-bit walk of T.81 G.2.2 / libjpeg's decode_mcu_AC_refine
+    discipline; returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = ac_t.decode(reader)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # this block finishes in the EOB walk below
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        break
+                    r -= 1
+                k += 1
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Full baseline decode -> (h, w, 3) uint8 RGB. Supports 8-bit
-    baseline, 3 components, arbitrary sampling factors (4:4:4, 4:2:0,
-    4:2:2, ...), restart markers - everything :func:`make_jpeg` emits
-    plus the layouts real camera/CDN JPEGs use; progressive and
-    arithmetic-coded streams raise (the explicit seam, like
-    non-truecolor PNG in :mod:`.images` - dims still parse via
-    :func:`jpeg_meta`)."""
+    """Full decode -> (h, w, 3) uint8 RGB. Supports 8-bit 3-component
+    BASELINE (SOF0/1) and PROGRESSIVE (SOF2: spectral selection +
+    successive approximation, DC/AC first and refinement scans, EOB
+    runs) streams, arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2,
+    ...), restart markers, multi-scan table redefinition - everything
+    :func:`make_jpeg` emits plus the layouts real camera/CDN JPEGs
+    use. Lossless/hierarchical/arithmetic variants raise (dims still
+    parse via :func:`jpeg_meta`)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
     qtables: dict[int, np.ndarray] = {}
     hufftables: dict[tuple[int, int], _HuffTable] = {}
     comps: list[tuple[int, int, int, int]] = []  # (cid, qid, sh, sv)
-    scan_tables: dict[int, tuple[int, int]] = {}
     h = w = 0
+    progressive = False
     restart_interval = 0
-    scan_off = -1
+    coef_store: dict[int, np.ndarray] = {}  # cid -> (BY, BX, 64) zigzag
+    geom: dict[int, tuple[int, int]] = {}  # cid -> (data-unit rows, cols)
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
 
-    for marker, seg, off in _segments(payload):
+    pos, n = 2, len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = (payload[pos] << 8) | payload[pos + 1]
+        if marker == 0xFFD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+
         if marker == 0xFFDB:
-            pos = 0
-            while pos < len(seg):
-                pq, tq = seg[pos] >> 4, seg[pos] & 0xF
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables unsupported")
                 qtables[tq] = np.frombuffer(
-                    seg[pos + 1 : pos + 65], dtype=np.uint8
+                    seg[p + 1 : p + 65], dtype=np.uint8
                 ).astype(np.int32)
-                pos += 65
-        elif marker in (0xFFC0, 0xFFC1):
+                p += 65
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or ncomp != 3:
-                raise NotImplementedError("only 8-bit 3-component baseline")
+                raise NotImplementedError("only 8-bit 3-component streams")
             for c in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, qid, sampling >> 4, sampling & 0xF))
-        elif marker == 0xFFC4:
-            pos = 0
-            while pos < len(seg):
-                tc, th = seg[pos] >> 4, seg[pos] & 0xF
-                lengths = seg[pos + 1 : pos + 17]
-                n = sum(lengths)
-                hufftables[(tc, th)] = _HuffTable(
-                    lengths, seg[pos + 17 : pos + 17 + n]
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, qid, sh, sv in comps:
+                coef_store[cid] = np.zeros(
+                    (mcuy * sv, mcux * sh, 64), dtype=np.int32
                 )
-                pos += 17 + n
+                geom[cid] = (-(-(h * sv) // (vmax * 8)), -(-(w * sh) // (hmax * 8)))
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                lengths = seg[p + 1 : p + 17]
+                cnt = sum(lengths)
+                hufftables[(tc, th)] = _HuffTable(
+                    lengths, seg[p + 17 : p + 17 + cnt]
+                )
+                p += 17 + cnt
         elif marker == 0xFFDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xFFDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan_comps = []  # (comps-index, dc table id, ac table id)
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c : 3 + 2 * c]
-                scan_tables[cid] = (tables >> 4, tables & 0xF)
-            scan_off = off
-        elif marker in (0xFFC2, 0xFFC3) or 0xFFC5 <= marker <= 0xFFCF:
-            raise NotImplementedError("non-baseline JPEG unsupported")
+                ci = next(i for i, cc in enumerate(comps) if cc[0] == cid)
+                scan_comps.append((ci, tables >> 4, tables & 0xF))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            end = _entropy_end(payload, pos)
+            reader = _BitReader(payload[pos:end])
+            _decode_scan(
+                reader, comps, scan_comps, coef_store, geom, hufftables,
+                mcux, mcuy, restart_interval, progressive, ss, se, ah, al,
+            )
+            saw_scan = True
+            pos = end
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7) or (
+            0xFFC9 <= marker <= 0xFFCB or 0xFFCD <= marker <= 0xFFCF
+        ):
+            raise NotImplementedError(
+                "lossless/hierarchical/arithmetic JPEG unsupported"
+            )
+        # APPn / COM / DNL: ignored
 
-    if scan_off < 0 or not comps:
+    if not saw_scan:
         raise ValueError("no scan found")
-    end = payload.rfind(b"\xff\xd9")
-    reader = _BitReader(payload[scan_off : end if end > 0 else len(payload)])
-
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * sv * 8, mcux * sh * 8), dtype=np.float64)
-        for _, _, sh, sv in comps
-    ]
-    prev_dc = [0] * len(comps)
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                reader.restart()
-                prev_dc = [0] * len(comps)
-            for ci, (cid, qid, sh, sv) in enumerate(comps):
-                dc_t = hufftables[(0, scan_tables[cid][0])]
-                ac_t = hufftables[(1, scan_tables[cid][1])]
-                for v in range(sv):
-                    for hh in range(sh):
-                        coefs = np.zeros(64, dtype=np.int64)
-                        s = dc_t.decode(reader)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        coefs[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = ac_t.decode(reader)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 0xF
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            coefs[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coefs * qtables[qid]
-                        spatial = _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
-                        y0, x0 = (my * sv + v) * 8, (mx * sh + hh) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_n += 1
 
     full = np.empty((h, w, 3), dtype=np.float64)
-    for ci, (_, _, sh, sv) in enumerate(comps):
-        plane = planes[ci]
+    for ci, (cid, qid, sh, sv) in enumerate(comps):
+        arr = coef_store[cid]
+        by_n, bx_n = arr.shape[:2]
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        qt = qtables[qid]
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = arr[by, bx].astype(np.int64) * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
+                )
         if (sh, sv) != (hmax, vmax):
-            plane = _fancy_upsample(plane, hmax // sh, vmax // sv)
+            # Upsample only the TRUE sample extent (edge-replicated),
+            # never the MCU padding blocks - libjpeg's upsamplers see
+            # only downsampled_width columns, and filtering across the
+            # padding boundary visibly shifts border pixels.
+            ch = -(-(h * sv) // vmax)
+            cw = -(-(w * sh) // hmax)
+            plane = _fancy_upsample(plane[:ch, :cw], hmax // sh, vmax // sv)
         full[..., ci] = plane[:h, :w]
     return _ycbcr_to_rgb(full)
+
+
+def _decode_scan(
+    reader: _BitReader,
+    comps: list[tuple[int, int, int, int]],
+    scan_comps: list[tuple[int, int, int]],
+    coef_store: dict[int, np.ndarray],
+    geom: dict[int, tuple[int, int]],
+    hufftables: dict[tuple[int, int], _HuffTable],
+    mcux: int, mcuy: int, restart_interval: int, progressive: bool,
+    ss: int, se: int, ah: int, al: int,
+) -> None:
+    """Decode one scan's entropy data into the coefficient store.
+    Baseline: always interleaved full-block decode (ss/se/ah/al are
+    0,63,0,0). Progressive: DC scans (ss == 0) may be interleaved;
+    AC scans are single-component over that component's own data-unit
+    grid (NOT padded to MCU multiples - T.81 A.2.2)."""
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    unit_n = 0
+
+    def maybe_restart() -> None:
+        nonlocal preds, eobrun, unit_n
+        if restart_interval and unit_n and unit_n % restart_interval == 0:
+            reader.restart()
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+
+    if len(scan_comps) > 1 or (not progressive):
+        # interleaved MCU order (baseline scans and progressive DC)
+        for _my in range(mcuy):
+            for _mx in range(mcux):
+                maybe_restart()
+                for si, (ci, dct_id, act_id) in enumerate(scan_comps):
+                    cid, _qid, sh, sv = comps[ci]
+                    arr = coef_store[cid]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            coef = arr[_my * sv + v, _mx * sh + hh]
+                            if not progressive:
+                                preds[si] = _decode_block_baseline(
+                                    reader,
+                                    hufftables[(0, dct_id)],
+                                    hufftables[(1, act_id)],
+                                    coef, preds[si],
+                                )
+                            elif ah == 0:  # DC first
+                                dc_t = hufftables[(0, dct_id)]
+                                s = dc_t.decode(reader)
+                                diff = (
+                                    _extend(reader.read_bits(s), s) if s else 0
+                                )
+                                preds[si] += diff
+                                coef[0] = preds[si] << al
+                            else:  # DC refinement: one bit per block
+                                if reader.read_bit():
+                                    coef[0] = int(coef[0]) | (1 << al)
+                unit_n += 1
+        return
+
+    # single-component scan (progressive AC, or non-interleaved DC)
+    (ci, dct_id, act_id) = scan_comps[0]
+    cid = comps[ci][0]
+    arr = coef_store[cid]
+    rows, cols = geom[cid]
+    for by in range(rows):
+        for bx in range(cols):
+            maybe_restart()
+            coef = arr[by, bx]
+            if ss == 0:
+                if ah == 0:
+                    dc_t = hufftables[(0, dct_id)]
+                    s = dc_t.decode(reader)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    preds[0] += diff
+                    coef[0] = preds[0] << al
+                else:
+                    if reader.read_bit():
+                        coef[0] = int(coef[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _decode_ac_first(
+                    reader, hufftables[(1, act_id)], coef, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine(
+                    reader, hufftables[(1, act_id)], coef, ss, se, al, eobrun
+                )
+            unit_n += 1
 
 
 # --- registry query ----------------------------------------------------------
@@ -591,18 +1063,37 @@ def _jpeg_user_images(user: int) -> list[tuple[str, np.ndarray, str]]:
     gray = np.repeat(
         np.tile(gray_ramp, (16, 1))[..., np.newaxis], 3, axis=-1
     )
+    # Varying-CHROMA 4:2:0: exercises the subsample -> triangle-
+    # upsample chain against the JVM decoder's own (libjpeg-derived)
+    # fancy upsampling. Measured divergence on gradients and hard
+    # edges is <= 2 = TOL (BASELINE.md r5), so this is a safe pinned
+    # contract, not a flaky one.
+    color = np.stack(
+        [
+            np.tile(ramp, (16, 1)),
+            np.tile(ramp[::-1], (16, 1)),
+            np.tile((np.arange(16) * 9 + 5 * user).astype(np.uint8), (16, 1)).T,
+        ],
+        axis=-1,
+    )
+    # (name, pixels, subsampling, progressive)
     return [
-        (f"u{user:02d}_solid.jpg", solid, "444"),
-        (f"u{user:02d}_grad.jpg", grad, "444"),
-        (f"u{user:02d}_sub420.jpg", gray, "420"),
+        (f"u{user:02d}_solid.jpg", solid, "444", False),
+        (f"u{user:02d}_grad.jpg", grad, "444", False),
+        (f"u{user:02d}_sub420.jpg", gray, "420", False),
+        (f"u{user:02d}_c420.jpg", color, "420", False),
+        # SOF2 twins: the 10-scan progression decodes to the same
+        # pixels, and the JVM cross-check runs on them independently
+        (f"u{user:02d}_prog.jpg", grad, "444", True),
+        (f"u{user:02d}_p420.jpg", color, "420", True),
     ]
 
 
 def _stage_jpeg_store(root: str) -> None:
     for user in range(N_JPEG_USERS):
-        for name, px, sub in _jpeg_user_images(user):
+        for name, px, sub, prog in _jpeg_user_images(user):
             with open(os.path.join(root, name), "wb") as f:
-                f.write(make_jpeg(px, subsampling=sub))
+                f.write(make_jpeg(px, subsampling=sub, progressive=prog))
 
 
 def jpeg_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,8 +1188,8 @@ def _jpeg_oracle() -> str:
     hash."""
     rows = []
     for user in range(N_JPEG_USERS):
-        for name, px, sub in _jpeg_user_images(user):
-            decoded = jpeg_pixels(make_jpeg(px, subsampling=sub))
+        for name, px, sub, prog in _jpeg_user_images(user):
+            decoded = jpeg_pixels(make_jpeg(px, subsampling=sub, progressive=prog))
             rows.append(
                 f"('{name}', {px.shape[1]}, {px.shape[0]}, true, true, "
                 f"{int(decoded.astype(np.int64).sum())})"

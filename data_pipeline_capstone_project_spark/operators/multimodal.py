@@ -46,9 +46,10 @@ def real_decode(payload: bytes) -> tuple[int, int]:
     ``png_pixels``, cross-checked pixel-exact against the JVM image
     source by the ``image_decode`` registry query). Baseline JPEG -
     the reference store's dominant format (``s3-to-es_aws.py:92``) -
-    decodes with :mod:`.jpeg` (SOF header parse here; full Huffman +
-    IDCT decode via ``jpeg_pixels``, cross-checked against JVM ImageIO
-    by the ``jpeg_decode`` registry query). MP4 video - the store's
+    decodes with :mod:`.jpeg` (SOF header parse here; full baseline
+    AND progressive Huffman + IDCT decode via ``jpeg_pixels``,
+    cross-checked against JVM ImageIO by the ``jpeg_decode`` registry
+    query). MP4 video - the store's
     VIDEO/STORY originals (``s3-to-es_aws.py:101-122``) - parses
     container metadata with :mod:`.mp4` (moov/mvhd/tkhd walk,
     oracle-checked by ``mp4_meta``); H.264 FRAME decode still needs an

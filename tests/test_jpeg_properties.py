@@ -136,16 +136,40 @@ def test_fill_bytes_between_segments_tolerated():
     assert np.array_equal(jpeg_pixels(stuffed), jpeg_pixels(payload))
 
 
-def test_progressive_meta_parses_pixels_raise():
-    """Progressive (SOF2) streams: pixel decode raises (the honest
-    seam) but jpeg_meta still reads the dims - the metadata-only
-    fallback decode_media_meta relies on."""
+@settings(max_examples=15, deadline=None)
+@given(_pixels, st.sampled_from(["444", "420", "422"]))
+def test_progressive_is_lossless_reordering(pixels, sub):
+    """SOF2 with the 10-scan simple-progression script (spectral
+    selection + successive approximation + EOB runs) must decode
+    BIT-IDENTICALLY to the baseline encoding of the same pixels - the
+    progression only re-orders the same quantized coefficients."""
+    base = jpeg_pixels(make_jpeg(pixels, subsampling=sub))
+    prog = make_jpeg(pixels, subsampling=sub, progressive=True)
+    assert jpeg_meta(prog) == (pixels.shape[1], pixels.shape[0])
+    assert np.array_equal(jpeg_pixels(prog), base)
+
+
+def test_progressive_eobrun_sparse_image():
+    """A nearly-black image maximizes end-of-band runs (the EOBRUN >
+    1 paths on both encoder and decoder); round trip must still be
+    bit-identical to baseline."""
+    px = np.zeros((64, 80, 3), dtype=np.uint8)
+    px[30, 40] = [200, 30, 90]
+    px[3, 5] = [10, 250, 40]
+    base = jpeg_pixels(make_jpeg(px))
+    assert np.array_equal(jpeg_pixels(make_jpeg(px, progressive=True)), base)
+
+
+def test_lossless_meta_parses_pixels_raise():
+    """Truly unsupported SOF types (lossless SOF3): pixel decode
+    raises (the honest seam) but jpeg_meta still reads the dims - the
+    metadata-only fallback decode_media_meta relies on."""
     import pytest
 
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(make_jpeg(px))
     sof = payload.find(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    payload[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
     assert jpeg_meta(bytes(payload)) == (8, 8)
     with pytest.raises(NotImplementedError):
         jpeg_pixels(bytes(payload))
