@@ -342,12 +342,12 @@ def make_jpeg(
     out += _marker(0xFFC4, _dht(1, 0, ac_codes))
     out += _marker(0xFFC4, _dht(0, 1, DC_CODES))
     out += _marker(0xFFC4, _dht(1, 1, ac_codes))
-    if restart_interval and not progressive:
+    if restart_interval:
         out += _marker(0xFFDD, struct.pack(">H", restart_interval))
 
     if progressive:
         for scan_comps, ss, se, ah, al, entropy in _progressive_scans(
-            coef, samp, h, w
+            coef, samp, h, w, restart_interval
         ):
             sos = bytes([len(scan_comps)])
             for ci in scan_comps:
@@ -434,13 +434,19 @@ def _flush_eobrun(
 
 
 def _emit_ac_first_scan(
-    arr: np.ndarray, rows: int, cols: int, ss: int, se: int, al: int
+    arr: np.ndarray, rows: int, cols: int, ss: int, se: int, al: int,
+    ri: int = 0,
 ) -> bytes:
     w = _BitWriter()
     eobrun = 0
     no_bits: list[int] = []
+    unit = 0
     for by in range(rows):
         for bx in range(cols):
+            if ri and unit and unit % ri == 0:
+                eobrun = _flush_eobrun(w, eobrun, no_bits, PROG_AC_CODES)
+                w.emit_marker(0xD0 + (unit // ri - 1) % 8)
+            unit += 1
             block = arr[by, bx]
             vals = []
             for k in range(ss, se + 1):
@@ -479,7 +485,8 @@ def _emit_ac_first_scan(
 
 
 def _emit_ac_refine_scan(
-    arr: np.ndarray, rows: int, cols: int, ss: int, se: int, al: int
+    arr: np.ndarray, rows: int, cols: int, ss: int, se: int, al: int,
+    ri: int = 0,
 ) -> bytes:
     """Successive-approximation AC refinement (T.81 G.1.2.3 shape):
     newly-visible coefficients emit (run,1)+sign, already-visible ones
@@ -488,8 +495,13 @@ def _emit_ac_refine_scan(
     w = _BitWriter()
     eobrun = 0
     be: list[int] = []  # correction bits pending with the EOB run
+    unit = 0
     for by in range(rows):
         for bx in range(cols):
+            if ri and unit and unit % ri == 0:
+                eobrun = _flush_eobrun(w, eobrun, be, PROG_AC_CODES)
+                w.emit_marker(0xD0 + (unit // ri - 1) % 8)
+            unit += 1
             block = arr[by, bx]
             t = []
             sign = []
@@ -541,7 +553,7 @@ def _emit_ac_refine_scan(
 
 
 def _progressive_scans(
-    coef: list[np.ndarray], samp: tuple, h: int, w: int
+    coef: list[np.ndarray], samp: tuple, h: int, w: int, ri: int = 0
 ) -> list[tuple]:
     """Run PROG_SCRIPT over the coefficient arrays; yields
     (scan_comps, Ss, Se, Ah, Al, entropy_bytes) per scan. DC scans are
@@ -556,10 +568,15 @@ def _progressive_scans(
     for scan_comps, ss, se, ah, al in PROG_SCRIPT:
         if ss == 0:  # DC scan, interleaved
             writer = _BitWriter()
+            mcu_n = 0
             if ah == 0:
                 preds = [0] * len(coef)
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        if ri and mcu_n and mcu_n % ri == 0:
+                            writer.emit_marker(0xD0 + (mcu_n // ri - 1) % 8)
+                            preds = [0] * len(coef)
+                        mcu_n += 1
                         for ci in scan_comps:
                             sh, sv = samp[ci]
                             for v in range(sv):
@@ -575,6 +592,9 @@ def _progressive_scans(
             else:
                 for my in range(mcuy):
                     for mx in range(mcux):
+                        if ri and mcu_n and mcu_n % ri == 0:
+                            writer.emit_marker(0xD0 + (mcu_n // ri - 1) % 8)
+                        mcu_n += 1
                         for ci in scan_comps:
                             sh, sv = samp[ci]
                             for v in range(sv):
@@ -592,7 +612,8 @@ def _progressive_scans(
             cols = -(-(w * sh) // (hmax * 8))
             emit = _emit_ac_first_scan if ah == 0 else _emit_ac_refine_scan
             scans.append(
-                (scan_comps, ss, se, ah, al, emit(coef[ci], rows, cols, ss, se, al))
+                (scan_comps, ss, se, ah, al,
+                 emit(coef[ci], rows, cols, ss, se, al, ri))
             )
     return scans
 

@@ -149,6 +149,18 @@ def test_progressive_is_lossless_reordering(pixels, sub):
     assert np.array_equal(jpeg_pixels(prog), base)
 
 
+@settings(max_examples=10, deadline=None)
+@given(_pixels, st.integers(1, 4))
+def test_progressive_restart_markers_transparent(pixels, interval):
+    """RSTn inside progressive scans (DC predictor + EOB-run reset,
+    per-scan numbering) must not change a pixel either."""
+    base = jpeg_pixels(make_jpeg(pixels, progressive=True))
+    with_rst = jpeg_pixels(
+        make_jpeg(pixels, progressive=True, restart_interval=interval)
+    )
+    assert np.array_equal(base, with_rst)
+
+
 def test_progressive_eobrun_sparse_image():
     """A nearly-black image maximizes end-of-band runs (the EOBRUN >
     1 paths on both encoder and decoder); round trip must still be
