@@ -944,15 +944,15 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
     for ci, (cid, qid, sh, sv) in enumerate(comps):
         arr = coef_store[cid]
         by_n, bx_n = arr.shape[:2]
-        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
-        qt = qtables[qid]
-        for by in range(by_n):
-            for bx in range(bx_n):
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = arr[by, bx].astype(np.int64) * qt
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
-                )
+        # Batched dequant + dezigzag + IDCT: one broadcast matmul over
+        # all blocks (bit-identical to the per-block product - BLAS
+        # runs the same 8x8 kernel per slice) so multi-megapixel
+        # images reconstruct at numpy speed, not Python-loop speed.
+        deq = arr.astype(np.int64) * qtables[qid]
+        blocks = np.zeros((by_n, bx_n, 64), dtype=np.float64)
+        blocks[..., ZIGZAG] = deq
+        spatial = _DCT.T @ blocks.reshape(by_n, bx_n, 8, 8) @ _DCT + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
         if (sh, sv) != (hmax, vmax):
             # Upsample only the TRUE sample extent (edge-replicated),
             # never the MCU padding blocks - libjpeg's upsamplers see
