@@ -133,6 +133,86 @@ FROM documents
 """
 
 
+def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query for the ``real_decode`` DISPATCHER itself: one
+    store mixing PNG, baseline JPEG, progressive JPEG, and MP4
+    payloads, decoded through the same ``decode_media_meta`` plumbing
+    production would use (``decoder=real_decode``), hash-checked
+    against a closed-form oracle. The per-format codecs each have
+    their own deeper oracle query (image_decode / jpeg_decode /
+    mp4_meta); this one pins the magic-byte routing and the
+    format-to-dims contract across formats in a single scan."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .images import make_png
+    from .jpeg import make_jpeg
+    from .mp4 import make_mp4
+
+    work = tempfile.mkdtemp(prefix="media_mix_")
+    try:
+        for i in range(8):
+            px = np.full((10 + i, 6 + i, 3), 40 + 9 * i, dtype=np.uint8)
+            with open(os.path.join(work, f"m{i}_png.png"), "wb") as f:
+                f.write(make_png(px))
+            with open(os.path.join(work, f"m{i}_jpg.jpg"), "wb") as f:
+                f.write(make_jpeg(px))
+            with open(os.path.join(work, f"m{i}_pjpg.jpg"), "wb") as f:
+                f.write(make_jpeg(px, progressive=True))
+            with open(os.path.join(work, f"m{i}_mp4.mp4"), "wb") as f:
+                f.write(make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i))
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"m(\d+)_", 1
+            ).cast("long").alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.element_at(
+                F.split(F.element_at(F.split("path", "/"), -1), r"\."), -1
+            ).alias("fmt"),
+        )
+        out = decode_media_meta(bin_df, decoder=real_decode)
+        # doc_id alone is not unique across formats; disambiguate
+        return out.withColumn(
+            "media_key",
+            F.concat_ws("/", F.col("doc_id").cast("string"), "fmt", "width"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _media_dispatch_oracle() -> str:
+    import numpy as np
+
+    from .images import make_png
+    from .jpeg import make_jpeg
+    from .mp4 import make_mp4
+
+    rows = []
+    for i in range(8):
+        px = np.full((10 + i, 6 + i, 3), 40 + 9 * i, dtype=np.uint8)
+        for fmt, payload, (w, h) in (
+            ("png", make_png(px), (6 + i, 10 + i)),
+            ("jpg", make_jpeg(px), (6 + i, 10 + i)),
+            ("jpg", make_jpeg(px, progressive=True), (6 + i, 10 + i)),
+            ("mp4", make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i), (320 + 2 * i, 180 + i)),
+        ):
+            rows.append(
+                f"({i}, {len(payload)}, {w}, {h}, '{fmt}', "
+                f"{min(len(payload), THUMB_LIMIT)}, '{i}/{fmt}/{w}')"
+            )
+    return (
+        "SELECT doc_id, n_bytes, width, height, fmt, thumb_bytes, media_key "
+        f"FROM (VALUES {', '.join(rows)}) "
+        "AS t(doc_id, n_bytes, width, height, fmt, thumb_bytes, media_key)"
+    )
+
+
+MEDIA_DISPATCH_ORACLE_SQL = _media_dispatch_oracle()
+
+
 N_FRAMES = 4
 FRAME_CHUNK = 256
 

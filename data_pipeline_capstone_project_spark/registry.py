@@ -427,6 +427,10 @@ from .operators.images import (
 from .operators.jpeg import JPEG_DECODE_ORACLE_SQL, jpeg_decode_query
 from .operators.mp4 import MP4_META_ORACLE_SQL, mp4_meta_query
 from .operators.audio import WAV_STATS_ORACLE_SQL, wav_stats_query
+from .operators.multimodal import (
+    MEDIA_DISPATCH_ORACLE_SQL,
+    media_dispatch_query,
+)
 from .operators.upsert import (
     LATEST_WINS_ORACLE_SQL,
     UPSERT_AUDIT_ORACLE_SQL,
@@ -674,6 +678,7 @@ QUERIES = {
     "jpeg_decode": jpeg_decode_query,
     "mp4_meta": mp4_meta_query,
     "wav_stats": wav_stats_query,
+    "media_dispatch": media_dispatch_query,
     "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
@@ -718,8 +723,8 @@ QUERIES = {
     "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
     "frame_sample": frame_sample_query,
-    "streaming_upsert": streaming_upsert_query,
     # --- end of round-5 gate window (50) ---
+    "streaming_upsert": streaming_upsert_query,
     "streaming_window_agg": streaming_window_query,
     "streaming_stateful": streaming_stateful_query,
     "keyword_search": keyword_search_query,
@@ -847,6 +852,7 @@ ORACLES = {
     "jpeg_decode": JPEG_DECODE_ORACLE_SQL,
     "mp4_meta": MP4_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
+    "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
