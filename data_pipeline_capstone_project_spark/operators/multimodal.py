@@ -2,18 +2,23 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata -
 the Spark-side plumbing (schema, Arrow batch shape, partitioning) is
-real and tested; the codec step itself is STUBBED because no
-image/audio library exists in this environment:
+real and tested, and so are the codecs: no image/audio library exists
+in this environment, so the repo carries its own pure-numpy PNG and
+JPEG (baseline + progressive) pixel codecs, an MP4 moov parser, and a
+WAV container/PCM reader, each oracle-checked by its own registry
+query.
 
-- :func:`decode_media_meta` is the real operator shape: ``mapInPandas``
+- :func:`decode_media_meta` is the operator shape: ``mapInPandas``
   over Arrow batches of (id, payload binary) producing typed metadata.
   The decode callback defaults to :func:`fake_decode` (deterministic,
-  derived from the byte stream); plugging a real codec in is a one-line
-  swap (``decoder=pillow_decode``-style) with identical distribution
-  behavior.
-- :func:`real_decode` raises ``NotImplementedError`` - the clearly
-  marked seam where cv2/PIL/ffmpeg would go (reference decoded with
-  cv2 inside its grouped-map UDF, ``spark_image.py:140-160``).
+  derived from the byte stream - used where the registry query needs
+  a length-only DuckDB oracle over the documents table); production
+  routing is ``decoder=real_decode``, pinned end-to-end by the
+  ``media_dispatch`` registry query.
+- :func:`real_decode` dispatches on magic bytes to the in-repo
+  codecs (the reference decoded with cv2 inside its grouped-map UDF,
+  ``spark_image.py:140-160``); the remaining external-library seam is
+  compressed-audio and H.264 FRAME decode, which raises clearly.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches - payload
 bytes never materialize on the driver, and each task handles its

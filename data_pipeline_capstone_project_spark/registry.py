@@ -665,7 +665,8 @@ QUERIES = {
     # Round-5 rotation: the driver's correctness gate reads the FIRST
     # 50 entries only. Window = the 3 never-driver-checked entries
     # (tpch_volume_shipping, tpch_product_profit, jpeg_decode), the new
-    # r5 entry (mp4_meta), every entry whose implementation changed in
+    # r5 entries (mp4_meta, wav_stats, media_dispatch), every entry
+    # whose implementation changed in
     # r4/r5 after its last green row (palette trio post-HSV/_lloyd,
     # chunked ewma_smoothing, streaming_quantile store protocol,
     # vocab_top_terms TakeOrdered rewrite, flagship q1_history +
