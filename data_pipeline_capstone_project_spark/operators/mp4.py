@@ -61,11 +61,24 @@ def make_mp4(
     Duration is stored in ``timescale`` units so the parser's
     rescale-to-ms path is exercised by non-1000 timescales."""
     duration = duration_ms * timescale // 1000
+    # Durations past 2^32 timescale units need the version-1 (64-bit)
+    # box layouts - exactly what real muxers do for long recordings or
+    # high timescales.
+    v1 = duration >= 1 << 32
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    if v1:
+        mvhd_times = struct.pack(">QQIQ", 0, 0, timescale, duration)
+        tkhd_times = struct.pack(">QQI4xQ", 0, 0, 1, duration)
+        mdhd_times = struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        mvhd_times = struct.pack(">IIII", 0, 0, timescale, duration)
+        tkhd_times = struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        mdhd_times = struct.pack(">IIII", 0, 0, timescale, duration)
+    ver = 1 if v1 else 0
     mvhd = _box(
         b"mvhd",
-        struct.pack(">B3x", 0)  # version 0
-        + struct.pack(">IIII", 0, 0, timescale, duration)
+        struct.pack(">B3x", ver)
+        + mvhd_times
         + struct.pack(">iHHII", 0x00010000, 0x0100, 0, 0, 0)
         + _MATRIX
         + b"\x00" * 24
@@ -73,8 +86,8 @@ def make_mp4(
     )
     tkhd = _box(
         b"tkhd",
-        struct.pack(">B2xB", 0, 7)  # version 0, flags: enabled|in-movie|preview
-        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        struct.pack(">B2xB", ver, 7)  # flags: enabled|in-movie|preview
+        + tkhd_times
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt group, volume, reserved
         + _MATRIX
@@ -82,8 +95,8 @@ def make_mp4(
     )
     mdhd = _box(
         b"mdhd",
-        struct.pack(">B3x", 0)
-        + struct.pack(">IIII", 0, 0, timescale, duration)
+        struct.pack(">B3x", ver)
+        + mdhd_times
         + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
     )
     hdlr = _box(
@@ -127,6 +140,13 @@ def mp4_meta(payload: bytes) -> tuple[int, int, int]:
     (a fragmented-only or truncated file - the honest seam)."""
     if payload[4:8] != b"ftyp" and payload[4:8] != b"moov":
         raise ValueError("not an ISO BMFF stream (no ftyp/moov)")
+    try:
+        return _mp4_meta_impl(payload)
+    except (IndexError, struct.error, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt ISO BMFF stream ({type(e).__name__})") from e
+
+
+def _mp4_meta_impl(payload: bytes) -> tuple[int, int, int]:
     duration_ms = -1
     width = height = 0
     for kind, body in _children(payload):

@@ -1,0 +1,71 @@
+"""Corruption contract for the binary parsers: the multimodal path
+feeds them arbitrary store bytes, so a truncated / bit-flipped /
+spliced payload must raise a clean ValueError or NotImplementedError
+- never an internal IndexError/StopIteration/struct.error and never
+an unbounded allocation (the JPEG_MAX_PIXELS guard). Seeded subset of
+the 6000-mutation fuzz run recorded in round 5."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from data_pipeline_capstone_project_spark.operators.audio import (
+    make_wav,
+    wav_meta,
+    wav_pcm,
+)
+from data_pipeline_capstone_project_spark.operators.jpeg import (
+    jpeg_meta,
+    jpeg_pixels,
+    make_jpeg,
+)
+from data_pipeline_capstone_project_spark.operators.mp4 import make_mp4, mp4_meta
+
+PARSERS = (jpeg_pixels, jpeg_meta, mp4_meta, wav_meta, wav_pcm)
+
+
+def _seeds() -> list[bytes]:
+    px = np.random.RandomState(0).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    return [
+        make_jpeg(px),
+        make_jpeg(px, progressive=True),
+        make_mp4(320, 240, 1000),
+        make_wav(200),
+    ]
+
+
+def test_corrupt_streams_raise_cleanly():
+    rng = random.Random(42)
+    seeds = _seeds()
+    for _ in range(400):
+        base = bytearray(rng.choice(seeds))
+        op = rng.random()
+        if op < 0.4:  # truncate
+            data = bytes(base[: rng.randrange(len(base))])
+        elif op < 0.8:  # flip bytes
+            for _ in range(rng.randrange(1, 8)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            data = bytes(base)
+        else:  # splice
+            data = bytes(base[: len(base) // 2] + base[: rng.randrange(len(base))])
+        for fn in PARSERS:
+            try:
+                fn(data)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+
+
+def test_hostile_sof_dimensions_rejected():
+    """A flipped SOF declaring a 65535x65535 frame must raise before
+    allocating ~17 GB of coefficient store."""
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(make_jpeg(px))
+    sof = payload.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2)
+    payload[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError):
+        jpeg_pixels(bytes(payload))
