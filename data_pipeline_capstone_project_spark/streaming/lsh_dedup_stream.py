@@ -71,9 +71,24 @@ _PAIRS_SCHEMA = T.StructType(
 )
 
 
-def _store(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def _store(
+    spark: SparkSession, path: str, schema: T.StructType,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Read the accumulated store: one ``e<epoch>`` subdirectory per
+    merged micro-batch. ``exclude_epoch`` drops the CURRENT epoch's
+    directory from the read so a foreachBatch replay (at-least-once)
+    recomputes from exactly the prior-epoch state - the epoch's own
+    partial output from a crashed attempt is invisible and gets
+    overwritten, never double-counted."""
     if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
+        dirs = [
+            os.path.join(path, d)
+            for d in sorted(os.listdir(path))
+            if d.startswith("e") and d != f"e{exclude_epoch}"
+        ]
+        if dirs:
+            return spark.read.schema(schema).parquet(*dirs)
     return spark.createDataFrame([], schema)
 
 
@@ -83,8 +98,16 @@ def lsh_index_merge_batch(
     bands_dir: str,
     shingles_dir: str,
     pairs_dir: str,
+    epoch_id: int = 0,
 ) -> None:
-    """Process one micro-batch of (doc_id, text) against the index."""
+    """Process one micro-batch of (doc_id, text) against the index.
+
+    Idempotent under foreachBatch's at-least-once replay: every store
+    write goes to an ``e<epoch>`` directory with overwrite semantics
+    and every store READ excludes the current epoch, so a crashed
+    attempt's partial output is simply rewritten - the previous
+    append-mode design double-counted a replayed batch in all three
+    stores."""
     # A file-source micro-batch arrives with the staged file's layout —
     # often ONE partition (one file per trigger). Shingling + banding
     # are the CPU-heavy phases; left as-is they run single-threaded per
@@ -104,8 +127,12 @@ def lsh_index_merge_batch(
     sh_new = shingles_of_docs(batch).persist()
     bands_new = bands_of_shingles(sh_new).persist()
 
-    bands_all = _store(spark, bands_dir, _BANDS_SCHEMA).unionByName(bands_new)
-    sh_all = _store(spark, shingles_dir, _SHINGLES_SCHEMA).unionByName(sh_new)
+    bands_all = _store(
+        spark, bands_dir, _BANDS_SCHEMA, exclude_epoch=epoch_id
+    ).unionByName(bands_new)
+    sh_all = _store(
+        spark, shingles_dir, _SHINGLES_SCHEMA, exclude_epoch=epoch_id
+    ).unionByName(sh_new)
 
     # Candidates: new docs vs (index ∪ batch). Normalizing to
     # (least, greatest) makes within-batch pairs (seen from both
@@ -135,9 +162,15 @@ def lsh_index_merge_batch(
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    verified.write.mode("append").parquet(pairs_dir)
-    bands_new.write.mode("append").parquet(bands_dir)
-    sh_new.write.mode("append").parquet(shingles_dir)
+    verified.write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"e{epoch_id}")
+    )
+    bands_new.write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"e{epoch_id}")
+    )
+    sh_new.write.mode("overwrite").parquet(
+        os.path.join(shingles_dir, f"e{epoch_id}")
+    )
     bands_new.unpersist()
     sh_new.unpersist()
 
@@ -175,8 +208,9 @@ def streaming_lsh_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         with sized_state_partitions(spark):
             q = (
                 stream.writeStream.foreachBatch(
-                    lambda batch, _epoch: lsh_index_merge_batch(
-                        spark, batch, bands_dir, shingles_dir, pairs_dir
+                    lambda batch, epoch: lsh_index_merge_batch(
+                        spark, batch, bands_dir, shingles_dir, pairs_dir,
+                        epoch_id=epoch,
                     )
                 )
                 .option("checkpointLocation", ckpt)

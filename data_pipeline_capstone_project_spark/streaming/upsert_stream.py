@@ -38,6 +38,18 @@ from pyspark.sql import types as T
 from ..operators.upsert import latest_wins
 
 
+def recover_table(target_dir: str) -> None:
+    """Crash recovery for the promote protocol in :func:`merge_batch`:
+    if a crash landed between demoting the live table to ``.old`` and
+    promoting ``.tmp``, restore the previous complete version (the
+    half-written tmp is discarded; the at-least-once replay re-merges
+    the batch, and latest-wins is idempotent under re-merge)."""
+    old = target_dir.rstrip("/") + ".old"
+    if not os.path.isdir(target_dir) and os.path.isdir(old):
+        shutil.rmtree(target_dir.rstrip("/") + ".tmp", ignore_errors=True)
+        os.replace(old, target_dir)
+
+
 def merge_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -46,7 +58,14 @@ def merge_batch(
     order_cols: Sequence[Column],
     schema: T.StructType,
 ) -> None:
-    """Latest-wins merge of one micro-batch into the target table."""
+    """Latest-wins merge of one micro-batch into the target table.
+
+    The table swap follows the same crash-safe promote protocol as the
+    quantile store (write ``.tmp`` -> demote live to ``.old`` ->
+    promote -> drop ``.old``): a crash at any instant leaves a
+    complete table version on disk. No epoch marker is needed here -
+    re-merging a replayed batch is a latest-wins no-op."""
+    recover_table(target_dir)
     fresh = latest_wins(batch, key_cols, order_cols)
     if any(f.name == "_SUCCESS" or f.name.endswith(".parquet")
            for f in os.scandir(target_dir)) if os.path.isdir(target_dir) else False:
@@ -55,7 +74,14 @@ def merge_batch(
     else:
         merged = fresh
     merged = merged.localCheckpoint(eager=True)  # cut lineage before overwrite
-    merged.write.mode("overwrite").parquet(target_dir)
+    tmp = target_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(target_dir):
+        os.replace(target_dir, old)
+    os.replace(tmp, target_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def streaming_upsert_run(

@@ -264,3 +264,79 @@ def test_late_data_drops_are_visible(spark, sf_dir):
     # drops happen strictly BEFORE acceptances in event time (the
     # watermark frontier separates them)
     assert max(dropped_windows) < min(accepted_windows)
+
+
+def test_lsh_merge_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME epoch (crash
+    between store writes, then retry) must leave the three stores
+    exactly as a single application would - the per-epoch overwrite
+    directories + exclude-current-epoch reads guarantee it."""
+    import os
+
+    from data_pipeline_capstone_project_spark.sources.readers import load_table
+    from data_pipeline_capstone_project_spark.streaming.lsh_dedup_stream import (
+        _PAIRS_SCHEMA,
+        _store,
+        lsh_index_merge_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    dirs = [str(tmp_path / d) for d in ("bands", "shingles", "pairs")]
+    lsh_index_merge_batch(spark, b0, *dirs, epoch_id=0)
+    lsh_index_merge_batch(spark, b1, *dirs, epoch_id=1)
+    once = sorted(map(tuple, _store(spark, dirs[2], _PAIRS_SCHEMA).collect()))
+    # replay epoch 1 (simulated retry after partial write)
+    lsh_index_merge_batch(spark, b1, *dirs, epoch_id=1)
+    twice = sorted(map(tuple, _store(spark, dirs[2], _PAIRS_SCHEMA).collect()))
+    assert twice == once
+    # and the epoch layout is one dir per epoch, no appended dupes
+    assert sorted(os.listdir(dirs[2])) == ["e0", "e1"]
+
+
+def test_upsert_merge_batch_promote_is_crash_safe(spark, tmp_path):
+    """Simulate the worst crash window of the upsert table promote
+    (live demoted to .old, tmp half-written): recover_table must
+    restore the previous complete version, and re-merging the replayed
+    batch must land on the same final table."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from data_pipeline_capstone_project_spark.streaming.upsert_stream import (
+        merge_batch,
+        recover_table,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]
+    )
+    target = str(tmp_path / "table")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema)
+    b2 = spark.createDataFrame([(1, "a2", 2), (3, "c", 1)], schema)
+    order = [F.col("ver").desc(), F.col("k")]
+    merge_batch(spark, b1, target, ["k"], order, schema)
+    v1 = sorted(map(tuple, spark.read.schema(schema).parquet(target).collect()))
+
+    # crash mid-promote: table demoted, tmp garbage
+    os.replace(target, target + ".old")
+    os.makedirs(target + ".tmp")
+    with open(os.path.join(target + ".tmp", "junk"), "w") as fh:
+        fh.write("partial")
+    recover_table(target)
+    assert sorted(map(tuple, spark.read.schema(schema).parquet(target).collect())) == v1
+    assert not os.path.isdir(target + ".old")
+    assert not os.path.isdir(target + ".tmp")
+
+    merge_batch(spark, b2, target, ["k"], order, schema)
+    # replay of b2 (at-least-once) is a latest-wins no-op
+    merge_batch(spark, b2, target, ["k"], order, schema)
+    final = sorted(map(tuple, spark.read.schema(schema).parquet(target).collect()))
+    assert final == [(1, "a2", 2), (2, "b", 1), (3, "c", 1)]
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
