@@ -54,6 +54,20 @@ def ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+# Scan-partition sizing for binary-heavy tables (image/audio/video
+# payload columns): the default 128 MB maxPartitionBytes is tuned for
+# columnar row data; a partition of multi-MB blobs decoded through
+# Arrow batches wants to be smaller so each task's working set (raw
+# payloads + decoded pixels) stays inside executor memory. Pass as
+# ``extra_conf=BINARY_SCAN_CONF`` (or merge into your own) when a job
+# is dominated by binaryFile / image-source scans - the fixture-scale
+# registry queries don't need it, a 100 TB media store does.
+BINARY_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(8 * 1024 * 1024),
+}
+
+
 def get_spark(
     app_name: str = "data_pipeline_capstone_project_spark",
     cpus: str | int | None = None,
