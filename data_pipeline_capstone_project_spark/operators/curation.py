@@ -459,6 +459,96 @@ FROM c
 """
 
 
+PACK_CTX_SWEEP = (64, 128, 256, 512)  # context lengths to report
+
+
+def packing_efficiency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report across candidate context lengths - the
+    sizing study a pipeline runs BEFORE committing to a packing layout
+    (the cost model behind ``sequence_packing``). For each context
+    length: sequences and exact wasted-token counts under (a) pad-per-doc
+    (every document rounded up to a full context - the naive
+    fine-tuning layout) and (b) concat-and-chunk per source shard
+    (only each shard's final partial sequence is padding).
+
+    Scale shape: one scan -> one map-combinable aggregate; the
+    per-context arithmetic is a constant-width fold over the
+    (n_docs, total_tokens, per-ctx ceil-sums) aggregate row, so the
+    report costs the same at 100 TB as the token count itself. The
+    per-doc ceil terms sum inside the same aggregate (sum of ceils,
+    not ceil of sums), and the shard tails come from one tiny
+    per-source subtotal unioned in broadcast range."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    base = docs.select("source", n_tokens.alias("n"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+    ]
+    for ctx in PACK_CTX_SWEEP:
+        aggs.append(
+            F.sum(F.ceil(F.col("n") / ctx)).alias(f"padded_seqs_{ctx}")
+        )
+    per_source = base.groupBy("source").agg(
+        F.sum("n").alias("src_tokens")
+    )
+    packed = per_source.agg(
+        *[
+            F.sum(F.ceil(F.col("src_tokens") / ctx)).alias(f"packed_seqs_{ctx}")
+            for ctx in PACK_CTX_SWEEP
+        ]
+    )
+    totals = base.agg(*aggs).crossJoin(F.broadcast(packed))
+    rows = []
+    for ctx in PACK_CTX_SWEEP:
+        padded = F.col(f"padded_seqs_{ctx}")
+        packed_n = F.col(f"packed_seqs_{ctx}")
+        tot = F.col("total_tokens")
+        rows.append(
+            F.struct(
+                F.lit(ctx).alias("ctx"),
+                F.col("n_docs").alias("n_docs"),
+                tot.alias("total_tokens"),
+                padded.alias("padded_seqs"),
+                (padded * ctx - tot).alias("padded_pad_tokens"),
+                packed_n.alias("packed_seqs"),
+                (packed_n * ctx - tot).alias("packed_pad_tokens"),
+            )
+        )
+    out = totals.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    return out
+
+
+PACKING_EFFICIENCY_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT source, len(string_split_regex(text, '\\s+')) AS n FROM documents
+),
+ctx AS (SELECT unnest([{", ".join(str(c) for c in PACK_CTX_SWEEP)}]) AS ctx),
+base AS (
+  SELECT ctx,
+         (SELECT count(*) FROM t) AS n_docs,
+         (SELECT sum(n) FROM t) AS total_tokens,
+         (SELECT CAST(sum(CAST(ceil(n * 1.0 / ctx) AS BIGINT)) AS BIGINT)
+          FROM t) AS padded_seqs,
+         (SELECT CAST(sum(CAST(ceil(src_tokens * 1.0 / ctx) AS BIGINT))
+                 AS BIGINT)
+          FROM (SELECT sum(n) AS src_tokens FROM t GROUP BY source))
+           AS packed_seqs
+  FROM ctx
+)
+SELECT ctx,
+       n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       padded_seqs,
+       CAST(padded_seqs * ctx - total_tokens AS BIGINT)
+         AS padded_pad_tokens,
+       packed_seqs,
+       CAST(packed_seqs * ctx - total_tokens AS BIGINT)
+         AS packed_pad_tokens
+FROM base
+"""
+
+
 # --- dedup resolution ------------------------------------------------------
 
 

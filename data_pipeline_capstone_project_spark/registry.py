@@ -401,6 +401,7 @@ from .operators.curation import (
     DEDUP_RESOLUTION_ORACLE_SQL,
     GOPHER_QUALITY_ORACLE_SQL,
     SEQUENCE_PACKING_ORACLE_SQL,
+    PACKING_EFFICIENCY_ORACLE_SQL,
     REPETITION_FILTER_ORACLE_SQL,
     SOURCE_MIXTURE_ORACLE_SQL,
     CORPUS_DUP_NGRAMS_ORACLE_SQL,
@@ -416,6 +417,7 @@ from .operators.curation import (
     lm_rarity_query,
     repetition_filter_query,
     sequence_packing_query,
+    packing_efficiency_query,
     source_mixture_query,
 )
 from .operators.images import (
@@ -680,6 +682,7 @@ QUERIES = {
     "mp4_meta": mp4_meta_query,
     "wav_stats": wav_stats_query,
     "media_dispatch": media_dispatch_query,
+    "packing_efficiency": packing_efficiency_query,
     "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
@@ -723,8 +726,8 @@ QUERIES = {
     "similarity_lsh_ann": similarity_lsh_query,
     "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
-    "frame_sample": frame_sample_query,
     # --- end of round-5 gate window (50) ---
+    "frame_sample": frame_sample_query,
     "streaming_upsert": streaming_upsert_query,
     "streaming_window_agg": streaming_window_query,
     "streaming_stateful": streaming_stateful_query,
@@ -854,6 +857,7 @@ ORACLES = {
     "mp4_meta": MP4_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
+    "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
