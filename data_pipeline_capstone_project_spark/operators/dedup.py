@@ -208,6 +208,15 @@ def dedup_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query). Outer explode infers nothing; the null rows it could
     add are impossible (shingles are non-empty post word-count
     filter) and would drop out of the inner equi-join anyway."""
+    return _ngram_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All shingle-sharing doc pairs with their exact Jaccard (no
+    threshold) - the shared stage behind ``dedup_ngram_jaccard`` and
+    ``dedup_threshold_sweep``."""
     sh = _doc_shingles(spark, sf_dir)
     shx = sh.select("doc_id", F.explode_outer("shs").alias("sh"))
     a = shx.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -231,7 +240,51 @@ def dedup_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report for near-dup policy: for each
+    candidate Jaccard cutoff, how many pairs survive and how many
+    documents are touched - the curve a curator reads before fixing
+    JACCARD_THRESHOLD (too low merges topical neighbors, too high
+    misses templated spam).
+
+    Scale shape: the expensive stage (shingle self-join + exact
+    Jaccard) runs ONCE; the sweep is a 4-way lateral fan-out over the
+    already-bounded pair set (pairs sharing >= 1 shingle), so adding
+    thresholds costs proportional to |pairs|, never another corpus
+    pass. Zero-pair thresholds survive via the threshold spine
+    left-join."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    swept = pairs.select(th, "doc_a", "doc_b", "jaccard").filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = swept.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        swept.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs_affected"))
+    )
+    spine = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        spine.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
     )
 
 
@@ -265,6 +318,38 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+DEDUP_THRESHOLD_SWEEP_ORACLE_SQL = f"""
+WITH {_ORACLE_SHINGLES},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, common / (sa.n + sb.n - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+th AS (SELECT CAST(unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
+              AS DOUBLE) AS threshold),
+sw AS (
+  SELECT threshold, doc_a, doc_b FROM th JOIN pairs ON jaccard >= threshold
+)
+SELECT th.threshold,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_affected
+FROM th
+LEFT JOIN (SELECT threshold, count(*) AS n_pairs FROM sw GROUP BY 1) p
+  USING (threshold)
+LEFT JOIN (
+  SELECT threshold, count(DISTINCT dd) AS n_docs
+  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS dd FROM sw)
+  GROUP BY 1
+) d USING (threshold)
 """
 
 

@@ -287,6 +287,8 @@ from .operators.analytics import (
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
 from .operators.inference import DOC_SCORE_ORACLE_SQL, doc_score_inference_query
 from .operators.dedup import (
+    DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
+    dedup_threshold_sweep_query,
     BLOOM_DEDUP_ORACLE_SQL,
     DEDUP_EMBEDDING_ORACLE_SQL,
     DEDUP_EVAL_ORACLE_SQL,
@@ -683,6 +685,7 @@ QUERIES = {
     "wav_stats": wav_stats_query,
     "media_dispatch": media_dispatch_query,
     "packing_efficiency": packing_efficiency_query,
+    "dedup_threshold_sweep": dedup_threshold_sweep_query,
     "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
@@ -725,8 +728,8 @@ QUERIES = {
     "similarity_topk": similarity_topk_query,
     "similarity_lsh_ann": similarity_lsh_query,
     "similarity_ivf_ann": similarity_ivf_query,
-    "multimodal_meta": multimodal_meta_query,
     # --- end of round-5 gate window (50) ---
+    "multimodal_meta": multimodal_meta_query,
     "frame_sample": frame_sample_query,
     "streaming_upsert": streaming_upsert_query,
     "streaming_window_agg": streaming_window_query,
@@ -858,6 +861,7 @@ ORACLES = {
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
+    "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
