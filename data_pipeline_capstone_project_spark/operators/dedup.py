@@ -258,8 +258,11 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-bounded pair set (pairs sharing >= 1 shingle), so adding
     thresholds costs proportional to |pairs|, never another corpus
     pass. Zero-pair thresholds survive via the threshold spine
-    left-join."""
-    pairs = _ngram_pairs(spark, sf_dir)
+    left-join. The pair set is persisted because two aggregation
+    grains consume it (pair counts and exploded-doc distinct counts) -
+    without the pin the lazy plan re-runs the shingle self-join per
+    branch."""
+    pairs = _ngram_pairs(spark, sf_dir).persist()
     th = F.explode(
         F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
     ).alias("threshold")
