@@ -615,3 +615,58 @@ FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 
 def _ann_recall_oracle() -> str:
     return ANN_RECALL_ORACLE_SQL.replace("{LSH_SQL}", _lsh_oracle())
+
+
+# --- embedding hygiene QC ---------------------------------------------------
+
+UNIT_NORM_TOL = 0.01
+NONFINITE_ABS = 3.4e38  # float32 saturation threshold (inf proxy)
+
+
+def embedding_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level embedding hygiene: the QC gate an embedding pipeline
+    runs before ANN indexing or semantic dedup - dimension check, zero
+    and non-finite component counts, exact squared L2 norm, unit-norm
+    flag. Bad vectors (truncated writes, NaN-poisoned backprop,
+    all-zero placeholder rows) silently wreck cosine math downstream;
+    this surfaces them per vector.
+
+    Deliberately ROW-LEVEL ONLY: every number derives from one
+    vector's own left-fold (deterministic addition order, the same
+    proven idiom as the cosine operators), so the oracle hash is exact
+    - no cross-row float aggregation whose shuffle order could flicker
+    the last ulp. Plan shape: one scan, zero shuffles, zero joins; at
+    100 TB this runs at scan speed and the flags prune before any
+    expensive similarity stage."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    norm_sq = _dot_fold(F.col("embedding"), F.col("embedding"))
+    return vecs.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        (F.size("embedding") == DIM).alias("dim_ok"),
+        F.size(F.filter("embedding", lambda x: x == F.lit(0.0))).alias("n_zero"),
+        F.size(
+            F.filter(
+                "embedding",
+                lambda x: F.isnan(x) | (F.abs(x) > F.lit(NONFINITE_ABS)),
+            )
+        ).alias("n_nonfinite"),
+        norm_sq.alias("norm_sq"),
+        (F.abs(F.sqrt(norm_sq) - 1.0) <= UNIT_NORM_TOL).alias("is_unit_norm"),
+    )
+
+
+EMBEDDING_QUALITY_ORACLE_SQL = f"""
+SELECT vec_id,
+       label,
+       len(embedding) AS n_dims,
+       len(embedding) = {DIM} AS dim_ok,
+       len(list_filter(embedding, x -> x = 0)) AS n_zero,
+       len(list_filter(embedding,
+           x -> isnan(x) OR abs(x) > {NONFINITE_ABS})) AS n_nonfinite,
+       {_oracle_dot('embedding', 'embedding')} AS norm_sq,
+       abs(sqrt({_oracle_dot('embedding', 'embedding')}) - 1)
+         <= {UNIT_NORM_TOL} AS is_unit_norm
+FROM embeddings
+"""

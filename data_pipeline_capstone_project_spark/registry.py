@@ -361,6 +361,8 @@ from .operators.search import (
     keyword_search_ranked_query,
 )
 from .operators.similarity import (
+    EMBEDDING_QUALITY_ORACLE_SQL,
+    embedding_quality_query,
     SIMILARITY_IVF_ORACLE_SQL,
     SIMILARITY_LSH_ORACLE_SQL,
     SIMILARITY_QUANTIZED_ORACLE_SQL,
@@ -686,6 +688,7 @@ QUERIES = {
     "media_dispatch": media_dispatch_query,
     "packing_efficiency": packing_efficiency_query,
     "dedup_threshold_sweep": dedup_threshold_sweep_query,
+    "embedding_quality": embedding_quality_query,
     "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
@@ -727,8 +730,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_query,
     "similarity_topk": similarity_topk_query,
     "similarity_lsh_ann": similarity_lsh_query,
-    "similarity_ivf_ann": similarity_ivf_query,
     # --- end of round-5 gate window (50) ---
+    "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
     "frame_sample": frame_sample_query,
     "streaming_upsert": streaming_upsert_query,
@@ -862,6 +865,7 @@ ORACLES = {
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
+    "embedding_quality": EMBEDDING_QUALITY_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
