@@ -596,3 +596,74 @@ SELECT bucket, new_words,
             AS BIGINT) AS vocab_size
 FROM bucketed
 """
+
+
+# --- source vocabulary drift ------------------------------------------------
+
+DRIFT_TOP_K = 100
+
+
+def source_vocab_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-monitoring report: per source, what share of its tokens
+    falls inside the CORPUS-GLOBAL top-K vocabulary. A source whose
+    coverage sits far below its peers speaks a different language (or
+    is noise/spam) - the cheap drift alarm a curator watches as new
+    crawl snapshots land, before anything as heavy as a per-source LM.
+
+    Exact integer output (coverage per mille, floor) so the oracle
+    hash is arithmetic, not float. Scale shape: one token-count
+    aggregate builds the top-K via TakeOrderedAndProject (partition-
+    local K-heaps, same as vocab_top_terms); the K surviving terms
+    broadcast to the per-source probe, so the second pass is a
+    map-side semi-join + one map-combinable (source) aggregate - no
+    big-table shuffle carries term strings twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode_outer(tokens_col()).alias("term"))
+    top_terms = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(DRIFT_TOP_K)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(top_terms.withColumn("in_top", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce("in_top", F.lit(0))).alias("top_k_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "top_k_tokens",
+            F.floor(F.col("top_k_tokens") * 1000 / F.col("total_tokens"))
+            .cast("long")
+            .alias("coverage_pm"),
+        )
+    )
+
+
+SOURCE_VOCAB_DRIFT_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\\s+')) AS term
+  FROM documents
+),
+top_terms AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, term ASC LIMIT {DRIFT_TOP_K}
+  )
+)
+SELECT source,
+       count(*) AS total_tokens,
+       CAST(sum(CASE WHEN term IN (SELECT term FROM top_terms)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS top_k_tokens,
+       CAST(floor(sum(CASE WHEN term IN (SELECT term FROM top_terms)
+                           THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT)
+         AS coverage_pm
+FROM tok
+GROUP BY source
+"""

@@ -375,6 +375,8 @@ from .operators.similarity import (
     similarity_topk_query,
 )
 from .operators.text import (
+    SOURCE_VOCAB_DRIFT_ORACLE_SQL,
+    source_vocab_drift_query,
     FINGERPRINT_ORACLE_SQL,
     HEAVY_HITTERS_ORACLE_SQL,
     LANG_ID_ORACLE_SQL,
@@ -689,6 +691,7 @@ QUERIES = {
     "packing_efficiency": packing_efficiency_query,
     "dedup_threshold_sweep": dedup_threshold_sweep_query,
     "embedding_quality": embedding_quality_query,
+    "source_vocab_drift": source_vocab_drift_query,
     "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
@@ -729,8 +732,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_query,
     "dedup_embedding_cosine": dedup_embedding_query,
     "similarity_topk": similarity_topk_query,
-    "similarity_lsh_ann": similarity_lsh_query,
     # --- end of round-5 gate window (50) ---
+    "similarity_lsh_ann": similarity_lsh_query,
     "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
     "frame_sample": frame_sample_query,
@@ -866,6 +869,7 @@ ORACLES = {
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
     "embedding_quality": EMBEDDING_QUALITY_ORACLE_SQL,
+    "source_vocab_drift": SOURCE_VOCAB_DRIFT_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,
