@@ -433,7 +433,12 @@ from .operators.images import (
     image_decode_query,
 )
 from .operators.jpeg import JPEG_DECODE_ORACLE_SQL, jpeg_decode_query
-from .operators.mp4 import MP4_META_ORACLE_SQL, mp4_meta_query
+from .operators.mp4 import (
+    MP4_META_ORACLE_SQL,
+    VIDEO_FRAMES_ORACLE_SQL,
+    mp4_meta_query,
+    video_frames_query,
+)
 from .operators.audio import WAV_STATS_ORACLE_SQL, wav_stats_query
 from .operators.multimodal import (
     MEDIA_DISPATCH_ORACLE_SQL,
@@ -692,6 +697,7 @@ QUERIES = {
     "dedup_threshold_sweep": dedup_threshold_sweep_query,
     "embedding_quality": embedding_quality_query,
     "source_vocab_drift": source_vocab_drift_query,
+    "video_frames": video_frames_query,
     "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
@@ -731,8 +737,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_query,
     "dedup_minhash_lsh": dedup_minhash_query,
     "dedup_embedding_cosine": dedup_embedding_query,
-    "similarity_topk": similarity_topk_query,
     # --- end of round-5 gate window (50) ---
+    "similarity_topk": similarity_topk_query,
     "similarity_lsh_ann": similarity_lsh_query,
     "similarity_ivf_ann": similarity_ivf_query,
     "multimodal_meta": multimodal_meta_query,
@@ -870,6 +876,7 @@ ORACLES = {
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
     "embedding_quality": EMBEDDING_QUALITY_ORACLE_SQL,
     "source_vocab_drift": SOURCE_VOCAB_DRIFT_ORACLE_SQL,
+    "video_frames": VIDEO_FRAMES_ORACLE_SQL,
     "color_palette_png": COLOR_PALETTE_PNG_ORACLE_SQL,
     "decontamination": DECONTAMINATION_ORACLE_SQL,
     "gopher_quality": GOPHER_QUALITY_ORACLE_SQL,

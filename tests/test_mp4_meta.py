@@ -103,3 +103,52 @@ def test_mp4_meta_query_spark(spark, sf_dir):
     r0 = rows["v00.mp4"]
     assert (r0["width"], r0["height"], r0["duration_ms"]) == (320, 240, 1000)
     assert all(r["n_bytes"] > 0 for r in rows.values())
+
+
+def test_mjpeg_frames_roundtrip():
+    """MJPEG mp4: demux via the real sample tables (stsd/stsz/stsc/
+    stco) and decode every frame with the in-repo JPEG codec - frames
+    come back in order, at full size, within the codec's quantization
+    tolerance."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.mp4 import (
+        make_mjpeg_mp4,
+        mp4_frames,
+        mp4_meta,
+        mp4_sample_table,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        rng.randint(0, 256, (24, 16, 3)).astype(np.uint8) for _ in range(5)
+    ]
+    payload = make_mjpeg_mp4(frames)
+    assert mp4_meta(payload)[:2] == (16, 24)
+    codec, table = mp4_sample_table(payload)
+    assert codec == b"jpeg" and len(table) == 5
+    # every sample range starts with a JPEG SOI inside mdat
+    for off, size in table:
+        assert payload[off : off + 2] == b"\xff\xd8" and size > 2
+    decoded = mp4_frames(payload)
+    assert len(decoded) == 5
+    for f, d in zip(frames, decoded):
+        assert d.shape == f.shape
+        # baseline-JPEG round trip bound for noise content
+        assert int(np.abs(d.astype(int) - f.astype(int)).max()) <= 20
+
+
+def test_non_mjpeg_codec_raises_cleanly():
+    import numpy as np
+    import pytest
+
+    from data_pipeline_capstone_project_spark.operators.mp4 import (
+        make_mjpeg_mp4,
+        mp4_frames,
+    )
+
+    payload = bytearray(make_mjpeg_mp4([np.zeros((8, 8, 3), np.uint8)]))
+    i = payload.find(b"jpeg", payload.find(b"stsd"))
+    payload[i : i + 4] = b"avc1"  # relabel the sample entry H.264
+    with pytest.raises(NotImplementedError):
+        mp4_frames(bytes(payload))
