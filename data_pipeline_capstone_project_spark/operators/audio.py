@@ -59,8 +59,12 @@ def make_wav(
         data = out.astype("<i2").tobytes()
     elif bits == 8:  # WAV 8-bit is unsigned
         data = (out + 128).astype(np.uint8).tobytes()
+    elif bits == 24:  # packed 3-byte little-endian two's complement
+        u = (out & 0xFFFFFF).astype("<u4")
+        b = u.view(np.uint8).reshape(-1, 4)[:, :3]  # drop the high byte
+        data = np.ascontiguousarray(b).tobytes()
     else:
-        raise ValueError("fixture writer supports 8/16-bit PCM")
+        raise ValueError("fixture writer supports 8/16/24-bit PCM")
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
     )
@@ -125,8 +129,17 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
                 samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
             elif bits == 8:
                 samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+            elif bits == 24:
+                # 3-byte little-endian two's complement (the common
+                # studio/export width): widen to int32, then
+                # sign-extend from bit 23.
+                b = np.frombuffer(
+                    raw[: len(raw) - len(raw) % 3], dtype=np.uint8
+                ).reshape(-1, 3).astype(np.int32)
+                samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                samples -= (samples >> 23) << 24
             else:
-                raise NotImplementedError("only 8/16-bit PCM")
+                raise NotImplementedError("only 8/16/24-bit PCM")
             return samples.reshape(-1, channels)
         off += 8 + size + (size & 1)
     raise ValueError("no data chunk")
@@ -139,8 +152,9 @@ N_CLIPS = 24
 
 def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
     """(name, n_samples, rate, channels, bits, seed): mixes rates
-    (8k/16k/44.1k), mono/stereo, and 8/16-bit widths so every parsed
-    field varies."""
+    (8k/16k/44.1k), mono/stereo, and 8/16/24-bit widths so every
+    parsed field varies (24-bit is the common studio/export width -
+    VERDICT r5 item 5)."""
     out = []
     for i in range(N_CLIPS):
         rate = (8000, 16000, 44100)[i % 3]
@@ -150,7 +164,7 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
                 200 + 37 * i,
                 rate,
                 1 + (i % 2),
-                8 if i % 4 == 3 else 16,
+                (16, 24, 16, 8)[i % 4],
                 i,
             )
         )

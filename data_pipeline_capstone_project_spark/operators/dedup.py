@@ -258,11 +258,13 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-bounded pair set (pairs sharing >= 1 shingle), so adding
     thresholds costs proportional to |pairs|, never another corpus
     pass. Zero-pair thresholds survive via the threshold spine
-    left-join. The pair set is persisted because two aggregation
-    grains consume it (pair counts and exploded-doc distinct counts) -
-    without the pin the lazy plan re-runs the shingle self-join per
-    branch."""
-    pairs = _ngram_pairs(spark, sf_dir).persist()
+    left-join. The pair set is pinned via an EAGER localCheckpoint
+    because two aggregation grains consume it (pair counts and
+    exploded-doc distinct counts) - without the pin the lazy plan
+    re-runs the shingle self-join per branch. localCheckpoint (not
+    persist) so the materialized blocks are released with the RDD
+    reference instead of leaking cache for the session lifetime."""
+    pairs = _ngram_pairs(spark, sf_dir).localCheckpoint(eager=True)
     th = F.explode(
         F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
     ).alias("threshold")

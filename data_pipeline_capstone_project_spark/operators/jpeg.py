@@ -280,6 +280,7 @@ def make_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    interleave: bool = True,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as JFIF with stream-defined
     quant + Huffman tables. ``subsampling`` picks the chroma layout:
@@ -292,7 +293,12 @@ def make_jpeg(
     libjpeg's canonical 10-scan simple-progression script (spectral
     selection + successive approximation, EOB runs) instead of one
     baseline scan - LOSSLESSLY re-ordered: the decoded image is
-    bit-identical to the baseline encoding of the same pixels."""
+    bit-identical to the baseline encoding of the same pixels.
+    ``interleave=False`` (baseline only) emits three single-component
+    scans instead of one interleaved scan, each walking that
+    component's TRUE data-unit grid per T.81 A.2.2 - a spec-legal
+    layout some encoders use; the coefficients (hence the decode) are
+    bit-identical to the interleaved encoding of the same pixels."""
     samp = SAMPLINGS[subsampling]
     h, w = pixels.shape[:2]
     hmax = max(s[0] for s in samp)
@@ -355,6 +361,35 @@ def make_jpeg(
             sos += bytes([ss, se, (ah << 4) | al])
             out += _marker(0xFFDA, sos)
             out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    if not interleave:
+        # Three single-component baseline scans, each over that
+        # component's true data-unit grid (never the MCU padding).
+        for ci, (sh, sv) in enumerate(samp):
+            rows = -(-(h * sv) // (vmax * 8))
+            cols = -(-(w * sh) // (hmax * 8))
+            writer = _BitWriter()
+            prev, unit_n = 0, 0
+            for by in range(rows):
+                for bx in range(cols):
+                    if (
+                        restart_interval
+                        and unit_n
+                        and unit_n % restart_interval == 0
+                    ):
+                        writer.emit_marker(
+                            0xD0 + (unit_n // restart_interval - 1) % 8
+                        )
+                        prev = 0
+                    unit_n += 1
+                    prev = _emit_block(writer, coef[ci][by, bx], prev)
+            tid = 0x00 if ci == 0 else 0x11
+            out += _marker(
+                0xFFDA, bytes([1, ci + 1, tid]) + bytes([0, 63, 0])
+            )
+            out += writer.flush()
         out += b"\xff\xd9"
         return bytes(out)
 
@@ -1024,8 +1059,14 @@ def _decode_scan(
             preds = [0] * len(scan_comps)
             eobrun = 0
 
-    if len(scan_comps) > 1 or (not progressive):
-        # interleaved MCU order (baseline scans and progressive DC)
+    if len(scan_comps) > 1:
+        # interleaved MCU order (multi-component baseline scans and
+        # progressive DC). Single-component scans - baseline OR
+        # progressive - fall through to the true data-unit grid walk
+        # below: T.81 A.2.2 says a non-interleaved scan covers only
+        # the component's own data units, never the MCU padding, so
+        # walking a subsampled image's single-component baseline scan
+        # on the padded grid would consume phantom blocks.
         for _my in range(mcuy):
             for _mx in range(mcux):
                 maybe_restart()
@@ -1056,7 +1097,8 @@ def _decode_scan(
                 unit_n += 1
         return
 
-    # single-component scan (progressive AC, or non-interleaved DC)
+    # single-component scan over the component's true data-unit grid
+    # (non-interleaved baseline, progressive AC, or non-interleaved DC)
     (ci, dct_id, act_id) = scan_comps[0]
     cid = comps[ci][0]
     arr = coef_store[cid]
@@ -1065,7 +1107,14 @@ def _decode_scan(
         for bx in range(cols):
             maybe_restart()
             coef = arr[by, bx]
-            if ss == 0:
+            if not progressive:
+                preds[0] = _decode_block_baseline(
+                    reader,
+                    hufftables[(0, dct_id)],
+                    hufftables[(1, act_id)],
+                    coef, preds[0],
+                )
+            elif ss == 0:
                 if ah == 0:
                     dc_t = hufftables[(0, dct_id)]
                     s = dc_t.decode(reader)
@@ -1092,14 +1141,18 @@ N_JPEG_USERS = 8
 
 
 def _jpeg_user_images(user: int) -> list[tuple[str, np.ndarray, str]]:
-    """Three deterministic 16x16 fixtures per user: a solid 4:4:4 tile
+    """Six deterministic 16x16 fixtures per user: a solid 4:4:4 tile
     (asymmetric channels - a swap changes the result), a horizontal
     4:4:4 gradient (exercises AC coefficients and the Huffman
-    run-length path, not just DC), and a grayscale-gradient 4:2:0
-    image (exercises the subsampled 4-luma-blocks-per-MCU path; gray
-    means chroma is exactly 128 everywhere, so the cross-decoder
-    compare is independent of each decoder's chroma upsampling kernel
-    while the luma plane stays a full-resolution AC workout)."""
+    run-length path, not just DC), a grayscale-gradient 4:2:0 image
+    (exercises the subsampled 4-luma-blocks-per-MCU path; gray means
+    chroma is exactly 128 everywhere, so the cross-decoder compare is
+    independent of each decoder's chroma upsampling kernel while the
+    luma plane stays a full-resolution AC workout), a varying-chroma
+    4:2:0 image (the subsample -> fancy-upsample chain against the JVM
+    decoder, pinned <= TOL), and progressive (SOF2) twins of the last
+    two gradients (the 10-scan progression must decode to the same
+    pixels)."""
     base = 30 + 7 * user
     solid = np.tile(
         np.array([base, base + 40, base + 90], dtype=np.uint8), (16, 16, 1)

@@ -179,10 +179,15 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fmt"),
         )
         out = decode_media_meta(bin_df, decoder=real_decode)
-        # doc_id alone is not unique across formats; disambiguate
+        # doc_id/fmt/width alone is not unique (the baseline and
+        # progressive JPEG of the same index share all three);
+        # n_bytes differs between every fixture pair, making the key
+        # a true unique key.
         return out.withColumn(
             "media_key",
-            F.concat_ws("/", F.col("doc_id").cast("string"), "fmt", "width"),
+            F.concat_ws(
+                "/", F.col("doc_id").cast("string"), "fmt", "width", "n_bytes"
+            ),
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -206,7 +211,8 @@ def _media_dispatch_oracle() -> str:
         ):
             rows.append(
                 f"({i}, {len(payload)}, {w}, {h}, '{fmt}', "
-                f"{min(len(payload), THUMB_LIMIT)}, '{i}/{fmt}/{w}')"
+                f"{min(len(payload), THUMB_LIMIT)}, "
+                f"'{i}/{fmt}/{w}/{len(payload)}')"
             )
     return (
         "SELECT doc_id, n_bytes, width, height, fmt, thumb_bytes, media_key "

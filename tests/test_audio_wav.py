@@ -24,7 +24,7 @@ from data_pipeline_capstone_project_spark.operators.audio import (
     st.integers(1, 5000),
     st.sampled_from([8000, 16000, 22050, 44100]),
     st.integers(1, 2),
-    st.sampled_from([8, 16]),
+    st.sampled_from([8, 16, 24]),
     st.integers(0, 99),
 )
 def test_roundtrip(ns, rate, ch, bits, seed):
@@ -65,10 +65,28 @@ def test_non_riff_rejected():
         wav_meta(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
 
 
+def test_24bit_sign_extension_exact():
+    """The 3-byte packing must survive the full signed range: craft a
+    data chunk holding the exact extremes and known mid values."""
+    vals = np.array([-(1 << 23), (1 << 23) - 1, -1, 0, 1, -483210, 777777])
+    u = (vals & 0xFFFFFF).astype("<u4")
+    raw = np.ascontiguousarray(u.view(np.uint8).reshape(-1, 4)[:, :3]).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert np.array_equal(wav_pcm(payload).reshape(-1), vals)
+
+
 def test_wav_stats_query_spark(spark, sf_dir):
     rows = {r["clip_name"]: r for r in wav_stats_query(spark, sf_dir).collect()}
     assert len(rows) == 24
     r0 = rows["a00.wav"]
     assert (r0["channels"], r0["sample_rate"], r0["bits"]) == (1, 8000, 16)
+    # the fixture mix includes the 24-bit studio width (VERDICT r5
+    # item 5) and its peaks use the widened range
+    w24 = [r for r in rows.values() if r["bits"] == 24]
+    assert len(w24) == 6
+    assert max(r["peak"] for r in w24) > (1 << 15)
     # metadata and samples agree: duration from the actual PCM length
     assert all(r["peak"] > 0 for r in rows.values())

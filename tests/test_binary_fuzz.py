@@ -23,9 +23,14 @@ from data_pipeline_capstone_project_spark.operators.jpeg import (
     jpeg_pixels,
     make_jpeg,
 )
-from data_pipeline_capstone_project_spark.operators.mp4 import make_mp4, mp4_meta
+from data_pipeline_capstone_project_spark.operators.mp4 import (
+    make_mjpeg_mp4,
+    make_mp4,
+    mp4_frames,
+    mp4_meta,
+)
 
-PARSERS = (jpeg_pixels, jpeg_meta, mp4_meta, wav_meta, wav_pcm)
+PARSERS = (jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm)
 
 
 def _seeds() -> list[bytes]:
@@ -33,8 +38,13 @@ def _seeds() -> list[bytes]:
     return [
         make_jpeg(px),
         make_jpeg(px, progressive=True),
+        make_jpeg(px, subsampling="420", interleave=False),
         make_mp4(320, 240, 1000),
+        make_mjpeg_mp4(
+            [px, px], fragmented=True, frames_per_frag=1, use_mehd=False
+        ),
         make_wav(200),
+        make_wav(200, bits=24),
     ]
 
 

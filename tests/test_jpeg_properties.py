@@ -198,3 +198,37 @@ def test_meta_matches_reference_store_magic():
     payload = make_jpeg(px)
     assert payload[:3] == b"\xff\xd8\xff"
     assert real_decode(payload) == (7, 10)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_pixels, st.sampled_from(["444", "420", "422"]))
+def test_noninterleaved_baseline_is_lossless_reordering(pixels, sub):
+    """A spec-legal non-interleaved baseline layout (three
+    single-component scans, each over that component's TRUE data-unit
+    grid per T.81 A.2.2 - never the MCU-padded grid) must decode
+    BIT-IDENTICALLY to the interleaved encoding of the same pixels:
+    the scans carry the same quantized coefficients in a different
+    order. On subsampled images this is the regression test for the
+    padded-grid walk bug (ADVICE r5): a decoder that walks the
+    interleaved MCU grid consumes phantom padding blocks and
+    desynchronizes the entropy stream."""
+    base = jpeg_pixels(make_jpeg(pixels, subsampling=sub))
+    ni = make_jpeg(pixels, subsampling=sub, interleave=False)
+    assert jpeg_meta(ni) == (pixels.shape[1], pixels.shape[0])
+    assert np.array_equal(jpeg_pixels(ni), base)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_pixels, st.integers(1, 4))
+def test_noninterleaved_restart_markers_transparent(pixels, interval):
+    """RSTn inside non-interleaved baseline scans count DATA UNITS
+    (one block = one MCU in a non-interleaved scan, T.81 A.2.2) and
+    reset the single DC predictor - pixels must not change."""
+    base = jpeg_pixels(make_jpeg(pixels, subsampling="420"))
+    with_rst = jpeg_pixels(
+        make_jpeg(
+            pixels, subsampling="420", interleave=False,
+            restart_interval=interval,
+        )
+    )
+    assert np.array_equal(base, with_rst)

@@ -99,10 +99,48 @@ def test_real_decode_dispatches_mp4():
 
 def test_mp4_meta_query_spark(spark, sf_dir):
     rows = {r["video_name"]: r for r in mp4_meta_query(spark, sf_dir).collect()}
-    assert len(rows) == 24
+    assert len(rows) == 30  # 24 classic + 6 fragmented
     r0 = rows["v00.mp4"]
     assert (r0["width"], r0["height"], r0["duration_ms"]) == (320, 240, 1000)
+    # fragmented fixtures: duration reconstructed from mehd (f00) and
+    # from the trun sample-duration sum (f01 - no mehd)
+    assert (rows["f00.mp4"]["duration_ms"], rows["f01.mp4"]["duration_ms"]) == (
+        500,
+        750,
+    )
     assert all(r["n_bytes"] > 0 for r in rows.values())
+
+
+def test_fragmented_mjpeg_equals_classic():
+    """The fMP4 mux of the same frames must demux to byte-identical
+    sample ranges' content and decode to identical pixels; duration
+    must match whether it comes from mehd, trun sums, or the classic
+    mvhd path."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.mp4 import (
+        make_mjpeg_mp4,
+        mp4_frames,
+        mp4_sample_table,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [
+        rng.randint(0, 256, (16, 16, 3)).astype(np.uint8) for _ in range(5)
+    ]
+    classic = make_mjpeg_mp4(frames)
+    for use_mehd in (True, False):
+        for fpf in (1, 2, 3):
+            frag = make_mjpeg_mp4(
+                frames, fragmented=True, frames_per_frag=fpf, use_mehd=use_mehd
+            )
+            assert mp4_meta(frag) == mp4_meta(classic)
+            codec, table = mp4_sample_table(frag)
+            assert codec == b"jpeg" and len(table) == 5
+            for off, size in table:
+                assert frag[off : off + 2] == b"\xff\xd8"
+            for a, b in zip(mp4_frames(classic), mp4_frames(frag)):
+                assert np.array_equal(a, b)
 
 
 def test_mjpeg_frames_roundtrip():
