@@ -859,5 +859,262 @@ def _video_frames_oracle() -> str:
     )
 
 
+# --- mp4a/AAC audio-track metadata (VERDICT r5 item 7) -----------------------
+#
+# Container-level audio parity for the media store: sample rate,
+# channel count, sample width and duration from the stsd AudioSampleEntry
+# + mdhd boxes - metadata only, no AAC decode (that is a genuine
+# external-codec seam, like H.264 on the video side; the demux is the
+# engine's job and is complete).
+
+
+def make_audio_mp4(
+    sample_rate: int,
+    channels: int,
+    duration_ms: int,
+    timescale: int | None = None,
+    with_video: tuple[int, int] | None = None,
+) -> bytes:
+    """Fixture muxer: an mp4a (AAC-LC) audio track - AudioSampleEntry
+    per 14496-12 12.2.3 with a minimal esds (14496-1 ES_Descriptor:
+    AudioSpecificConfig for AAC-LC, 2 bytes) - optionally preceded by a
+    metadata-only video trak so the audio walk must SKIP a 'vide'
+    track to find the 'soun' one, like any real A/V file. Audio media
+    timescale defaults to the sample rate (what real muxers write)."""
+    ts = timescale or sample_rate
+    duration = duration_ms * ts // 1000
+    # AudioSampleEntry fields after the 8-byte box header
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved, data_ref_index
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HH", channels, 16)  # channelcount, samplesize
+        + struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        + struct.pack(">I", sample_rate << 16)  # 16.16 fixed
+    )
+    # Minimal but well-formed esds: ES_Descriptor(3) > DecoderConfig(4,
+    # objectType 0x40 AAC, streamType audio) > DecSpecificInfo(5,
+    # AudioSpecificConfig: AAC-LC, 44.1k index placeholder, channels)
+    asc = bytes([0x12, 0x10])
+    dec_specific = bytes([0x05, len(asc)]) + asc
+    dec_config = (
+        bytes([0x04, 13 + len(dec_specific), 0x40, 0x15])
+        + b"\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + dec_specific
+    )
+    es = bytes([0x03, 3 + len(dec_config), 0x00, 0x01, 0x00]) + dec_config
+    esds = _box(b"esds", struct.pack(">B3x", 0) + es)
+    stsd = _box(
+        b"stsd", struct.pack(">B3xI", 0, 1) + _box(b"mp4a", entry + esds)
+    )
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _box(b"stts", struct.pack(">B3xI", 0, 0))
+        + _box(b"stsc", struct.pack(">B3xI", 0, 0))
+        + _box(b"stsz", struct.pack(">B3xII", 0, 0, 0))
+        + _box(b"stco", struct.pack(">B3xI", 0, 0)),
+    )
+    smhd = _box(b"smhd", struct.pack(">B3xHH", 0, 0, 0))
+    dref = _box(
+        b"dref",
+        struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B2xB", 0, 1)),
+    )
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    v1 = duration >= 1 << 32
+    if v1:
+        mdhd_times = struct.pack(">B3x", 1) + struct.pack(
+            ">QQIQ", 0, 0, ts, duration
+        )
+    else:
+        mdhd_times = struct.pack(">B3x", 0) + struct.pack(
+            ">IIII", 0, 0, ts, duration
+        )
+    mdhd = _box(b"mdhd", mdhd_times + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(
+        b"hdlr", struct.pack(">B3xI", 0, 0) + b"soun" + b"\x00" * 12 + b"s\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B2xB", 0, 7)
+        + struct.pack(">IIIII", 0, 0, 2, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # audio: volume 1.0
+        + _MATRIX
+        + struct.pack(">II", 0, 0),  # audio tracks carry 0x0 dims
+    )
+    audio_trak = _box(b"trak", tkhd + mdia)
+
+    movie_ts = 1000
+    if duration_ms >= 1 << 32:
+        mvhd_times = struct.pack(">B3x", 1) + struct.pack(
+            ">QQIQ", 0, 0, movie_ts, duration_ms
+        )
+    else:
+        mvhd_times = struct.pack(">B3x", 0) + struct.pack(
+            ">IIII", 0, 0, movie_ts, duration_ms
+        )
+    mvhd = _box(
+        b"mvhd",
+        mvhd_times
+        + struct.pack(">iHHII", 0x00010000, 0x0100, 0, 0, 0)
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+    traks = b""
+    if with_video is not None:
+        w, h = with_video
+        video = make_mp4(w, h, duration_ms)
+        moov_off = video.find(b"moov") - 4
+        (moov_size,) = struct.unpack(">I", video[moov_off : moov_off + 4])
+        moov_body = video[moov_off + 8 : moov_off + moov_size]
+        for k, b in _children(moov_body):
+            if k == b"trak":
+                traks += _box(b"trak", b)
+    traks += audio_trak
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+def mp4_audio_meta(payload: bytes) -> tuple[str, int, int, int, int]:
+    """(codec fourcc, sample_rate, channels, bits, duration_ms) from
+    the first 'soun' track: rate/channels/width from the stsd
+    AudioSampleEntry (rate is 16.16 fixed), duration from that track's
+    OWN mdhd (media timescale - audio duration can differ from the
+    movie duration when tracks have different lengths)."""
+    try:
+        return _mp4_audio_meta_impl(payload)
+    except (IndexError, struct.error, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt ISO BMFF stream ({type(e).__name__})") from e
+
+
+def _mp4_audio_meta_impl(payload: bytes) -> tuple[str, int, int, int, int]:
+    for kind, body in _children(payload):
+        if kind != b"moov":
+            continue
+        for k2, trak in _children(body):
+            if k2 != b"trak":
+                continue
+            mdhd_ts = mdhd_dur = 0
+            is_audio = False
+            stsd = b""
+            for k3, mdia in _children(trak):
+                if k3 != b"mdia":
+                    continue
+                for k4, b4 in _children(mdia):
+                    if k4 == b"mdhd":
+                        if b4[0] == 1:
+                            mdhd_ts, mdhd_dur = struct.unpack(">IQ", b4[20:32])
+                        else:
+                            mdhd_ts, mdhd_dur = struct.unpack(">II", b4[12:20])
+                    elif k4 == b"hdlr":
+                        is_audio = b4[8:12] == b"soun"
+                    elif k4 == b"minf":
+                        for k5, b5 in _children(b4):
+                            if k5 == b"stbl":
+                                for k6, b6 in _children(b5):
+                                    if k6 == b"stsd":
+                                        stsd = b6
+            if not is_audio or not stsd:
+                continue
+            codec = stsd[12:16].decode("latin-1")
+            entry = stsd[16:]  # first SampleEntry body
+            channels, bits = struct.unpack(">HH", entry[16:20])
+            (rate_fx,) = struct.unpack(">I", entry[24:28])
+            duration_ms = round(mdhd_dur * 1000 / mdhd_ts) if mdhd_ts else 0
+            return codec, rate_fx >> 16, channels, bits, duration_ms
+    raise ValueError("no audio track found")
+
+
+N_AUDIO_FILES = 18
+
+
+def _audio_mp4_fixtures() -> list[tuple[str, int, int, int, bool]]:
+    """(name, sample_rate, channels, duration_ms, with_video): mixes
+    the common AAC rates, mono/stereo, audio-only vs A/V muxes, and one
+    long-duration entry that forces the version-1 (64-bit) mdhd."""
+    out = []
+    for i in range(N_AUDIO_FILES):
+        rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
+        dur = 900 + 777 * i
+        if i == 13:
+            dur = 50_000_000_000  # ~1.6 years: v1 mdhd at ts=rate
+        out.append((f"au{i:02d}.mp4", rate, 1 + i % 2, dur, i % 3 == 0))
+    return out
+
+
+def mp4_audio_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: audio-track container metadata executor-side
+    (binaryFile -> Arrow mapInPandas -> mp4_audio_meta), hash-checked
+    against the closed-form oracle. A/V fixtures prove the walk skips
+    the video trak; the long fixture pins the v1 mdhd layout."""
+    work = tempfile.mkdtemp(prefix="mp4_audio_store_")
+    try:
+        for name, rate, ch, dur, av in _audio_mp4_fixtures():
+            with open(os.path.join(work, name), "wb") as f:
+                f.write(
+                    make_audio_mp4(
+                        rate, ch, dur,
+                        with_video=(640, 360) if av else None,
+                    )
+                )
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("clip_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {
+                    "clip_name": [], "codec": [], "sample_rate": [],
+                    "channels": [], "bits": [], "duration_ms": [],
+                    "n_bytes": [],
+                }
+                for name, p in zip(pdf["clip_name"], pdf["payload"]):
+                    codec, rate, ch, bits, dur = mp4_audio_meta(p)
+                    rows["clip_name"].append(name)
+                    rows["codec"].append(codec)
+                    rows["sample_rate"].append(rate)
+                    rows["channels"].append(ch)
+                    rows["bits"].append(bits)
+                    rows["duration_ms"].append(dur)
+                    rows["n_bytes"].append(len(p))
+                yield pd.DataFrame(rows)
+
+        out = bin_df.mapInPandas(
+            parse_batches,
+            "clip_name string, codec string, sample_rate int, channels int, "
+            "bits int, duration_ms long, n_bytes long",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _mp4_audio_oracle() -> str:
+    rows = []
+    for name, rate, ch, dur, av in _audio_mp4_fixtures():
+        payload = make_audio_mp4(
+            rate, ch, dur, with_video=(640, 360) if av else None
+        )
+        codec, prate, pch, pbits, pdur = mp4_audio_meta(payload)
+        assert (codec, prate, pch, pbits) == ("mp4a", rate, ch, 16)
+        # ms -> timescale-units -> ms round trip is exact only when the
+        # rate divides cleanly; assert against the recomputed value
+        assert pdur == round((dur * rate // 1000) * 1000 / rate)
+        rows.append(
+            f"('{name}', 'mp4a', {rate}, {ch}, 16, {pdur}, {len(payload)})"
+        )
+    return (
+        "SELECT clip_name, codec, sample_rate, channels, bits, duration_ms, "
+        f"n_bytes FROM (VALUES {', '.join(rows)}) "
+        "AS t(clip_name, codec, sample_rate, channels, bits, duration_ms, "
+        "n_bytes)"
+    )
+
+
 MP4_META_ORACLE_SQL = _mp4_oracle()
 VIDEO_FRAMES_ORACLE_SQL = _video_frames_oracle()
+MP4_AUDIO_META_ORACLE_SQL = _mp4_audio_oracle()

@@ -434,8 +434,10 @@ from .operators.images import (
 )
 from .operators.jpeg import JPEG_DECODE_ORACLE_SQL, jpeg_decode_query
 from .operators.mp4 import (
+    MP4_AUDIO_META_ORACLE_SQL,
     MP4_META_ORACLE_SQL,
     VIDEO_FRAMES_ORACLE_SQL,
+    mp4_audio_meta_query,
     mp4_meta_query,
     video_frames_query,
 )
@@ -691,6 +693,7 @@ QUERIES = {
     "tpch_product_profit": product_profit_query,
     "jpeg_decode": jpeg_decode_query,
     "mp4_meta": mp4_meta_query,
+    "mp4_audio_meta": mp4_audio_meta_query,
     "wav_stats": wav_stats_query,
     "media_dispatch": media_dispatch_query,
     "packing_efficiency": packing_efficiency_query,
@@ -870,6 +873,7 @@ ORACLES = {
     "image_decode": IMAGE_DECODE_ORACLE_SQL,
     "jpeg_decode": JPEG_DECODE_ORACLE_SQL,
     "mp4_meta": MP4_META_ORACLE_SQL,
+    "mp4_audio_meta": MP4_AUDIO_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
