@@ -42,20 +42,29 @@ from pyspark.sql import functions as F
 
 def make_wav(
     n_samples: int, sample_rate: int = 44100, channels: int = 2,
-    bits: int = 16, seed: int = 0,
+    bits: int = 16, seed: int = 0, float_fmt: bool = False,
 ) -> bytes:
-    """Canonical PCM RIFF/WAVE: deterministic full-scale-bounded
-    samples (a seeded integer LCG, library-free and platform-exact)."""
+    """Canonical RIFF/WAVE: deterministic full-scale-bounded samples
+    (a seeded integer LCG, library-free and platform-exact).
+    ``float_fmt=True`` writes WAVE_FORMAT_IEEE_FLOAT (tag 3, 32-bit)
+    with a spec-required ``fact`` chunk; sample values are dyadic
+    rationals (24-bit-integer / 2^23), so every value is exactly
+    representable in float32 and every downstream fold is exact."""
+    if float_fmt and bits != 32:
+        raise ValueError("float WAV is 32-bit")
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     # 64-bit LCG (plain Python ints, masked), folded to the sample width
     mask = (1 << 64) - 1
+    fold_bits = 24 if float_fmt else bits
     state = (seed * 6364136223846793005 + 1442695040888963407) & mask
     out = np.empty(n_samples * channels, dtype=np.int64)
     for i in range(n_samples * channels):
         state = (state * 6364136223846793005 + 1442695040888963407) & mask
-        out[i] = (state >> 33) % (1 << bits) - (1 << (bits - 1))
-    if bits == 16:
+        out[i] = (state >> 33) % (1 << fold_bits) - (1 << (fold_bits - 1))
+    if float_fmt:
+        data = (out / (1 << 23)).astype("<f4").tobytes()
+    elif bits == 16:
         data = out.astype("<i2").tobytes()
     elif bits == 8:  # WAV 8-bit is unsigned
         data = (out + 128).astype(np.uint8).tobytes()
@@ -65,10 +74,14 @@ def make_wav(
         data = np.ascontiguousarray(b).tobytes()
     else:
         raise ValueError("fixture writer supports 8/16/24-bit PCM")
+    tag = 3 if float_fmt else 1
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+        "<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits
     )
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if float_fmt:
+        # non-PCM formats carry a fact chunk (samples per channel)
+        chunks += b"fact" + struct.pack("<II", 4, n_samples)
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
@@ -109,8 +122,12 @@ def _wav_meta_impl(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def wav_pcm(payload: bytes) -> np.ndarray:
-    """(n_samples, channels) int32 PCM samples from the data chunk.
-    Corrupt containers raise a clean ValueError."""
+    """(n_samples, channels) samples from the data chunk: int32 for
+    integer PCM (format tag 1), float32 for IEEE-float (format tag 3;
+    bit patterns are deterministic, so folds over the values are
+    exact). Corrupt containers raise a clean ValueError; other format
+    tags (ADPCM, a-law/mu-law) are the module's honest
+    NotImplementedError seam."""
     channels, _rate, bits, _dur = wav_meta(payload)
     try:
         return _wav_pcm_impl(payload, channels, bits)
@@ -119,30 +136,47 @@ def wav_pcm(payload: bytes) -> np.ndarray:
 
 
 def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
+    # One walk for both chunks: the format TAG (PCM vs IEEE float)
+    # lives in fmt, the samples in data - order not guaranteed.
+    tag = 1
+    raw = None
     off = 12
     while off + 8 <= len(payload):
         kind = payload[off : off + 4]
         (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
-        if kind == b"data":
+        if kind == b"fmt ":
+            (tag,) = struct.unpack("<H", payload[off + 8 : off + 10])
+        elif kind == b"data":
             raw = payload[off + 8 : off + 8 + size]
-            if bits == 16:
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
-            elif bits == 8:
-                samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
-            elif bits == 24:
-                # 3-byte little-endian two's complement (the common
-                # studio/export width): widen to int32, then
-                # sign-extend from bit 23.
-                b = np.frombuffer(
-                    raw[: len(raw) - len(raw) % 3], dtype=np.uint8
-                ).reshape(-1, 3).astype(np.int32)
-                samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-                samples -= (samples >> 23) << 24
-            else:
-                raise NotImplementedError("only 8/16/24-bit PCM")
-            return samples.reshape(-1, channels)
         off += 8 + size + (size & 1)
-    raise ValueError("no data chunk")
+    if raw is None:
+        raise ValueError("no data chunk")
+    if tag == 3:
+        if bits != 32:
+            raise NotImplementedError("IEEE-float WAV is 32-bit only")
+        samples = np.frombuffer(raw, dtype="<f4")
+    elif tag != 1:
+        raise NotImplementedError(
+            f"WAV format tag {tag} (only PCM and IEEE float)"
+        )
+    elif bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 24:
+        # 3-byte little-endian two's complement (the common
+        # studio/export width): widen to int32, then sign-extend from
+        # bit 23. A length that is not a whole number of frames is
+        # corruption and surfaces as ValueError, same as the other
+        # widths (where frombuffer raises on misalignment).
+        if len(raw) % (3 * channels):
+            raise ValueError("24-bit data chunk is not a whole frame count")
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples -= (samples >> 23) << 24
+    else:
+        raise NotImplementedError("only 8/16/24-bit integer PCM")
+    return samples.reshape(-1, channels)
 
 
 # --- registry query ----------------------------------------------------------
@@ -152,9 +186,10 @@ N_CLIPS = 24
 
 def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
     """(name, n_samples, rate, channels, bits, seed): mixes rates
-    (8k/16k/44.1k), mono/stereo, and 8/16/24-bit widths so every
-    parsed field varies (24-bit is the common studio/export width -
-    VERDICT r5 item 5)."""
+    (8k/16k/44.1k), mono/stereo, 8/16/24-bit integer PCM (24-bit is
+    the common studio/export width - VERDICT r5 item 5) and 32-bit
+    IEEE float (bits == 32 by convention; the most common non-integer
+    format in the wild - VERDICT r6 item 5)."""
     out = []
     for i in range(N_CLIPS):
         rate = (8000, 16000, 44100)[i % 3]
@@ -164,7 +199,7 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
                 200 + 37 * i,
                 rate,
                 1 + (i % 2),
-                (16, 24, 16, 8)[i % 4],
+                (16, 24, 32, 8)[i % 4],
                 i,
             )
         )
@@ -174,7 +209,12 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
 def _stage_wav_store(root: str) -> None:
     for name, ns, rate, ch, bits, seed in _audio_fixtures():
         with open(os.path.join(root, name), "wb") as f:
-            f.write(make_wav(ns, sample_rate=rate, channels=ch, bits=bits, seed=seed))
+            f.write(
+                make_wav(
+                    ns, sample_rate=rate, channels=ch, bits=bits, seed=seed,
+                    float_fmt=bits == 32,
+                )
+            )
 
 
 def wav_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,24 +233,34 @@ def wav_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 rows = {
                     "clip_name": [], "channels": [], "sample_rate": [],
-                    "bits": [], "duration_ms": [], "peak": [], "sample_sum": [],
+                    "bits": [], "is_float": [], "duration_ms": [],
+                    "peak": [], "sample_sum": [],
                 }
                 for name, p in zip(pdf["clip_name"], pdf["payload"]):
                     ch, rate, bits, dur = wav_meta(p)
                     pcm = wav_pcm(p)
+                    is_float = pcm.dtype.kind == "f"
+                    # Float samples are Q8.23 dyadics by construction:
+                    # scale to the exact integer lattice so the folds
+                    # stay integer-exact next to the PCM clips. (The
+                    # float64 sum of <2^16 values each a multiple of
+                    # 2^-23 and < 2 in magnitude is exact: 40 bits.)
+                    scale = 1 << 23 if is_float else 1
+                    vals = pcm.astype(np.float64) * scale
                     rows["clip_name"].append(name)
                     rows["channels"].append(ch)
                     rows["sample_rate"].append(rate)
                     rows["bits"].append(bits)
+                    rows["is_float"].append(is_float)
                     rows["duration_ms"].append(dur)
-                    rows["peak"].append(int(np.abs(pcm).max()))
-                    rows["sample_sum"].append(int(pcm.sum()))
+                    rows["peak"].append(int(np.abs(vals).max()))
+                    rows["sample_sum"].append(int(vals.sum()))
                 yield pd.DataFrame(rows)
 
         out = bin_df.mapInPandas(
             parse_batches,
             "clip_name string, channels int, sample_rate int, bits int, "
-            "duration_ms long, peak long, sample_sum long",
+            "is_float boolean, duration_ms long, peak long, sample_sum long",
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -222,20 +272,27 @@ def _wav_oracle() -> str:
     writer+parser round trip at oracle-build time (no Spark)."""
     rows = []
     for name, ns, rate, ch, bits, seed in _audio_fixtures():
-        payload = make_wav(ns, sample_rate=rate, channels=ch, bits=bits, seed=seed)
+        payload = make_wav(
+            ns, sample_rate=rate, channels=ch, bits=bits, seed=seed,
+            float_fmt=bits == 32,
+        )
         pch, prate, pbits, pdur = wav_meta(payload)
         assert (pch, prate, pbits) == (ch, rate, bits)
         pcm = wav_pcm(payload)
         assert pcm.shape == (ns, ch)
+        is_float = pcm.dtype.kind == "f"
+        scale = 1 << 23 if is_float else 1
+        vals = pcm.astype(np.float64) * scale
         rows.append(
-            f"('{name}', {ch}, {rate}, {bits}, {pdur}, "
-            f"{int(np.abs(pcm).max())}, {int(pcm.sum())})"
+            f"('{name}', {ch}, {rate}, {bits}, {str(is_float).upper()}, "
+            f"{pdur}, {int(np.abs(vals).max())}, {int(vals.sum())})"
         )
     return (
-        "SELECT clip_name, channels, sample_rate, bits, duration_ms, peak, "
+        "SELECT clip_name, channels, sample_rate, bits, is_float, "
+        "duration_ms, peak, "
         f"sample_sum FROM (VALUES {', '.join(rows)}) "
-        "AS t(clip_name, channels, sample_rate, bits, duration_ms, peak, "
-        "sample_sum)"
+        "AS t(clip_name, channels, sample_rate, bits, is_float, "
+        "duration_ms, peak, sample_sum)"
     )
 
 

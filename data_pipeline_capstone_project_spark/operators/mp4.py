@@ -163,9 +163,16 @@ def mp4_meta(payload: bytes) -> tuple[int, int, int]:
 
 
 def _mp4_meta_impl(payload: bytes) -> tuple[int, int, int]:
-    duration_ms = -1
+    # Collect every duration source during the moov walk and resolve
+    # AFTER it - box order inside moov is not guaranteed (mvex may
+    # precede mvhd), so no branch may depend on another box having
+    # been seen already.
+    movie_timescale = 0
+    mvhd_duration = None
+    mehd_duration = None
     width = height = 0
     media_timescale = 0
+    video_track_id = None
     for kind, body in _children(payload):
         if kind != b"moov":
             continue
@@ -173,18 +180,27 @@ def _mp4_meta_impl(payload: bytes) -> tuple[int, int, int]:
             if k2 == b"mvhd":
                 version = b2[0]
                 if version == 1:
-                    timescale, duration = struct.unpack(">IQ", b2[20:32])
+                    movie_timescale, mvhd_duration = struct.unpack(
+                        ">IQ", b2[20:32]
+                    )
                 else:
-                    timescale, duration = struct.unpack(">II", b2[12:20])
-                duration_ms = round(duration * 1000 / timescale)
+                    movie_timescale, mvhd_duration = struct.unpack(
+                        ">II", b2[12:20]
+                    )
             elif k2 == b"trak" and not width:
                 for k3, b3 in _children(b2):
                     if k3 == b"tkhd":
                         version = b3[0]
-                        # width/height are the LAST 8 bytes in both layouts
+                        # track_ID follows ctime/mtime (4+4 bytes in
+                        # v0, 8+8 in v1); width/height are the LAST 8
+                        # bytes in both layouts
+                        (tid,) = struct.unpack(
+                            ">I", b3[20:24] if version == 1 else b3[12:16]
+                        )
                         w_fx, h_fx = struct.unpack(">II", b3[-8:])
                         if w_fx:
                             width, height = w_fx >> 16, h_fx >> 16
+                            video_track_id = tid
                     elif k3 == b"mdia":
                         for k4, b4 in _children(b3):
                             if k4 == b"mdhd":
@@ -196,39 +212,50 @@ def _mp4_meta_impl(payload: bytes) -> tuple[int, int, int]:
                                     (media_timescale,) = struct.unpack(
                                         ">I", b4[12:16]
                                     )
-            elif k2 == b"mvex" and duration_ms == 0:
-                # Fragmented movie: mvhd duration is 0 (unknown at
-                # moov-write time); mehd carries the authoritative
+            elif k2 == b"mvex":
+                # Fragmented movie: mehd carries the authoritative
                 # total in MOVIE timescale units when the muxer knew it.
                 for k3, b3 in _children(b2):
                     if k3 == b"mehd":
                         if b3[0] == 1:
-                            (frag_dur,) = struct.unpack(">Q", b3[4:12])
+                            (mehd_duration,) = struct.unpack(">Q", b3[4:12])
                         else:
-                            (frag_dur,) = struct.unpack(">I", b3[4:8])
-                        duration_ms = round(frag_dur * 1000 / timescale)
-    if duration_ms < 0:
+                            (mehd_duration,) = struct.unpack(">I", b3[4:8])
+    if mvhd_duration is None:
         raise ValueError("no moov/mvhd box found")
+    duration_ms = round(mvhd_duration * 1000 / movie_timescale)
+    if duration_ms == 0 and mehd_duration is not None:
+        duration_ms = round(mehd_duration * 1000 / movie_timescale)
     if duration_ms == 0 and media_timescale:
         # Live-profile fMP4 (no mehd): the duration exists only as the
-        # sum of the fragments' trun sample durations, in MEDIA
-        # timescale units (14496-12 8.8.8).
+        # sum of the VIDEO track's trun sample durations, in that
+        # track's MEDIA timescale units (14496-12 8.8.8). Other
+        # tracks' trafs (audio) run in their own timescales and must
+        # not contribute to the sum.
         total = 0
-        for _off, _size, dur in _fragment_samples(payload):
+        for _off, _size, dur in _fragment_samples(
+            payload, track_id=video_track_id
+        ):
             total += dur
         if total:
             duration_ms = round(total * 1000 / media_timescale)
     return width, height, duration_ms
 
 
-def _fragment_samples(payload: bytes) -> list[tuple[int, int, int]]:
+def _fragment_samples(
+    payload: bytes, track_id: int | None = None
+) -> list[tuple[int, int, int]]:
     """[(absolute offset, size, duration)] for every sample carried in
     moof/traf/trun fragments (14496-12 8.8) - the streamed-upload
     layout (DASH/HLS/CMAF, chunked recorders). Defaults resolve in
     spec order: trun per-sample field > tfhd default > trex default.
     Sample data offsets are relative to the moof's first byte
     (default-base-is-moof, and also the spec default for the first
-    traf when no base-data-offset is present)."""
+    traf when no base-data-offset is present); a trun without
+    data-offset-present continues where the previous run's data ended
+    (8.8.8.1). ``track_id`` restricts the walk to one track's trafs -
+    a multi-track (A/V) fragment interleaves trafs per track, and
+    mixing their samples would blend timescales and codecs."""
     # trex defaults keyed by track_id (moov/mvex/trex)
     trex: dict[int, tuple[int, int]] = {}  # track -> (def_dur, def_size)
     for kind, body in _children(payload):
@@ -248,6 +275,9 @@ def _fragment_samples(payload: bytes) -> list[tuple[int, int, int]]:
     for kind, body, moof_off in _children_at(payload):
         if kind != b"moof":
             continue
+        # End of the previous run's sample data within this moof:
+        # the spec default start for a trun without a data offset.
+        prev_end: int | None = None
         for k2, traf in _children(body):
             if k2 != b"traf":
                 continue
@@ -274,6 +304,10 @@ def _fragment_samples(payload: bytes) -> list[tuple[int, int, int]]:
                     # 0x020000 default-base-is-moof: base stays moof_off
                 elif k3 == b"trun":
                     truns.append(b3)
+            # A skipped track's runs still occupy mdat bytes, so the
+            # walk must continue through them to keep prev_end honest
+            # for a later offset-less run - only the EMIT is gated.
+            emit = track_id is None or tid == track_id
             trex_dur, trex_size = trex.get(tid, (0, 0))
             def_dur = tf_dur if tf_dur is not None else trex_dur
             def_size = tf_size if tf_size is not None else trex_size
@@ -281,11 +315,16 @@ def _fragment_samples(payload: bytes) -> list[tuple[int, int, int]]:
                 flags = int.from_bytes(trun[1:4], "big")
                 (count,) = struct.unpack(">I", trun[4:8])
                 p = 8
-                cursor = base
                 if flags & 0x000001:  # data-offset-present
                     (doff,) = struct.unpack(">i", trun[p : p + 4])
                     cursor = base + doff
                     p += 4
+                elif prev_end is not None:
+                    # 8.8.8.1: no data offset -> data continues where
+                    # the previous run's data ended.
+                    cursor = prev_end
+                else:
+                    cursor = base
                 if flags & 0x000004:  # first-sample-flags
                     p += 4
                 for _ in range(count):
@@ -302,8 +341,10 @@ def _fragment_samples(payload: bytes) -> list[tuple[int, int, int]]:
                         p += 4
                     if size <= 0:
                         raise ValueError("fragment sample with no size")
-                    out.append((cursor, size, dur))
+                    if emit:
+                        out.append((cursor, size, dur))
                     cursor += size
+                prev_end = cursor
     return out
 
 
@@ -685,6 +726,7 @@ def _mp4_sample_table_impl(payload: bytes) -> tuple[bytes, list[tuple[int, int]]
     moov = find(payload, b"moov")
     stbl = None
     codec = b""
+    video_tid: int | None = None
     for k, trak in _children(moov):
         if k != b"trak":
             continue
@@ -693,6 +735,10 @@ def _mp4_sample_table_impl(payload: bytes) -> tuple[bytes, list[tuple[int, int]]
             hdlr = find(mdia, b"hdlr")
             if hdlr[8:12] != b"vide":
                 continue
+            tkhd = find(trak, b"tkhd")
+            (video_tid,) = struct.unpack(
+                ">I", tkhd[20:24] if tkhd[0] == 1 else tkhd[12:16]
+            )
             stbl = find(mdia, b"minf", b"stbl")
             stsd = find(stbl, b"stsd")
             codec = stsd[12:16]  # first entry's fourcc
@@ -741,7 +787,15 @@ def _mp4_sample_table_impl(payload: bytes) -> tuple[bytes, list[tuple[int, int]]
         # Fragmented movie: the moov sample tables are empty and the
         # samples live in moof/traf/trun fragments (streamed uploads -
         # DASH/HLS/CMAF). Same downstream contract: absolute ranges.
-        out = [(off, size) for off, size, _dur in _fragment_samples(payload)]
+        # Restricted to the video track's trafs - a multi-track (A/V)
+        # fragment interleaves trafs, and emitting audio sample ranges
+        # here would hand audio bytes to the frame decoder.
+        out = [
+            (off, size)
+            for off, size, _dur in _fragment_samples(
+                payload, track_id=video_tid
+            )
+        ]
     return codec, out
 
 

@@ -78,6 +78,47 @@ def test_24bit_sign_extension_exact():
     assert np.array_equal(wav_pcm(payload).reshape(-1), vals)
 
 
+def test_float32_wav_roundtrip_exact():
+    """IEEE-float WAV (format tag 3): the writer emits dyadic Q8.23
+    values, so the parse must return bit-identical float32 samples
+    and the Q23 rescale must be integer-exact."""
+    p = make_wav(500, sample_rate=16000, channels=2, bits=32, seed=11,
+                 float_fmt=True)
+    assert wav_meta(p) == (2, 16000, 32, round(500 * 1000 / 16000))
+    pcm = wav_pcm(p)
+    assert pcm.dtype == np.float32 and pcm.shape == (500, 2)
+    assert np.abs(pcm).max() < 1.0
+    q23 = pcm.astype(np.float64) * (1 << 23)
+    assert np.array_equal(q23, np.round(q23))  # exact lattice
+
+
+def test_misaligned_24bit_rejected():
+    """A 24-bit data chunk that is not a whole number of frames is
+    corruption and must raise, matching the other widths' strictness
+    (ADVICE r6): silent truncation would hide real file damage."""
+    base = make_wav(10, sample_rate=8000, channels=1, bits=24, seed=3)
+    doff = base.find(b"data")
+    (dsize,) = struct.unpack("<I", base[doff + 4 : doff + 8])
+    clipped = (
+        base[: doff + 4]
+        + struct.pack("<I", dsize - 1)
+        + base[doff + 8 : doff + 8 + dsize - 1]
+    )
+    with pytest.raises(ValueError):
+        wav_pcm(clipped)
+
+
+def test_unsupported_format_tag_is_honest_seam():
+    """ADPCM (tag 2) and friends: metadata still parses, sample decode
+    raises NotImplementedError - the documented seam, not a crash."""
+    base = make_wav(10, sample_rate=8000, channels=1, bits=16, seed=5)
+    foff = base.find(b"fmt ")
+    patched = base[: foff + 8] + struct.pack("<H", 2) + base[foff + 10 :]
+    assert wav_meta(patched)[0] == 1
+    with pytest.raises(NotImplementedError):
+        wav_pcm(patched)
+
+
 def test_wav_stats_query_spark(spark, sf_dir):
     rows = {r["clip_name"]: r for r in wav_stats_query(spark, sf_dir).collect()}
     assert len(rows) == 24
@@ -88,5 +129,11 @@ def test_wav_stats_query_spark(spark, sf_dir):
     w24 = [r for r in rows.values() if r["bits"] == 24]
     assert len(w24) == 6
     assert max(r["peak"] for r in w24) > (1 << 15)
+    # ... and 32-bit IEEE float clips (VERDICT r6 item 5), whose Q23
+    # integer probes land on the same lattice as the 24-bit clips
+    f32 = [r for r in rows.values() if r["is_float"]]
+    assert len(f32) == 6
+    assert all(r["bits"] == 32 for r in f32)
+    assert all(0 < r["peak"] < (1 << 23) for r in f32)
     # metadata and samples agree: duration from the actual PCM length
     assert all(r["peak"] > 0 for r in rows.values())

@@ -45,6 +45,7 @@ def _seeds() -> list[bytes]:
         ),
         make_wav(200),
         make_wav(200, bits=24),
+        make_wav(200, bits=32, float_fmt=True),
     ]
 
 

@@ -143,6 +143,139 @@ def test_fragmented_mjpeg_equals_classic():
                 assert np.array_equal(a, b)
 
 
+def test_multitrack_fragment_skips_foreign_trafs():
+    """A/V fragmented layout: trafs whose tfhd track_ID is not the
+    video track's must contribute neither sample ranges (mp4_frames
+    would hand audio bytes to the JPEG decoder) nor trun durations
+    (audio runs in a different media timescale, inflating
+    duration_ms). Appends an audio-track fragment (track_ID 2, 48 kHz
+    timescale durations) to a video-only fMP4 and requires every
+    video-facing answer to be unchanged."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.mp4 import (
+        make_mjpeg_mp4,
+        mp4_frames,
+        mp4_meta,
+        mp4_sample_table,
+    )
+
+    rng = np.random.RandomState(17)
+    frames = [
+        rng.randint(0, 256, (16, 16, 3)).astype(np.uint8) for _ in range(4)
+    ]
+    # no mehd: duration must come from the VIDEO trun sum only
+    video = make_mjpeg_mp4(frames, fragmented=True, use_mehd=False)
+
+    # one audio fragment: 10 AAC-sized samples of junk, track_ID 2,
+    # per-sample durations of 1024 ticks (the AAC frame length) - in a
+    # 48 kHz media timescale these would add ~213 ms if mis-summed
+    # into the video track's 1000 Hz timescale.
+    n_samp, samp_size, samp_dur = 10, 64, 1024
+    tfhd = _box(
+        b"tfhd", bytes([0]) + (0x020000).to_bytes(3, "big") + struct.pack(">I", 2)
+    )
+    trun_flags = 0x000001 | 0x000100 | 0x000200
+
+    def build_audio_trun(doff: int) -> bytes:
+        body = bytes([0]) + trun_flags.to_bytes(3, "big")
+        body += struct.pack(">Ii", n_samp, doff)
+        for _ in range(n_samp):
+            body += struct.pack(">II", samp_dur, samp_size)
+        return _box(b"trun", body)
+
+    mfhd = _box(b"mfhd", struct.pack(">B3xI", 0, 99))
+    probe = _box(b"moof", mfhd + _box(b"traf", tfhd + build_audio_trun(0)))
+    moof = _box(
+        b"moof", mfhd + _box(b"traf", tfhd + build_audio_trun(len(probe) + 8))
+    )
+    mdat = _box(b"mdat", b"\xde" * (n_samp * samp_size))
+    av = video + moof + mdat
+
+    assert mp4_meta(av) == mp4_meta(video)
+    codec, table = mp4_sample_table(av)
+    assert (codec, table) == mp4_sample_table(video)
+    for a, b in zip(mp4_frames(av), mp4_frames(video)):
+        assert np.array_equal(a, b)
+
+
+def test_trun_without_data_offset_continues_after_previous_run():
+    """14496-12 8.8.8.1: a trun without data-offset-present starts
+    where the previous run's data ended. Build one moof whose second
+    trun omits the offset; both samples must still demux and decode."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.mp4 import (
+        make_mjpeg_mp4,
+        mp4_frames,
+    )
+
+    rng = np.random.RandomState(23)
+    frames = [
+        rng.randint(0, 256, (16, 16, 3)).astype(np.uint8) for _ in range(2)
+    ]
+    # Reference result: the standard muxer's fragment layout.
+    ref = mp4_frames(make_mjpeg_mp4(frames, fragmented=True, use_mehd=True))
+
+    # Surgery: take the muxer's single-fragment file (both samples in
+    # one trun) and split that trun in two, dropping the second trun's
+    # data offset - content is byte-identical, only the run structure
+    # changes.
+    onefrag = make_mjpeg_mp4(
+        frames, fragmented=True, use_mehd=True, frames_per_frag=2
+    )
+    moof_off = onefrag.find(b"moof") - 4
+    (moof_size,) = struct.unpack(">I", onefrag[moof_off : moof_off + 4])
+    moof_body = onefrag[moof_off + 8 : moof_off + moof_size]
+    trun_off = moof_body.find(b"trun") - 4
+    (trun_size,) = struct.unpack(">I", moof_body[trun_off : trun_off + 4])
+    trun = moof_body[trun_off + 4 : trun_off + trun_size]
+    flags = int.from_bytes(trun[5:8], "big")
+    assert flags & 0x000001 and flags & 0x000200  # data-offset + sizes
+    per_dur = 4 if flags & 0x000100 else 0
+    (count,) = struct.unpack(">I", trun[8:12])
+    assert count == 2
+    (doff,) = struct.unpack(">i", trun[12:16])
+    rows = trun[16:]
+    row_w = per_dur + 4
+    row1, row2 = rows[:row_w], rows[row_w : 2 * row_w]
+    trun1 = (
+        b"trun" + trun[4:8] + struct.pack(">Ii", 1, doff) + row1
+    )
+    trun1 = struct.pack(">I", 4 + len(trun1)) + trun1
+    # second run: NO data-offset-present - must continue after row1
+    flags2 = flags & ~0x000001
+    trun2 = (
+        b"trun" + bytes([trun[4]]) + flags2.to_bytes(3, "big")
+        + struct.pack(">I", 1) + row2
+    )
+    trun2 = struct.pack(">I", 4 + len(trun2)) + trun2
+    # moof grew: every moof-relative data offset shifts by the delta,
+    # and the enclosing traf's size field must grow with its new child
+    delta = (len(trun1) + len(trun2)) - trun_size
+    (d1,) = struct.unpack(">i", trun1[16:20])
+    trun1 = trun1[:16] + struct.pack(">i", d1 + delta) + trun1[20:]
+    new_moof_body = bytearray(
+        moof_body[:trun_off] + trun1 + trun2 + moof_body[trun_off + trun_size :]
+    )
+    traf_off = new_moof_body.find(b"traf") - 4
+    (traf_size,) = struct.unpack(
+        ">I", new_moof_body[traf_off : traf_off + 4]
+    )
+    new_moof_body[traf_off : traf_off + 4] = struct.pack(
+        ">I", traf_size + delta
+    )
+    new_moof_body = bytes(new_moof_body)
+    new_moof = struct.pack(">I", 8 + len(new_moof_body)) + b"moof" + new_moof_body
+    patched = (
+        onefrag[:moof_off] + new_moof + onefrag[moof_off + moof_size :]
+    )
+    got = mp4_frames(patched)
+    assert len(got) == 2
+    for a, b in zip(got, ref):
+        assert np.array_equal(a, b)
+
+
 def test_mjpeg_frames_roundtrip():
     """MJPEG mp4: demux via the real sample tables (stsd/stsz/stsc/
     stco) and decode every frame with the in-repo JPEG codec - frames
