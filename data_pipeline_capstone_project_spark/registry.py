@@ -673,35 +673,83 @@ from .operators.relational import (
     string_functions_suite_query,
     window_navigation_suite_query,
 )
+from .operators.unigram import (
+    UNIGRAM_ENCODE_ORACLE_SQL,
+    UNIGRAM_TRAIN_ORACLE_SQL,
+    unigram_encode_query,
+    unigram_train_query,
+)
 from .plans.engagement import ROLLING_ENGAGEMENT_ORACLE_SQL, rolling_engagement
 from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
 QUERIES = {
-    # Round-5 rotation: the driver's correctness gate reads the FIRST
-    # 50 entries only. Window = the 3 never-driver-checked entries
-    # (tpch_volume_shipping, tpch_product_profit, jpeg_decode), the new
-    # r5 entries (mp4_meta, wav_stats, media_dispatch), every entry
-    # whose implementation changed in
-    # r4/r5 after its last green row (palette trio post-HSV/_lloyd,
-    # chunked ewma_smoothing, streaming_quantile store protocol,
-    # vocab_top_terms TakeOrdered rewrite, flagship q1_history +
-    # rolling_engagement), then the entries whose last green row is
-    # OLDEST (r1, then r2) - so every registry name keeps a fresh
-    # certification on a ~3-round cadence. Full two-scale sweep ledger:
-    # VERIFICATION.md; rotation history: VERDICT r3 item 1 / r4 item 1.
+    # Round-7 rotation: the driver's correctness gate reads the FIRST
+    # 50 entries only. Window = the new r7 entries (unigram_train /
+    # unigram_encode), the rows-only color_palette, the five entries
+    # whose implementation changed in r7 (mp4 multi-track fix, float32
+    # WAV), the 24 entries whose newest driver evidence is r2 (VERDICT
+    # r6 item 3's explicit list), then the OLDEST r3 entries
+    # alphabetically - after r7 no entry's newest driver row is older
+    # than r3. Full two-scale sweep ledger: VERIFICATION.md; rotation
+    # history: VERDICT r3 item 1 / r4 item 1 / r6 item 3.
+    "unigram_train": unigram_train_query,
+    "unigram_encode": unigram_encode_query,
+    "color_palette": color_palette_query,
+    "mp4_meta": mp4_meta_query,
+    "mp4_audio_meta": mp4_audio_meta_query,
+    "video_frames": video_frames_query,
+    "wav_stats": wav_stats_query,
+    "media_dispatch": media_dispatch_query,
+    "approx_distinct": approx_distinct_query,
+    "array_functions_suite": array_functions_suite_query,
+    "frame_sample": frame_sample_query,
+    "grouped_median": grouped_median_query,
+    "heavy_hitters": heavy_hitters_query,
+    "interval_join": interval_join_query,
+    "json_lake_ingest": json_lake_ingest_query,
+    "keyword_search": keyword_search_query,
+    "multimodal_meta": multimodal_meta_query,
+    "pagerank": pagerank_query,
+    "scd2_history": scd2_history_query,
+    "similarity_ivf_ann": similarity_ivf_query,
+    "similarity_lsh_ann": similarity_lsh_query,
+    "similarity_topk": similarity_topk_query,
+    "stats_suite": stats_suite_query,
+    "streaming_dedup": streaming_dedup_query,
+    "streaming_stateful": streaming_stateful_query,
+    "streaming_upsert": streaming_upsert_query,
+    "streaming_window_agg": streaming_window_query,
+    "tpch_market_share": market_share_query,
+    "tpch_regional_volume": regional_volume_query,
+    "tpch_shipping_priority": shipping_priority_query,
+    "train_test_split": train_test_split_query,
+    "value_percentiles": value_percentiles_query,
+    "above_customer_avg": above_customer_avg_query,
+    "argminmax": argminmax_query,
+    "asof_nearest": asof_nearest_query,
+    "cohort_retention": cohort_retention_query,
+    "data_quality_suite": data_quality_suite_query,
+    "datetime_suite": datetime_suite_query,
+    "dedup_clusters_star": dedup_clusters_star_query,
+    "dedup_simhash": dedup_simhash_query,
+    "doc_chunking": doc_chunking_query,
+    "doc_score_inference": doc_score_inference_query,
+    "event_unpivot": event_unpivot_query,
+    "feature_binning": feature_binning_query,
+    "feature_hashing": feature_hashing_query,
+    "feature_scaling": feature_scaling_query,
+    "funnel": funnel_query,
+    "fuzzy_match": fuzzy_match_query,
+    "gap_fill": gap_fill_query,
+    "global_row_ids": global_row_ids_query,
+    # --- end of round-7 gate window (50) ---
     "tpch_volume_shipping": volume_shipping_query,
     "tpch_product_profit": product_profit_query,
     "jpeg_decode": jpeg_decode_query,
-    "mp4_meta": mp4_meta_query,
-    "mp4_audio_meta": mp4_audio_meta_query,
-    "wav_stats": wav_stats_query,
-    "media_dispatch": media_dispatch_query,
     "packing_efficiency": packing_efficiency_query,
     "dedup_threshold_sweep": dedup_threshold_sweep_query,
     "embedding_quality": embedding_quality_query,
     "source_vocab_drift": source_vocab_drift_query,
-    "video_frames": video_frames_query,
-    "color_palette": color_palette_query,
     "color_palette_props": color_palette_props_query,
     "color_palette_png": color_palette_png_query,
     "ewma_smoothing": ewma_smoothing_fused_query,
@@ -740,64 +788,23 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_query,
     "dedup_minhash_lsh": dedup_minhash_query,
     "dedup_embedding_cosine": dedup_embedding_query,
-    # --- end of round-5 gate window (50) ---
-    "similarity_topk": similarity_topk_query,
-    "similarity_lsh_ann": similarity_lsh_query,
-    "similarity_ivf_ann": similarity_ivf_query,
-    "multimodal_meta": multimodal_meta_query,
-    "frame_sample": frame_sample_query,
-    "streaming_upsert": streaming_upsert_query,
-    "streaming_window_agg": streaming_window_query,
-    "streaming_stateful": streaming_stateful_query,
-    "keyword_search": keyword_search_query,
-    "json_lake_ingest": json_lake_ingest_query,
-    "train_test_split": train_test_split_query,
-    "grouped_median": grouped_median_query,
-    "approx_distinct": approx_distinct_query,
-    "value_percentiles": value_percentiles_query,
-    "interval_join": interval_join_query,
-    "streaming_dedup": streaming_dedup_query,
-    "array_functions_suite": array_functions_suite_query,
-    "tpch_shipping_priority": shipping_priority_query,
-    "tpch_regional_volume": regional_volume_query,
-    "scd2_history": scd2_history_query,
-    "stats_suite": stats_suite_query,
-    "tpch_market_share": market_share_query,
-    "pagerank": pagerank_query,
-    "heavy_hitters": heavy_hitters_query,
     "user_rank_suite": user_rank_suite_query,
     "streaming_lsh_dedup": streaming_lsh_dedup_query,
-    "dedup_clusters_star": dedup_clusters_star_query,
     "skew_salted_join": skew_salted_join_query,
     "pricing_grouping_sets": pricing_grouping_sets_query,
     "streaming_join": streaming_join_query,
-    "doc_score_inference": doc_score_inference_query,
     "similarity_quantized": similarity_quantized_query,
     "streaming_session": streaming_session_query,
-    "doc_chunking": doc_chunking_query,
     "pii_redaction": pii_redaction_query,
-    "event_unpivot": event_unpivot_query,
-    "gap_fill": gap_fill_query,
-    "global_row_ids": global_row_ids_query,
     "time_range_window": time_range_window_query,
     "price_histogram": price_histogram_query,
     "rolling_distinct": rolling_distinct_query,
-    "funnel": funnel_query,
-    "cohort_retention": cohort_retention_query,
-    "feature_hashing": feature_hashing_query,
-    "fuzzy_match": fuzzy_match_query,
-    "above_customer_avg": above_customer_avg_query,
     "tpch_big_spenders": big_spenders_query,
     "null_semantics": null_semantics_query,
-    "datetime_suite": datetime_suite_query,
     "incremental_agg": incremental_agg_query,
     "random_projection": random_projection_query,
-    "argminmax": argminmax_query,
     "weighted_sample": weighted_sample_query,
     "streaming_multi_sink": streaming_multi_sink_query,
-    "feature_scaling": feature_scaling_query,
-    "feature_binning": feature_binning_query,
-    "asof_nearest": asof_nearest_query,
     "time_rollup": time_rollup_query,
     "join_types_suite": join_types_suite_query,
     "tpch_promo_revenue": promo_revenue_query,
@@ -807,14 +814,12 @@ QUERIES = {
     "json_functions_suite": json_functions_suite_query,
     "string_functions_suite": string_functions_suite_query,
     "sketch_rollup": sketch_rollup_query,
-    "data_quality_suite": data_quality_suite_query,
     "retention_prune": retention_prune_query,
     "tpch_revenue_filter": revenue_filter_query,
     "tpch_shipmode_priority": shipmode_priority_query,
     "tpch_discounted_revenue": discounted_revenue_query,
     "safe_arithmetic_suite": safe_arithmetic_suite_query,
     "window_navigation_suite": window_navigation_suite_query,
-    "dedup_simhash": dedup_simhash_query,
     "upsert_audit": upsert_audit_query,
     "image_decode": image_decode_query,
     "decontamination": decontamination_query,
@@ -866,6 +871,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unigram_train": UNIGRAM_TRAIN_ORACLE_SQL,
+    "unigram_encode": UNIGRAM_ENCODE_ORACLE_SQL,
     "q1_history": HISTORY_ORACLE_SQL,
     "rolling_engagement": ROLLING_ENGAGEMENT_ORACLE_SQL,
     "latest_wins": LATEST_WINS_ORACLE_SQL,
