@@ -1,0 +1,120 @@
+"""Scale-evidence bench (VERDICT r5 item 1 / r6 item 2): measure the
+ten heaviest operators at sf0.1 AND at the synthetic sf1/sf2
+(tools/make_scale_data.py) and report rows/s at each scale. The
+claim under test: every heavy operator's plan is linear-ish in its
+input (bucketed candidate generation, Zipf-bounded vocab tables,
+shared scans), so throughput should hold within a small factor when
+the data grows 10-20x on the same 32-core box. A rows/s collapse at
+sf1 is a scale bug the sf0.1 bench cannot see.
+
+Rows/s denominators are the operator's true input relation (documents
+for the corpus ops, orders+lineitem for pagerank), read from the
+parquet footer.
+
+Usage: python tools/scale_bench.py [sf_dir ...]
+  default: /root/testdata/sf0.1 scaledata/sf1 [scaledata/sf2 if present]
+Writes tools/scale_bench_results.json; SCALING.md is maintained from
+these numbers.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+HEAVY = {
+    # name -> input tables for the rows/s denominator
+    "streaming_lsh_dedup": ("documents",),
+    "curation_funnel": ("documents",),
+    "cross_corpus_overlap": ("documents",),
+    "corpus_dup_ngrams": ("documents",),
+    "vocab_growth": ("documents",),
+    "dedup_threshold_sweep": ("documents",),
+    "similarity_join_exact": ("documents",),
+    "substring_dedup": ("documents",),
+    "bpe_train": ("documents",),
+    "pagerank": ("orders", "lineitem"),
+}
+
+
+def main() -> None:
+    from data_pipeline_capstone_project_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    dirs = sys.argv[1:]
+    if not dirs:
+        dirs = ["/root/testdata/sf0.1", os.path.join(REPO, "scaledata", "sf1")]
+        sf2 = os.path.join(REPO, "scaledata", "sf2")
+        if os.path.isdir(sf2):
+            dirs.append(sf2)
+
+    spark = get_spark("scale-bench")
+    queries = entrymod.queries()
+    results: dict[str, dict] = {}
+    for sf_dir in dirs:
+        label = os.path.basename(sf_dir.rstrip("/"))
+        results[label] = {}
+        for name, tables in HEAVY.items():
+            in_rows = sum(
+                pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows
+                for t in tables
+            )
+            runs = []
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:
+                print(f"{label} {name} FAILED: {exc}", file=sys.stderr)
+                results[label][name] = {"error": str(exc)[:200]}
+                continue
+            best = min(runs)
+            results[label][name] = {
+                "sec": best,
+                "runs": runs,
+                "input_rows": in_rows,
+                "rows_per_sec": round(in_rows / best, 1),
+            }
+            print(
+                f"{label:8s} {name:24s} {best:8.2f}s  "
+                f"{in_rows:>9d} rows  {in_rows / best:>12.0f} rows/s"
+            )
+            spark.catalog.clearCache()
+            gc.collect()
+
+    out = os.path.join(REPO, "tools", "scale_bench_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+
+    # scaling summary: rows/s ratio vs the first (smallest) dir
+    base_label = os.path.basename(dirs[0].rstrip("/"))
+    print(f"\n{'operator':24s} " + " ".join(f"{os.path.basename(d.rstrip('/')):>12s}" for d in dirs) + "   (rows/s; ratio vs " + base_label + ")")
+    for name in HEAVY:
+        cells = []
+        base = results[base_label].get(name, {}).get("rows_per_sec")
+        for d in dirs:
+            lab = os.path.basename(d.rstrip("/"))
+            r = results[lab].get(name, {})
+            if "rows_per_sec" in r:
+                ratio = r["rows_per_sec"] / base if base else float("nan")
+                cells.append(f"{r['rows_per_sec']:>9.0f} {ratio:>4.2f}x")
+            else:
+                cells.append("      FAIL")
+        print(f"{name:24s} " + " ".join(cells))
+
+
+if __name__ == "__main__":
+    main()
