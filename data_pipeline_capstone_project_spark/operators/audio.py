@@ -40,18 +40,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry expansion tables for G.711 a-law / mu-law, built from
+    the published segment/mantissa arithmetic (ITU-T G.711 tables 1a/
+    2a; the classic CCITT reference implementation's alaw2linear /
+    ulaw2linear) - exact integers, no float anywhere."""
+    alaw = np.empty(256, dtype=np.int32)
+    ulaw = np.empty(256, dtype=np.int32)
+    for i in range(256):
+        a = i ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[i] = t if a & 0x80 else -t
+        u = ~i & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[i] = (0x84 - t) if u & 0x80 else (t - 0x84)
+    return alaw, ulaw
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
+
+
 def make_wav(
     n_samples: int, sample_rate: int = 44100, channels: int = 2,
     bits: int = 16, seed: int = 0, float_fmt: bool = False,
+    g711: str | None = None,
 ) -> bytes:
     """Canonical RIFF/WAVE: deterministic full-scale-bounded samples
     (a seeded integer LCG, library-free and platform-exact).
     ``float_fmt=True`` writes WAVE_FORMAT_IEEE_FLOAT (tag 3, 32-bit)
     with a spec-required ``fact`` chunk; sample values are dyadic
     rationals (24-bit-integer / 2^23), so every value is exactly
-    representable in float32 and every downstream fold is exact."""
+    representable in float32 and every downstream fold is exact.
+    ``g711="alaw"/"ulaw"`` writes 8-bit G.711 telephony audio (tags
+    6/7) whose data bytes come straight from the LCG - the decode
+    side expands them through the exact integer tables."""
     if float_fmt and bits != 32:
         raise ValueError("float WAV is 32-bit")
+    if g711 is not None and bits != 8:
+        raise ValueError("G.711 WAV is 8-bit")
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     # 64-bit LCG (plain Python ints, masked), folded to the sample width
@@ -62,7 +95,9 @@ def make_wav(
     for i in range(n_samples * channels):
         state = (state * 6364136223846793005 + 1442695040888963407) & mask
         out[i] = (state >> 33) % (1 << fold_bits) - (1 << (fold_bits - 1))
-    if float_fmt:
+    if g711 is not None:
+        data = (out + 128).astype(np.uint8).tobytes()  # raw companded bytes
+    elif float_fmt:
         data = (out / (1 << 23)).astype("<f4").tobytes()
     elif bits == 16:
         data = out.astype("<i2").tobytes()
@@ -74,12 +109,12 @@ def make_wav(
         data = np.ascontiguousarray(b).tobytes()
     else:
         raise ValueError("fixture writer supports 8/16/24-bit PCM")
-    tag = 3 if float_fmt else 1
+    tag = {"alaw": 6, "ulaw": 7}[g711] if g711 else (3 if float_fmt else 1)
     fmt = struct.pack(
         "<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits
     )
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    if float_fmt:
+    if tag != 1:
         # non-PCM formats carry a fact chunk (samples per channel)
         chunks += b"fact" + struct.pack("<II", 4, n_samples)
     chunks += b"data" + struct.pack("<I", len(data)) + data
@@ -121,6 +156,23 @@ def _wav_meta_impl(payload: bytes) -> tuple[int, int, int, int]:
     return channels, rate, bits, duration_ms
 
 
+def wav_fmt_tag(payload: bytes) -> int:
+    """The fmt chunk's format tag (1 PCM, 3 IEEE float, 6 a-law,
+    7 mu-law, ...) - the codec discriminator next to wav_meta's
+    layout fields."""
+    off = 12
+    while off + 8 <= len(payload):
+        kind = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if kind == b"fmt ":
+            return struct.unpack("<H", payload[off + 8 : off + 10])[0]
+        off += 8 + size + (size & 1)
+    raise ValueError("no fmt chunk")
+
+
+_TAG_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw"}
+
+
 def wav_pcm(payload: bytes) -> np.ndarray:
     """(n_samples, channels) samples from the data chunk: int32 for
     integer PCM (format tag 1), float32 for IEEE-float (format tag 3;
@@ -155,9 +207,17 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
         if bits != 32:
             raise NotImplementedError("IEEE-float WAV is 32-bit only")
         samples = np.frombuffer(raw, dtype="<f4")
+    elif tag in (6, 7):
+        # G.711 a-law (6) / mu-law (7): 8-bit log-companded telephony
+        # audio - the decode is exact integer arithmetic (ITU-T G.711
+        # segment/mantissa expansion), no codec library involved.
+        if bits != 8:
+            raise ValueError("G.711 WAV must be 8 bits per sample")
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        samples = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.int32)
     elif tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {tag} (only PCM and IEEE float)"
+            f"WAV format tag {tag} (PCM, IEEE float and G.711 supported)"
         )
     elif bits == 16:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
@@ -184,12 +244,14 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
 N_CLIPS = 24
 
 
-def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
-    """(name, n_samples, rate, channels, bits, seed): mixes rates
-    (8k/16k/44.1k), mono/stereo, 8/16/24-bit integer PCM (24-bit is
-    the common studio/export width - VERDICT r5 item 5) and 32-bit
-    IEEE float (bits == 32 by convention; the most common non-integer
-    format in the wild - VERDICT r6 item 5)."""
+def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
+    """(name, n_samples, rate, channels, spec, seed): mixes rates
+    (8k/16k/44.1k), mono/stereo, and every decodable codec - 8/16/
+    24-bit integer PCM (24-bit is the common studio/export width -
+    VERDICT r5 item 5), 32-bit IEEE float (the most common
+    non-integer format in the wild - VERDICT r6 item 5), and G.711
+    a-law / mu-law telephony audio. ``spec`` is a PCM bit width (int)
+    or a G.711 codec name (str)."""
     out = []
     for i in range(N_CLIPS):
         rate = (8000, 16000, 44100)[i % 3]
@@ -199,22 +261,28 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, int, int]]:
                 200 + 37 * i,
                 rate,
                 1 + (i % 2),
-                (16, 24, 32, 8)[i % 4],
+                (16, 24, 32, 8, "ulaw", "alaw")[i % 6],
                 i,
             )
         )
     return out
 
 
+def _make_fixture(ns: int, rate: int, ch: int, spec, seed: int) -> bytes:
+    if isinstance(spec, str):
+        return make_wav(
+            ns, sample_rate=rate, channels=ch, bits=8, seed=seed, g711=spec
+        )
+    return make_wav(
+        ns, sample_rate=rate, channels=ch, bits=spec, seed=seed,
+        float_fmt=spec == 32,
+    )
+
+
 def _stage_wav_store(root: str) -> None:
-    for name, ns, rate, ch, bits, seed in _audio_fixtures():
+    for name, ns, rate, ch, spec, seed in _audio_fixtures():
         with open(os.path.join(root, name), "wb") as f:
-            f.write(
-                make_wav(
-                    ns, sample_rate=rate, channels=ch, bits=bits, seed=seed,
-                    float_fmt=bits == 32,
-                )
-            )
+            f.write(_make_fixture(ns, rate, ch, spec, seed))
 
 
 def wav_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,25 +301,25 @@ def wav_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 rows = {
                     "clip_name": [], "channels": [], "sample_rate": [],
-                    "bits": [], "is_float": [], "duration_ms": [],
+                    "bits": [], "codec": [], "duration_ms": [],
                     "peak": [], "sample_sum": [],
                 }
                 for name, p in zip(pdf["clip_name"], pdf["payload"]):
                     ch, rate, bits, dur = wav_meta(p)
+                    codec = _TAG_NAMES[wav_fmt_tag(p)]
                     pcm = wav_pcm(p)
-                    is_float = pcm.dtype.kind == "f"
                     # Float samples are Q8.23 dyadics by construction:
                     # scale to the exact integer lattice so the folds
                     # stay integer-exact next to the PCM clips. (The
                     # float64 sum of <2^16 values each a multiple of
                     # 2^-23 and < 2 in magnitude is exact: 40 bits.)
-                    scale = 1 << 23 if is_float else 1
+                    scale = 1 << 23 if codec == "float" else 1
                     vals = pcm.astype(np.float64) * scale
                     rows["clip_name"].append(name)
                     rows["channels"].append(ch)
                     rows["sample_rate"].append(rate)
                     rows["bits"].append(bits)
-                    rows["is_float"].append(is_float)
+                    rows["codec"].append(codec)
                     rows["duration_ms"].append(dur)
                     rows["peak"].append(int(np.abs(vals).max()))
                     rows["sample_sum"].append(int(vals.sum()))
@@ -260,7 +328,7 @@ def wav_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = bin_df.mapInPandas(
             parse_batches,
             "clip_name string, channels int, sample_rate int, bits int, "
-            "is_float boolean, duration_ms long, peak long, sample_sum long",
+            "codec string, duration_ms long, peak long, sample_sum long",
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -271,27 +339,24 @@ def _wav_oracle() -> str:
     """Closed-form expected rows, computed by running the pure-numpy
     writer+parser round trip at oracle-build time (no Spark)."""
     rows = []
-    for name, ns, rate, ch, bits, seed in _audio_fixtures():
-        payload = make_wav(
-            ns, sample_rate=rate, channels=ch, bits=bits, seed=seed,
-            float_fmt=bits == 32,
-        )
+    for name, ns, rate, ch, spec, seed in _audio_fixtures():
+        payload = _make_fixture(ns, rate, ch, spec, seed)
         pch, prate, pbits, pdur = wav_meta(payload)
-        assert (pch, prate, pbits) == (ch, rate, bits)
+        codec = _TAG_NAMES[wav_fmt_tag(payload)]
+        assert (pch, prate) == (ch, rate)
         pcm = wav_pcm(payload)
         assert pcm.shape == (ns, ch)
-        is_float = pcm.dtype.kind == "f"
-        scale = 1 << 23 if is_float else 1
+        scale = 1 << 23 if codec == "float" else 1
         vals = pcm.astype(np.float64) * scale
         rows.append(
-            f"('{name}', {ch}, {rate}, {bits}, {str(is_float).upper()}, "
+            f"('{name}', {ch}, {rate}, {pbits}, '{codec}', "
             f"{pdur}, {int(np.abs(vals).max())}, {int(vals.sum())})"
         )
     return (
-        "SELECT clip_name, channels, sample_rate, bits, is_float, "
+        "SELECT clip_name, channels, sample_rate, bits, codec, "
         "duration_ms, peak, "
         f"sample_sum FROM (VALUES {', '.join(rows)}) "
-        "AS t(clip_name, channels, sample_rate, bits, is_float, "
+        "AS t(clip_name, channels, sample_rate, bits, codec, "
         "duration_ms, peak, sample_sum)"
     )
 

@@ -119,21 +119,70 @@ def test_unsupported_format_tag_is_honest_seam():
         wav_pcm(patched)
 
 
+def test_g711_expansion_matches_published_values():
+    """The expansion tables against ITU-T G.711 reference points (the
+    classic CCITT ulaw2linear/alaw2linear values): full-scale
+    negative, zero codes, and a mid-segment sample for each law."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    # mu-law: code 0x00 -> -32124 (full-scale), 0xFF -> 0, 0x7F -> 0
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ULAW_TABLE[0xFF] == 0
+    assert _ULAW_TABLE[0x7F] == 0
+    # a-law: code 0x55 (^0x55 = 0, seg 0) -> -8; 0xD5 -> +8;
+    # 0x2A (^0x55 = 0x7F: seg 7 mantissa 15) -> -32256 full-scale
+    assert _ALAW_TABLE[0x55] == -8
+    assert _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256
+    # symmetry: flipping the sign bit of the COMPLEMENTED/XORed code
+    # negates the magnitude
+    assert np.array_equal(
+        _ULAW_TABLE[:128], -_ULAW_TABLE[128:]
+    )
+
+
+def test_g711_wav_roundtrip():
+    """A G.711 WAV decodes through the same wav_pcm path: 8-bit
+    container metadata, int32 samples in the 13/14-bit expanded
+    range."""
+    for law, lim in (("ulaw", 32124), ("alaw", 32256)):
+        p = make_wav(300, sample_rate=8000, channels=1, bits=8, seed=9,
+                     g711=law)
+        assert wav_meta(p) == (1, 8000, 8, round(300 * 1000 / 8000))
+        pcm = wav_pcm(p)
+        assert pcm.shape == (300, 1) and pcm.dtype == np.int32
+        assert np.abs(pcm).max() <= lim
+        assert np.abs(pcm).max() > 255  # expanded, not raw bytes
+
+
 def test_wav_stats_query_spark(spark, sf_dir):
     rows = {r["clip_name"]: r for r in wav_stats_query(spark, sf_dir).collect()}
     assert len(rows) == 24
     r0 = rows["a00.wav"]
     assert (r0["channels"], r0["sample_rate"], r0["bits"]) == (1, 8000, 16)
-    # the fixture mix includes the 24-bit studio width (VERDICT r5
-    # item 5) and its peaks use the widened range
-    w24 = [r for r in rows.values() if r["bits"] == 24]
-    assert len(w24) == 6
+    by_codec = {}
+    for r in rows.values():
+        by_codec.setdefault(r["codec"], []).append(r)
+    # every decodable codec family present: integer PCM at three
+    # widths, IEEE float, and both G.711 laws
+    assert set(by_codec) == {"pcm", "float", "alaw", "ulaw"}
+    # the 24-bit studio width's peaks use the widened range
+    w24 = [r for r in by_codec["pcm"] if r["bits"] == 24]
+    assert len(w24) == 4
     assert max(r["peak"] for r in w24) > (1 << 15)
-    # ... and 32-bit IEEE float clips (VERDICT r6 item 5), whose Q23
-    # integer probes land on the same lattice as the 24-bit clips
-    f32 = [r for r in rows.values() if r["is_float"]]
-    assert len(f32) == 6
+    # 32-bit IEEE float clips: Q23 integer probes on the same lattice
+    f32 = by_codec["float"]
+    assert len(f32) == 4
     assert all(r["bits"] == 32 for r in f32)
     assert all(0 < r["peak"] < (1 << 23) for r in f32)
+    # G.711: 8-bit container, expanded 13/14-bit sample range
+    for law, lim in (("ulaw", 32124), ("alaw", 32256)):
+        clips = by_codec[law]
+        assert len(clips) == 4
+        assert all(r["bits"] == 8 for r in clips)
+        assert all(255 < r["peak"] <= lim for r in clips)
     # metadata and samples agree: duration from the actual PCM length
     assert all(r["peak"] > 0 for r in rows.values())

@@ -46,6 +46,7 @@ def _seeds() -> list[bytes]:
         make_wav(200),
         make_wav(200, bits=24),
         make_wav(200, bits=32, float_fmt=True),
+        make_wav(200, bits=8, g711="ulaw"),
     ]
 
 
