@@ -193,6 +193,49 @@ def unigram_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn("vocab_rank", F.row_number().over(w))
 
 
+def tokenizer_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the tokenizer-evaluation twin the two trainers
+    share (VERDICT r6 item 4's acceptance check as a first-class,
+    oracle-checked entry, not just a pytest): per source, the corpus
+    word count and the token counts + fertility (tokens per word)
+    under BOTH the learned BPE merges and the trained unigram
+    vocabulary. Both training passes are session-cached, and the
+    corpus-sized work is one explode + two broadcastable vocab joins +
+    one aggregation - no re-training, no re-folding."""
+    from .bpe import _train as _bpe_train
+
+    _, bpe_vocab = _bpe_train(spark, sf_dir)
+    bpe_len = bpe_vocab.select("word", F.size("syms").alias("bpe_sub"))
+    final_seg, _, _ = _train(spark, sf_dir)
+    uni_len = final_seg.select("word", F.size("pieces").alias("uni_sub"))
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = (
+        docs.select("source", F.explode_outer(tokens_col()).alias("tok"))
+        .select("source", F.lower("tok").alias("word"))
+        .filter(F.col("word").rlike(_WORD_RE))
+    )
+    return (
+        doc_words.join(bpe_len, "word")
+        .join(uni_len, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("bpe_sub").alias("bpe_tokens"),
+            F.sum("uni_sub").alias("unigram_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "bpe_tokens",
+            "unigram_tokens",
+            (F.col("bpe_tokens") / F.col("n_words")).alias("bpe_fertility"),
+            (F.col("unigram_tokens") / F.col("n_words")).alias(
+                "unigram_fertility"
+            ),
+        )
+    )
+
+
 def unigram_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus under the trained unigram vocabulary: per
     document, subword-token count against its alphabetic word count -
@@ -241,7 +284,7 @@ vstr{r} AS MATERIALIZED (
   FROM {vocab_cte}
 ),
 walk{r} AS (
-  SELECT word, cnt, 1 AS cur, CAST('' AS VARCHAR) AS segs FROM v1
+  SELECT word, cnt, 1 AS cur, CAST('' AS VARCHAR) AS segs FROM uw1
   UNION ALL
   SELECT word, cnt, cur + l, segs || '|' || substr(word, cur, l) || '|'
   FROM (
@@ -269,7 +312,7 @@ def _unigram_oracle() -> str:
     CTE inlining re-executes the upstream chain per reference)."""
     parts = [
         f"""
-WITH RECURSIVE v1 AS MATERIALIZED (
+WITH RECURSIVE uw1 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt
   FROM (
     SELECT lower(unnest(string_split_regex(text, '\\s+'))) AS word FROM documents
@@ -286,7 +329,7 @@ seeds AS MATERIALIZED (
              s -> list_transform(
                range(1, least({MAX_PIECE_LEN}, len(word) - s + 1) + 1),
                l -> substr(word, s, l))))) AS piece
-    FROM v1
+    FROM uw1
   )
   GROUP BY piece
 ),
@@ -312,7 +355,7 @@ multis{r + 1} AS MATERIALIZED (
     parts.append(
         f""",
 singles AS (
-  SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM v1
+  SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM uw1
 ),
 final_vocab AS (
   SELECT piece FROM {vocab_cte} UNION SELECT piece FROM singles
@@ -334,6 +377,50 @@ SELECT v.piece,
 FROM final_vocab v LEFT JOIN usage{_FINAL_R} u USING (piece)
 """
 )
+
+def _fertility_oracle() -> str:
+    """Both trainers' unrolled CTE chains in ONE statement (the bpe
+    chain is v1../pc../b.., the unigram chain uw1/walk../usage.. -
+    disjoint names by construction), joined per source at the end."""
+    from .bpe import N_MERGES, _bpe_oracle
+
+    bpe_body = _bpe_oracle().replace("WITH v1", "WITH RECURSIVE v1", 1)
+    uni_body = _ORACLE_BODY.replace("WITH RECURSIVE uw1", "uw1", 1).lstrip("\n")
+    return (
+        bpe_body
+        + ",\n"
+        + uni_body
+        + f""",
+bpe_word_len AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(s, '|'), x -> x != '')) AS bpe_sub
+  FROM v{N_MERGES + 1}
+),
+uni_word_len AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(segs, '|'), x -> x != '')) AS uni_sub
+  FROM walk{_FINAL_R} WHERE cur = len(word) + 1
+),
+doc_words AS (
+  SELECT source, lower(unnest(string_split_regex(text, '\\s+'))) AS word
+  FROM documents
+)
+SELECT d.source,
+       count(*) AS n_words,
+       CAST(sum(b.bpe_sub) AS BIGINT) AS bpe_tokens,
+       CAST(sum(u.uni_sub) AS BIGINT) AS unigram_tokens,
+       CAST(sum(b.bpe_sub) AS BIGINT) / count(*) AS bpe_fertility,
+       CAST(sum(u.uni_sub) AS BIGINT) / count(*) AS unigram_fertility
+FROM doc_words d
+JOIN bpe_word_len b USING (word)
+JOIN uni_word_len u USING (word)
+WHERE regexp_matches(d.word, '{_WORD_RE}')
+GROUP BY d.source
+"""
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE_SQL = _fertility_oracle()
 
 UNIGRAM_ENCODE_ORACLE_SQL = (
     _ORACLE_BODY

@@ -674,6 +674,8 @@ from .operators.relational import (
     window_navigation_suite_query,
 )
 from .operators.unigram import (
+    TOKENIZER_FERTILITY_ORACLE_SQL,
+    tokenizer_fertility_query,
     UNIGRAM_ENCODE_ORACLE_SQL,
     UNIGRAM_TRAIN_ORACLE_SQL,
     unigram_encode_query,
@@ -694,6 +696,7 @@ QUERIES = {
     # history: VERDICT r3 item 1 / r4 item 1 / r6 item 3.
     "unigram_train": unigram_train_query,
     "unigram_encode": unigram_encode_query,
+    "tokenizer_fertility": tokenizer_fertility_query,
     "color_palette": color_palette_query,
     "mp4_meta": mp4_meta_query,
     "mp4_audio_meta": mp4_audio_meta_query,
@@ -741,8 +744,8 @@ QUERIES = {
     "funnel": funnel_query,
     "fuzzy_match": fuzzy_match_query,
     "gap_fill": gap_fill_query,
-    "global_row_ids": global_row_ids_query,
     # --- end of round-7 gate window (50) ---
+    "global_row_ids": global_row_ids_query,
     "tpch_volume_shipping": volume_shipping_query,
     "tpch_product_profit": product_profit_query,
     "jpeg_decode": jpeg_decode_query,
@@ -873,6 +876,7 @@ QUERIES = {
 ORACLES = {
     "unigram_train": UNIGRAM_TRAIN_ORACLE_SQL,
     "unigram_encode": UNIGRAM_ENCODE_ORACLE_SQL,
+    "tokenizer_fertility": TOKENIZER_FERTILITY_ORACLE_SQL,
     "q1_history": HISTORY_ORACLE_SQL,
     "rolling_engagement": ROLLING_ENGAGEMENT_ORACLE_SQL,
     "latest_wins": LATEST_WINS_ORACLE_SQL,

@@ -90,6 +90,30 @@ def test_fertility_vs_bpe(spark, sf_dir):
     assert mean_uni <= mean_bpe * 1.10
 
 
+def test_tokenizer_fertility_consistent_with_encoders(spark, sf_dir):
+    """The per-source fertility report must re-aggregate to the same
+    corpus totals the two per-doc encoders produce."""
+    from data_pipeline_capstone_project_spark.operators.bpe import (
+        bpe_encode_query,
+    )
+    from data_pipeline_capstone_project_spark.operators.unigram import (
+        tokenizer_fertility_query,
+    )
+
+    fert = tokenizer_fertility_query(spark, sf_dir).collect()
+    assert len(fert) >= 2  # several sources in every sf
+    tot_words = sum(r["n_words"] for r in fert)
+    tot_bpe = sum(r["bpe_tokens"] for r in fert)
+    tot_uni = sum(r["unigram_tokens"] for r in fert)
+    bpe_docs = bpe_encode_query(spark, sf_dir).collect()
+    uni_docs = unigram_encode_query(spark, sf_dir).collect()
+    assert tot_words == sum(r["n_words"] for r in bpe_docs)
+    assert tot_bpe == sum(r["n_tokens"] for r in bpe_docs)
+    assert tot_uni == sum(r["n_tokens"] for r in uni_docs)
+    for r in fert:
+        assert r["bpe_fertility"] >= 1.0 and r["unigram_fertility"] >= 1.0
+
+
 def test_encode_matches_train_segmentation(spark, sf_dir):
     """n_tokens must be the sum of the per-word piece counts the
     trainer's final segmentation produces - the encoder may not
