@@ -253,18 +253,26 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     JACCARD_THRESHOLD (too low merges topical neighbors, too high
     misses templated spam).
 
-    Scale shape: the expensive stage (shingle self-join + exact
-    Jaccard) runs ONCE; the sweep is a 4-way lateral fan-out over the
-    already-bounded pair set (pairs sharing >= 1 shingle), so adding
-    thresholds costs proportional to |pairs|, never another corpus
-    pass. Zero-pair thresholds survive via the threshold spine
+    Scale shape (round-7 fix, found by the sf2 scale run): the pair
+    set comes from the PREFIX-FILTERED candidate path
+    (:func:`_prefix_filtered_pairs` at the sweep's lowest threshold),
+    not the naive >= 1-shared-shingle join. The naive pair set is
+    quadratic in corpus size when shingles are hot (a shingle in d
+    docs emits d^2/2 pairs; at 20x the bench corpus it OOMed a 48 GB
+    heap), while every threshold the sweep reports is >= 0.3 - so
+    prefix filtering at 0.3 is LOSSLESS for the report and bounds the
+    join to rare-shingle prefixes. The expensive stage still runs
+    ONCE; the sweep is a 4-way lateral fan-out over the bounded pair
+    set. Zero-pair thresholds survive via the threshold spine
     left-join. The pair set is pinned via an EAGER localCheckpoint
     because two aggregation grains consume it (pair counts and
     exploded-doc distinct counts) - without the pin the lazy plan
-    re-runs the shingle self-join per branch. localCheckpoint (not
+    re-runs the candidate join per branch. localCheckpoint (not
     persist) so the materialized blocks are released with the RDD
     reference instead of leaking cache for the session lifetime."""
-    pairs = _ngram_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _prefix_filtered_pairs(
+        spark, sf_dir, min(SWEEP_THRESHOLDS)
+    ).localCheckpoint(eager=True)
     th = F.explode(
         F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
     ).alias("threshold")
@@ -1224,6 +1232,16 @@ def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-combinable df aggregate, one re-group by
     doc, a candidate equi-join sized by *prefix* postings only, and
     verification linear in candidates."""
+    return _prefix_filtered_pairs(spark, sf_dir, JACCARD_THRESHOLD)
+
+
+def _prefix_filtered_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """All doc pairs with exact 3-gram Jaccard >= ``threshold`` via
+    AllPairs/PPJoin prefix filtering - the shared bounded candidate
+    path behind ``similarity_join_exact`` (t = JACCARD_THRESHOLD) and
+    ``dedup_threshold_sweep`` (t = the sweep's lowest cutoff)."""
     sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
     shx = sh.select("doc_id", F.explode_outer("shs").alias("s"))
     freq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -1234,7 +1252,7 @@ def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plen = (
         F.size("ss")
-        - F.ceil(F.size("ss") * F.lit(JACCARD_THRESHOLD)).cast("int")
+        - F.ceil(F.size("ss") * F.lit(threshold)).cast("int")
         + 1
     )
     # explode_outer, not explode: see dedup_ngram_query (inferred
@@ -1264,5 +1282,5 @@ def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (common / (F.size("shs_a") + F.size("shs_b") - common)).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= F.lit(threshold))
     )
