@@ -197,8 +197,15 @@ def dedup_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join only materializes pairs that share >= 1 shingle, not the
     |docs|^2 cross product; shingles enter the self-join as 8-byte
     md5-derived hashes, not ~25-char strings, so the shuffle moves a
-    fraction of the bytes. At scale the LSH operator below bounds the
-    candidate set further.
+    fraction of the bytes.
+
+    This is the NAIVE inverted-index plan, kept as the reference
+    point ``similarity_join_exact`` is hash-checked against: its pair
+    stage is still quadratic in hot-shingle document frequency (a
+    shingle in d docs emits d^2/2 pairs - measured OOM at 20x the
+    bench corpus, SCALING.md). Production paths use
+    ``_prefix_filtered_pairs`` (AllPairs/PPJoin, result-identical) or
+    the banded LSH operator below.
 
     ``explode_outer`` (not ``explode``) is deliberate: plain explode
     triggers the InferFiltersFromGenerate rule, which pushes an

@@ -57,10 +57,13 @@ def main() -> None:
         if os.path.isdir(sf2):
             dirs.append(sf2)
 
-    spark = get_spark("scale-bench")
-    queries = entrymod.queries()
     results: dict[str, dict] = {}
     for sf_dir in dirs:
+        # fresh JVM per scale: a 30-minute-old heap's GC/page-cache
+        # state would otherwise bleed into the later scales' numbers
+        # (observed: same op 20% slower in the long-lived session)
+        spark = get_spark("scale-bench")
+        queries = entrymod.queries()
         label = os.path.basename(sf_dir.rstrip("/"))
         results[label] = {}
         for name, tables in HEAVY.items():
@@ -93,6 +96,7 @@ def main() -> None:
             )
             spark.catalog.clearCache()
             gc.collect()
+        spark.stop()
 
     out = os.path.join(REPO, "tools", "scale_bench_results.json")
     with open(out, "w") as f:
