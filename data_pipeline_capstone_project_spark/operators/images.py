@@ -60,18 +60,48 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def make_png(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a truecolor PNG
-    (8-bit, no interlace, filter 0 on every scanline)."""
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png(
+    pixels: np.ndarray,
+    color_type: int = 2,
+    interlace: bool = False,
+    palette: list | None = None,
+) -> bytes:
+    """Encode a PNG (8-bit, filter 0 on every scanline).
+    ``color_type`` 2 (truecolor, (h, w, 3) RGB input), 0 (grayscale,
+    (h, w) input) or 3 (palette, (h, w) index input + ``palette`` as
+    a list of RGB triples). ``interlace=True`` writes the Adam7
+    seven-pass layout (14.1 of the PNG spec)."""
     h, w = pixels.shape[:2]
-    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", header)
-        + _chunk(b"IDAT", zlib.compress(raw))
-        + _chunk(b"IEND", b"")
+    header = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    px = pixels if pixels.ndim == 3 else pixels[..., None]
+
+    def scanlines(img: np.ndarray) -> bytes:
+        return b"".join(b"\x00" + img[y].tobytes() for y in range(img.shape[0]))
+
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += scanlines(sub)
+    else:
+        raw = scanlines(px)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", header)
+    if color_type == 3:
+        out += _chunk(
+            b"PLTE",
+            b"".join(bytes(rgb) for rgb in palette),
+        )
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
 
 
 def png_meta(payload: bytes) -> tuple[int, int]:
@@ -81,39 +111,27 @@ def png_meta(payload: bytes) -> tuple[int, int]:
         raise ValueError("not a PNG")
     if payload[12:16] != b"IHDR":
         raise ValueError("IHDR not first chunk")
+    if len(payload) < 24:
+        raise ValueError("truncated IHDR")
     w, h = struct.unpack(">II", payload[16:24])
     return w, h
 
 
-def png_pixels(payload: bytes) -> np.ndarray:
-    """Full pure-Python decode of an 8-bit truecolor non-interlaced
-    PNG: concatenate IDAT, inflate, undo the per-scanline filter
-    (types 0-4 incl. Paeth). Returns (h, w, 3) uint8 RGB."""
-    w, h = png_meta(payload)
-    bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
-        ">BBBBB", payload[24:29]
-    )
-    if (bit_depth, color_type, interlace) != (8, 2, 0):
-        raise ValueError("only 8-bit truecolor non-interlaced supported")
-    idat = bytearray()
-    off = 8
-    while off < len(payload):
-        (length,) = struct.unpack(">I", payload[off : off + 4])
-        tag = payload[off + 4 : off + 8]
-        if tag == b"IDAT":
-            idat += payload[off + 8 : off + 8 + length]
-        off += 12 + length
-    raw = zlib.decompress(bytes(idat))
-    bpp = 3
+def _unfilter(raw: bytes, pos: int, w: int, h: int, bpp: int):
+    """Undo the per-scanline filters (types 0-4 incl. Paeth) for one
+    image or Adam7 sub-image of ``w`` x ``h`` pixels at ``bpp`` bytes
+    per pixel starting at ``pos``. Returns ((h, w*bpp) uint8, new
+    pos)."""
     stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
         ftype = raw[pos]
         line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
             np.int32
         )
+        if len(line) < stride:
+            raise ValueError("truncated scanline")
         pos += 1 + stride
         cur = np.zeros(stride, dtype=np.int32)
         if ftype == 0:
@@ -138,7 +156,71 @@ def png_pixels(payload: bytes) -> np.ndarray:
                 cur[x] = (line[x] + base) & 0xFF
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, 3)
+    return out, pos
+
+
+def png_pixels(payload: bytes) -> np.ndarray:
+    """Full pure-Python decode of an 8-bit PNG: concatenate IDAT,
+    inflate, undo the per-scanline filters, de-interlace when Adam7.
+    Color types 2 (truecolor), 0 (grayscale, replicated to RGB) and 3
+    (palette, PLTE lookup) are supported, interlaced or not - the
+    variants real web/tool PNGs actually use at 8-bit depth. Returns
+    (h, w, 3) uint8 RGB; 16-bit depth and alpha variants raise.
+    Corrupt streams (bad deflate data, truncated chunks) raise a
+    clean ValueError - the same contract as every binary parser in
+    the repo (tests/test_binary_fuzz.py)."""
+    try:
+        return _png_pixels_impl(payload)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG stream ({type(e).__name__})") from e
+
+
+def _png_pixels_impl(payload: bytes) -> np.ndarray:
+    w, h = png_meta(payload)
+    bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">BBBBB", payload[24:29]
+    )
+    if bit_depth != 8 or color_type not in (0, 2, 3) or interlace > 1:
+        raise ValueError(
+            "only 8-bit grayscale/truecolor/palette PNGs supported"
+        )
+    idat = bytearray()
+    plte = b""
+    off = 8
+    while off < len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += payload[off + 8 : off + 8 + length]
+        elif tag == b"PLTE":
+            plte = payload[off + 8 : off + 8 + length]
+        off += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3 if color_type == 2 else 1
+    if interlace:
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            if not pw or not ph:
+                continue
+            sub, pos = _unfilter(raw, pos, pw, ph, bpp)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    else:
+        flat, _pos = _unfilter(raw, 0, w, h, bpp)
+        img = flat.reshape(h, w, bpp)
+    if color_type == 2:
+        return img
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if len(plte) % 3 or not plte:
+        raise ValueError("palette PNG without a valid PLTE")
+    table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = img[..., 0]
+    if idx.max() >= len(table):
+        raise ValueError("palette index out of range")
+    return table[idx]
 
 
 def _user_colors(user: int) -> list[tuple[int, int, int]]:
@@ -162,16 +244,44 @@ def _stage_png_store(root: str) -> None:
                 f.write(make_png(px))
 
 
+#: PNG-variant fixtures added to the decode store (name -> writer):
+#: gradients, not solids, so an interlace-pass or palette-order bug
+#: changes bytes. Each is cross-checked against JVM ImageIO.
+VARIANT_W, VARIANT_H = 9, 7  # non-multiples of 8: partial Adam7 passes
+
+
+def _variant_pngs() -> list[tuple[str, bytes]]:
+    gy, gx = np.mgrid[0:VARIANT_H, 0:VARIANT_W]
+    gray = (13 * gx + 29 * gy).astype(np.uint8)
+    rgb = np.stack([gray, (gray + 85) % 256, (gray + 170) % 256], axis=-1).astype(
+        np.uint8
+    )
+    pal = [(11 * i % 256, (7 * i + 3) % 256, (5 * i + 9) % 256) for i in range(16)]
+    idx = ((gx + gy) % 16).astype(np.uint8)
+    return [
+        ("v_gray.png", make_png(gray, color_type=0)),
+        ("v_gray_i7.png", make_png(gray, color_type=0, interlace=True)),
+        ("v_rgb_i7.png", make_png(rgb, interlace=True)),
+        ("v_pal.png", make_png(idx, color_type=3, palette=pal)),
+        ("v_pal_i7.png", make_png(idx, color_type=3, palette=pal, interlace=True)),
+    ]
+
+
 def image_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: decode REAL PNG bytes two independent ways and
     cross-check pixel-exactly. ``binaryFile`` rows go through the
-    Arrow-batched python codec (header + full unfilter); the same
-    files via ``format("image")`` are decoded by JVM ImageIO into BGR.
-    Output: per-image dims from the python decode plus pixels_match
-    (python RGB reversed == JVM BGR bytes)."""
+    Arrow-batched python codec (header + full unfilter, incl. Adam7
+    de-interlace, grayscale and palette); the same files via
+    ``format("image")`` are decoded by JVM ImageIO. Output: per-image
+    dims from the python decode plus pixels_match (python plane(s)
+    reordered to ImageIO's layout == JVM bytes - gray stays 1
+    channel, color flips to BGR)."""
     work = tempfile.mkdtemp(prefix="png_store_")
     try:
         _stage_png_store(work)
+        for name, payload in _variant_pngs():
+            with open(os.path.join(work, name), "wb") as f:
+                f.write(payload)
 
         bin_df = spark.read.format("binaryFile").load(work).select(
             F.element_at(F.split("path", "/"), -1).alias("img_name"),
@@ -181,9 +291,14 @@ def image_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 metas = [png_meta(p) for p in pdf["payload"]]
-                # python decode -> RGB -> flip to BGR for the JVM compare
+                # python decode -> ImageIO's channel layout: BGR for
+                # color sources, the bare gray plane for grayscale
+                # (ImageIO/Spark image source keeps those 1-channel)
                 bgr = [
-                    png_pixels(p)[..., ::-1].tobytes() for p in pdf["payload"]
+                    png_pixels(p)[..., 0].tobytes()
+                    if p[25] == 0
+                    else png_pixels(p)[..., ::-1].tobytes()
+                    for p in pdf["payload"]
                 ]
                 yield pd.DataFrame(
                     {
@@ -335,6 +450,11 @@ SELECT printf('u%02d_c%d.png', u, j) AS img_name,
        {IMG_H} AS height,
        true AS pixels_match
 FROM imgs
+UNION ALL
+SELECT v AS img_name, {VARIANT_W} AS width, {VARIANT_H} AS height,
+       true AS pixels_match
+FROM (SELECT unnest(['v_gray.png', 'v_gray_i7.png', 'v_rgb_i7.png',
+                     'v_pal.png', 'v_pal_i7.png']) AS v)
 """
 
 COLOR_PALETTE_PNG_ORACLE_SQL = _palette_oracle()

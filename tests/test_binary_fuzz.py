@@ -18,6 +18,11 @@ from data_pipeline_capstone_project_spark.operators.audio import (
     wav_meta,
     wav_pcm,
 )
+from data_pipeline_capstone_project_spark.operators.images import (
+    make_png,
+    png_meta,
+    png_pixels,
+)
 from data_pipeline_capstone_project_spark.operators.jpeg import (
     jpeg_meta,
     jpeg_pixels,
@@ -30,7 +35,10 @@ from data_pipeline_capstone_project_spark.operators.mp4 import (
     mp4_meta,
 )
 
-PARSERS = (jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm)
+PARSERS = (
+    jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm,
+    png_meta, png_pixels,
+)
 
 
 def _seeds() -> list[bytes]:
@@ -47,6 +55,13 @@ def _seeds() -> list[bytes]:
         make_wav(200, bits=24),
         make_wav(200, bits=32, float_fmt=True),
         make_wav(200, bits=8, g711="ulaw"),
+        make_png(np.random.RandomState(1).randint(0, 256, (9, 7, 3)).astype(np.uint8)),
+        make_png(
+            np.random.RandomState(2).randint(0, 16, (9, 7)).astype(np.uint8),
+            color_type=3,
+            palette=[(i, i, i) for i in range(16)],
+            interlace=True,
+        ),
     ]
 
 

@@ -14,6 +14,7 @@ import struct
 import zlib
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -121,3 +122,58 @@ def test_multi_idat_chunks_concatenate(pixels):
         + _chunk(b"IEND", b"")
     )
     assert np.array_equal(png_pixels(rebuilt), pixels)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_pixels)
+def test_interlaced_roundtrip_truecolor(pixels):
+    """Adam7 write -> decode must reproduce the sequential image for
+    ANY dimensions (1..8 exercises every empty/partial pass case)."""
+    payload = make_png(pixels, interlace=True)
+    assert png_meta(payload) == (pixels.shape[1], pixels.shape[0])
+    assert np.array_equal(png_pixels(payload), pixels)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 11).flatmap(
+        lambda h: st.integers(1, 11).flatmap(
+            lambda w: st.binary(min_size=h * w, max_size=h * w).map(
+                lambda b: np.frombuffer(b, dtype=np.uint8).reshape(h, w).copy()
+            )
+        )
+    ),
+    st.booleans(),
+)
+def test_grayscale_roundtrip(gray, interlace):
+    payload = make_png(gray, color_type=0, interlace=interlace)
+    out = png_pixels(payload)
+    assert out.shape == (*gray.shape, 3)
+    for c in range(3):
+        assert np.array_equal(out[..., c], gray)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 9).flatmap(
+        lambda h: st.integers(1, 9).flatmap(
+            lambda w: st.binary(min_size=h * w, max_size=h * w).map(
+                lambda b: (np.frombuffer(b, dtype=np.uint8) % 16).reshape(h, w).copy()
+            )
+        )
+    ),
+    st.booleans(),
+)
+def test_palette_roundtrip(idx, interlace):
+    pal = [(i * 15, 255 - i * 15, (i * 37) % 256) for i in range(16)]
+    payload = make_png(idx, color_type=3, palette=pal, interlace=interlace)
+    out = png_pixels(payload)
+    expected = np.array(pal, dtype=np.uint8)[idx]
+    assert np.array_equal(out, expected)
+
+
+def test_palette_out_of_range_rejected():
+    idx = np.array([[0, 5]], dtype=np.uint8)  # index 5, 3-entry PLTE
+    payload = make_png(idx, color_type=3, palette=[(1, 2, 3)] * 3)
+    with pytest.raises(ValueError):
+        png_pixels(payload)
