@@ -743,8 +743,9 @@ QUERIES = {
     "feature_scaling": feature_scaling_query,
     "funnel": funnel_query,
     "fuzzy_match": fuzzy_match_query,
-    "gap_fill": gap_fill_query,
+    "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "gap_fill": gap_fill_query,
     "global_row_ids": global_row_ids_query,
     "tpch_volume_shipping": volume_shipping_query,
     "tpch_product_profit": product_profit_query,
@@ -824,7 +825,6 @@ QUERIES = {
     "safe_arithmetic_suite": safe_arithmetic_suite_query,
     "window_navigation_suite": window_navigation_suite_query,
     "upsert_audit": upsert_audit_query,
-    "image_decode": image_decode_query,
     "decontamination": decontamination_query,
     "gopher_quality": gopher_quality_query,
     "sequence_packing": sequence_packing_query,
