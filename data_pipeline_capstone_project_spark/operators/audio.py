@@ -4,12 +4,13 @@ completing the multimodal container-parse family the brief's
 LLM-pipeline extensions call for (image/audio/video as opaque binary
 columns with typed metadata).
 
-Sample DECODE (codec work) would need an external library only for
-compressed formats; PCM WAV needs nothing at all: RIFF is
-length-prefixed chunks and the samples are raw integers. So unlike
-the image modules this one has no seam - :func:`wav_meta` parses the
-container AND :func:`wav_stats` folds the raw PCM samples themselves
-(peak / RMS per channel), both oracle-checked.
+Sample DECODE needs no external library for any common WAV codec:
+integer PCM is raw samples, IEEE float is raw bit patterns, G.711 is
+a 256-entry integer expansion table, and IMA ADPCM is a published
+integer recurrence - all implemented here exactly. :func:`wav_meta`
+parses the container AND :func:`wav_stats` folds the decoded samples
+themselves, both oracle-checked; only genuinely proprietary tags
+(MS-ADPCM, MP3-in-WAV) remain a NotImplementedError seam.
 
 - :func:`make_wav`: fixture writer - canonical RIFF/WAVE with fmt
   and data chunks, deterministic integer samples.
@@ -66,11 +67,58 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
+#: IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation; the
+#: same constants every implementation ships)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+    dtype=np.int32,
+)
+
+
+def _ima_decode_channel(
+    pred: int, idx: int, nibbles: "np.ndarray"
+) -> "np.ndarray":
+    """Decode one channel's nibble stream given the block header's
+    predictor/step-index - the IMA expansion recurrence, exact
+    integers throughout. Returns int32 samples NOT including the
+    header predictor sample."""
+    out = np.empty(len(nibbles), dtype=np.int32)
+    for i, n in enumerate(nibbles):
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[n])))
+        out[i] = pred
+    return out
+
+
+#: IMA ADPCM fixture block geometry: 60 data bytes per channel per
+#: block -> 121 samples per block, block_align = 64 * channels
+_IMA_DPC = 60
+_IMA_SPB = _IMA_DPC * 2 + 1
+
 
 def make_wav(
     n_samples: int, sample_rate: int = 44100, channels: int = 2,
     bits: int = 16, seed: int = 0, float_fmt: bool = False,
-    g711: str | None = None,
+    g711: str | None = None, ima_adpcm: bool = False,
 ) -> bytes:
     """Canonical RIFF/WAVE: deterministic full-scale-bounded samples
     (a seeded integer LCG, library-free and platform-exact).
@@ -85,10 +133,41 @@ def make_wav(
         raise ValueError("float WAV is 32-bit")
     if g711 is not None and bits != 8:
         raise ValueError("G.711 WAV is 8-bit")
-    block_align = channels * bits // 8
-    byte_rate = sample_rate * block_align
+    if ima_adpcm and bits != 4:
+        raise ValueError("IMA ADPCM WAV is 4-bit")
     # 64-bit LCG (plain Python ints, masked), folded to the sample width
     mask = (1 << 64) - 1
+    if ima_adpcm:
+        # compressed-block layout: valid per-block headers (clamped
+        # predictor, in-range step index) + LCG nibble payloads; the
+        # fact chunk trims the last block's padding at decode time
+        ba = 64 * channels
+        n_blocks = -(-n_samples // _IMA_SPB)
+        state = (seed * 6364136223846793005 + 1442695040888963407) & mask
+        blocks = bytearray()
+        for _ in range(n_blocks):
+            for _c in range(channels):
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                pred = (state >> 33) % 65536 - 32768
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                idx = (state >> 33) % 89
+                blocks += struct.pack("<hBx", pred, idx)
+            for _b in range(_IMA_DPC * channels):
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                blocks.append((state >> 33) % 256)
+        byte_rate = sample_rate * ba // _IMA_SPB
+        fmt = struct.pack(
+            "<HHIIHHHH", 17, channels, sample_rate, byte_rate, ba, 4, 2,
+            _IMA_SPB,
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"fact" + struct.pack("<II", 4, n_samples)
+        chunks += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        )
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
     fold_bits = 24 if float_fmt else bits
     state = (seed * 6364136223846793005 + 1442695040888963407) & mask
     out = np.empty(n_samples * channels, dtype=np.int64)
@@ -170,16 +249,64 @@ def wav_fmt_tag(payload: bytes) -> int:
     raise ValueError("no fmt chunk")
 
 
-_TAG_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw"}
+_TAG_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}
+
+
+def _ima_blocks(
+    raw: bytes, fmt_body: bytes, channels: int, fact_frames: int | None
+) -> np.ndarray:
+    """IMA ADPCM block walk (the WAVE tag-0x11 layout): each
+    block_align-sized block carries a 4-byte header per channel
+    (predictor int16, step index uint8, reserved) - the predictor IS
+    the block's first output sample - then nibble data in 4-byte
+    per-channel groups (low nibble first). The fact chunk trims the
+    final block's padding."""
+    if len(fmt_body) < 20:
+        raise ValueError("IMA ADPCM fmt chunk missing extension")
+    (block_align,) = struct.unpack("<H", fmt_body[12:14])
+    (spb,) = struct.unpack("<H", fmt_body[18:20])
+    hdr = 4 * channels
+    if block_align <= hdr or (block_align - hdr) % (4 * channels):
+        raise ValueError("bad IMA ADPCM block_align")
+    if spb != (block_align - hdr) * 2 // channels + 1:
+        raise ValueError("samples_per_block inconsistent with block_align")
+    if len(raw) % block_align:
+        raise ValueError("IMA ADPCM data is not whole blocks")
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    for boff in range(0, len(raw), block_align):
+        block = raw[boff : boff + block_align]
+        data = np.frombuffer(block[hdr:], dtype=np.uint8)
+        # 4-byte groups alternate channels; 8 nibbles per group,
+        # low nibble first within each byte
+        groups = data.reshape(-1, 4)
+        nibbles = np.empty((groups.shape[0], 8), dtype=np.uint8)
+        nibbles[:, 0::2] = groups & 0x0F
+        nibbles[:, 1::2] = groups >> 4
+        for c in range(channels):
+            pred, idx = struct.unpack("<hB", block[4 * c : 4 * c + 3])
+            if idx > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            ch_nib = nibbles[c::channels].reshape(-1)
+            decoded = _ima_decode_channel(int(pred), int(idx), ch_nib)
+            chans[c].append(
+                np.concatenate([np.array([pred], dtype=np.int32), decoded])
+            )
+    out = np.stack([np.concatenate(c) for c in chans], axis=-1)
+    if fact_frames is not None:
+        if fact_frames > len(out):
+            raise ValueError("fact frame count exceeds decoded samples")
+        out = out[:fact_frames]
+    return out
 
 
 def wav_pcm(payload: bytes) -> np.ndarray:
     """(n_samples, channels) samples from the data chunk: int32 for
-    integer PCM (format tag 1), float32 for IEEE-float (format tag 3;
-    bit patterns are deterministic, so folds over the values are
-    exact). Corrupt containers raise a clean ValueError; other format
-    tags (ADPCM, a-law/mu-law) are the module's honest
-    NotImplementedError seam."""
+    integer PCM (tag 1), G.711 a-law/mu-law (tags 6/7, exact table
+    expansion) and IMA ADPCM (tag 17, exact block recurrence);
+    float32 for IEEE-float (tag 3; bit patterns are deterministic, so
+    folds over the values are exact). Corrupt containers raise a
+    clean ValueError; genuinely proprietary tags (MS-ADPCM, MP3 in
+    WAV) remain the module's honest NotImplementedError seam."""
     channels, _rate, bits, _dur = wav_meta(payload)
     try:
         return _wav_pcm_impl(payload, channels, bits)
@@ -188,21 +315,29 @@ def wav_pcm(payload: bytes) -> np.ndarray:
 
 
 def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
-    # One walk for both chunks: the format TAG (PCM vs IEEE float)
-    # lives in fmt, the samples in data - order not guaranteed.
+    # One walk for all chunks: the format TAG and block layout live in
+    # fmt, the true frame count in fact, the samples in data - order
+    # not guaranteed.
     tag = 1
+    fmt_body = b""
+    fact_frames = None
     raw = None
     off = 12
     while off + 8 <= len(payload):
         kind = payload[off : off + 4]
         (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
         if kind == b"fmt ":
-            (tag,) = struct.unpack("<H", payload[off + 8 : off + 10])
+            fmt_body = payload[off + 8 : off + 8 + size]
+            (tag,) = struct.unpack("<H", fmt_body[:2])
+        elif kind == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", payload[off + 8 : off + 12])
         elif kind == b"data":
             raw = payload[off + 8 : off + 8 + size]
         off += 8 + size + (size & 1)
     if raw is None:
         raise ValueError("no data chunk")
+    if tag == 17:
+        return _ima_blocks(raw, fmt_body, channels, fact_frames)
     if tag == 3:
         if bits != 32:
             raise NotImplementedError("IEEE-float WAV is 32-bit only")
@@ -261,7 +396,7 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
                 200 + 37 * i,
                 rate,
                 1 + (i % 2),
-                (16, 24, 32, 8, "ulaw", "alaw")[i % 6],
+                (16, 24, 32, 8, "ulaw", "alaw", "ima", 16)[i % 8],
                 i,
             )
         )
@@ -269,6 +404,11 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
 
 
 def _make_fixture(ns: int, rate: int, ch: int, spec, seed: int) -> bytes:
+    if spec == "ima":
+        return make_wav(
+            ns, sample_rate=rate, channels=ch, bits=4, seed=seed,
+            ima_adpcm=True,
+        )
     if isinstance(spec, str):
         return make_wav(
             ns, sample_rate=rate, channels=ch, bits=8, seed=seed, g711=spec

@@ -167,22 +167,91 @@ def test_wav_stats_query_spark(spark, sf_dir):
     for r in rows.values():
         by_codec.setdefault(r["codec"], []).append(r)
     # every decodable codec family present: integer PCM at three
-    # widths, IEEE float, and both G.711 laws
-    assert set(by_codec) == {"pcm", "float", "alaw", "ulaw"}
+    # widths, IEEE float, both G.711 laws, and IMA ADPCM
+    assert set(by_codec) == {"pcm", "float", "alaw", "ulaw", "ima_adpcm"}
     # the 24-bit studio width's peaks use the widened range
     w24 = [r for r in by_codec["pcm"] if r["bits"] == 24]
-    assert len(w24) == 4
+    assert len(w24) == 3
     assert max(r["peak"] for r in w24) > (1 << 15)
     # 32-bit IEEE float clips: Q23 integer probes on the same lattice
     f32 = by_codec["float"]
-    assert len(f32) == 4
+    assert len(f32) == 3
     assert all(r["bits"] == 32 for r in f32)
     assert all(0 < r["peak"] < (1 << 23) for r in f32)
     # G.711: 8-bit container, expanded 13/14-bit sample range
     for law, lim in (("ulaw", 32124), ("alaw", 32256)):
         clips = by_codec[law]
-        assert len(clips) == 4
+        assert len(clips) == 3
         assert all(r["bits"] == 8 for r in clips)
         assert all(255 < r["peak"] <= lim for r in clips)
+    # IMA ADPCM: 4-bit container, full int16 expanded range
+    ima = by_codec["ima_adpcm"]
+    assert len(ima) == 3
+    assert all(r["bits"] == 4 for r in ima)
+    assert all(255 < r["peak"] <= 32768 for r in ima)
     # metadata and samples agree: duration from the actual PCM length
     assert all(r["peak"] > 0 for r in rows.values())
+
+
+def test_ima_adpcm_matches_scalar_reference():
+    """The block decoder against an independent from-the-spec scalar
+    implementation (classic step/index tables, written here without
+    numpy): same nibble order, same clamping, same header-predictor
+    first sample."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _IMA_SPB,
+    )
+
+    steps = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ]
+    itab = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+    for ch in (1, 2):
+        ns = 2 * _IMA_SPB + 17  # two full blocks + a trimmed third
+        payload = make_wav(ns, sample_rate=8000, channels=ch, bits=4,
+                           seed=31, ima_adpcm=True)
+        got = wav_pcm(payload)
+        assert got.shape == (ns, ch)
+
+        # scalar reference decode straight off the container bytes
+        doff = payload.find(b"data")
+        raw = payload[doff + 8 :]
+        ba = 64 * ch
+        ref = [[] for _ in range(ch)]
+        for boff in range(0, len(raw), ba):
+            block = raw[boff : boff + ba]
+            for c in range(ch):
+                pred = struct.unpack("<h", block[4 * c : 4 * c + 2])[0]
+                idx = block[4 * c + 2]
+                ref[c].append(pred)
+                nibs = []
+                data = block[4 * ch :]
+                # 4-byte groups alternate channels, low nibble first
+                for g in range(len(data) // 4):
+                    if g % ch != c:
+                        continue
+                    for byte in data[4 * g : 4 * g + 4]:
+                        nibs += [byte & 0x0F, byte >> 4]
+                for n in nibs:
+                    step = steps[idx]
+                    diff = step >> 3
+                    if n & 1:
+                        diff += step >> 2
+                    if n & 2:
+                        diff += step >> 1
+                    if n & 4:
+                        diff += step
+                    pred = pred - diff if n & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + itab[n]))
+                    ref[c].append(pred)
+        for c in range(ch):
+            assert list(got[:, c]) == ref[c][:ns]

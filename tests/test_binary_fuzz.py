@@ -55,6 +55,7 @@ def _seeds() -> list[bytes]:
         make_wav(200, bits=24),
         make_wav(200, bits=32, float_fmt=True),
         make_wav(200, bits=8, g711="ulaw"),
+        make_wav(200, bits=4, ima_adpcm=True),
         make_png(np.random.RandomState(1).randint(0, 256, (9, 7, 3)).astype(np.uint8)),
         make_png(
             np.random.RandomState(2).randint(0, 16, (9, 7)).astype(np.uint8),
