@@ -260,6 +260,11 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
   k_anonymity                                    privacy release gate:
                       QI combos smaller than k flagged for
                       suppression, one map-combinable groupBy
+  line_dedup                                     CCNet paragraph-hash
+                      boilerplate removal that REWRITES docs: first
+                      corpus-order occurrence survives, cleaned text
+                      reconstructed; one segment-keyed window + one
+                      doc-keyed groupBy, both linear
 """
 
 from __future__ import annotations
@@ -673,6 +678,10 @@ from .operators.relational import (
     string_functions_suite_query,
     window_navigation_suite_query,
 )
+from .operators.boilerplate import (
+    LINE_DEDUP_ORACLE_SQL,
+    line_dedup_query,
+)
 from .operators.unigram import (
     TOKENIZER_FERTILITY_ORACLE_SQL,
     tokenizer_fertility_query,
@@ -694,6 +703,7 @@ QUERIES = {
     # alphabetically - after r7 no entry's newest driver row is older
     # than r3. Full two-scale sweep ledger: VERIFICATION.md; rotation
     # history: VERDICT r3 item 1 / r4 item 1 / r6 item 3.
+    "line_dedup": line_dedup_query,
     "unigram_train": unigram_train_query,
     "unigram_encode": unigram_encode_query,
     "tokenizer_fertility": tokenizer_fertility_query,
@@ -742,9 +752,9 @@ QUERIES = {
     "feature_hashing": feature_hashing_query,
     "feature_scaling": feature_scaling_query,
     "funnel": funnel_query,
-    "fuzzy_match": fuzzy_match_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "fuzzy_match": fuzzy_match_query,
     "gap_fill": gap_fill_query,
     "global_row_ids": global_row_ids_query,
     "tpch_volume_shipping": volume_shipping_query,
@@ -874,6 +884,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "line_dedup": LINE_DEDUP_ORACLE_SQL,
     "unigram_train": UNIGRAM_TRAIN_ORACLE_SQL,
     "unigram_encode": UNIGRAM_ENCODE_ORACLE_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_ORACLE_SQL,
