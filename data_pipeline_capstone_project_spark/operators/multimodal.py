@@ -4,9 +4,9 @@ Images/audio/video are opaque ``binary`` columns with typed metadata -
 the Spark-side plumbing (schema, Arrow batch shape, partitioning) is
 real and tested, and so are the codecs: no image/audio library exists
 in this environment, so the repo carries its own pure-numpy PNG and
-JPEG (baseline + progressive) pixel codecs, an MP4 moov parser, and a
-WAV container/PCM reader, each oracle-checked by its own registry
-query.
+JPEG (baseline + progressive) pixel codecs, a GIF LZW/animation
+codec, an MP4 moov parser, and a WAV container/PCM reader, each
+oracle-checked by its own registry query.
 
 - :func:`decode_media_meta` is the operator shape: ``mapInPandas``
   over Arrow batches of (id, payload binary) producing typed metadata.
@@ -64,6 +64,10 @@ def real_decode(payload: bytes) -> tuple[int, int]:
         from .images import png_meta
 
         return png_meta(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_meta
+
+        return gif_meta(payload)
     if payload[:3] == b"\xff\xd8\xff":
         from .jpeg import jpeg_meta
 
@@ -140,7 +144,7 @@ FROM documents
 
 def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query for the ``real_decode`` DISPATCHER itself: one
-    store mixing PNG, baseline JPEG, progressive JPEG, and MP4
+    store mixing PNG, baseline JPEG, progressive JPEG, MP4, and GIF
     payloads, decoded through the same ``decode_media_meta`` plumbing
     production would use (``decoder=real_decode``), hash-checked
     against a closed-form oracle. The per-format codecs each have
@@ -153,6 +157,7 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
+    from .gif import _lcg_indices, _lcg_palette, make_gif
     from .images import make_png
     from .jpeg import make_jpeg
     from .mp4 import make_mp4
@@ -169,6 +174,13 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(make_jpeg(px, progressive=True))
             with open(os.path.join(work, f"m{i}_mp4.mp4"), "wb") as f:
                 f.write(make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i))
+            with open(os.path.join(work, f"m{i}_gif.gif"), "wb") as f:
+                f.write(
+                    make_gif(
+                        12 + i, 7 + i, _lcg_palette(8, i),
+                        [{"idx": _lcg_indices(7 + i, 12 + i, 8, i)}],
+                    )
+                )
         bin_df = spark.read.format("binaryFile").load(work).select(
             F.regexp_extract(
                 F.element_at(F.split("path", "/"), -1), r"m(\d+)_", 1
@@ -196,6 +208,7 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_dispatch_oracle() -> str:
     import numpy as np
 
+    from .gif import _lcg_indices, _lcg_palette, make_gif
     from .images import make_png
     from .jpeg import make_jpeg
     from .mp4 import make_mp4
@@ -203,11 +216,16 @@ def _media_dispatch_oracle() -> str:
     rows = []
     for i in range(8):
         px = np.full((10 + i, 6 + i, 3), 40 + 9 * i, dtype=np.uint8)
+        gif_payload = make_gif(
+            12 + i, 7 + i, _lcg_palette(8, i),
+            [{"idx": _lcg_indices(7 + i, 12 + i, 8, i)}],
+        )
         for fmt, payload, (w, h) in (
             ("png", make_png(px), (6 + i, 10 + i)),
             ("jpg", make_jpeg(px), (6 + i, 10 + i)),
             ("jpg", make_jpeg(px, progressive=True), (6 + i, 10 + i)),
             ("mp4", make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i), (320 + 2 * i, 180 + i)),
+            ("gif", gif_payload, (12 + i, 7 + i)),
         ):
             rows.append(
                 f"({i}, {len(payload)}, {w}, {h}, '{fmt}', "

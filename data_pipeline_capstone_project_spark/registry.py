@@ -265,6 +265,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       corpus-order occurrence survives, cleaned text
                       reconstructed; one segment-keyed window + one
                       doc-keyed groupBy, both linear
+  gif_decode                                     from-scratch GIF
+                      codec: variable-width LZW, animation (GCE
+                      delays/transparency), interlace, local color
+                      tables; per-frame RGB hash vs source arrays
 """
 
 from __future__ import annotations
@@ -682,6 +686,10 @@ from .operators.boilerplate import (
     LINE_DEDUP_ORACLE_SQL,
     line_dedup_query,
 )
+from .operators.gif import (
+    GIF_DECODE_ORACLE_SQL,
+    gif_decode_query,
+)
 from .operators.unigram import (
     TOKENIZER_FERTILITY_ORACLE_SQL,
     tokenizer_fertility_query,
@@ -704,6 +712,7 @@ QUERIES = {
     # than r3. Full two-scale sweep ledger: VERIFICATION.md; rotation
     # history: VERDICT r3 item 1 / r4 item 1 / r6 item 3.
     "line_dedup": line_dedup_query,
+    "gif_decode": gif_decode_query,
     "unigram_train": unigram_train_query,
     "unigram_encode": unigram_encode_query,
     "tokenizer_fertility": tokenizer_fertility_query,
@@ -751,9 +760,9 @@ QUERIES = {
     "feature_binning": feature_binning_query,
     "feature_hashing": feature_hashing_query,
     "feature_scaling": feature_scaling_query,
-    "funnel": funnel_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "funnel": funnel_query,
     "fuzzy_match": fuzzy_match_query,
     "gap_fill": gap_fill_query,
     "global_row_ids": global_row_ids_query,
@@ -884,6 +893,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gif_decode": GIF_DECODE_ORACLE_SQL,
     "line_dedup": LINE_DEDUP_ORACLE_SQL,
     "unigram_train": UNIGRAM_TRAIN_ORACLE_SQL,
     "unigram_encode": UNIGRAM_ENCODE_ORACLE_SQL,

@@ -18,6 +18,13 @@ from data_pipeline_capstone_project_spark.operators.audio import (
     wav_meta,
     wav_pcm,
 )
+from data_pipeline_capstone_project_spark.operators.gif import (
+    _lcg_indices,
+    _lcg_palette,
+    gif_frames,
+    gif_meta,
+    make_gif,
+)
 from data_pipeline_capstone_project_spark.operators.images import (
     make_png,
     png_meta,
@@ -37,7 +44,7 @@ from data_pipeline_capstone_project_spark.operators.mp4 import (
 
 PARSERS = (
     jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm,
-    png_meta, png_pixels,
+    png_meta, png_pixels, gif_meta, gif_frames,
 )
 
 
@@ -62,6 +69,17 @@ def _seeds() -> list[bytes]:
             color_type=3,
             palette=[(i, i, i) for i in range(16)],
             interlace=True,
+        ),
+        make_gif(
+            11, 7, _lcg_palette(8, 0),
+            [
+                {"idx": _lcg_indices(7, 11, 8, 0), "delay_cs": 5},
+                {
+                    "idx": _lcg_indices(5, 8, 4, 1),
+                    "left": 2, "top": 1, "interlace": True,
+                    "palette": _lcg_palette(4, 1), "transparent": 1,
+                },
+            ],
         ),
     ]
 
