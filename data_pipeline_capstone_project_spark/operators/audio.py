@@ -502,3 +502,126 @@ def _wav_oracle() -> str:
 
 
 WAV_STATS_ORACLE_SQL = _wav_oracle()
+
+
+# --- windowed audio QC features --------------------------------------------
+
+#: 50 ms analysis windows (the telephony/VAD convention)
+WINDOW_DIV = 20
+#: a window is silent when its mean square is below (1% full scale)^2
+SILENCE_PPM = 10_000
+#: a sample is clipped at >= 99% of full scale
+CLIP_PCT = 99
+
+
+def _full_scale(codec: str, bits: int) -> int:
+    """Integer full-scale magnitude on the decode lattice: 16-bit-range
+    codecs (PCM16, G.711 expansion, IMA ADPCM) -> 2^15; 8/24-bit PCM
+    -> their own lattice; float is analyzed on the Q8.23 integer
+    lattice wav_stats already uses (value 1.0 -> 2^23)."""
+    if codec == "float":
+        return 1 << 23
+    if codec in ("alaw", "ulaw", "ima_adpcm"):
+        return 1 << 15
+    return 1 << (bits - 1)
+
+
+def audio_clip_features(pcm: "np.ndarray", rate: int, codec: str, bits: int) -> dict:
+    """Exact integer windowed features for one decoded clip: window
+    count, silent-window count (mean square < (fs/100)^2, compared in
+    integers: energy * 10^4 < n * fs^2), clipped-sample count
+    (|s| * 100 >= fs * 99), per-channel zero crossings, total and peak
+    window energy - the curation signals (dead air, clipping damage,
+    speech activity) an audio-dataset QC pass filters on."""
+    fs = _full_scale(codec, bits)
+    scale = 1 << 23 if codec == "float" else 1
+    vals = np.rint(pcm.astype(np.float64) * scale).astype(np.int64)
+    n, ch = vals.shape
+    win = max(1, rate // WINDOW_DIV)
+    n_windows = -(-n // win)
+    sq = vals * vals
+    frame_energy = sq.sum(axis=1)  # per frame across channels
+    silent = 0
+    total_energy = int(sq.sum())
+    peak_window = 0
+    for wstart in range(0, n, win):
+        we = int(frame_energy[wstart : wstart + win].sum())
+        wn = min(win, n - wstart) * ch
+        peak_window = max(peak_window, we)
+        if we * SILENCE_PPM < wn * fs * fs:
+            silent += 1
+    clipped = int((np.abs(vals) * 100 >= fs * CLIP_PCT).sum())
+    signs = vals < 0
+    crossings = int((signs[1:] != signs[:-1]).sum())
+    return {
+        "n_windows": n_windows,
+        "silent_windows": silent,
+        "clipped_samples": clipped,
+        "zero_crossings": crossings,
+        "total_energy": total_energy,
+        "peak_window_energy": peak_window,
+    }
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_name string, codec string, n_windows int, silent_windows int, "
+    "clipped_samples int, zero_crossings long, total_energy long, "
+    "peak_window_energy long"
+)
+
+
+def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode every fixture clip executor-side and
+    compute the windowed QC features - same binaryFile -> Arrow
+    ``mapInPandas`` shape as wav_stats, zero exchanges, payloads never
+    on the driver."""
+    work = tempfile.mkdtemp(prefix="wav_feat_")
+    try:
+        _stage_wav_store(work)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("clip_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [c.split(" ")[0] for c in AUDIO_FEATURES_SCHEMA.split(", ")]
+            for pdf in batches:
+                rows = []
+                for name, p in zip(pdf["clip_name"], pdf["payload"]):
+                    _ch, rate, bits, _dur = wav_meta(p)
+                    codec = _TAG_NAMES[wav_fmt_tag(p)]
+                    f = audio_clip_features(wav_pcm(p), rate, codec, bits)
+                    rows.append(
+                        (
+                            name, codec, f["n_windows"], f["silent_windows"],
+                            f["clipped_samples"], f["zero_crossings"],
+                            f["total_energy"], f["peak_window_energy"],
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+        out = bin_df.mapInPandas(feat_batches, AUDIO_FEATURES_SCHEMA)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _audio_features_oracle() -> str:
+    rows = []
+    for name, ns, rate, ch, spec, seed in _audio_fixtures():
+        payload = _make_fixture(ns, rate, ch, spec, seed)
+        _pch, prate, pbits, _ = wav_meta(payload)
+        codec = _TAG_NAMES[wav_fmt_tag(payload)]
+        f = audio_clip_features(wav_pcm(payload), prate, codec, pbits)
+        rows.append(
+            "('{}', '{}', {}, {}, {}, {}, {}, {})".format(
+                name, codec, f["n_windows"], f["silent_windows"],
+                f["clipped_samples"], f["zero_crossings"],
+                f["total_energy"], f["peak_window_energy"],
+            )
+        )
+    cols = ", ".join(c.split(" ")[0] for c in AUDIO_FEATURES_SCHEMA.split(", "))
+    return f"SELECT {cols} FROM (VALUES {', '.join(rows)}) AS t({cols})"
+
+
+AUDIO_FEATURES_ORACLE_SQL = _audio_features_oracle()

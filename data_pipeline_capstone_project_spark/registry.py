@@ -269,6 +269,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       codec: variable-width LZW, animation (GCE
                       delays/transparency), interlace, local color
                       tables; per-frame RGB hash vs source arrays
+  audio_features                                 windowed audio QC
+                      (silence/clipping/zero-crossing/energy) over
+                      the exact WAV decode, all-integer folds,
+                      zero-exchange mapInPandas scan
 """
 
 from __future__ import annotations
@@ -450,7 +454,12 @@ from .operators.mp4 import (
     mp4_meta_query,
     video_frames_query,
 )
-from .operators.audio import WAV_STATS_ORACLE_SQL, wav_stats_query
+from .operators.audio import (
+    AUDIO_FEATURES_ORACLE_SQL,
+    WAV_STATS_ORACLE_SQL,
+    audio_features_query,
+    wav_stats_query,
+)
 from .operators.multimodal import (
     MEDIA_DISPATCH_ORACLE_SQL,
     media_dispatch_query,
@@ -721,6 +730,7 @@ QUERIES = {
     "mp4_audio_meta": mp4_audio_meta_query,
     "video_frames": video_frames_query,
     "wav_stats": wav_stats_query,
+    "audio_features": audio_features_query,
     "media_dispatch": media_dispatch_query,
     "approx_distinct": approx_distinct_query,
     "array_functions_suite": array_functions_suite_query,
@@ -759,9 +769,9 @@ QUERIES = {
     "event_unpivot": event_unpivot_query,
     "feature_binning": feature_binning_query,
     "feature_hashing": feature_hashing_query,
-    "feature_scaling": feature_scaling_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "feature_scaling": feature_scaling_query,
     "funnel": funnel_query,
     "fuzzy_match": fuzzy_match_query,
     "gap_fill": gap_fill_query,
@@ -893,6 +903,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "audio_features": AUDIO_FEATURES_ORACLE_SQL,
     "gif_decode": GIF_DECODE_ORACLE_SQL,
     "line_dedup": LINE_DEDUP_ORACLE_SQL,
     "unigram_train": UNIGRAM_TRAIN_ORACLE_SQL,

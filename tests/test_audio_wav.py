@@ -255,3 +255,50 @@ def test_ima_adpcm_matches_scalar_reference():
                     ref[c].append(pred)
         for c in range(ch):
             assert list(got[:, c]) == ref[c][:ns]
+
+
+def test_audio_features_hand_case():
+    """A constructed clip: half a window of dead silence, a clipped
+    rail sample, and an alternating-sign tail with known crossing
+    count - every feature verified by hand arithmetic."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        audio_clip_features,
+    )
+
+    rate = 2000  # -> 100-sample windows (rate // 20)
+    silence = np.zeros(100, dtype=np.int64)
+    clipped = np.full(100, 32767, dtype=np.int64)  # one all-rail window
+    alternating = np.tile([1000, -1000], 50).astype(np.int64)  # 99 crossings
+    pcm = np.concatenate([silence, clipped, alternating]).reshape(-1, 1)
+    f = audio_clip_features(pcm, rate, "pcm", 16)
+    assert f["n_windows"] == 3
+    assert f["silent_windows"] == 1
+    assert f["clipped_samples"] == 100
+    # crossings: silence->clipped edge is 0->32767 (no sign flip, both
+    # non-negative), clipped->alternating is 32767->1000 (none), then
+    # 99 flips inside the alternating tail
+    assert f["zero_crossings"] == 99
+    assert f["total_energy"] == 100 * 32767**2 + 100 * 1000**2
+    assert f["peak_window_energy"] == 100 * 32767**2
+
+
+def test_audio_features_float_lattice_matches_int():
+    """The same waveform as int16 PCM and as Q8.23-lattice float must
+    produce identical window/silence/crossing counts (energies scale
+    by (2^23 / 2^15)^2 exactly)."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        audio_clip_features,
+    )
+
+    rng = np.random.RandomState(3)
+    ints = rng.randint(-32768, 32768, size=(500, 2)).astype(np.int64)
+    fi = audio_clip_features(ints, 8000, "pcm", 16)
+    floats = (ints.astype(np.float64) * 256 / (1 << 23)).astype(np.float32)
+    ff = audio_clip_features(floats, 8000, "float", 32)
+    for k in ("n_windows", "silent_windows", "zero_crossings"):
+        assert fi[k] == ff[k], k
+    assert ff["total_energy"] == fi["total_energy"] * 256 * 256
