@@ -273,6 +273,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       (silence/clipping/zero-crossing/energy) over
                       the exact WAV decode, all-integer folds,
                       zero-exchange mapInPandas scan
+  zorder_layout                                  Morton-curve layout
+                      planner (Delta OPTIMIZE ZORDER shape): bucket
+                      ranks -> bit interleave -> range partition ->
+                      per-file zone map for two-dimension skipping
 """
 
 from __future__ import annotations
@@ -699,6 +703,10 @@ from .operators.gif import (
     GIF_DECODE_ORACLE_SQL,
     gif_decode_query,
 )
+from .operators.layout import (
+    ZORDER_LAYOUT_ORACLE_SQL,
+    zorder_layout_query,
+)
 from .operators.unigram import (
     TOKENIZER_FERTILITY_ORACLE_SQL,
     tokenizer_fertility_query,
@@ -722,6 +730,7 @@ QUERIES = {
     # history: VERDICT r3 item 1 / r4 item 1 / r6 item 3.
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
+    "zorder_layout": zorder_layout_query,
     "unigram_train": unigram_train_query,
     "unigram_encode": unigram_encode_query,
     "tokenizer_fertility": tokenizer_fertility_query,
@@ -767,10 +776,10 @@ QUERIES = {
     "doc_chunking": doc_chunking_query,
     "doc_score_inference": doc_score_inference_query,
     "event_unpivot": event_unpivot_query,
-    "feature_binning": feature_binning_query,
     "feature_hashing": feature_hashing_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "feature_binning": feature_binning_query,
     "feature_scaling": feature_scaling_query,
     "funnel": funnel_query,
     "fuzzy_match": fuzzy_match_query,
@@ -904,6 +913,7 @@ QUERIES = {
 
 ORACLES = {
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
+    "zorder_layout": ZORDER_LAYOUT_ORACLE_SQL,
     "gif_decode": GIF_DECODE_ORACLE_SQL,
     "line_dedup": LINE_DEDUP_ORACLE_SQL,
     "unigram_train": UNIGRAM_TRAIN_ORACLE_SQL,
