@@ -277,6 +277,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       planner (Delta OPTIMIZE ZORDER shape): bucket
                       ranks -> bit interleave -> range partition ->
                       per-file zone map for two-dimension skipping
+  flac_decode                                    from-scratch FLAC
+                      decode (RFC 9639): Rice residuals, fixed+LPC
+                      predictors, stereo decorrelation, CRC-8/16 +
+                      STREAMINFO MD5 verified end-to-end
 """
 
 from __future__ import annotations
@@ -699,6 +703,10 @@ from .operators.boilerplate import (
     LINE_DEDUP_ORACLE_SQL,
     line_dedup_query,
 )
+from .operators.flac import (
+    FLAC_DECODE_ORACLE_SQL,
+    flac_decode_query,
+)
 from .operators.gif import (
     GIF_DECODE_ORACLE_SQL,
     gif_decode_query,
@@ -740,6 +748,7 @@ QUERIES = {
     "video_frames": video_frames_query,
     "wav_stats": wav_stats_query,
     "audio_features": audio_features_query,
+    "flac_decode": flac_decode_query,
     "media_dispatch": media_dispatch_query,
     "approx_distinct": approx_distinct_query,
     "array_functions_suite": array_functions_suite_query,
@@ -776,10 +785,10 @@ QUERIES = {
     "doc_chunking": doc_chunking_query,
     "doc_score_inference": doc_score_inference_query,
     "event_unpivot": event_unpivot_query,
-    "feature_hashing": feature_hashing_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
     "feature_binning": feature_binning_query,
+    "feature_hashing": feature_hashing_query,
     "feature_scaling": feature_scaling_query,
     "funnel": funnel_query,
     "fuzzy_match": fuzzy_match_query,
@@ -913,6 +922,7 @@ QUERIES = {
 
 ORACLES = {
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
+    "flac_decode": FLAC_DECODE_ORACLE_SQL,
     "zorder_layout": ZORDER_LAYOUT_ORACLE_SQL,
     "gif_decode": GIF_DECODE_ORACLE_SQL,
     "line_dedup": LINE_DEDUP_ORACLE_SQL,

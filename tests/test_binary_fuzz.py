@@ -18,6 +18,12 @@ from data_pipeline_capstone_project_spark.operators.audio import (
     wav_meta,
     wav_pcm,
 )
+from data_pipeline_capstone_project_spark.operators.flac import (
+    _lcg_samples,
+    flac_meta,
+    flac_pcm,
+    make_flac,
+)
 from data_pipeline_capstone_project_spark.operators.gif import (
     _lcg_indices,
     _lcg_palette,
@@ -44,7 +50,7 @@ from data_pipeline_capstone_project_spark.operators.mp4 import (
 
 PARSERS = (
     jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm,
-    png_meta, png_pixels, gif_meta, gif_frames,
+    png_meta, png_pixels, gif_meta, gif_frames, flac_meta, flac_pcm,
 )
 
 
@@ -69,6 +75,16 @@ def _seeds() -> list[bytes]:
             color_type=3,
             palette=[(i, i, i) for i in range(16)],
             interlace=True,
+        ),
+        make_flac(
+            _lcg_samples(160, 2, 16, seed=5, smooth=True), 8000, 16, 64,
+            "mid_side", {"type": "fixed", "order": 2, "part_order": 1},
+        ),
+        make_flac(
+            _lcg_samples(100, 1, 16, seed=6), 16000, 16, 64,
+            "independent",
+            {"type": "lpc", "order": 2, "coefs": [3, -1], "shift": 2,
+             "precision": 5},
         ),
         make_gif(
             11, 7, _lcg_palette(8, 0),
