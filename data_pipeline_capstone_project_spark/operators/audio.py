@@ -625,3 +625,95 @@ def _audio_features_oracle() -> str:
 
 
 AUDIO_FEATURES_ORACLE_SQL = _audio_features_oracle()
+
+
+# --- exact 2:1 resample (rate normalization) -------------------------------
+
+#: half-band FIR taps (sum 32 -> >>5 normalization); odd-symmetric,
+#: every second tap zero except the center - the classic decimator
+_HB_TAPS = np.array([-1, 0, 9, 16, 9, 0, -1], dtype=np.int64)
+_HB_SHIFT = 5
+
+
+def resample_2to1(pcm: "np.ndarray") -> "np.ndarray":
+    """Decimate by 2 with the integer half-band FIR: anti-alias
+    convolution entirely in int64 (zero-padded edges), floor-shifted
+    by the tap sum's log2 - bit-exact on every platform, unlike any
+    float resampler. Input/output: (n, channels)."""
+    n, ch = pcm.shape
+    x = pcm.astype(np.int64)
+    out_len = (n + 1) // 2
+    out = np.empty((out_len, ch), dtype=np.int64)
+    for c in range(ch):
+        full = np.convolve(x[:, c], _HB_TAPS)  # length n + 6
+        centered = full[(len(_HB_TAPS) - 1) // 2 :][:n]
+        out[:, c] = centered[::2] >> _HB_SHIFT
+    return out
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "clip_name string, codec string, in_rate int, out_rate int, "
+    "n_in long, n_out long, out_peak long, out_sum long"
+)
+
+
+def audio_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode -> anti-alias -> decimate each fixture
+    clip executor-side (rate normalization before audio-model
+    training); exact integer folds over the 2:1 output against a
+    closed-form source oracle."""
+    work = tempfile.mkdtemp(prefix="wav_rs_")
+    try:
+        _stage_wav_store(work)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("clip_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def rs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [c.split(" ")[0] for c in AUDIO_RESAMPLE_SCHEMA.split(", ")]
+            for pdf in batches:
+                rows = []
+                for name, p in zip(pdf["clip_name"], pdf["payload"]):
+                    _ch, rate, _bits, _ = wav_meta(p)
+                    codec = _TAG_NAMES[wav_fmt_tag(p)]
+                    pcm = wav_pcm(p)
+                    scale = 1 << 23 if codec == "float" else 1
+                    lattice = np.rint(
+                        pcm.astype(np.float64) * scale
+                    ).astype(np.int64)
+                    y = resample_2to1(lattice)
+                    rows.append(
+                        (
+                            name, codec, rate, rate // 2, len(pcm), len(y),
+                            int(np.abs(y).max()), int(y.sum()),
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+        out = bin_df.mapInPandas(rs_batches, AUDIO_RESAMPLE_SCHEMA)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _audio_resample_oracle() -> str:
+    rows = []
+    for name, ns, rate, ch, spec, seed in _audio_fixtures():
+        payload = _make_fixture(ns, rate, ch, spec, seed)
+        codec = _TAG_NAMES[wav_fmt_tag(payload)]
+        pcm = wav_pcm(payload)
+        scale = 1 << 23 if codec == "float" else 1
+        lattice = np.rint(pcm.astype(np.float64) * scale).astype(np.int64)
+        y = resample_2to1(lattice)
+        rows.append(
+            "('{}', '{}', {}, {}, {}, {}, {}, {})".format(
+                name, codec, rate, rate // 2, ns, len(y),
+                int(np.abs(y).max()), int(y.sum()),
+            )
+        )
+    cols = ", ".join(c.split(" ")[0] for c in AUDIO_RESAMPLE_SCHEMA.split(", "))
+    return f"SELECT {cols} FROM (VALUES {', '.join(rows)}) AS t({cols})"
+
+
+AUDIO_RESAMPLE_ORACLE_SQL = _audio_resample_oracle()

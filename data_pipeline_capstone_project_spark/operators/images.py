@@ -104,6 +104,62 @@ def make_png(
     return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
 
 
+def make_bmp(img: "np.ndarray") -> bytes:
+    """Minimal BITMAPINFOHEADER BMP (24-bit BI_RGB): bottom-up rows,
+    BGR byte order, 4-byte row padding - the uncompressed classic."""
+    h, w = img.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += img[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += b"\0" * pad
+    import struct as _s
+
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + bytes(body)
+
+
+def bmp_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the BITMAPINFOHEADER (negative height =
+    top-down layout, reported as its magnitude)."""
+    import struct as _s
+
+    if payload[:2] != b"BM" or len(payload) < 26:
+        raise ValueError("not a BMP stream")
+    _size, w, h = _s.unpack("<Iii", payload[14:26])
+    if _size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    return w, abs(h)
+
+
+def bmp_pixels(payload: bytes) -> "np.ndarray":
+    """(h, w, 3) RGB from a 24-bit BI_RGB BMP (bottom-up or top-down).
+    Compressed/paletted variants raise NotImplementedError."""
+    import struct as _s
+
+    w, h = bmp_meta(payload)
+    (off,) = _s.unpack("<I", payload[10:14])
+    _sz, _w, rawh, _planes, bpp, comp = _s.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    if w <= 0 or h == 0 or w * h > 1 << 27:
+        raise ValueError("hostile/corrupt BMP dimensions")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload[off : off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if rawh > 0:  # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def png_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) from the IHDR chunk - the header-parse decode
     used by :func:`~.multimodal.decode_media_meta` for PNG inputs."""

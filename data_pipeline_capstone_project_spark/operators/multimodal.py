@@ -68,6 +68,10 @@ def real_decode(payload: bytes) -> tuple[int, int]:
         from .gif import gif_meta
 
         return gif_meta(payload)
+    if payload[:2] == b"BM":
+        from .images import bmp_meta
+
+        return bmp_meta(payload)
     if payload[:3] == b"\xff\xd8\xff":
         from .jpeg import jpeg_meta
 
@@ -158,7 +162,7 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .gif import _lcg_indices, _lcg_palette, make_gif
-    from .images import make_png
+    from .images import make_bmp, make_png
     from .jpeg import make_jpeg
     from .mp4 import make_mp4
 
@@ -181,6 +185,8 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [{"idx": _lcg_indices(7 + i, 12 + i, 8, i)}],
                     )
                 )
+            with open(os.path.join(work, f"m{i}_bmp.bmp"), "wb") as f:
+                f.write(make_bmp(px))
         bin_df = spark.read.format("binaryFile").load(work).select(
             F.regexp_extract(
                 F.element_at(F.split("path", "/"), -1), r"m(\d+)_", 1
@@ -209,7 +215,7 @@ def _media_dispatch_oracle() -> str:
     import numpy as np
 
     from .gif import _lcg_indices, _lcg_palette, make_gif
-    from .images import make_png
+    from .images import make_bmp, make_png
     from .jpeg import make_jpeg
     from .mp4 import make_mp4
 
@@ -226,6 +232,7 @@ def _media_dispatch_oracle() -> str:
             ("jpg", make_jpeg(px, progressive=True), (6 + i, 10 + i)),
             ("mp4", make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i), (320 + 2 * i, 180 + i)),
             ("gif", gif_payload, (12 + i, 7 + i)),
+            ("bmp", make_bmp(px), (6 + i, 10 + i)),
         ):
             rows.append(
                 f"({i}, {len(payload)}, {w}, {h}, '{fmt}', "

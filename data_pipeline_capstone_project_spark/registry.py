@@ -281,6 +281,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       decode (RFC 9639): Rice residuals, fixed+LPC
                       predictors, stereo decorrelation, CRC-8/16 +
                       STREAMINFO MD5 verified end-to-end
+  audio_resample                                 2:1 rate normalization:
+                      integer half-band FIR decimation, bit-exact
+                      int64 convolution per channel, decode ->
+                      transform -> fold in one mapInPandas scan
 """
 
 from __future__ import annotations
@@ -464,8 +468,10 @@ from .operators.mp4 import (
 )
 from .operators.audio import (
     AUDIO_FEATURES_ORACLE_SQL,
+    AUDIO_RESAMPLE_ORACLE_SQL,
     WAV_STATS_ORACLE_SQL,
     audio_features_query,
+    audio_resample_query,
     wav_stats_query,
 )
 from .operators.multimodal import (
@@ -749,6 +755,7 @@ QUERIES = {
     "wav_stats": wav_stats_query,
     "audio_features": audio_features_query,
     "flac_decode": flac_decode_query,
+    "audio_resample": audio_resample_query,
     "media_dispatch": media_dispatch_query,
     "approx_distinct": approx_distinct_query,
     "array_functions_suite": array_functions_suite_query,
@@ -784,9 +791,9 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_query,
     "doc_chunking": doc_chunking_query,
     "doc_score_inference": doc_score_inference_query,
-    "event_unpivot": event_unpivot_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "event_unpivot": event_unpivot_query,
     "feature_binning": feature_binning_query,
     "feature_hashing": feature_hashing_query,
     "feature_scaling": feature_scaling_query,
@@ -922,6 +929,7 @@ QUERIES = {
 
 ORACLES = {
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
+    "audio_resample": AUDIO_RESAMPLE_ORACLE_SQL,
     "flac_decode": FLAC_DECODE_ORACLE_SQL,
     "zorder_layout": ZORDER_LAYOUT_ORACLE_SQL,
     "gif_decode": GIF_DECODE_ORACLE_SQL,

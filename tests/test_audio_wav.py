@@ -302,3 +302,27 @@ def test_audio_features_float_lattice_matches_int():
     for k in ("n_windows", "silent_windows", "zero_crossings"):
         assert fi[k] == ff[k], k
     assert ff["total_energy"] == fi["total_energy"] * 256 * 256
+
+
+def test_resample_2to1_dc_and_alignment():
+    """DC passes at unity (tap sum 32 >> 5), output is every second
+    center-aligned sample, and edges use zero padding."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        resample_2to1,
+    )
+
+    dc = np.full((64, 1), 1000, dtype=np.int64)
+    y = resample_2to1(dc)
+    assert y.shape == (32, 1)
+    assert (y[2:-2] == 1000).all()  # interior: exact unity DC gain
+    # hand-checked edge: y[0] = (-1*0 + 0 + 9*0 + 16*1000 + 9*1000
+    #                            + 0 - 1*1000) >> 5
+    assert y[0, 0] == (16 * 1000 + 9 * 1000 - 1000) >> 5
+
+    # alternating +/-A at the input Nyquist rate must cancel to ~0:
+    # taps are a half-band lowpass with a null at fs/2
+    nyq = np.tile([2000, -2000], 32).reshape(-1, 1).astype(np.int64)
+    y2 = resample_2to1(nyq)
+    assert (np.abs(y2[2:-2]) <= 63).all()  # 2000 -> sub-LSB leakage

@@ -32,6 +32,9 @@ from data_pipeline_capstone_project_spark.operators.gif import (
     make_gif,
 )
 from data_pipeline_capstone_project_spark.operators.images import (
+    bmp_meta,
+    bmp_pixels,
+    make_bmp,
     make_png,
     png_meta,
     png_pixels,
@@ -51,6 +54,7 @@ from data_pipeline_capstone_project_spark.operators.mp4 import (
 PARSERS = (
     jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm,
     png_meta, png_pixels, gif_meta, gif_frames, flac_meta, flac_pcm,
+    bmp_meta, bmp_pixels,
 )
 
 
@@ -75,6 +79,9 @@ def _seeds() -> list[bytes]:
             color_type=3,
             palette=[(i, i, i) for i in range(16)],
             interlace=True,
+        ),
+        make_bmp(
+            np.random.RandomState(3).randint(0, 256, (6, 9, 3)).astype(np.uint8)
         ),
         make_flac(
             _lcg_samples(160, 2, 16, seed=5, smooth=True), 8000, 16, 64,
