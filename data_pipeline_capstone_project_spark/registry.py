@@ -285,6 +285,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       integer half-band FIR decimation, bit-exact
                       int64 convolution per channel, decode ->
                       transform -> fold in one mapInPandas scan
+  mp3_meta                                       MP3 frame-header walk:
+                      CBR+VBR bitrates, MPEG-1/2, ID3v2/v1 skip,
+                      exact duration from samples-per-frame; decode
+                      stays an honest seam like H.264
 """
 
 from __future__ import annotations
@@ -713,6 +717,10 @@ from .operators.flac import (
     FLAC_DECODE_ORACLE_SQL,
     flac_decode_query,
 )
+from .operators.mp3 import (
+    MP3_META_ORACLE_SQL,
+    mp3_meta_query,
+)
 from .operators.gif import (
     GIF_DECODE_ORACLE_SQL,
     gif_decode_query,
@@ -734,14 +742,20 @@ from .plans.history import HISTORY_ORACLE_SQL, history_fact
 
 QUERIES = {
     # Round-7 rotation: the driver's correctness gate reads the FIRST
-    # 50 entries only. Window = the new r7 entries (unigram_train /
-    # unigram_encode), the rows-only color_palette, the five entries
-    # whose implementation changed in r7 (mp4 multi-track fix, float32
-    # WAV), the 24 entries whose newest driver evidence is r2 (VERDICT
-    # r6 item 3's explicit list), then the OLDEST r3 entries
-    # alphabetically - after r7 no entry's newest driver row is older
-    # than r3. Full two-scale sweep ledger: VERIFICATION.md; rotation
-    # history: VERDICT r3 item 1 / r4 item 1 / r6 item 3.
+    # 50 entries only. Window = ALL new r7 entries (unigram pair +
+    # tokenizer_fertility from the early session; line_dedup,
+    # gif_decode, zorder_layout, audio_features, flac_decode,
+    # audio_resample, mp3_meta from the late session), the rows-only
+    # color_palette, the entries whose implementation changed in r7
+    # (mp4 multi-track fix, float32 WAV, PNG-variant image_decode,
+    # BMP/GIF-extended media_dispatch), the 24 entries whose newest
+    # driver evidence was r2 (VERDICT r6 item 3's list), then the
+    # OLDEST r3 entries alphabetically - after r7 no entry's newest
+    # driver row is older than r3. Entries displaced to keep the
+    # window at 50 (fuzzy_match, funnel, feature_*, event_unpivot,
+    # doc_score_inference, gap_fill...) retain their r3 driver rows
+    # and their two-scale OK in VERIFICATION.md. Rotation history:
+    # VERDICT r3 item 1 / r4 item 1 / r6 item 3.
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -756,6 +770,7 @@ QUERIES = {
     "audio_features": audio_features_query,
     "flac_decode": flac_decode_query,
     "audio_resample": audio_resample_query,
+    "mp3_meta": mp3_meta_query,
     "media_dispatch": media_dispatch_query,
     "approx_distinct": approx_distinct_query,
     "array_functions_suite": array_functions_suite_query,
@@ -790,9 +805,9 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star_query,
     "dedup_simhash": dedup_simhash_query,
     "doc_chunking": doc_chunking_query,
-    "doc_score_inference": doc_score_inference_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "doc_score_inference": doc_score_inference_query,
     "event_unpivot": event_unpivot_query,
     "feature_binning": feature_binning_query,
     "feature_hashing": feature_hashing_query,
@@ -931,6 +946,7 @@ ORACLES = {
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
     "audio_resample": AUDIO_RESAMPLE_ORACLE_SQL,
     "flac_decode": FLAC_DECODE_ORACLE_SQL,
+    "mp3_meta": MP3_META_ORACLE_SQL,
     "zorder_layout": ZORDER_LAYOUT_ORACLE_SQL,
     "gif_decode": GIF_DECODE_ORACLE_SQL,
     "line_dedup": LINE_DEDUP_ORACLE_SQL,

@@ -24,6 +24,11 @@ from data_pipeline_capstone_project_spark.operators.flac import (
     flac_pcm,
     make_flac,
 )
+from data_pipeline_capstone_project_spark.operators.mp3 import (
+    make_mp3,
+    mp3_meta,
+    mp3_pcm,
+)
 from data_pipeline_capstone_project_spark.operators.gif import (
     _lcg_indices,
     _lcg_palette,
@@ -54,7 +59,7 @@ from data_pipeline_capstone_project_spark.operators.mp4 import (
 PARSERS = (
     jpeg_pixels, jpeg_meta, mp4_meta, mp4_frames, wav_meta, wav_pcm,
     png_meta, png_pixels, gif_meta, gif_frames, flac_meta, flac_pcm,
-    bmp_meta, bmp_pixels,
+    bmp_meta, bmp_pixels, mp3_meta, mp3_pcm,
 )
 
 
@@ -83,6 +88,8 @@ def _seeds() -> list[bytes]:
         make_bmp(
             np.random.RandomState(3).randint(0, 256, (6, 9, 3)).astype(np.uint8)
         ),
+        make_mp3(12, seed=9, id3v2=b"\0" * 33, id3v1=True),
+        make_mp3(9, version=2, channels=1, vbr_indices=[3, 8, 11], seed=10),
         make_flac(
             _lcg_samples(160, 2, 16, seed=5, smooth=True), 8000, 16, 64,
             "mid_side", {"type": "fixed", "order": 2, "part_order": 1},

@@ -43,6 +43,10 @@ HEAVY = {
     "substring_dedup": ("documents",),
     "bpe_train": ("documents",),
     "pagerank": ("orders", "lineitem"),
+    # r7 addition: corpus-wide paragraph dedup (segment-keyed window +
+    # doc-keyed groupBy - the new entry with genuinely corpus-scale
+    # shuffles)
+    "line_dedup": ("documents",),
 }
 
 
