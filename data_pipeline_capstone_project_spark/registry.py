@@ -289,6 +289,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       CBR+VBR bitrates, MPEG-1/2, ID3v2/v1 skip,
                       exact duration from samples-per-frame; decode
                       stays an honest seam like H.264
+  streaming_media_ingest                         incremental binaryFile
+                      stream -> per-batch codec dispatch; corrupt
+                      payloads become logged error rows, never a
+                      stream crash; exact oracle incl. error rows
 """
 
 from __future__ import annotations
@@ -721,6 +725,10 @@ from .operators.mp3 import (
     MP3_META_ORACLE_SQL,
     mp3_meta_query,
 )
+from .streaming.media_stream import (
+    MEDIA_STREAM_ORACLE_SQL,
+    streaming_media_ingest_query,
+)
 from .operators.gif import (
     GIF_DECODE_ORACLE_SQL,
     gif_decode_query,
@@ -771,6 +779,7 @@ QUERIES = {
     "flac_decode": flac_decode_query,
     "audio_resample": audio_resample_query,
     "mp3_meta": mp3_meta_query,
+    "streaming_media_ingest": streaming_media_ingest_query,
     "media_dispatch": media_dispatch_query,
     "approx_distinct": approx_distinct_query,
     "array_functions_suite": array_functions_suite_query,
@@ -796,7 +805,6 @@ QUERIES = {
     "tpch_shipping_priority": shipping_priority_query,
     "train_test_split": train_test_split_query,
     "value_percentiles": value_percentiles_query,
-    "above_customer_avg": above_customer_avg_query,
     "argminmax": argminmax_query,
     "asof_nearest": asof_nearest_query,
     "cohort_retention": cohort_retention_query,
@@ -807,6 +815,7 @@ QUERIES = {
     "doc_chunking": doc_chunking_query,
     "image_decode": image_decode_query,
     # --- end of round-7 gate window (50) ---
+    "above_customer_avg": above_customer_avg_query,
     "doc_score_inference": doc_score_inference_query,
     "event_unpivot": event_unpivot_query,
     "feature_binning": feature_binning_query,
@@ -947,6 +956,7 @@ ORACLES = {
     "audio_resample": AUDIO_RESAMPLE_ORACLE_SQL,
     "flac_decode": FLAC_DECODE_ORACLE_SQL,
     "mp3_meta": MP3_META_ORACLE_SQL,
+    "streaming_media_ingest": MEDIA_STREAM_ORACLE_SQL,
     "zorder_layout": ZORDER_LAYOUT_ORACLE_SQL,
     "gif_decode": GIF_DECODE_ORACLE_SQL,
     "line_dedup": LINE_DEDUP_ORACLE_SQL,
