@@ -61,7 +61,14 @@ def main() -> None:
         if os.path.isdir(sf2):
             dirs.append(sf2)
 
+    # SCALE_BENCH_ONLY=a,b runs a subset and MERGES into the existing
+    # results file (for benching a newly added heavy operator without
+    # re-running the whole suite)
+    only = set((os.environ.get("SCALE_BENCH_ONLY") or "").split(",")) - {""}
+    out = os.path.join(REPO, "tools", "scale_bench_results.json")
     results: dict[str, dict] = {}
+    if only and os.path.isfile(out):
+        results = json.load(open(out))
     for sf_dir in dirs:
         # fresh JVM per scale: a 30-minute-old heap's GC/page-cache
         # state would otherwise bleed into the later scales' numbers
@@ -69,8 +76,10 @@ def main() -> None:
         spark = get_spark("scale-bench")
         queries = entrymod.queries()
         label = os.path.basename(sf_dir.rstrip("/"))
-        results[label] = {}
+        results.setdefault(label, {})
         for name, tables in HEAVY.items():
+            if only and name not in only:
+                continue
             in_rows = sum(
                 pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows
                 for t in tables
@@ -102,7 +111,6 @@ def main() -> None:
             gc.collect()
         spark.stop()
 
-    out = os.path.join(REPO, "tools", "scale_bench_results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")
