@@ -511,10 +511,7 @@ def make_mjpeg_mp4(
 
     samples = [make_jpeg(f) for f in frames]
     h, w = frames[0].shape[:2]
-    n = len(samples)
     delta = timescale // VIDEO_FPS
-    duration = n * delta
-    duration_ms = duration * 1000 // timescale
 
     # VisualSampleEntry 'jpeg' (14496-12 8.5.2 + 12.1.3): 78 bytes of
     # fields after the 8-byte box header.
@@ -535,6 +532,24 @@ def make_mjpeg_mp4(
         return _build_fmp4(
             stsd, samples, w, h, timescale, delta, frames_per_frag, use_mehd
         )
+    return _build_classic_mp4(stsd, samples, w, h, timescale, delta)
+
+
+def _build_classic_mp4(
+    stsd: bytes,
+    samples: list[bytes],
+    w: int,
+    h: int,
+    timescale: int,
+    delta: int,
+) -> bytes:
+    """Assemble the classic (non-fragmented) layout around an
+    arbitrary ``stsd``: real stts/stsc/stsz/stco tables, all samples
+    in one chunk, constant frame duration ``delta``. Shared by the
+    MJPEG writer above and the AVC fixture writer in
+    :mod:`operators.h264`."""
+    n = len(samples)
+    duration = n * delta
     stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n, delta))
     stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n, 1))
     stsz = _box(

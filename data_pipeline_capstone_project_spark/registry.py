@@ -465,6 +465,12 @@ from .operators.images import (
     color_palette_png_query,
     image_decode_query,
 )
+from .operators.h264 import (
+    H264_META_ORACLE_SQL,
+    H264_NAL_CENSUS_ORACLE_SQL,
+    h264_meta_query,
+    h264_nal_census_query,
+)
 from .operators.jpeg import JPEG_DECODE_ORACLE_SQL, jpeg_decode_query
 from .operators.mp4 import (
     MP4_AUDIO_META_ORACLE_SQL,
@@ -764,6 +770,8 @@ QUERIES = {
     # doc_score_inference, gap_fill...) retain their r3 driver rows
     # and their two-scale OK in VERIFICATION.md. Rotation history:
     # VERDICT r3 item 1 / r4 item 1 / r6 item 3.
+    "h264_meta": h264_meta_query,
+    "h264_nal_census": h264_nal_census_query,
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -971,6 +979,8 @@ ORACLES = {
     "jpeg_decode": JPEG_DECODE_ORACLE_SQL,
     "mp4_meta": MP4_META_ORACLE_SQL,
     "mp4_audio_meta": MP4_AUDIO_META_ORACLE_SQL,
+    "h264_meta": H264_META_ORACLE_SQL,
+    "h264_nal_census": H264_NAL_CENSUS_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,

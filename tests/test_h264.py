@@ -1,0 +1,300 @@
+"""H.264 avcC/SPS configuration parsing: Exp-Golomb codec properties,
+SPS build<->parse round-trip across every profile branch, emulation
+prevention actually firing, avcC record round-trip, malformed-input
+hardening, and the Spark registry query against its VALUES oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_capstone_project_spark.operators.h264 import (
+    H264_META_ORACLE_SQL,
+    H264Error,
+    _BitReader,
+    _BitWriter,
+    _ebsp,
+    _h264_fixtures,
+    _rbsp,
+    h264_meta,
+    h264_meta_query,
+    make_avc_mp4,
+    make_avcc,
+    make_sps,
+    parse_avcc,
+    parse_sps,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 2**20), min_size=1, max_size=20))
+def test_exp_golomb_ue_roundtrip(values):
+    w = _BitWriter()
+    for v in values:
+        w.ue(v)
+    r = _BitReader(w.rbsp())
+    assert [r.ue() for _ in values] == values
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-(2**19), 2**19), min_size=1, max_size=20))
+def test_exp_golomb_se_roundtrip(values):
+    w = _BitWriter()
+    for v in values:
+        w.se(v)
+    r = _BitReader(w.rbsp())
+    assert [r.se() for _ in values] == values
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_emulation_prevention_roundtrip(raw):
+    assert _rbsp(_ebsp(raw)) == raw
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 256).map(lambda x: x * 16),
+    st.integers(1, 135).map(lambda x: x * 16),
+    st.sampled_from([66, 77, 100, 110, 122, 244]),
+    st.booleans(),
+    st.integers(0, 16),
+)
+def test_sps_roundtrip_mb_aligned(w16, h16, profile, fmof, refs):
+    # heights must align to 32 for interlaced streams
+    h = h16 if fmof else -(-h16 // 32) * 32
+    sps = make_sps(w16, h, profile, 40, frame_mbs_only=fmof,
+                   max_num_ref_frames=refs)
+    m = parse_sps(sps)
+    assert (m["width"], m["height"]) == (w16, h)
+    assert m["profile_idc"] == profile
+    assert m["interlaced"] is (not fmof)
+    assert m["max_num_ref_frames"] == refs
+
+
+@pytest.mark.parametrize(
+    "w,h,chroma,fmof",
+    [
+        (640, 360, 1, True),     # 4:2:0 bottom crop
+        (1920, 1080, 1, True),   # the canonical 1080 crop
+        (1919, 1079, 3, True),   # 4:4:4 unit crops
+        (854, 480, 1, True),     # odd width -> left/right crop units
+        (720, 480, 1, False),    # interlaced + no crop
+        (1280, 688, 2, True),    # 4:2:2 (CropUnitY=1)
+        (511, 511, 0, True),     # monochrome unit crops
+    ],
+)
+def test_sps_cropping_exact(w, h, chroma, fmof):
+    profile = 100 if chroma != 1 else 77
+    sps = make_sps(w, h, profile, 40, chroma_format_idc=chroma,
+                   frame_mbs_only=fmof)
+    m = parse_sps(sps)
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["chroma_format_idc"] == chroma
+
+
+def test_unreachable_crop_rejected():
+    # 4:2:0 progressive CropUnitY=2: an odd vertical pad is impossible
+    with pytest.raises(H264Error, match="not reachable"):
+        make_sps(640, 367, 66, 30)
+
+
+def test_emulation_prevention_fires_in_poc1_fixture():
+    sps = make_sps(320, 240, 77, 21, pic_order_cnt_type=1,
+                   poc_cycle_offsets=(16384,) * 4)
+    assert b"\x00\x00\x03" in sps[1:]
+    assert _rbsp(sps[1:]) != sps[1:]  # an escape was really stripped
+    m = parse_sps(sps)
+    assert (m["width"], m["height"], m["pic_order_cnt_type"]) == (320, 240, 1)
+
+
+def test_scaling_matrix_skip_is_bit_exact():
+    sps = make_sps(1280, 544, 100, 41, scaling_matrix=True)
+    m = parse_sps(sps)
+    # fields AFTER the matrix parse correctly only if the skip consumed
+    # exactly the matrix's bits
+    assert (m["width"], m["height"], m["profile"]) == (1280, 544, "high")
+
+
+def test_avcc_roundtrip():
+    sps = make_sps(1920, 1080, 100, 40)
+    rec = parse_avcc(make_avcc([sps], nal_length_size=2))
+    assert rec["nal_length_size"] == 2
+    assert rec["sps"] == [sps]
+    assert len(rec["pps"]) == 1
+    assert (rec["profile_idc"], rec["level_idc"]) == (100, 40)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"",                        # empty
+        lambda b: b[:5],                      # truncated record
+        lambda b: b"\x02" + b[1:],            # bad version
+        lambda b: b[:6] + b"\xff\xff" + b[8:],  # SPS length overrun
+    ],
+)
+def test_avcc_malformed_rejected(mutate):
+    sps = make_sps(320, 240, 66, 30)
+    with pytest.raises(H264Error):
+        parse_avcc(mutate(make_avcc([sps])))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_sps_fuzz_never_crashes_uncontrolled(junk):
+    """Arbitrary bytes after a valid SPS NAL header byte either parse
+    or raise H264Error - no IndexError/struct.error leaks."""
+    try:
+        parse_sps(bytes([0x67]) + junk)
+    except H264Error:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_container_fuzz_controlled_errors(junk):
+    try:
+        h264_meta(junk)
+    except (H264Error, ValueError):  # ValueError: malformed box walk
+        pass
+
+
+def test_fixture_expectations_hold():
+    for name, payload, expect in _h264_fixtures():
+        m = h264_meta(payload)
+        for k, want in expect.items():
+            assert m[k] == want, (name, k, m[k], want)
+
+
+def test_non_avc_entry_rejected():
+    from data_pipeline_capstone_project_spark.operators.mp4 import make_mp4
+
+    with pytest.raises(H264Error):
+        h264_meta(make_mp4(320, 240, 1000))  # no stbl at all
+    sps = make_sps(16, 16, 66, 10)
+    payload = make_avc_mp4(sps, 16, 16, fourcc=b"hvc1")
+    with pytest.raises(H264Error, match="not an AVC"):
+        h264_meta(payload)
+
+
+def test_h264_meta_query_matches_oracle(spark, sf_dir):
+    got = h264_meta_query(spark, sf_dir).toPandas()
+    want = duckdb.sql(H264_META_ORACLE_SQL).df()
+    got = got.sort_values("video_name").reset_index(drop=True)
+    want = want.sort_values("video_name").reset_index(drop=True)
+    assert list(got["video_name"]) == list(want["video_name"])
+    for col in ("profile", "level_idc", "width", "height", "note"):
+        assert [None if pd_isna(v) else v for v in got[col]] == [
+            None if pd_isna(v) else v for v in want[col]
+        ], col
+
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    return v is None or (isinstance(v, float) and pd.isna(v))
+
+
+# --- NAL census --------------------------------------------------------------
+
+from data_pipeline_capstone_project_spark.operators.h264 import (  # noqa: E402
+    H264_NAL_CENSUS_ORACLE_SQL,
+    _census_build,
+    _census_expected,
+    _census_fixtures,
+    h264_nal_census,
+    h264_nal_census_query,
+    make_aud_nal,
+    make_sei_nal,
+    make_slice_nal,
+    parse_slice_kind,
+    split_sample_nals,
+)
+
+
+def test_census_matches_spec_arithmetic():
+    """Parser output over the built bytes == hand arithmetic over the
+    fixture descriptors, for every fixture and every column."""
+    for spec in _census_fixtures():
+        got = {"video_name": spec[0], **h264_nal_census(_census_build(spec))}
+        assert got == _census_expected(spec), spec[0]
+
+
+def test_census_emulation_prevention_fires_in_slice():
+    nal = make_slice_nal(0, pad=4, zero_run=True)
+    assert b"\x00\x00\x03" in nal[1:]
+    assert _rbsp(nal[1:]) != nal[1:]
+
+
+@pytest.mark.parametrize(
+    "code,kind", [(0, "P"), (1, "B"), (2, "I"), (3, "P"), (4, "I"),
+                  (5, "P"), (6, "B"), (7, "I"), (8, "P"), (9, "I")]
+)
+def test_parse_slice_kind_all_codes(code, kind):
+    assert parse_slice_kind(make_slice_nal(code)) == kind
+
+
+def test_split_sample_nals_rejects_malformed():
+    nal = make_aud_nal()
+    sample = len(nal).to_bytes(4, "big") + nal
+    assert split_sample_nals(sample, 4) == [nal]
+    with pytest.raises(H264Error, match="overruns"):
+        split_sample_nals((len(nal) + 9).to_bytes(4, "big") + nal, 4)
+    with pytest.raises(H264Error, match="truncated"):
+        split_sample_nals(sample + b"\x00\x00", 4)
+    with pytest.raises(H264Error, match="overruns"):
+        split_sample_nals(b"\x00\x00\x00\x00" + nal, 4)  # zero length
+
+
+def test_census_no_idr_spans_one_open_gop():
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _CENSUS_SPS,
+        make_avc_stream_mp4,
+    )
+
+    payload = make_avc_stream_mp4(
+        _CENSUS_SPS,
+        [[make_slice_nal(2, pad=3)], [make_slice_nal(0, pad=3)],
+         [make_slice_nal(0, pad=3)]],
+        640, 368,
+    )
+    m = h264_nal_census(payload)
+    assert (m["n_keyframes"], m["max_gop"]) == (0, 3)
+    assert (m["n_i"], m["n_p"]) == (1, 2)
+
+
+def test_census_sample_without_slice_rejected():
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _CENSUS_SPS,
+        make_avc_stream_mp4,
+    )
+
+    payload = make_avc_stream_mp4(
+        _CENSUS_SPS, [[make_sei_nal(3)]], 640, 368
+    )
+    with pytest.raises(H264Error, match="no coded slice"):
+        h264_nal_census(payload)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_census_fuzz_controlled_errors(junk):
+    try:
+        h264_nal_census(junk)
+    except (H264Error, ValueError):
+        pass
+
+
+def test_census_query_matches_oracle(spark, sf_dir):
+    got = h264_nal_census_query(spark, sf_dir).toPandas()
+    want = duckdb.sql(H264_NAL_CENSUS_ORACLE_SQL).df()
+    got = got.sort_values("video_name").reset_index(drop=True)
+    want = want.sort_values("video_name").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.astype("object"), want.astype("object"), check_dtype=False
+    )
