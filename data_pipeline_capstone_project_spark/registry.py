@@ -465,6 +465,7 @@ from .operators.images import (
     color_palette_png_query,
     image_decode_query,
 )
+from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
 from .operators.h264 import (
     H264_META_ORACLE_SQL,
     H264_NAL_CENSUS_ORACLE_SQL,
@@ -772,6 +773,7 @@ QUERIES = {
     # VERDICT r3 item 1 / r4 item 1 / r6 item 3.
     "h264_meta": h264_meta_query,
     "h264_nal_census": h264_nal_census_query,
+    "webm_meta": webm_meta_query,
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -981,6 +983,7 @@ ORACLES = {
     "mp4_audio_meta": MP4_AUDIO_META_ORACLE_SQL,
     "h264_meta": H264_META_ORACLE_SQL,
     "h264_nal_census": H264_NAL_CENSUS_ORACLE_SQL,
+    "webm_meta": WEBM_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
