@@ -466,6 +466,12 @@ from .operators.images import (
     image_decode_query,
 )
 from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
+from .operators.subtitles import (
+    CAPTION_FRAME_ALIGN_ORACLE_SQL,
+    SUBTITLE_PARSE_ORACLE_SQL,
+    caption_frame_align_query,
+    subtitle_parse_query,
+)
 from .operators.h264 import (
     H264_META_ORACLE_SQL,
     H264_NAL_CENSUS_ORACLE_SQL,
@@ -774,6 +780,8 @@ QUERIES = {
     "h264_meta": h264_meta_query,
     "h264_nal_census": h264_nal_census_query,
     "webm_meta": webm_meta_query,
+    "subtitle_parse": subtitle_parse_query,
+    "caption_frame_align": caption_frame_align_query,
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -984,6 +992,8 @@ ORACLES = {
     "h264_meta": H264_META_ORACLE_SQL,
     "h264_nal_census": H264_NAL_CENSUS_ORACLE_SQL,
     "webm_meta": WEBM_META_ORACLE_SQL,
+    "subtitle_parse": SUBTITLE_PARSE_ORACLE_SQL,
+    "caption_frame_align": CAPTION_FRAME_ALIGN_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
