@@ -466,6 +466,10 @@ from .operators.images import (
     image_decode_query,
 )
 from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
+from .operators.webdataset import (
+    WEBDATASET_PACK_ORACLE_SQL,
+    webdataset_pack_query,
+)
 from .operators.subtitles import (
     CAPTION_FRAME_ALIGN_ORACLE_SQL,
     SUBTITLE_PARSE_ORACLE_SQL,
@@ -782,6 +786,7 @@ QUERIES = {
     "webm_meta": webm_meta_query,
     "subtitle_parse": subtitle_parse_query,
     "caption_frame_align": caption_frame_align_query,
+    "webdataset_pack": webdataset_pack_query,
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -994,6 +999,7 @@ ORACLES = {
     "webm_meta": WEBM_META_ORACLE_SQL,
     "subtitle_parse": SUBTITLE_PARSE_ORACLE_SQL,
     "caption_frame_align": CAPTION_FRAME_ALIGN_ORACLE_SQL,
+    "webdataset_pack": WEBDATASET_PACK_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
