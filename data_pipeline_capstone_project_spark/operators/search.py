@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
+from .similarity import cosine
 
 SUBSTRING = "join"
 TOKEN = "merge"
@@ -128,3 +130,126 @@ WHERE {score} > 0
 
 
 KEYWORD_SEARCH_RANKED_ORACLE_SQL = _ranked_oracle()
+
+
+# --- hybrid retrieval: reciprocal rank fusion --------------------------------
+
+RRF_K = 60  # the published constant (Cormack/Clarke/Buettcher, SIGIR'09)
+KW_TOP = 50
+VEC_TOP = 50
+FUSED_TOP = 20
+QUERY_VEC_ID = 0  # the embedding playing "query" for the vector leg
+
+
+def hybrid_search_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval - the modern search stack's fusion of a
+    lexical ranking with a dense-vector ranking, combined by
+    reciprocal rank fusion: ``rrf(d) = sum_i 1/(RRF_K + rank_i(d))``
+    over the rankings d appears in. The lexical leg is this module's
+    exact-arithmetic tf-idf ranking; the dense leg is brute-force
+    cosine against one query embedding (both already hash-exact
+    across engines on their own registry entries, so the fused ranks
+    are too).
+
+    Scale shape: each leg materializes only its top-N via
+    ``orderBy().limit(N)`` (TakeOrderedAndProject - per-partition
+    local top-N, then one tiny merge; NOT a global-sort window over
+    the corpus), the rank window then runs on the N-row result, and
+    the fusion is a full-outer join of two N-row frames. The corpus
+    is touched exactly twice (one scan per leg), everything after is
+    constant-size."""
+    kw_scores = keyword_search_ranked_query(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    kw_top = kw_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(KW_TOP)
+    wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    kw = kw_top.select(
+        "doc_id", F.row_number().over(wk).alias("kw_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    vec_top = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(VEC_TOP)
+    wv = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec = vec_top.select(
+        "doc_id", F.row_number().over(wv).alias("vec_rank")
+    )
+
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "kw_rank",
+            "vec_rank",
+            (
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(FUSED_TOP)
+        .select("*", F.row_number().over(wf).alias("fused_rank"))
+    )
+
+
+def _hybrid_oracle() -> str:
+    from .similarity import DIM, _oracle_dot
+
+    cos = (
+        f"{_oracle_dot('e.embedding', 'q.qv', DIM)}"
+        f" / (sqrt({_oracle_dot('e.embedding', 'e.embedding', DIM)})"
+        f" * sqrt({_oracle_dot('q.qv', 'q.qv', DIM)}))"
+    )
+    return f"""
+WITH kwbase AS ({KEYWORD_SEARCH_RANKED_ORACLE_SQL}),
+kw AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS kw_rank
+  FROM kwbase
+  QUALIFY kw_rank <= {KW_TOP}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vscored AS (
+  SELECT e.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM vscored
+  QUALIFY vec_rank <= {VEC_TOP}
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+         CAST(kw.kw_rank AS INT) AS kw_rank,
+         CAST(vec.vec_rank AS INT) AS vec_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + kw.kw_rank),
+                  CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + vec.vec_rank),
+                      CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, kw_rank, vec_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {FUSED_TOP}
+"""
+
+
+HYBRID_SEARCH_RRF_ORACLE_SQL = _hybrid_oracle()

@@ -466,6 +466,10 @@ from .operators.images import (
     image_decode_query,
 )
 from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
+from .operators.search import (
+    HYBRID_SEARCH_RRF_ORACLE_SQL,
+    hybrid_search_rrf_query,
+)  # the rest of operators.search is imported with the r3 block below
 from .operators.webdataset import (
     WEBDATASET_PACK_ORACLE_SQL,
     webdataset_pack_query,
@@ -787,6 +791,7 @@ QUERIES = {
     "subtitle_parse": subtitle_parse_query,
     "caption_frame_align": caption_frame_align_query,
     "webdataset_pack": webdataset_pack_query,
+    "hybrid_search_rrf": hybrid_search_rrf_query,
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -1000,6 +1005,7 @@ ORACLES = {
     "subtitle_parse": SUBTITLE_PARSE_ORACLE_SQL,
     "caption_frame_align": CAPTION_FRAME_ALIGN_ORACLE_SQL,
     "webdataset_pack": WEBDATASET_PACK_ORACLE_SQL,
+    "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
