@@ -466,6 +466,7 @@ from .operators.images import (
     image_decode_query,
 )
 from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
+from .operators.exif import EXIF_META_ORACLE_SQL, exif_meta_query
 from .operators.ogg import OGG_META_ORACLE_SQL, ogg_meta_query
 from .operators.search import (
     HYBRID_SEARCH_RRF_ORACLE_SQL,
@@ -794,6 +795,7 @@ QUERIES = {
     "webdataset_pack": webdataset_pack_query,
     "hybrid_search_rrf": hybrid_search_rrf_query,
     "ogg_meta": ogg_meta_query,
+    "exif_meta": exif_meta_query,
     "line_dedup": line_dedup_query,
     "gif_decode": gif_decode_query,
     "zorder_layout": zorder_layout_query,
@@ -1009,6 +1011,7 @@ ORACLES = {
     "webdataset_pack": WEBDATASET_PACK_ORACLE_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE_SQL,
     "ogg_meta": OGG_META_ORACLE_SQL,
+    "exif_meta": EXIF_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,

@@ -47,6 +47,11 @@ HEAVY = {
     # doc-keyed groupBy - the new entry with genuinely corpus-scale
     # shuffles)
     "line_dedup": ("documents",),
+    # r7 additions: training-export tar packing (per-source cumsum
+    # window + grouped tar build) and hybrid retrieval (two corpus
+    # scans -> TakeOrdered legs -> constant-size fusion)
+    "webdataset_pack": ("documents",),
+    "hybrid_search_rrf": ("documents", "embeddings"),
 }
 
 
