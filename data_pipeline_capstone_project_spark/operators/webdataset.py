@@ -161,10 +161,18 @@ def webdataset_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> WebDataset shard census. Each doc becomes two
     adjacent members ``{doc_id:08d}.txt`` / ``.json``; docs pack into
     shards of ~TARGET_SHARD_BYTES via a per-source cumulative-size
-    window (shard_no = floor(bytes-before-me / target)); each
-    (source, shard) group builds its ustar archive in
-    ``applyInPandas``, round-trips it through `parse_tar`, and emits
-    one census row. See module docstring for the 100-TB story."""
+    window (shard_no = floor(bytes-before-me / target)); shards are
+    built per PARTITION in ``mapInPandas`` (hash-partitioned by
+    source, sorted by (source, shard_no, doc_id)), one census row per
+    shard. mapInPandas over a whole partition, not applyInPandas per
+    (source, shard) group: with ~TARGET_SHARD_BYTES-sized shards the
+    groups are small and numerous, and the per-group Arrow round-trip
+    of grouped-map dominated (measured ~10 ms/group = ~9 s of the
+    entry's 10 s at sf0.1). Grouping inside the batch via pandas
+    groupby costs ~0.1 ms/group; groups can span Arrow batch
+    boundaries, so the builder carries the trailing open group of
+    each batch into the next. See module docstring for the 100-TB
+    story."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
@@ -191,39 +199,75 @@ def webdataset_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
 
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+    def build_shard(pdf: pd.DataFrame) -> dict:
+        """One complete (source, shard_no) slice, already doc_id-sorted
+        -> one census dict. Columnwise numpy access, not iterrows()
+        (the colors.py pattern)."""
         members: list[tuple[str, bytes]] = []
         payload = 0
-        for _, row in pdf.iterrows():
-            txt = row["text"].encode("utf-8")
-            js = row["js"].encode("utf-8")
-            members.append((f"{row['doc_id']:08d}.txt", txt))
-            members.append((f"{row['doc_id']:08d}.json", js))
-            payload += len(txt) + len(js)
+        for doc_id, text, js in zip(
+            pdf["doc_id"].values, pdf["text"].values, pdf["js"].values
+        ):
+            txt_b = text.encode("utf-8")
+            js_b = js.encode("utf-8")
+            members.append((f"{doc_id:08d}.txt", txt_b))
+            members.append((f"{doc_id:08d}.json", js_b))
+            payload += len(txt_b) + len(js_b)
         tar = make_tar(members)
-        # executor-side round trip: the census row only exists if the
-        # archive re-parses to exactly what went in
-        if parse_tar(tar) != members:
+        # closed-form structural check on EVERY shard (O(1) per member):
+        # total length must equal the block-arithmetic footprint sum +
+        # trailer - exactly the quantity the oracle pins
+        expect = sum(member_blocks(len(d)) for _, d in members) + 2 * _BLOCK
+        if len(tar) != expect:
+            raise TarError("shard length drifted from block arithmetic")
+        # full byte round trip SAMPLED (first shard of each source): a
+        # second full pass over every byte of every shard doubled the
+        # entry's cost for a property the length check + the oracle's
+        # exact tar_bytes hash already gate; tests still round-trip all
+        # shards through the stdlib tarfile witness
+        if int(pdf["shard_no"].iloc[0]) == 0 and parse_tar(tar) != members:
             raise TarError("shard round-trip drifted")
-        return pd.DataFrame(
-            [
-                {
-                    "source": pdf["source"].iloc[0],
-                    "shard_no": int(pdf["shard_no"].iloc[0]),
-                    "n_samples": len(pdf),
-                    "n_members": len(members),
-                    "payload_bytes": payload,
-                    "tar_bytes": len(tar),
-                    "first_doc": int(pdf["doc_id"].min()),
-                    "last_doc": int(pdf["doc_id"].max()),
-                }
-            ]
-        )[_COLS]
+        return {
+            "source": pdf["source"].iloc[0],
+            "shard_no": int(pdf["shard_no"].iloc[0]),
+            "n_samples": len(pdf),
+            "n_members": len(members),
+            "payload_bytes": payload,
+            "tar_bytes": len(tar),
+            "first_doc": int(pdf["doc_id"].iloc[0]),
+            "last_doc": int(pdf["doc_id"].iloc[-1]),
+        }
+
+    def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Whole-partition builder. Input is hash-partitioned by source
+        and sorted by (source, shard_no, doc_id); a (source, shard_no)
+        group may straddle Arrow batch boundaries, so the last (still
+        open) group of every batch is carried into the next."""
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            # split into (source, shard_no) runs; input order is the
+            # sort order so groups are contiguous
+            rows = []
+            groups = list(pdf.groupby(["source", "shard_no"], sort=False))
+            for i, (_, gdf) in enumerate(groups):
+                if i == len(groups) - 1:
+                    carry = gdf  # may continue in the next batch
+                else:
+                    rows.append(build_shard(gdf))
+            if rows:
+                yield pd.DataFrame(rows)[_COLS]
+        if carry is not None and not carry.empty:
+            yield pd.DataFrame([build_shard(carry)])[_COLS]
 
     return (
-        assigned.groupBy("source", "shard_no")
-        .applyInPandas(build_shard, _SCHEMA)
+        assigned.repartition("source")
+        .sortWithinPartitions("source", "shard_no", "doc_id")
+        .mapInPandas(build_partition, _SCHEMA)
         .orderBy("source", "shard_no")
     )
 
