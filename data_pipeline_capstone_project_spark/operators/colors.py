@@ -55,20 +55,104 @@ IMG_SIDE = 8  # synthetic stand-in for the 75x75 resize target
 KMEANS_ITERS = 12
 KMEANS_RESTARTS = 20  # reference n_init=20 (spark_image.py:23-26)
 
+#: Pixels per color inside every synthetic image, listed by the
+#: color's rank in ASCENDING HSV-component-sum order. Chosen so that
+#: (a) the six counts are distinct -> the palette ranking has no ties,
+#: (b) for any image count m, `linspace(0, 64m-1, 6)` over the
+#: HSV-sum-sorted pixel population lands EXACTLY ONE index inside each
+#: color's run (cumulative boundaries 12,25,36,50,60 straddle the
+#: five interior quantile points 12.8m, 25.6m, 38.4m, 51.2m with >=
+#: 0.6m margin) -> `_kmeans`'s quantile-spread init starts with one
+#: center ON each distinct HSV point and Lloyd converges to the global
+#: optimum (inertia 0) in one step. That makes the whole palette
+#: closed-form: counts are m*(these counts), centers are the fixture
+#: colors themselves. Property (b) is proved by the margin arithmetic
+#: only for the FULL population (subsample stride 1), hence the
+#: MAX_IMAGES_PER_USER cap below; tests/test_colors_multimodal.py
+#: sweeps m empirically.
+COUNTS_BY_SUM_RANK = (12, 13, 11, 14, 10, 4)
+
+#: Per-user image cap: 32 images x 64 px = 2048 px = KMEANS_SAMPLE,
+#: so the restart race's deterministic stride stays 1 and the
+#: quantile-init exactness argument above holds at every scale factor.
+MAX_IMAGES_PER_USER = 32
+
+N_PALETTE_USERS = 20  # the query's user_id < 20 slice
+
+
+def _user_colors6(user: int) -> list[tuple[int, int, int]]:
+    """Six deterministic (r, g, b) fixture colors for one user, drawn
+    from RandomState(10000+user) and re-drawn until the guard family
+    holds: six DISTINCT 8-bit HSV points with six DISTINCT HSV
+    component sums (so the quantile-init landing argument applies and
+    the oracle's tie-breaks never fire), AND the vectorized numpy
+    conversion twins (`_bgr2hsv_8u` / `_hsv2rgb_8u`) agree with the
+    independent stdlib-colorsys scalar twin on every color (rejecting
+    the rare rounding-boundary colors where one twin could round a
+    half differently keeps the accepted fixtures' oracle values
+    derivable from colorsys alone)."""
+    from .images import _hsv_roundtrip  # lazy: images lazily imports colors
+
+    rng = np.random.RandomState(10_000 + user)
+    while True:
+        cand = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(6)]
+        via_colorsys = [_hsv_roundtrip(r, g, b) for r, g, b in cand]
+        hsvs = [hsv for hsv, _ in via_colorsys]
+        sums = [sum(h) for h in hsvs]
+        if len(set(hsvs)) != 6 or len(set(sums)) != 6:
+            continue
+        # numpy twin agreement (the pipeline's own conversions): the
+        # pipeline hands _bgr2hsv_8u the (r,g,b)-ordered array (its
+        # BGR buffer flipped), reproducing the reference's channel
+        # quirk - feed the same order here
+        np_hsv = _bgr2hsv_8u(np.array(cand, dtype=np.float64))
+        if [tuple(int(v) for v in row) for row in np_hsv] != hsvs:
+            continue
+        np_rgb = _hsv2rgb_8u(np.array(hsvs, dtype=np.float64))
+        if [tuple(int(v) for v in row) for row in np_rgb] != [
+            rgb for _, rgb in via_colorsys
+        ]:
+            continue
+        return cand
+
+
+def _user_image_bgr(user: int) -> bytes:
+    """The canonical 64-pixel BGR tile for one user: each fixture
+    color repeated its COUNTS_BY_SUM_RANK share (assigned by the
+    color's HSV-sum rank). Every image of a user carries this exact
+    pixel MULTISET; per-event variation is a rotation (below), which
+    is multiset-invariant."""
+    from .images import _hsv_roundtrip
+
+    cols = _user_colors6(user)
+    order = sorted(range(6), key=lambda j: sum(_hsv_roundtrip(*cols[j])[0]))
+    px = []
+    for rank, j in enumerate(order):
+        r, g, b = cols[j]
+        px.extend([b, g, r] * COUNTS_BY_SUM_RANK[rank])
+    return bytes(px)
+
 
 def synth_images(events: DataFrame) -> DataFrame:
     """Deterministic synthetic image store: one IMG_SIDE^2 x 3 uint8
-    BGR buffer per (user, post), seeded by event_id (mapInPandas -
+    BGR buffer per (user, post) from the closed-form fixture family
+    above; per-event pixel-order rotation by event_id (mapInPandas -
     generation happens executor-side, streaming Arrow batches)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tiles: dict[int, np.ndarray] = {}
         for pdf in batches:
-            data = [
-                np.random.RandomState(int(eid) % (2**31)).randint(
-                    0, 256, size=IMG_SIDE * IMG_SIDE * 3, dtype=np.uint8
-                ).tobytes()
-                for eid in pdf["event_id"]
-            ]
+            data = []
+            for uid, eid in zip(pdf["user_id"], pdf["event_id"]):
+                base = tiles.get(int(uid))
+                if base is None:
+                    base = np.frombuffer(
+                        _user_image_bgr(int(uid)), dtype=np.uint8
+                    ).reshape(-1, 3)
+                    tiles[int(uid)] = base
+                data.append(
+                    np.roll(base, int(eid) % len(base), axis=0).tobytes()
+                )
             yield pd.DataFrame(
                 {
                     "igId": pdf["user_id"].astype(str),
@@ -305,11 +389,78 @@ def color_palette(images: DataFrame) -> DataFrame:
 
 
 def color_palette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (no SQL oracle - iterative clustering is not
-    SQL-expressible; property checks live in tests): the full weekly
-    color pipeline over synthetic images for users 0..19."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    """Registry query: the full weekly color pipeline over the
+    closed-form synthetic image store for users 0..19, capped at
+    MAX_IMAGES_PER_USER most-recent-by-event_id images per user (the
+    cap keeps the per-user pixel population <= KMEANS_SAMPLE, which is
+    what makes the KMeans outcome provably exact - see
+    COUNTS_BY_SUM_RANK). Because the fixture family has a provable
+    Lloyd optimum, the palette JSON is closed-form per user and the
+    DuckDB oracle hash-checks the EXACT output (the
+    color_palette_png technique, images.py:455, applied to the
+    flagship entry)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < N_PALETTE_USERS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAX_IMAGES_PER_USER)
+        .drop("rn")
+    )
     return color_palette(synth_images(events)).orderBy("igId")
+
+
+def expected_palette_json(user: int) -> str:
+    """Closed-form palette for one user of the fixture family,
+    derived WITHOUT running KMeans: the per-user pixel population is
+    six distinct HSV points whose global 6-means optimum is the points
+    themselves, so counts are the COUNTS_BY_SUM_RANK shares and the
+    emitted colors are the colorsys-twin round trips of the fixture
+    colors. Ranking mirrors the operator: count desc (counts are
+    distinct by construction, so the HSV-sum residual tie-break never
+    fires)."""
+    from .images import _hsv_roundtrip
+
+    cols = _user_colors6(user)
+    scored = [_hsv_roundtrip(r, g, b) for r, g, b in cols]
+    by_sum = sorted(range(6), key=lambda j: sum(scored[j][0]))
+    ranked = sorted(
+        zip(COUNTS_BY_SUM_RANK, (scored[j][1] for j in by_sum)),
+        key=lambda t: -t[0],
+    )
+    colors = []
+    for count, (r, g, b) in ranked:
+        colors.append(
+            {
+                "percentage": round(float(count / 64.0), 4),
+                "red": r,
+                "green": g,
+                "blue": b,
+                "hex": f"#{r:02x}{g:02x}{b:02x}",
+            }
+        )
+    return json.dumps(colors)
+
+
+def _color_palette_oracle() -> str:
+    """DuckDB oracle: the closed-form palette JSON joined against the
+    users that actually have events (the query derives its user set
+    the same way)."""
+    rows = ", ".join(
+        "({}, '{}')".format(u, expected_palette_json(u))
+        for u in range(N_PALETTE_USERS)
+    )
+    return (
+        "SELECT CAST(e.user_id AS VARCHAR) AS igId, p.colors AS colors "
+        f"FROM (SELECT DISTINCT user_id FROM events "
+        f"WHERE user_id < {N_PALETTE_USERS}) e "
+        f"JOIN (VALUES {rows}) AS p(u, colors) ON e.user_id = p.u"
+    )
+
+
+COLOR_PALETTE_ORACLE_SQL = _color_palette_oracle()
 
 
 COLOR_SCHEMA = (

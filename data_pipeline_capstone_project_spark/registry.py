@@ -341,6 +341,7 @@ from .operators.dedup import (
     substring_dedup_query,
 )
 from .operators.colors import (
+    COLOR_PALETTE_ORACLE_SQL,
     COLOR_PALETTE_PROPS_ORACLE_SQL,
     color_palette_props_query,
     color_palette_query,
@@ -1104,9 +1105,10 @@ ORACLES = {
     "similarity_ivf_ann": SIMILARITY_IVF_ORACLE_SQL,
     "multimodal_meta": MULTIMODAL_META_ORACLE_SQL,
     "frame_sample": FRAME_SAMPLE_ORACLE_SQL,
-    # color_palette: no oracle (iterative KMeans is not SQL-expressible;
-    # the driver records the weaker rows-only check; property tests in
-    # tests/test_colors_multimodal.py)
+    # color_palette: the fixture family has a provable Lloyd optimum,
+    # so the oracle pins the EXACT palette JSON (colors.py:
+    # COUNTS_BY_SUM_RANK / expected_palette_json)
+    "color_palette": COLOR_PALETTE_ORACLE_SQL,
     "streaming_upsert": STREAMING_UPSERT_ORACLE_SQL,
     "streaming_window_agg": STREAMING_WINDOW_ORACLE_SQL,
     "streaming_stateful": STREAMING_STATEFUL_ORACLE_SQL,

@@ -50,3 +50,58 @@ def test_multimodal_meta_matches_payload(spark, sf_dir):
         assert r["thumb_bytes"] == min(64, r["n_bytes"])
         assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
         assert r["fmt"].startswith("fake/")
+
+
+def test_fixture_family_kmeans_exactness():
+    """The closed-form oracle's load-bearing claim: for every image
+    count m in [1, MAX_IMAGES_PER_USER], the quantile-spread init over
+    the COUNTS_BY_SUM_RANK pixel population starts one center on each
+    distinct HSV point and Lloyd returns the exact optimum (counts =
+    m * COUNTS_BY_SUM_RANK, centers = the points), regardless of pixel
+    order. Sweeps several users x all m."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.colors import (
+        COUNTS_BY_SUM_RANK,
+        MAX_IMAGES_PER_USER,
+        _bgr2hsv_8u,
+        _kmeans,
+        _user_colors6,
+    )
+
+    rng = np.random.RandomState(7)
+    for user in (0, 3, 11, 19):
+        cols = np.array(_user_colors6(user), dtype=np.float64)
+        hsv = _bgr2hsv_8u(cols)  # pipeline feeds (r,g,b) order
+        order = np.argsort(hsv.sum(axis=1))
+        for m in range(1, MAX_IMAGES_PER_USER + 1):
+            px = np.concatenate(
+                [
+                    np.tile(hsv[ci], (COUNTS_BY_SUM_RANK[rank] * m, 1))
+                    for rank, ci in enumerate(order)
+                ]
+            )
+            px = px[rng.permutation(len(px))]
+            centers, labels = _kmeans(px, 6)
+            counts = sorted(np.bincount(labels, minlength=6).tolist())
+            assert counts == sorted(c * m for c in COUNTS_BY_SUM_RANK), (
+                f"user {user} m {m}: counts {counts}"
+            )
+            assert set(map(tuple, centers.tolist())) == set(
+                map(tuple, hsv.tolist())
+            ), f"user {user} m {m}: centers drifted"
+
+
+def test_expected_palette_matches_operator(spark, sf_dir):
+    """End-to-end: the operator's emitted JSON equals the closed-form
+    expected_palette_json for every user present."""
+    import json as _json
+
+    from data_pipeline_capstone_project_spark.operators.colors import (
+        expected_palette_json,
+    )
+
+    for r in color_palette_query(spark, sf_dir).collect():
+        assert _json.loads(r["colors"]) == _json.loads(
+            expected_palette_json(int(r["igId"]))
+        )
