@@ -470,7 +470,9 @@ from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
 from .operators.exif import EXIF_META_ORACLE_SQL, exif_meta_query
 from .operators.ogg import OGG_META_ORACLE_SQL, ogg_meta_query
 from .operators.search import (
+    BM25_SEARCH_ORACLE_SQL,
     HYBRID_SEARCH_RRF_ORACLE_SQL,
+    bm25_search_query,
     hybrid_search_rrf_query,
 )  # the rest of operators.search is imported with the r3 block below
 from .operators.webdataset import (
@@ -795,6 +797,7 @@ QUERIES = {
     "caption_frame_align": caption_frame_align_query,
     "webdataset_pack": webdataset_pack_query,
     "hybrid_search_rrf": hybrid_search_rrf_query,
+    "bm25_search": bm25_search_query,
     "ogg_meta": ogg_meta_query,
     "exif_meta": exif_meta_query,
     "line_dedup": line_dedup_query,
@@ -1011,6 +1014,7 @@ ORACLES = {
     "caption_frame_align": CAPTION_FRAME_ALIGN_ORACLE_SQL,
     "webdataset_pack": WEBDATASET_PACK_ORACLE_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE_SQL,
+    "bm25_search": BM25_SEARCH_ORACLE_SQL,
     "ogg_meta": OGG_META_ORACLE_SQL,
     "exif_meta": EXIF_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
