@@ -273,6 +273,29 @@ RACE_ITERS = 6  # Lloyd iterations per racing restart (winner gets the full 12)
 KMEANS_FULL_RESTARTS = False
 
 
+def _gonzalez_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-first traversal (Gonzalez 1985, public
+    k-center literature): start at the point nearest the mean, then
+    repeatedly add the point farthest from the chosen set. Guarantees
+    every remote pixel mode gets an initial center - the failure case
+    of pure random/quantile inits on adversarial multi-modal
+    populations (a tiny far-away blob that no restart seeds can never
+    be reached by Lloyd migration; measured up to 15x inertia loss vs
+    sklearn-style full restarts before this candidate existed,
+    <= ~1.15x after - tests/test_colors_multimodal.py property-gates
+    it).
+    O(k*n), no RNG."""
+    mean = sample.mean(axis=0)
+    first = int(((sample - mean) ** 2).sum(axis=1).argmin())
+    idx = [first]
+    dmin = ((sample - sample[first]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        j = int(dmin.argmax())
+        idx.append(j)
+        dmin = np.minimum(dmin, ((sample - sample[j]) ** 2).sum(axis=1))
+    return sample[idx]
+
+
 def _kmeans(
     pixels: np.ndarray, k: int, full_restarts: bool | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -313,6 +336,16 @@ def _kmeans(
     order = np.argsort(sample.sum(axis=1), kind="stable")
     idx = order[np.linspace(0, len(order) - 1, k).astype(int)]
     best = _lloyd(sample, sample[idx], iters=race_iters)
+    if len(uniq) > k and not full_restarts:
+        # farthest-first candidate: covers remote low-mass modes that
+        # neither the quantile spread nor the seeded draws reach (a
+        # strict-< replacement, so provable-optimum fixtures where the
+        # quantile init already attains inertia 0 are unchanged).
+        # Racing mode only - full_restarts stays the sklearn-faithful
+        # bakeoff shape.
+        cand = _lloyd(sample, _gonzalez_init(sample, k), iters=race_iters)
+        if cand[2] < best[2]:
+            best = cand
     for restart in range(1, KMEANS_RESTARTS):
         if len(uniq) <= k:
             break  # every init converges to the same unique points
