@@ -105,6 +105,12 @@ class _BitWriter:
         """Signed Exp-Golomb (§9.1.1): k>0 -> 2k-1, k<=0 -> -2k."""
         self.ue(2 * value - 1 if value > 0 else -2 * value)
 
+    def byte_align_zero(self) -> None:
+        """pcm_alignment_zero_bit run (§7.3.5): zero bits to the next
+        byte boundary."""
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
     def rbsp(self) -> bytes:
         """Close with rbsp_trailing_bits (stop bit + zero pad)."""
         bits = self._bits + [1]
@@ -145,6 +151,13 @@ class _BitReader:
     def se(self) -> int:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self) -> None:
+        """Skip pcm_alignment_zero_bit run to the next byte boundary;
+        the skipped bits must be zero (§7.4.5)."""
+        pad = (-self._pos) % 8
+        if pad and self.u(pad) != 0:
+            raise H264Error("nonzero pcm_alignment bits")
 
 
 def _ebsp(rbsp: bytes) -> bytes:
@@ -324,10 +337,11 @@ def parse_sps(nal: bytes) -> dict:
             for i in range(n_lists):
                 if r.u(1):
                     _skip_scaling_list(r, 16 if i < 6 else 64)
-    r.ue()  # log2_max_frame_num_minus4
+    log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4  # log2_max_pic_order_cnt_lsb_minus4
     elif poc_type == 1:
         r.u(1)
         r.se()
@@ -370,25 +384,40 @@ def parse_sps(nal: bytes) -> dict:
         "interlaced": not fmof,
         "max_num_ref_frames": max_num_ref_frames,
         "pic_order_cnt_type": poc_type,
+        # coded grid + pixel crop offsets, consumed by the I-slice
+        # decoder (operators.h264_decode); display w/h above stay the
+        # h264_meta output surface
+        "mb_width": mb_w,
+        "mb_height": (2 - fmof) * map_h,
+        "crop_left_px": cux * crop_l,
+        "crop_top_px": cuy * crop_t,
+        "log2_max_frame_num": log2_max_frame_num,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
     }
 
 
 def _minimal_pps() -> bytes:
-    """Minimal well-formed PPS NAL: pps_id=0, sps_id=0, CAVLC, one
-    slice group, ref idx 0/0, all flags/deltas 0. Never decoded here;
-    enough for avcC records and in-band parameter-set samples."""
+    """Minimal well-formed PPS NAL (§7.3.2.2): pps_id=0, sps_id=0,
+    CAVLC, one slice group, ref idx 0/0, all flags/deltas 0. The
+    I-slice decoder in :mod:`operators.h264_decode` consumes the
+    values this encodes (qp offsets, deblocking/constrained-intra
+    flags)."""
     w = _BitWriter()
-    w.ue(0)
-    w.ue(0)
-    w.u(0, 2)
-    w.ue(0)
-    w.ue(0)
-    w.ue(0)
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 2)  # entropy_coding_mode_flag, bottom_field_pic_order...
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 3)  # weighted_pred_flag, weighted_bipred_idc(2)
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    # deblocking_filter_control_present_flag, constrained_intra_pred_
+    # flag, redundant_pic_cnt_present_flag (this was 2 bits - one flag
+    # short of §7.3.2.2 - while the PPS was decoratively carried in
+    # avcC only; the r8 slice decoder parses it for real)
     w.u(0, 3)
-    w.se(0)
-    w.se(0)
-    w.se(0)
-    w.u(0, 2)
     return bytes([0x68]) + _ebsp(w.rbsp())
 
 

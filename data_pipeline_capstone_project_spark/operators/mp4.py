@@ -478,13 +478,13 @@ def _mp4_oracle() -> str:
 
 # --- MJPEG video: real frame extraction + decode ----------------------------
 #
-# H.264 frame decode genuinely needs an external library; MJPEG does
-# not - each sample IS a baseline JPEG, and the repo carries its own
-# JPEG codec. So the engine supports real end-to-end video frame
-# decode for MJPEG tracks: full sample-table walk (stsd codec, stsz
-# sizes, stsc chunk mapping, stco offsets) -> per-frame byte ranges ->
-# jpeg_pixels. This is the complete demuxer shape - an H.264 build
-# would swap only the per-sample decode call.
+# MJPEG needs no external library - each sample IS a baseline JPEG,
+# and the repo carries its own JPEG codec. So the engine supports real
+# end-to-end video frame decode for MJPEG tracks: full sample-table
+# walk (stsd codec, stsz sizes, stsc chunk mapping, stco offsets) ->
+# per-frame byte ranges -> jpeg_pixels. This is the complete demuxer
+# shape; the AVC counterpart (baseline I-frame luma, from-scratch
+# CAVLC/intra-prediction subset) lives in operators.h264_decode.
 
 VIDEO_FPS = 4
 
@@ -817,8 +817,10 @@ def _mp4_sample_table_impl(payload: bytes) -> tuple[bytes, list[tuple[int, int]]
 def mp4_frames(payload: bytes) -> list:
     """Decode every video frame of an MJPEG mp4 -> list of (h, w, 3)
     uint8 RGB arrays, using the in-repo JPEG decoder per sample.
-    Non-MJPEG codecs raise NotImplementedError (the honest seam: the
-    demux is complete, only the per-sample codec is missing)."""
+    Non-MJPEG codecs raise NotImplementedError here; since r8 the
+    AVC side has its own real (partial) decoder - baseline I-frame
+    luma via :mod:`operators.h264_decode` (`h264_frames` entry) -
+    while full AVC P/B/residual decode remains the honest seam."""
     from .jpeg import jpeg_pixels
 
     codec, table = mp4_sample_table(payload)

@@ -475,6 +475,10 @@ from .operators.search import (
     bm25_search_query,
     hybrid_search_rrf_query,
 )  # the rest of operators.search is imported with the r3 block below
+from .operators.h264_decode import (
+    H264_FRAMES_ORACLE_SQL,
+    h264_frames_query,
+)
 from .operators.webdataset import (
     WEBDATASET_PACK_ORACLE_SQL,
     webdataset_pack_query,
@@ -798,6 +802,7 @@ QUERIES = {
     "webdataset_pack": webdataset_pack_query,
     "hybrid_search_rrf": hybrid_search_rrf_query,
     "bm25_search": bm25_search_query,
+    "h264_frames": h264_frames_query,
     "ogg_meta": ogg_meta_query,
     "exif_meta": exif_meta_query,
     "line_dedup": line_dedup_query,
@@ -1015,6 +1020,7 @@ ORACLES = {
     "webdataset_pack": WEBDATASET_PACK_ORACLE_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE_SQL,
     "bm25_search": BM25_SEARCH_ORACLE_SQL,
+    "h264_frames": H264_FRAMES_ORACLE_SQL,
     "ogg_meta": OGG_META_ORACLE_SQL,
     "exif_meta": EXIF_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,

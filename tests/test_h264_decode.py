@@ -1,0 +1,179 @@
+"""I-frame decoder: bitstream round-trips vs the spec simulator,
+hand-computed §8.3.3 pins, nC neighbour rules, emulation prevention,
+and the honest unsupported-feature seams."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_capstone_project_spark.operators.h264 import (
+    make_avc_stream_mp4,
+    make_sps,
+)
+from data_pipeline_capstone_project_spark.operators.h264_decode import (
+    H264DecodeError,
+    _dc_nc,
+    _simulate_luma,
+    build_fixture_mp4,
+    decode_first_i_frame,
+    h264_frame_fixtures,
+    h264_frames_query,
+    make_i_slice_nal,
+    pcm_luma,
+)
+
+
+def test_every_fixture_decodes_to_simulator_plane():
+    """The oracle's claim, re-proved plane-by-plane (not just CRC):
+    the bit-level decode of every staged fixture equals the numpy
+    spec simulator pixel-for-pixel."""
+    for spec in h264_frame_fixtures():
+        got = decode_first_i_frame(build_fixture_mp4(spec))
+        want = _simulate_luma(spec)
+        assert got["luma"].shape == want.shape, spec["name"]
+        assert np.array_equal(got["luma"], want), spec["name"]
+
+
+def test_plane_mode_hand_arithmetic():
+    """§8.3.3.4 pinned by hand, independently of both twins. In
+    plane_ramps.mp4 the plane MB at (1,1) sees top row p[x,-1]=17x
+    (rampx bottom row), left col p[-1,y]=17y (rampy right col), and
+    corner p[-1,-1]=255 (rampx bottom-right). By hand:
+      H = sum_{x'=0..6} (x'+1)*17*((8+x')-(6-x')) + 8*(255-255)
+        = sum 34*(x'+1)^2 for x'=0..6 = 34*140 = 4760;  V = 4760
+      b = (5*4760+32)>>6 = 372 = c;  a = 16*(255+255) = 8160
+      pred[0,0]  = (8160 - 7*372 - 7*372 + 16) >> 5 = 2968>>5 = 92
+      pred[15,15]= (8160 + 8*372 + 8*372 + 16) >> 5 = 441 -> clip 255
+      pred[7,7]  = (8160 + 16) >> 5 = 255
+    """
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "plane_ramps.mp4"
+    )
+    luma = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
+    assert luma[16, 16] == 92
+    assert luma[31, 31] == 255
+    assert luma[16 + 7, 16 + 7] == 255
+
+
+def test_dc_fallback_variants():
+    """§8.3.3.3 DC availability ladder over the all-DC fixture:
+    (0,0) no neighbours -> 128; then every later MB sees only 128s ->
+    128 everywhere."""
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "i16_dc_flat.mp4"
+    )
+    luma = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
+    assert (luma == 128).all()
+
+
+def test_dc_left_only_hand_value():
+    """DC with only the left neighbour: left col is rampx's right
+    column = 255 sixteen times -> (16*255+8)>>4 = 255."""
+    mbs = [[("pcm", "rampx"), ("i16", 2)]]
+    sps_w, sps_h = 32, 16
+    payload = make_avc_stream_mp4(
+        make_sps(sps_w, sps_h), [[make_i_slice_nal(mbs)]], sps_w, sps_h
+    )
+    luma = decode_first_i_frame(payload)["luma"]
+    assert (luma[:, 16:] == 255).all()
+
+
+def test_nc_neighbour_rule():
+    """§9.2.1: I_PCM neighbours count as TotalCoeff=16; averaged with
+    round-up when both sides exist."""
+    kinds = [
+        ["pcm", "i16", "pcm"],
+        ["i16", "i16", "i16"],
+        ["pcm", "pcm", "i16"],
+    ]
+    assert _dc_nc(0, 0, kinds) == 0  # no neighbours
+    assert _dc_nc(1, 0, kinds) == 16  # left PCM only
+    assert _dc_nc(0, 1, kinds) == 16  # top PCM only
+    assert _dc_nc(1, 1, kinds) == (0 + 0 + 1) >> 1  # both i16 -> 0
+    assert _dc_nc(2, 1, kinds) == (0 + 16 + 1) >> 1  # left i16, top pcm -> 8
+    assert _dc_nc(2, 2, kinds) == (16 + 0 + 1) >> 1  # left pcm, top i16 -> 8
+
+
+def test_emulation_prevention_actually_fires():
+    """ep_zeros.mp4's all-zero PCM rows must force 00 00 03 escapes
+    on the wire (and the decode still round-trips)."""
+    mbs = next(
+        s for s in h264_frame_fixtures() if s["name"] == "ep_zeros.mp4"
+    )["mbs"]
+    nal = make_i_slice_nal(mbs)
+    assert b"\x00\x00\x03" in nal
+    # and a decode through the full container still matches
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "ep_zeros.mp4"
+    )
+    got = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
+    assert np.array_equal(got, _simulate_luma(spec))
+
+
+def test_pcm_patterns_are_the_decoded_pixels():
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "pcm_grad.mp4"
+    )
+    luma = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
+    assert np.array_equal(luma[0:16, 0:16], pcm_luma("grad", 0))
+    assert np.array_equal(luma[16:32, 16:32], pcm_luma("grad", 4))
+
+
+def test_crop_is_applied():
+    spec = next(s for s in h264_frame_fixtures() if s["name"] == "cropped.mp4")
+    d = decode_first_i_frame(build_fixture_mp4(spec))
+    assert d["width"] == 44 and d["height"] == 28
+    assert d["luma"].shape == (28, 44)
+    assert d["n_mbs"] == 6  # census counts the full coded grid
+
+
+def test_unsupported_seams_raise_decode_error():
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitWriter,
+        _ebsp,
+    )
+
+    sps = make_sps(16, 16)
+
+    # I_4x4 macroblock (mb_type 0)
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
+    w.se(0)
+    w.ue(0)  # mb_type I_4x4
+    nal = bytes([0x65]) + _ebsp(w.rbsp())
+    payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
+    with pytest.raises(H264DecodeError, match="I_4x4"):
+        decode_first_i_frame(payload)
+
+    # P slice
+    w = _BitWriter()
+    w.ue(0); w.ue(5); w.ue(0)  # slice_type 5 = P (all-P form)
+    nal = bytes([0x41]) + _ebsp(w.rbsp())
+    payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
+    with pytest.raises(H264DecodeError, match="non-I"):
+        decode_first_i_frame(payload)
+
+    # I_16x16 with coded residual blocks (cbp_luma=15 -> mb_type > 12)
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
+    w.se(0)
+    w.ue(13)  # predMode 0, cbp_luma 15
+    nal = bytes([0x65]) + _ebsp(w.rbsp())
+    payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
+    with pytest.raises(H264DecodeError, match="CBP"):
+        decode_first_i_frame(payload)
+
+
+def test_spark_entry_matches_simulator(spark):
+    rows = {r["video_name"]: r for r in h264_frames_query(spark, "").collect()}
+    specs = h264_frame_fixtures()
+    assert len(rows) == len(specs)
+    import zlib
+
+    for spec in specs:
+        sim = _simulate_luma(spec)
+        r = rows[spec["name"]]
+        assert r["luma_crc32"] == zlib.crc32(sim.tobytes())
+        assert r["luma_sum"] == int(sim.astype(np.int64).sum())
+        assert (r["width"], r["height"]) == (spec["w"], spec["h"])

@@ -52,6 +52,13 @@ HEAVY = {
     # scans -> TakeOrdered legs -> constant-size fusion)
     "webdataset_pack": ("documents",),
     "hybrid_search_rrf": ("documents", "embeddings"),
+    # r8 additions (VERDICT r7 #5): the streaming family's
+    # per-batch-proportional-work claims, measured - a self-staging
+    # readStream+foreachBatch upsert, a stream-static join, and a
+    # watermarked tumbling-window aggregation, all over events
+    "streaming_upsert": ("events",),
+    "streaming_join": ("events",),
+    "streaming_window_agg": ("events",),
 }
 
 
