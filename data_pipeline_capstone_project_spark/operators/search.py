@@ -155,11 +155,15 @@ KEYWORD_SEARCH_RANKED_ORACLE_SQL = _ranked_oracle()
 # n=1..20000 in tests). k1/b literals go through CAST(... AS DOUBLE)
 # on both sides - identical correctly-rounded decimal->double parses.
 #
-# Scale shape: identical to the tf-idf ranking above - tf/doc_len are
-# per-row expressions in one scan, (N, sum_len, df_t) reduce to one
-# broadcast scalar row where the four integer-ln's are evaluated ONCE,
-# and the per-doc score is pure column arithmetic. Map-combinable agg,
-# no explode, no shuffle beyond the 1-row broadcast.
+# Scale shape: tf/doc_len are per-row expressions in one scan;
+# (N, sum_len, df_t) reduce to a map-combinable 1-row stats aggregate
+# collected to the driver (the bounded bpe/quality-gate pattern),
+# where the four integer-ln's run once in `ln_int_py` and the idfs
+# enter the scoring plan as double literals - at 100 TB that is the
+# standard one-stats-pass-then-constants scoring shape. The steps are
+# NOT evaluated as a Spark withColumn chain: CollapseProject inlines
+# the chained powers exponentially (y19=y17*y2 doubles the tree per
+# level) and cost a measured ~17 s of Catalyst+codegen per run.
 
 BM25_K1 = "CAST(1.2 AS DOUBLE)"
 BM25_B = "CAST(0.75 AS DOUBLE)"
@@ -198,13 +202,41 @@ def _ln_int_steps(n_expr: str, out: str, dialect: str) -> list[tuple[str, str]]:
 
 def _bm25_agg_steps(dialect: str) -> list[tuple[str, str]]:
     """Steps over the 1-row (n_docs, sum_len, df_*) aggregate:
-    avgdl, the integer-ln's, and one idf per query term."""
+    avgdl, the integer-ln's, and one idf per query term. The DuckDB
+    oracle evaluates these as chained CTE columns; the Spark side
+    does NOT (see `ln_int_py`) - a withColumn chain of these steps
+    collapses into one Project whose inlined expression tree grows
+    exponentially (y19=y17*y2 doubles the tree per power) and cost
+    ~17 s of Catalyst+codegen per run at ANY data size."""
     steps = [("avgdl", "(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))")]
     steps += _ln_int_steps("(2*n_docs + 2)", "ln_corpus", dialect)
     for t in QUERY_TERMS:
         steps += _ln_int_steps(f"(2*df_{t} + 1)", f"ln_df_{t}", dialect)
         steps.append((f"idf_{t}", f"(ln_corpus - ln_df_{t})"))
     return steps
+
+
+def ln_int_py(n: int) -> float:
+    """Python twin of `_ln_int_steps`: the SAME IEEE op sequence over
+    C doubles (CPython floats), so the result is bit-identical to
+    what Spark or DuckDB compute from the rendered steps - verified
+    over n=1..20000 in tests. Used to evaluate the corpus-constant
+    idfs driver-side from the 1-row stats aggregate (a bounded 1-row
+    collect, the bpe/quality-gate pattern), which at 100 TB is
+    exactly how an engine would materialize corpus constants: one
+    map-combinable stats pass, then literals in the scoring plan."""
+    if n <= 0:
+        raise ValueError(f"ln_int_py needs a positive integer, got {n}")
+    k = n.bit_length() - 1
+    m = float(n) / float(1 << k)
+    y = (m - 1.0) / (m + 1.0)
+    y2 = y * y
+    s = y
+    p = y
+    for d in range(3, 21, 2):
+        p = p * y2
+        s = s + p / float(d)
+    return float(k) * 0.6931471805599453 + (s + s)
 
 
 def _bm25_score_expr() -> str:
@@ -236,19 +268,34 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("doc_len"),
         *[tf_of(t).alias(f"tf_{t}") for t in QUERY_TERMS],
     )
-    agg = base.agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_len").alias("sum_len"),
         *[
             F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
             for t in QUERY_TERMS
         ],
-    )
-    for name, expr in _bm25_agg_steps("spark"):
-        agg = agg.withColumn(name, F.expr(expr))
-    agg = agg.select("avgdl", *[f"idf_{t}" for t in QUERY_TERMS])
+    ).collect()[0]  # bounded 1-row corpus-stats collect (bpe pattern)
+    if not stats["n_docs"]:
+        return base.select(
+            "doc_id",
+            "doc_len",
+            *[f"tf_{t}" for t in QUERY_TERMS],
+            F.lit(0.0).alias("score"),
+        ).filter(F.lit(False))
+    # corpus constants, evaluated once in Python with the exact op
+    # sequence the oracle's CTE steps run (ln_int_py docstring) -
+    # NOT as a withColumn chain, which collapses into an
+    # exponentially-inlined expression tree (~17 s of pure
+    # Catalyst/codegen cost per run, at any data size)
+    ln_corpus = ln_int_py(2 * int(stats["n_docs"]) + 2)
+    avgdl = float(int(stats["sum_len"])) / float(int(stats["n_docs"]))
+    consts = [F.lit(avgdl).alias("avgdl")]
+    for t in QUERY_TERMS:
+        idf = ln_corpus - ln_int_py(2 * int(stats[f"df_{t}"]) + 1)
+        consts.append(F.lit(idf).alias(f"idf_{t}"))
     return (
-        base.crossJoin(F.broadcast(agg))
+        base.select("*", *consts)
         .select(
             "doc_id",
             "doc_len",

@@ -111,8 +111,14 @@ def test_ln_int_bit_exact_across_engines(spark):
     spark.range(1, hi + 1).toDF("x").createOrReplaceTempView("rng")
     sp = spark.sql(render("spark")).collect()
     assert len(duck) == len(sp) == hi
+    from data_pipeline_capstone_project_spark.operators.search import (
+        ln_int_py,
+    )
+
     for (n, l_duck), row in zip(duck, sp):
         assert struct.pack("d", l_duck) == struct.pack("d", row["lnn"]), n
+        # the Python twin the Spark plan actually injects as literals
+        assert struct.pack("d", l_duck) == struct.pack("d", ln_int_py(n)), n
         assert abs(l_duck - math.log(n)) < 1e-10, (n, l_duck)
 
 
