@@ -71,39 +71,82 @@ def main() -> None:
         time.sleep(10.0)
         waited += 10.0
     load_start = os.getloadavg()
-    timings: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
-    errors: list[str] = []
-    for name, fn in queries.items():
-        times: list[float] = []
-        try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                times.append(round(time.perf_counter() - t0, 3))
-            timings[name] = min(times)
-            spreads[name] = times
-        except Exception as exc:  # pragma: no cover - defensive
-            timings[name] = -1.0
-            spreads[name] = times
-            errors.append(name)
-            print(f"{name} FAILED: {exc}", file=sys.stderr)
-        print(f"{name}: {timings[name]}s {spreads[name]}", file=sys.stderr)
-        # Release this query's persisted relations before the next one
-        # starts: the iterative ops (pagerank, bfs, clustering) persist
-        # inside their plans, and CacheManager matches by canonicalized
-        # plan so re-runs of the SAME query still reuse a warm cache -
-        # but 145 queries' worth of leftover blocks otherwise stack up
-        # and bleed GC/memory pressure into later measurements.
-        spark.catalog.clearCache()
-        # ContextCleaner only reclaims broadcasts / localCheckpoint
-        # RDDs once the Python-side references die; without an explicit
-        # collect they survive until CPython's generational GC happens
-        # to run, and 150 queries' worth of pinned blocks turn into GC
-        # pauses that showed up as a 3-22s spread on late-positioned
-        # iterative queries (pagerank). Forcing the collect here makes
-        # each measurement start from a reclaimed block manager.
-        gc.collect()
+
+    def measured_pass() -> tuple[dict, dict, list]:
+        timings: dict[str, float] = {}
+        spreads: dict[str, list[float]] = {}
+        errors: list[str] = []
+        for name, fn in queries.items():
+            times: list[float] = []
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    times.append(round(time.perf_counter() - t0, 3))
+                timings[name] = min(times)
+                spreads[name] = times
+            except Exception as exc:  # pragma: no cover - defensive
+                timings[name] = -1.0
+                spreads[name] = times
+                errors.append(name)
+                print(f"{name} FAILED: {exc}", file=sys.stderr)
+            print(f"{name}: {timings[name]}s {spreads[name]}", file=sys.stderr)
+            # Release this query's persisted relations before the next
+            # one starts: the iterative ops (pagerank, bfs, clustering)
+            # persist inside their plans, and CacheManager matches by
+            # canonicalized plan so re-runs of the SAME query still
+            # reuse a warm cache - but 145 queries' worth of leftover
+            # blocks otherwise stack up and bleed GC/memory pressure
+            # into later measurements.
+            spark.catalog.clearCache()
+            # ContextCleaner only reclaims broadcasts / localCheckpoint
+            # RDDs once the Python-side references die; without an
+            # explicit collect they survive until CPython's
+            # generational GC happens to run, and 150 queries' worth of
+            # pinned blocks turn into GC pauses that showed up as a
+            # 3-22s spread on late-positioned iterative queries
+            # (pagerank). Forcing the collect here makes each
+            # measurement start from a reclaimed block manager.
+            gc.collect()
+        return timings, spreads, errors
+
+    timings, spreads, errors = measured_pass()
+
+    # Whole-run retry (VERDICT r7 #1): the r7 artifact was recorded on
+    # a machine whose loadavg rose 1.4 -> 6.0 MID-run - the entry gate
+    # can't see that, and per-query spread retries can't rescue a
+    # systematically contended pass. If the END loadavg breaches the
+    # retry threshold (default 4.0: well above what the bench's own
+    # bursty 32-thread queries sustain on a quiet box, well below a
+    # co-tenant), re-run the whole measured pass once and score from
+    # whichever pass ended quieter. Both passes land in
+    # BENCH_DETAIL.json.
+    retry_load = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_LOAD", "4.0"))
+    load_end = os.getloadavg()
+    whole_run_retry: dict = {
+        "threshold": retry_load,
+        "fired": False,
+        "pass1_loadavg_end": load_end,
+    }
+    if load_end[0] >= retry_load:
+        print(
+            f"whole-run retry: pass-1 end loadavg {load_end[0]:.2f} >= "
+            f"{retry_load}, re-measuring",
+            file=sys.stderr,
+        )
+        whole_run_retry["fired"] = True
+        whole_run_retry["pass1_timings"] = timings
+        whole_run_retry["pass1_all_runs"] = spreads
+        timings2, spreads2, errors2 = measured_pass()
+        load_end2 = os.getloadavg()
+        whole_run_retry["pass2_loadavg_end"] = load_end2
+        if load_end2[0] < load_end[0]:
+            timings, spreads, errors = timings2, spreads2, errors2
+            whole_run_retry["adopted"] = "pass2"
+        else:
+            whole_run_retry["adopted"] = "pass1"
 
     # Spread-retry pass (VERDICT r5 item 2): a query whose best-of-N
     # runs disagree by more than 2x was measured under interference
@@ -165,6 +208,7 @@ def main() -> None:
                     "threshold": quiet_load,
                     "waited_sec": waited,
                 },
+                "whole_run_retry": whole_run_retry,
                 "spread_retried": retried,
                 "sf": sf,
             },
