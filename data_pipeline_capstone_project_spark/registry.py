@@ -21,7 +21,8 @@ SURVEY §2 coverage map (reference operators):
   keyword_search      ES keyword search (README.md:154): contains /
                       token / rlike predicates
   color_palette       S4 A7 A8 A9 U1 U2 (applyInPandas KMeans, U3 bug
-                      fixed)
+                      fixed; exact-JSON oracle since r8 via the
+                      provable-optimum fixture family)
   streaming_upsert    ST1 ST2 O1 (readStream + foreachBatch merge,
                       two-epoch incremental pickup)
   streaming_window_agg ST5 extension: watermarked tumbling event-time
@@ -293,6 +294,17 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       stream -> per-batch codec dispatch; corrupt
                       payloads become logged error rows, never a
                       stream crash; exact oracle incl. error rows
+  bm25_search                                    Lucene-family BM25
+                      (the reference's ES scoring): integer-argument
+                      idf lns via a deterministic range-reduced
+                      series, bit-identical across engines; corpus
+                      constants from one stats pass (r8)
+  h264_frames                                    from-scratch H.264
+                      baseline I-frame luma decode: I_PCM +
+                      zero-residual Intra_16x16 V/H/DC/Plane, CAVLC
+                      coeff_token, nC neighbour rules; oracle pins
+                      plane CRCs from an independent spec simulator
+                      (r8; P/B/residuals stay honest seams)
 """
 
 from __future__ import annotations
