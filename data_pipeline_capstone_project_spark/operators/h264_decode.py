@@ -1,7 +1,7 @@
-"""H.264 baseline-profile I-frame LUMA decode, from the published
+"""H.264 baseline-profile I-frame YCbCr decode, from the published
 spec (ITU-T H.264: §7.3.3/§7.3.4 slice header+data, §7.3.5
-macroblock layer, §8.3.3 Intra_16x16 luma prediction, §9.2 CAVLC
-coeff_token, §7.4.5 I_PCM).
+macroblock layer, §8.3.3 Intra_16x16 luma prediction, §8.3.4 intra
+chroma prediction, §9.2 CAVLC coeff_token, §7.4.5 I_PCM).
 
 Reference parity: the reference pipeline stores Instagram ``.mp4``
 originals (s3Posts-to-ES-lambda/s3-to-es_aws.py:101-122) whose video
@@ -20,15 +20,24 @@ SUPPORTED (decoded bit-exactly):
   horizontal, DC with the one/none-available fallbacks, plane) -
   reconstruction equals prediction when the residual is zero, so
   these decode exactly;
+* chroma planes (r8 second pass): I_PCM Cb/Cr sample copy and §8.3.4
+  intra chroma prediction modes DC (per-4x4 sub-block with the
+  spec's corner-source preferences), horizontal, and vertical - the
+  entry emits full-frame YCbCr CRCs;
 * the §9.2 coeff_token read for the always-present Intra16x16DCLevel
   block, across all four nC ranges, with neighbour-derived nC.
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
 wrong pixels: P/B slices, I_4x4 / I_8x8 prediction, nonzero CAVLC
-residual levels, CABAC, deblocking (moot: zero-residual intra
-frames hit the filter's skip conditions only at quant edges we never
-produce; the fixtures assert bit-exactness without it).
+residual levels (the full Table 9-5/9-7/9-10 VLC data is lookup
+content that CANNOT be externally verified in this sandbox - no
+ffmpeg/cv2/PyAV - and a misremembered codeword would round-trip
+self-consistently while breaking real-world interop, so it stays a
+seam rather than a gamble), CABAC, chroma plane prediction,
+deblocking (moot: zero-residual intra frames hit the filter's skip
+conditions only at quant edges we never produce; the fixtures
+assert bit-exactness without it).
 
 Correctness gate: every fixture's expected luma plane is computed by
 an INDEPENDENT numpy simulator (`_simulate_luma`) straight from the
@@ -163,9 +172,32 @@ def pcm_luma(kind: str, seed: int = 0) -> np.ndarray:
     raise ValueError(f"unknown pcm pattern {kind!r}")
 
 
+def pcm_chroma(kind: str, seed: int, plane: int) -> np.ndarray:
+    """Deterministic 8x8 uint8 chroma tile (plane 0 = Cb, 1 = Cr) for
+    an I_PCM macroblock - same pattern family as the luma, offset per
+    plane so Cb and Cr differ."""
+    y, x = np.mgrid[0:8, 0:8]
+    if kind == "grad":
+        return ((x * 11 + y * 5 + seed * 17 + plane * 71) % 256).astype(
+            np.uint8
+        )
+    if kind == "zeros":
+        return np.zeros((8, 8), dtype=np.uint8)
+    if kind == "rampx":
+        return (x * 36 + plane * 3).astype(np.uint8)
+    if kind == "rampy":
+        return (y * 36 + plane * 3).astype(np.uint8)
+    raise ValueError(f"unknown pcm pattern {kind!r}")
+
+
 # --- encoder: I slice with I_PCM / zero-residual I_16x16 macroblocks ----------
 
 I16_MODE_NAMES = ("V", "H", "DC", "Plane")
+
+
+#: intra_chroma_pred_mode values (§7.4.5.1 / §8.3.4): DC, Horizontal,
+#: Vertical, Plane. Note luma 16x16 numbers V/H/DC/Plane differently.
+CHROMA_MODE_NAMES = ("DC", "H", "V", "Plane")
 
 
 def make_i_slice_nal(
@@ -173,7 +205,9 @@ def make_i_slice_nal(
 ) -> bytes:
     """One complete coded I slice covering the whole picture.
     ``mbs[row][col]`` is ``("pcm", pattern, seed)`` or
-    ``("i16", mode)`` with mode in 0..3 (§8.3.3 order V/H/DC/Plane).
+    ``("i16", luma_mode[, chroma_mode])`` with luma_mode in 0..3
+    (§8.3.3 order V/H/DC/Plane) and chroma_mode in 0..2 (§8.3.4
+    order DC/H/V; plane stays a decoder seam, default DC).
     Slice header per §7.3.3 against this package's SPS (poc_type 0,
     8-bit frame_num, 8-bit poc lsb) and `_minimal_pps` (CAVLC, no
     deblocking-control fields, qp offsets 0)."""
@@ -197,18 +231,24 @@ def make_i_slice_nal(
             if desc[0] == "pcm":
                 w.ue(25)  # mb_type I_PCM
                 w.byte_align_zero()
-                tile = pcm_luma(desc[1], desc[2] if len(desc) > 2 else 0)
+                seed = desc[2] if len(desc) > 2 else 0
+                tile = pcm_luma(desc[1], seed)
                 for v in tile.reshape(-1):
                     w.u(int(v), 8)
-                for _ in range(128):  # 4:2:0 Cb+Cr, constant mid-gray
-                    w.u(128, 8)
+                # §7.4.5 sample order: all Cb, then all Cr (4:2:0 8x8)
+                for plane in (0, 1):
+                    for v in pcm_chroma(desc[1], seed, plane).reshape(-1):
+                        w.u(int(v), 8)
             else:
                 mode = desc[1]
+                chroma_mode = desc[2] if len(desc) > 2 else 0
                 if not 0 <= mode <= 3:
                     raise H264Error(f"I_16x16 mode {mode}")
+                if not 0 <= chroma_mode <= 3:
+                    raise H264Error(f"chroma mode {chroma_mode}")
                 # mb_type 1..4: predMode=mode, cbp_chroma=0, cbp_luma=0
                 w.ue(1 + mode)
-                w.ue(0)  # intra_chroma_pred_mode: DC
+                w.ue(chroma_mode)  # intra_chroma_pred_mode
                 w.se(0)  # mb_qp_delta (present for I_16x16)
                 _write_coeff_token_zero(w, _dc_nc(mb_x, mb_y, kinds))
     nal_type = 5 if idr else 1
@@ -289,10 +329,80 @@ def _predict_i16(
                 )
 
 
-def decode_i_slice(nal: bytes, sps: dict) -> tuple[np.ndarray, dict]:
+def _predict_chroma(
+    plane: np.ndarray, mb_x: int, mb_y: int, mode: int
+) -> None:
+    """§8.3.4 intra chroma prediction on one 8x8 chroma plane,
+    per-pixel to mirror the spec (vectorized twin in
+    `_simulate_chroma`). DC (mode 0) runs per 4x4 sub-block with the
+    spec's corner-block source preferences; H/V are full-block
+    copies; Plane (mode 3) is an honest seam."""
+    x0, y0 = mb_x * 8, mb_y * 8
+    has_top = mb_y > 0
+    has_left = mb_x > 0
+    if mode == 0:  # DC, per 4x4 sub-block (§8.3.4.1)
+        for yo in (0, 4):
+            for xo in (0, 4):
+                top_sum = (
+                    sum(int(plane[y0 - 1, x0 + xo + i]) for i in range(4))
+                    if has_top
+                    else None
+                )
+                left_sum = (
+                    sum(int(plane[y0 + yo + i, x0 - 1]) for i in range(4))
+                    if has_left
+                    else None
+                )
+                if (xo, yo) in ((0, 0), (4, 4)):
+                    if top_sum is not None and left_sum is not None:
+                        dc = (top_sum + left_sum + 4) >> 3
+                    elif left_sum is not None:
+                        dc = (left_sum + 2) >> 2
+                    elif top_sum is not None:
+                        dc = (top_sum + 2) >> 2
+                    else:
+                        dc = 128
+                elif (xo, yo) == (4, 0):  # prefers its own top run
+                    if top_sum is not None:
+                        dc = (top_sum + 2) >> 2
+                    elif left_sum is not None:
+                        dc = (left_sum + 2) >> 2
+                    else:
+                        dc = 128
+                else:  # (0, 4) prefers its own left run
+                    if left_sum is not None:
+                        dc = (left_sum + 2) >> 2
+                    elif top_sum is not None:
+                        dc = (top_sum + 2) >> 2
+                    else:
+                        dc = 128
+                for y in range(4):
+                    for x in range(4):
+                        plane[y0 + yo + y, x0 + xo + x] = dc
+    elif mode == 1:  # Horizontal
+        if not has_left:
+            raise H264Error("chroma H prediction without left neighbour")
+        for y in range(8):
+            p = plane[y0 + y, x0 - 1]
+            for x in range(8):
+                plane[y0 + y, x0 + x] = p
+    elif mode == 2:  # Vertical
+        if not has_top:
+            raise H264Error("chroma V prediction without top neighbour")
+        for x in range(8):
+            p = plane[y0 - 1, x0 + x]
+            for y in range(8):
+                plane[y0 + y, x0 + x] = p
+    else:
+        raise H264DecodeError("chroma plane prediction not supported")
+
+
+def decode_i_slice(
+    nal: bytes, sps: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Decode one IDR/I coded-slice NAL against a parsed SPS and this
-    package's PPS values -> (coded-size uint8 luma plane, stats).
-    Raises H264DecodeError on the documented seams."""
+    package's PPS values -> (luma, cb, cr coded-size uint8 planes,
+    stats). Raises H264DecodeError on the documented seams."""
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise H264Error(f"not a coded slice NAL (type {nal_type})")
@@ -323,6 +433,8 @@ def decode_i_slice(nal: bytes, sps: dict) -> tuple[np.ndarray, dict]:
     r.se()  # slice_qp_delta (qp unused: zero-residual subset)
     mb_w, mb_h = sps["mb_width"], sps["mb_height"]
     plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     kinds: list[list[str]] = [["?"] * mb_w for _ in range(mb_h)]
     n_pcm = n_i16 = 0
     for mb_y in range(mb_h):
@@ -334,9 +446,16 @@ def decode_i_slice(nal: bytes, sps: dict) -> tuple[np.ndarray, dict]:
                 for y in range(16):
                     for x in range(16):
                         tile[y, x] = r.u(8)
-                for _ in range(128):  # chroma samples consumed, unused
-                    r.u(8)
                 plane[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = tile
+                # §7.4.5: all Cb samples, then all Cr
+                for cplane in (cb, cr):
+                    ctile = np.empty((8, 8), dtype=np.uint8)
+                    for y in range(8):
+                        for x in range(8):
+                            ctile[y, x] = r.u(8)
+                    cplane[
+                        mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
+                    ] = ctile
                 kinds[mb_y][mb_x] = "pcm"
                 n_pcm += 1
             elif mb_type == 0:
@@ -349,15 +468,17 @@ def decode_i_slice(nal: bytes, sps: dict) -> tuple[np.ndarray, dict]:
                     raise H264DecodeError(
                         "coded residual blocks not supported (CBP != 0)"
                     )
-                r.ue()  # intra_chroma_pred_mode (chroma not decoded)
+                chroma_mode = r.ue()  # intra_chroma_pred_mode
                 r.se()  # mb_qp_delta
                 kinds[mb_y][mb_x] = "i16"
                 _read_coeff_token_zero(r, _dc_nc(mb_x, mb_y, kinds))
                 _predict_i16(plane, mb_x, mb_y, pred_mode)
+                _predict_chroma(cb, mb_x, mb_y, chroma_mode)
+                _predict_chroma(cr, mb_x, mb_y, chroma_mode)
                 n_i16 += 1
             else:
                 raise H264Error(f"I-slice mb_type {mb_type} > 25")
-    return plane, {"n_pcm": n_pcm, "n_i16": n_i16, "n_mbs": mb_w * mb_h}
+    return plane, cb, cr, {"n_pcm": n_pcm, "n_i16": n_i16, "n_mbs": mb_w * mb_h}
 
 
 def decode_first_i_frame(payload: bytes) -> dict:
@@ -381,14 +502,18 @@ def decode_first_i_frame(payload: bytes) -> dict:
         sample = payload[off : off + size]
         for nal in split_sample_nals(sample, cfg["nal_length_size"]):
             if nal[0] & 0x1F in (1, 5):
-                plane, stats = decode_i_slice(nal, sps)
+                plane, cb, cr, stats = decode_i_slice(nal, sps)
                 w, h = sps["width"], sps["height"]
                 x0, y0 = sps["crop_left_px"], sps["crop_top_px"]
                 luma = np.ascontiguousarray(plane[y0 : y0 + h, x0 : x0 + w])
+                cw, ch = w // 2, h // 2  # 4:2:0 chroma crop
+                cx, cy = x0 // 2, y0 // 2
                 return {
                     "width": w,
                     "height": h,
                     "luma": luma,
+                    "cb": np.ascontiguousarray(cb[cy : cy + ch, cx : cx + cw]),
+                    "cr": np.ascontiguousarray(cr[cy : cy + ch, cx : cx + cw]),
                     **stats,
                 }
     raise H264Error("no coded slice in any sample")
@@ -448,6 +573,68 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                     (a + b * (xg - 7) + c * (yg - 7) + 16) >> 5, 0, 255
                 )
     h, w = spec["h"], spec["w"]
+    return plane[:h, :w].astype(np.uint8)
+
+
+def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
+    """Vectorized numpy twin of §8.3.4 (DC per 4x4 sub-block with
+    corner-source preferences, H/V copies) over the fixture SPEC -
+    one 8x8-per-MB chroma plane (0 = Cb, 1 = Cr), cropped."""
+    mbs = spec["mbs"]
+    mb_h, mb_w = len(mbs), len(mbs[0])
+    plane = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64)
+    for my, row in enumerate(mbs):
+        for mx, desc in enumerate(row):
+            y0, x0 = my * 8, mx * 8
+            blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+            if desc[0] == "pcm":
+                blk[:] = pcm_chroma(
+                    desc[1], desc[2] if len(desc) > 2 else 0, plane_idx
+                )
+                continue
+            cmode = desc[2] if len(desc) > 2 else 0
+            top = plane[y0 - 1, x0 : x0 + 8] if my > 0 else None
+            left = plane[y0 : y0 + 8, x0 - 1] if mx > 0 else None
+            if cmode == 1:
+                blk[:] = np.broadcast_to(left[:, None], (8, 8))
+            elif cmode == 2:
+                blk[:] = np.broadcast_to(top, (8, 8))
+            else:  # DC per 4x4 sub-block
+                for yo in (0, 4):
+                    for xo in (0, 4):
+                        ts = int(top[xo : xo + 4].sum()) if top is not None else None
+                        ls = (
+                            int(left[yo : yo + 4].sum())
+                            if left is not None
+                            else None
+                        )
+                        if (xo, yo) in ((0, 0), (4, 4)):
+                            if ts is not None and ls is not None:
+                                dc = (ts + ls + 4) >> 3
+                            elif ls is not None:
+                                dc = (ls + 2) >> 2
+                            elif ts is not None:
+                                dc = (ts + 2) >> 2
+                            else:
+                                dc = 128
+                        elif (xo, yo) == (4, 0):
+                            dc = (
+                                (ts + 2) >> 2
+                                if ts is not None
+                                else (ls + 2) >> 2
+                                if ls is not None
+                                else 128
+                            )
+                        else:
+                            dc = (
+                                (ls + 2) >> 2
+                                if ls is not None
+                                else (ts + 2) >> 2
+                                if ts is not None
+                                else 128
+                            )
+                        blk[yo : yo + 4, xo : xo + 4] = dc
+    h, w = spec["h"] // 2, spec["w"] // 2
     return plane[:h, :w].astype(np.uint8)
 
 
@@ -536,6 +723,15 @@ def h264_frame_fixtures() -> list[dict]:
     ]
     fixtures.append({"name": "ep_zeros.mp4", "w": 32, "h": 32, "mbs": mbs})
 
+    # chroma prediction modes: PCM gradients feed H (copies the left
+    # chroma column) and V (copies the top chroma row) I16 neighbours;
+    # DC corner-preference sub-blocks get mixed pcm/i16 context
+    mbs = [
+        [("pcm", "grad", 9), ("i16", 2, 0), ("pcm", "rampx")],
+        [("i16", 0, 2), ("i16", 1, 1), ("i16", 1, 1)],
+    ]
+    fixtures.append({"name": "chroma_modes.mp4", "w": 48, "h": 32, "mbs": mbs})
+
     return fixtures
 
 
@@ -569,11 +765,14 @@ def _stage_frame_store(root: str) -> None:
 _SCHEMA = (
     "video_name string, width int, height int, n_mbs int, n_pcm int, "
     "n_i16 int, luma_sum bigint, luma_crc32 bigint, "
+    "cb_crc32 bigint, cr_crc32 bigint, "
     "px_tl int, px_tr int, px_bl int, px_br int"
 )
 
 
-def _plane_row(name: str, luma: np.ndarray, stats: dict) -> dict:
+def _plane_row(
+    name: str, luma: np.ndarray, cb: np.ndarray, cr: np.ndarray, stats: dict
+) -> dict:
     h, w = luma.shape
     return {
         "video_name": name,
@@ -584,6 +783,8 @@ def _plane_row(name: str, luma: np.ndarray, stats: dict) -> dict:
         "n_i16": stats["n_i16"],
         "luma_sum": int(luma.astype(np.int64).sum()),
         "luma_crc32": int(zlib.crc32(luma.tobytes())),
+        "cb_crc32": int(zlib.crc32(cb.tobytes())),
+        "cr_crc32": int(zlib.crc32(cr.tobytes())),
         "px_tl": int(luma[0, 0]),
         "px_tr": int(luma[0, w - 1]),
         "px_bl": int(luma[h - 1, 0]),
@@ -593,8 +794,8 @@ def _plane_row(name: str, luma: np.ndarray, stats: dict) -> dict:
 
 def h264_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: staged AVC store -> binaryFile -> mapInPandas
-    -> real bit-level I-frame luma decode -> one census row per video
-    (plane CRC + stats; the plane itself stays executor-side)."""
+    -> real bit-level I-frame YCbCr decode -> one census row per
+    video (per-plane CRCs + stats; the planes stay executor-side)."""
     work = tempfile.mkdtemp(prefix="h264_frames_")
     try:
         _stage_frame_store(work)
@@ -610,7 +811,9 @@ def h264_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out: list[dict] = []
                 for name, p in zip(pdf["video_name"], pdf["payload"]):
                     d = decode_first_i_frame(bytes(p))
-                    out.append(_plane_row(name, d["luma"], d))
+                    out.append(
+                        _plane_row(name, d["luma"], d["cb"], d["cr"], d)
+                    )
                 yield pd.DataFrame(out)
 
         out = bin_df.mapInPandas(decode_batches, _SCHEMA)
@@ -626,15 +829,19 @@ def _frames_oracle() -> str:
     rows = []
     for spec in h264_frame_fixtures():
         sim = _simulate_luma(spec)
+        sim_cb = _simulate_chroma(spec, 0)
+        sim_cr = _simulate_chroma(spec, 1)
         mb_count = len(spec["mbs"]) * len(spec["mbs"][0])
         n_pcm = sum(1 for row in spec["mbs"] for d in row if d[0] == "pcm")
         want = _plane_row(
             spec["name"],
             sim,
+            sim_cb,
+            sim_cr,
             {"n_mbs": mb_count, "n_pcm": n_pcm, "n_i16": mb_count - n_pcm},
         )
         got = decode_first_i_frame(build_fixture_mp4(spec))
-        got_row = _plane_row(spec["name"], got["luma"], got)
+        got_row = _plane_row(spec["name"], got["luma"], got["cb"], got["cr"], got)
         if got_row != want:
             raise AssertionError(
                 f"{spec['name']}: decoder {got_row} != simulator {want}"
@@ -649,7 +856,8 @@ def _frames_oracle() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(video_name, width, height, n_mbs, n_pcm, n_i16, "
-        "luma_sum, luma_crc32, px_tl, px_tr, px_bl, px_br)"
+        "luma_sum, luma_crc32, cb_crc32, cr_crc32, "
+        "px_tl, px_tr, px_bl, px_br)"
     )
 
 

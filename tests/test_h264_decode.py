@@ -171,9 +171,77 @@ def test_spark_entry_matches_simulator(spark):
     assert len(rows) == len(specs)
     import zlib
 
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _simulate_chroma,
+    )
+
     for spec in specs:
         sim = _simulate_luma(spec)
         r = rows[spec["name"]]
         assert r["luma_crc32"] == zlib.crc32(sim.tobytes())
+        assert r["cb_crc32"] == zlib.crc32(_simulate_chroma(spec, 0).tobytes())
+        assert r["cr_crc32"] == zlib.crc32(_simulate_chroma(spec, 1).tobytes())
         assert r["luma_sum"] == int(sim.astype(np.int64).sum())
         assert (r["width"], r["height"]) == (spec["w"], spec["h"])
+
+
+# --- chroma (r8 extension) ----------------------------------------------------
+
+
+def test_chroma_planes_match_simulator():
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _simulate_chroma,
+    )
+
+    for spec in h264_frame_fixtures():
+        got = decode_first_i_frame(build_fixture_mp4(spec))
+        for idx, key in ((0, "cb"), (1, "cr")):
+            want = _simulate_chroma(spec, idx)
+            assert got[key].shape == want.shape, (spec["name"], key)
+            assert np.array_equal(got[key], want), (spec["name"], key)
+
+
+def test_chroma_dc_corner_preferences_hand_values():
+    """§8.3.4.1 DC sub-block source preferences pinned by hand. In
+    chroma_modes.mp4, MB (row 0, col 1) is chroma-DC with ONLY a left
+    neighbour (PCM grad seed 9). Its Cb left column (x=7 of the PCM
+    tile) is (7*11 + 5y + 9*17) % 256 = (230 + 5y) % 256:
+      y=0..3 -> 230,235,240,245, sum 950 -> dc (950+2)>>2 = 238
+      y=4..7 -> 250,255,4,9,     sum 518 -> dc (518+2)>>2 = 130
+    Blocks (0,0) and (4,0) both resolve to the left run y=0..3 (top
+    unavailable) -> 238; blocks (0,4)/(4,4) use y=4..7 -> 130."""
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "chroma_modes.mp4"
+    )
+    cb = decode_first_i_frame(build_fixture_mp4(spec))["cb"]
+    mb = cb[0:8, 8:16]  # chroma block of MB (0, 1)
+    assert (mb[0:4, :] == 238).all()
+    assert (mb[4:8, :] == 130).all()
+
+
+def test_chroma_hv_copy_modes():
+    """H copies the left chroma column across; V copies the top
+    chroma row down (modes 1/2 of §8.3.4)."""
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "chroma_modes.mp4"
+    )
+    d = decode_first_i_frame(build_fixture_mp4(spec))
+    for key in ("cb", "cr"):
+        plane = d[key]
+        # MB (1,0): chroma V -> every row equals the bottom row of the
+        # PCM above it
+        assert (plane[8:16, 0:8] == plane[7, 0:8]).all()
+        # MB (1,1): chroma H -> every column equals MB(1,0)'s right col
+        assert (plane[8:16, 8:16] == plane[8:16, 7][:, None]).all()
+
+
+def test_chroma_plane_mode_is_a_seam():
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        make_avc_stream_mp4 as _mk,
+        make_sps as _sps,
+    )
+
+    nal = make_i_slice_nal([[("pcm", "grad", 0), ("i16", 2, 3)]])
+    payload = _mk(_sps(32, 16), [[nal]], 32, 16)
+    with pytest.raises(H264DecodeError, match="chroma plane"):
+        decode_first_i_frame(payload)
