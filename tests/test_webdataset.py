@@ -124,3 +124,33 @@ def test_pack_shards_are_contiguous_and_ordered(spark, sf_dir):
         assert (
             grp["first_doc"].iloc[1:].values > grp["last_doc"].iloc[:-1].values
         ).all()
+
+
+def test_group_carry_across_arrow_batches(spark, sf_dir):
+    """The 100 TB path the small corpus never exercises: with
+    mapInPandas building shards per partition, a (source, shard_no)
+    group can straddle Arrow batch boundaries and the builder must
+    carry the open trailing group into the next batch. Force
+    7-row Arrow batches (every group straddles) and assert the census
+    is IDENTICAL to the default-batch run."""
+    from data_pipeline_capstone_project_spark.operators.webdataset import (
+        webdataset_pack_query,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key, None)
+    baseline = [
+        tuple(r) for r in webdataset_pack_query(spark, sf_dir).collect()
+    ]
+    try:
+        spark.conf.set(key, "7")
+        tiny = [
+            tuple(r) for r in webdataset_pack_query(spark, sf_dir).collect()
+        ]
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
+    assert tiny == baseline
+    assert len(baseline) > 1
