@@ -305,6 +305,11 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       coeff_token, nC neighbour rules; oracle pins
                       plane CRCs from an independent spec simulator
                       (r8; P/B/residuals stay honest seams)
+  binary_put_sink                                K4 closed (r8): the
+                      reference's idempotent keyed blob put as a real
+                      mapInPandas sink - computed original/children/
+                      thumbnail keysets, write-if-absent, two passes
+                      hash-checked (pass 2 writes nothing)
 """
 
 from __future__ import annotations
@@ -487,6 +492,10 @@ from .operators.search import (
     bm25_search_query,
     hybrid_search_rrf_query,
 )  # the rest of operators.search is imported with the r3 block below
+from .operators.binary_sink import (
+    BINARY_PUT_SINK_ORACLE_SQL,
+    binary_put_sink_query,
+)
 from .operators.h264_decode import (
     H264_FRAMES_ORACLE_SQL,
     h264_frames_query,
@@ -815,6 +824,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf_query,
     "bm25_search": bm25_search_query,
     "h264_frames": h264_frames_query,
+    "binary_put_sink": binary_put_sink_query,
     "ogg_meta": ogg_meta_query,
     "exif_meta": exif_meta_query,
     "line_dedup": line_dedup_query,
@@ -1033,6 +1043,7 @@ ORACLES = {
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE_SQL,
     "bm25_search": BM25_SEARCH_ORACLE_SQL,
     "h264_frames": H264_FRAMES_ORACLE_SQL,
+    "binary_put_sink": BINARY_PUT_SINK_ORACLE_SQL,
     "ogg_meta": OGG_META_ORACLE_SQL,
     "exif_meta": EXIF_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,
