@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 
 #: post slice: bounded, deterministic, scale-proportional
-PUT_SLICE_MOD = 50
+PUT_SLICE_MOD = 200
 
 CAROUSEL_TYPE = "click"
 VIDEO_TYPE = "view"
@@ -94,6 +94,7 @@ def put_pass(posts: DataFrame, store_root: str, pass_no: int) -> DataFrame:
     censuses of what the side effect ACTUALLY did."""
 
     def write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        made_dirs: set[str] = set()  # one mkdir syscall per prefix, not per object
         for pdf in batches:
             counts: dict[str, list[int]] = {}
             for eid, uid, etype in zip(
@@ -106,7 +107,10 @@ def put_pass(posts: DataFrame, store_root: str, pass_no: int) -> DataFrame:
                     if os.path.exists(path):
                         c[1] += 1
                         continue
-                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    parent = os.path.dirname(path)
+                    if parent not in made_dirs:
+                        os.makedirs(parent, exist_ok=True)
+                        made_dirs.add(parent)
                     with open(path, "wb") as f:
                         f.write(_payload(key, size))
                     c[0] += 1
