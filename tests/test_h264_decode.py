@@ -245,3 +245,70 @@ def test_chroma_plane_mode_is_a_seam():
     payload = _mk(_sps(32, 16), [[nal]], 32, 16)
     with pytest.raises(H264DecodeError, match="chroma plane"):
         decode_first_i_frame(payload)
+
+
+# --- property fuzz: random legal MB grids ---------------------------------------
+
+
+def test_random_legal_grids_roundtrip():
+    """Hypothesis sweep over random legal macroblock grids (any mix of
+    PCM patterns/seeds and I16 modes whose required neighbours exist):
+    encode -> container -> decode must equal both spec simulators on
+    every plane. Catches nC/alignment/prediction interactions the
+    fixed fixtures don't cover."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        PCM_PATTERNS,
+        _simulate_chroma,
+    )
+
+    @st.composite
+    def grids(draw):
+        mb_w = draw(st.integers(1, 4))
+        mb_h = draw(st.integers(1, 4))
+        rows = []
+        for my in range(mb_h):
+            row = []
+            for mx in range(mb_w):
+                if draw(st.booleans()):
+                    row.append(
+                        (
+                            "pcm",
+                            draw(st.sampled_from(PCM_PATTERNS)),
+                            draw(st.integers(0, 9)),
+                        )
+                    )
+                else:
+                    luma_ok = [2]  # DC always legal
+                    if my > 0:
+                        luma_ok.append(0)  # V
+                    if mx > 0:
+                        luma_ok.append(1)  # H
+                    if my > 0 and mx > 0:
+                        luma_ok.append(3)  # Plane
+                    chroma_ok = [0]  # DC always legal
+                    if mx > 0:
+                        chroma_ok.append(1)  # H
+                    if my > 0:
+                        chroma_ok.append(2)  # V
+                    row.append(
+                        (
+                            "i16",
+                            draw(st.sampled_from(luma_ok)),
+                            draw(st.sampled_from(chroma_ok)),
+                        )
+                    )
+            rows.append(row)
+        return {"w": mb_w * 16, "h": mb_h * 16, "mbs": rows}
+
+    @settings(max_examples=40, deadline=None)
+    @given(grids())
+    def run(spec):
+        got = decode_first_i_frame(build_fixture_mp4(spec))
+        assert np.array_equal(got["luma"], _simulate_luma(spec))
+        assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
+        assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+
+    run()
