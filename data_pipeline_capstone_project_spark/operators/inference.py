@@ -89,3 +89,97 @@ SELECT doc_id,
      + {W_PUNCT} / (1.0 + n_punct) AS score
 FROM feats
 """
+
+
+# --- fused pure-SQL inference -------------------------------------------------
+#
+# The dual of the Arrow path above, after the operator-fusion idea in
+# "Machine Learning Inference Pipeline Execution Using Pure SQL Based
+# on Operator Fusion" (ICDE 2025, PAPERS.md): when the model is small
+# enough to express as column arithmetic, fusing it INTO the scan
+# beats any UDF - featurization + scoring run inside one
+# whole-stage-codegen span, zero Python workers, zero Arrow transfer,
+# and Catalyst can push/prune around the model like any expression.
+# At 100 TB this is the cheapest possible inference shape; the Arrow
+# seam above remains for models that genuinely need a runtime (ONNX /
+# torch).
+#
+# Exactness: the weights are DYADIC rationals (numerator / 1024), so
+# the margin is computed as PURE INT64 arithmetic (bias + sum of
+# feature * numerator) followed by ONE exact division by 1024 - the
+# oracle compare is integer-grade, with no float accumulation at all.
+
+FUSED_DEN = 1024
+#: (feature SQL fragment, weight numerator) - weight = num / 1024
+FUSED_MODEL: tuple[tuple[str, int], ...] = (
+    ("n_words", 13),
+    ("n_chars", -1),
+    ("n_punct", -24),
+    ("n_digits", -8),
+    ("has_kw", 512),
+)
+FUSED_BIAS_NUM = -256  # -0.25
+
+
+def _fused_feature_cols():
+    toks = F.split("text", r"\s+")
+    return [
+        F.size(toks).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+        ).cast("long").alias("n_punct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[0-9]", ""))
+        ).cast("long").alias("n_digits"),
+        F.col("text").contains("join").cast("long").alias("has_kw"),
+    ]
+
+
+def fused_sql_inference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the linear quality model fused into the scan as
+    pure column arithmetic - one parquet scan, one codegen span, no
+    exchange, no Python. tests/test_state_and_udtf.py pins the plan
+    shape (no *EvalPython, no Exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select("doc_id", *_fused_feature_cols())
+    margin_num = F.lit(FUSED_BIAS_NUM).cast("long")
+    for name, w in FUSED_MODEL:
+        margin_num = margin_num + F.col(name) * F.lit(w).cast("long")
+    return feats.select(
+        "doc_id",
+        *[name for name, _ in FUSED_MODEL],
+        (margin_num.cast("double") / FUSED_DEN).alias("margin"),
+        (margin_num > 0).alias("label"),
+    )
+
+
+def _fused_oracle() -> str:
+    margin = " + ".join(
+        [str(FUSED_BIAS_NUM)] + [f"{name} * {w}" for name, w in FUSED_MODEL]
+    )
+    names = ", ".join(name for name, _ in FUSED_MODEL)
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS BIGINT) AS n_punct,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digits,
+         CAST(contains(text, 'join') AS BIGINT) AS has_kw
+  FROM documents
+)
+SELECT doc_id, {names},
+       CAST(({margin}) AS DOUBLE) / {FUSED_DEN} AS margin,
+       ({margin}) > 0 AS label
+FROM feats
+"""
+
+
+FUSED_SQL_INFERENCE_ORACLE_SQL = _fused_oracle()

@@ -305,6 +305,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       coeff_token, nC neighbour rules; oracle pins
                       plane CRCs from an independent spec simulator
                       (r8; P/B/residuals stay honest seams)
+  fused_sql_inference                            ICDE'25 operator
+                      fusion: the linear quality model as pure int64
+                      column arithmetic inside one codegen span -
+                      zero Python, zero exchange, exact margins (r8)
   binary_put_sink                                K4 closed (r8): the
                       reference's idempotent keyed blob put as a real
                       mapInPandas sink - computed original/children/
@@ -335,7 +339,12 @@ from .operators.analytics import (
     user_rank_suite_query,
 )
 from .operators.asof import ASOF_ORACLE_SQL, asof_query
-from .operators.inference import DOC_SCORE_ORACLE_SQL, doc_score_inference_query
+from .operators.inference import (
+    DOC_SCORE_ORACLE_SQL,
+    FUSED_SQL_INFERENCE_ORACLE_SQL,
+    doc_score_inference_query,
+    fused_sql_inference_query,
+)
 from .operators.dedup import (
     DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
     dedup_threshold_sweep_query,
@@ -825,6 +834,7 @@ QUERIES = {
     "bm25_search": bm25_search_query,
     "h264_frames": h264_frames_query,
     "binary_put_sink": binary_put_sink_query,
+    "fused_sql_inference": fused_sql_inference_query,
     "ogg_meta": ogg_meta_query,
     "exif_meta": exif_meta_query,
     "line_dedup": line_dedup_query,
@@ -1044,6 +1054,7 @@ ORACLES = {
     "bm25_search": BM25_SEARCH_ORACLE_SQL,
     "h264_frames": H264_FRAMES_ORACLE_SQL,
     "binary_put_sink": BINARY_PUT_SINK_ORACLE_SQL,
+    "fused_sql_inference": FUSED_SQL_INFERENCE_ORACLE_SQL,
     "ogg_meta": OGG_META_ORACLE_SQL,
     "exif_meta": EXIF_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,

@@ -97,3 +97,19 @@ def test_udtf_matches_jvm_explode(spark, sf_dir):
         map(tuple, via_jvm.collect())
     )
     spark.catalog.dropTempView("udtf_docs")
+
+
+def test_fused_sql_inference_plan_is_one_codegen_span(spark, sf_dir):
+    """The ICDE'25 fusion claim, pinned: featurization + scoring live
+    inside whole-stage codegen - no Python eval node, no exchange,
+    exactly one parquet scan."""
+    from data_pipeline_capstone_project_spark.operators.inference import (
+        fused_sql_inference_query,
+    )
+
+    df = fused_sql_inference_query(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "*(1)" in plan, plan  # whole-stage codegen span exists
