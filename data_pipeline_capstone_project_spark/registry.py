@@ -305,6 +305,10 @@ Round-3 additions (full table with scale notes: SURVEY.md §8):
                       coeff_token, nC neighbour rules; oracle pins
                       plane CRCs from an independent spec simulator
                       (r8; P/B/residuals stay honest seams)
+  streaming_topk                                 EDBT'20 incremental
+                      top-k maintenance: per-batch scoring + k-row
+                      monotone merge in foreachBatch; the standing
+                      result equals the batch answer exactly (r8)
   fused_sql_inference                            ICDE'25 operator
                       fusion: the linear quality model as pure int64
                       column arithmetic inside one codegen span -
@@ -501,6 +505,10 @@ from .operators.search import (
     bm25_search_query,
     hybrid_search_rrf_query,
 )  # the rest of operators.search is imported with the r3 block below
+from .streaming.topk_stream import (
+    STREAMING_TOPK_ORACLE_SQL,
+    streaming_topk_query,
+)
 from .operators.binary_sink import (
     BINARY_PUT_SINK_ORACLE_SQL,
     binary_put_sink_query,
@@ -835,6 +843,7 @@ QUERIES = {
     "h264_frames": h264_frames_query,
     "binary_put_sink": binary_put_sink_query,
     "fused_sql_inference": fused_sql_inference_query,
+    "streaming_topk": streaming_topk_query,
     "ogg_meta": ogg_meta_query,
     "exif_meta": exif_meta_query,
     "line_dedup": line_dedup_query,
@@ -1055,6 +1064,7 @@ ORACLES = {
     "h264_frames": H264_FRAMES_ORACLE_SQL,
     "binary_put_sink": BINARY_PUT_SINK_ORACLE_SQL,
     "fused_sql_inference": FUSED_SQL_INFERENCE_ORACLE_SQL,
+    "streaming_topk": STREAMING_TOPK_ORACLE_SQL,
     "ogg_meta": OGG_META_ORACLE_SQL,
     "exif_meta": EXIF_META_ORACLE_SQL,
     "wav_stats": WAV_STATS_ORACLE_SQL,

@@ -1,0 +1,137 @@
+"""Incremental top-k similarity maintenance over an arriving
+embedding stream.
+
+The interactive-session pattern ("Incremental Based Framework for
+Efficient Top-K Similarity Search in Interactive Data Analysis
+Sessions", EDBT 2020, PAPERS.md): a standing top-k query whose result
+must stay current as new candidate vectors arrive, WITHOUT re-scoring
+the corpus - per micro-batch, only the batch's vectors are scored and
+merged into the k-row state (top-k merge is associative and
+monotone: merge(topk(A), topk(B)) = topk(A ∪ B), so the incremental
+result is EXACTLY the batch answer, which is what the DuckDB oracle
+computes over the full table).
+
+Shape: three staged waves of embeddings (``maxFilesPerTrigger=1`` ->
+three deterministic micro-batches); ``foreachBatch`` scores the batch
+against the broadcast query vector with the SAME cosine fold as
+`operators.similarity` (each vector is scored exactly once, in the
+identical IEEE op order the oracle uses - bit-exact doubles), unions
+the k-row state parquet, keeps the best k by (cos desc, id asc), and
+swaps the state via the localCheckpoint-then-overwrite idiom. Final
+result: the state with a dense rank.
+
+At 100 TB: per-batch work is (batch size x one fold) + a k-row merge;
+corpus-global state is exactly k rows, the minimum any standing top-k
+can hold. The batch answer never needs recomputing when new data
+lands - the reference's ES store answers its dashboards the same way
+(standing query over an append stream).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.similarity import DIM, _oracle_dot, cosine
+from ..sources.readers import load_table
+
+TOPK = 25
+QUERY_VEC_ID = 0
+N_WAVES = 3
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
+
+
+def streaming_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    work = tempfile.mkdtemp(prefix="stream_topk_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    state = os.path.join(work, "state")
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    try:
+        for w in range(N_WAVES):
+            emb.filter(
+                (F.col("vec_id") != QUERY_VEC_ID)
+                & (F.col("vec_id") % N_WAVES == w)
+            ).coalesce(1).write.parquet(os.path.join(src, f"wave{w}"))
+
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            scored = batch_df.crossJoin(F.broadcast(qv)).select(
+                F.col("vec_id").alias("doc_id"),
+                cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+            )
+            if os.path.isdir(state):
+                scored = scored.unionByName(
+                    batch_df.sparkSession.read.schema(_STATE_SCHEMA).parquet(
+                        state
+                    )
+                )
+            top = (
+                scored.orderBy(F.desc("cos"), F.asc("doc_id"))
+                .limit(TOPK)
+                # materialize BEFORE overwriting the directory the
+                # plan reads from (the self-overwrite hazard); k rows
+                .localCheckpoint(eager=True)
+            )
+            top.write.mode("overwrite").parquet(state)
+
+        q = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.schema(_STATE_SCHEMA).parquet(state)
+        wr = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+        return (
+            res.select("doc_id", "cos", F.row_number().over(wr).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _topk_oracle() -> str:
+    cos = (
+        f"{_oracle_dot('e.embedding', 'q.qv', DIM)}"
+        f" / (sqrt({_oracle_dot('e.embedding', 'e.embedding', DIM)})"
+        f" * sqrt({_oracle_dot('q.qv', 'q.qv', DIM)}))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT doc_id, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+STREAMING_TOPK_ORACLE_SQL = _topk_oracle()

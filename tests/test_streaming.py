@@ -340,3 +340,47 @@ def test_upsert_merge_batch_promote_is_crash_safe(spark, tmp_path):
     final = sorted(map(tuple, spark.read.schema(schema).parquet(target).collect()))
     assert final == [(1, "a2", 2), (2, "b", 1), (3, "c", 1)]
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_streaming_topk_incremental_equals_batch(spark, sf_dir):
+    """The monotone-merge claim: the three-wave incremental result is
+    EXACTLY the batch top-k (same cosine fold, same tie-break), and
+    every wave contributes at least one surviving row at the default
+    fixture (so the merge is exercised, not vacuous)."""
+    from data_pipeline_capstone_project_spark.streaming.topk_stream import (
+        N_WAVES,
+        QUERY_VEC_ID,
+        TOPK,
+        streaming_topk_query,
+    )
+    from data_pipeline_capstone_project_spark.operators.similarity import (
+        cosine,
+    )
+    from pyspark.sql import functions as F
+
+    res = streaming_topk_query(spark, sf_dir).collect()
+    assert len(res) == TOPK
+    assert [r["rank"] for r in sorted(res, key=lambda r: r["rank"])] == list(
+        range(1, TOPK + 1)
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    batch = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(TOPK)
+        .collect()
+    )
+    got = sorted(res, key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["cos"]) for r in got] == [
+        (r["doc_id"], r["cos"]) for r in batch
+    ]
+    waves = {r["doc_id"] % N_WAVES for r in got}
+    assert len(waves) == N_WAVES
