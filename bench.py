@@ -134,16 +134,50 @@ def main() -> None:
     if load_raw[0] >= retry_load and quiesce > 0:
         time.sleep(quiesce)
     load_end = os.getloadavg()
+    # Canary probe: loadavg cannot see host-level slowdowns (observed
+    # r8: an entire pass ran 4-6x slow with TIGHT per-query spreads -
+    # q1_history 1.7 -> 6.2 s on untouched code - while end loadavg
+    # sat at 3.9, under the bar; the machine recovered minutes later
+    # and isolated re-runs were back at 1.6 s). Re-time the flagship
+    # AFTER the quiesce: if its best-of-3 NOW is >= canary_ratio
+    # FASTER than the best the whole pass could record, the pass was
+    # measured on a degraded host and the recovered machine should
+    # re-measure it. (The opposite direction - canary slow, pass fast
+    # - means the host degraded at the END; the pass numbers stand
+    # and a retry would only measure the degradation, so no retry.)
+    canary_name = "q1_history"
+    canary_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_RATIO", "3.0"))
+    canary_runs: list[float] = []
+    if timings.get(canary_name, 0) > 0:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                queries[canary_name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # pragma: no cover - defensive
+                break
+            canary_runs.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+        gc.collect()
+    pass1_was_degraded = bool(
+        canary_runs
+        and min(canary_runs) * canary_ratio <= timings[canary_name]
+    )
     whole_run_retry: dict = {
         "threshold": retry_load,
         "fired": False,
         "pass1_loadavg_raw": load_raw,
         "pass1_loadavg_end": load_end,
+        "canary_runs": canary_runs,
+        "canary_pass_min": timings.get(canary_name),
+        "pass1_was_degraded": pass1_was_degraded,
     }
-    if load_end[0] >= retry_load:
+    if load_end[0] >= retry_load or pass1_was_degraded:
         print(
-            f"whole-run retry: pass-1 end loadavg {load_end[0]:.2f} >= "
-            f"{retry_load}, re-measuring",
+            f"whole-run retry: pass-1 end loadavg {load_end[0]:.2f} "
+            f"(bar {retry_load}) / canary {canary_runs} vs pass min "
+            f"{timings.get(canary_name)} - re-measuring",
             file=sys.stderr,
         )
         whole_run_retry["fired"] = True
@@ -154,7 +188,16 @@ def main() -> None:
             time.sleep(quiesce)  # same decay window as pass 1's reading
         load_end2 = os.getloadavg()
         whole_run_retry["pass2_loadavg_end"] = load_end2
-        if load_end2[0] < load_end[0]:
+        if pass1_was_degraded:
+            # the canary proved pass 1 ran on a degraded host: adopt
+            # whichever pass recorded the faster flagship (pass 2
+            # unless the host degraded again mid-retry)
+            adopt2 = timings2.get(canary_name, 1e9) < timings.get(
+                canary_name, 1e9
+            )
+        else:
+            adopt2 = load_end2[0] < load_end[0]
+        if adopt2:
             timings, spreads, errors = timings2, spreads2, errors2
             whole_run_retry["adopted"] = "pass2"
         else:
