@@ -46,4 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # A registry value may be a zero-arg callable (an oracle too
+    # expensive to build at import time - e.g. h264_frames encodes and
+    # bit-decodes its whole fixture family); resolve those here.
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}

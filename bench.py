@@ -188,7 +188,13 @@ def main() -> None:
             time.sleep(quiesce)  # same decay window as pass 1's reading
         load_end2 = os.getloadavg()
         whole_run_retry["pass2_loadavg_end"] = load_end2
-        if pass1_was_degraded:
+        # A pass that FAILED queries never beats one that measured
+        # them cleanly, however quiet the host looked: compare error
+        # counts first, and only tie-break equal-error passes on the
+        # degradation signal (ADVICE r8).
+        if len(errors2) != len(errors):
+            adopt2 = len(errors2) < len(errors)
+        elif pass1_was_degraded:
             # the canary proved pass 1 ran on a degraded host: adopt
             # whichever pass recorded the faster flagship (pass 2
             # unless the host degraded again mid-retry)

@@ -6,11 +6,13 @@ columns with typed metadata).
 
 Sample DECODE needs no external library for any common WAV codec:
 integer PCM is raw samples, IEEE float is raw bit patterns, G.711 is
-a 256-entry integer expansion table, and IMA ADPCM is a published
-integer recurrence - all implemented here exactly. :func:`wav_meta`
-parses the container AND :func:`wav_stats` folds the decoded samples
-themselves, both oracle-checked; only genuinely proprietary tags
-(MS-ADPCM, MP3-in-WAV) remain a NotImplementedError seam.
+a 256-entry integer expansion table, and IMA ADPCM and MS-ADPCM
+(tags 17 and 2) are published integer recurrences - all implemented
+here exactly. :func:`wav_meta` parses the container AND
+:func:`wav_stats` folds the decoded samples themselves, both
+oracle-checked; only Huffman-table-content codecs (MP3-in-WAV, tag
+0x55) remain a NotImplementedError seam - the same verification
+problem as Layer III itself (no reference decoder in-sandbox).
 
 - :func:`make_wav`: fixture writer - canonical RIFF/WAVE with fmt
   and data chunks, deterministic integer samples.
@@ -114,11 +116,118 @@ def _ima_decode_channel(
 _IMA_DPC = 60
 _IMA_SPB = _IMA_DPC * 2 + 1
 
+#: MS-ADPCM (WAVE tag 2) constants from the published spec
+#: ("Microsoft Multimedia Standards Update: New Multimedia Data Types
+#: and Data Techniques", the msadpcm reference): 7 standard predictor
+#: coefficient pairs (Q8.8, /256 scale) and the 16-entry delta
+#: adaptation table. The fmt extension carries the coefficient table
+#: in the FILE, so the decoder reads it from there (files may define
+#: extra pairs); these are what the fixture writer emits.
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+#: MS-ADPCM fixture block geometry: 63 data bytes per channel per
+#: block -> 128 samples per block, block_align = 70 * channels
+_MS_DPC = 63
+_MS_SPB = _MS_DPC * 2 + 2
+
+
+def _ms_decode_channel(
+    coef1: int, coef2: int, delta: int, s1: int, s2: int,
+    codes: "np.ndarray",
+) -> "np.ndarray":
+    """Decode one channel's 4-bit code stream given the block header
+    (coefficient pair, initial delta, last two samples) - the MS-ADPCM
+    prediction recurrence, exact integers throughout. Division
+    semantics follow the Windows DDK msadpcm reference (arithmetic
+    shift >> 8, i.e. floor; libsndfile agrees - ffmpeg's truncating
+    /64 variant differs only in the last bit for negative
+    predictions, and our encoder/decoder/oracle are a matched pair).
+    Returns the decoded samples NOT including the two header
+    samples."""
+    out = np.empty(len(codes), dtype=np.int32)
+    for i, n in enumerate(codes):
+        signed = int(n) - 16 if n & 8 else int(n)
+        pred = ((s1 * coef1) + (s2 * coef2)) >> 8
+        pred += signed * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = (_MS_ADAPT[n] * delta) >> 8
+        if delta < 16:
+            delta = 16
+        out[i] = pred
+    return out
+
+
+def _ms_adpcm_blocks(
+    raw: bytes, fmt_body: bytes, channels: int, fact_frames: int | None
+) -> np.ndarray:
+    """MS-ADPCM block walk (the WAVE tag-0x02 layout): each
+    block_align-sized block opens with per-channel headers - all
+    predictor indices (uint8, selecting a coefficient pair from the
+    fmt extension's table), then all initial deltas (int16), then all
+    sample1 (int16), then all sample2 (int16) - and sample2/sample1
+    ARE the block's first two output samples (sample2 is older). Then
+    4-bit codes, HIGH nibble first, alternating channels. The fact
+    chunk trims the final block's padding."""
+    if len(fmt_body) < 22:
+        raise ValueError("MS-ADPCM fmt chunk missing extension")
+    (block_align,) = struct.unpack("<H", fmt_body[12:14])
+    (spb,) = struct.unpack("<H", fmt_body[18:20])
+    (n_coef,) = struct.unpack("<H", fmt_body[20:22])
+    if len(fmt_body) < 22 + 4 * n_coef or n_coef < 7:
+        raise ValueError("MS-ADPCM coefficient table truncated")
+    coefs = [
+        struct.unpack("<hh", fmt_body[22 + 4 * k : 26 + 4 * k])
+        for k in range(n_coef)
+    ]
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise ValueError("bad MS-ADPCM block_align")
+    if spb != (block_align - hdr) * 2 // channels + 2:
+        raise ValueError("samples_per_block inconsistent with block_align")
+    if len(raw) % block_align:
+        raise ValueError("MS-ADPCM data is not whole blocks")
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    for boff in range(0, len(raw), block_align):
+        block = raw[boff : boff + block_align]
+        preds = block[:channels]
+        deltas = struct.unpack(f"<{channels}h", block[channels : 3 * channels])
+        s1s = struct.unpack(f"<{channels}h", block[3 * channels : 5 * channels])
+        s2s = struct.unpack(f"<{channels}h", block[5 * channels : 7 * channels])
+        data = np.frombuffer(block[hdr:], dtype=np.uint8)
+        nibbles = np.empty(2 * len(data), dtype=np.uint8)
+        nibbles[0::2] = data >> 4  # HIGH nibble first (opposite of IMA)
+        nibbles[1::2] = data & 0x0F
+        for c in range(channels):
+            if preds[c] >= n_coef:
+                raise ValueError("MS-ADPCM predictor index out of range")
+            c1, c2 = coefs[preds[c]]
+            decoded = _ms_decode_channel(
+                int(c1), int(c2), int(deltas[c]), int(s1s[c]), int(s2s[c]),
+                nibbles[c::channels],
+            )
+            chans[c].append(
+                np.concatenate(
+                    [np.array([s2s[c], s1s[c]], dtype=np.int32), decoded]
+                )
+            )
+    out = np.stack([np.concatenate(c) for c in chans], axis=-1)
+    if fact_frames is not None:
+        if fact_frames > len(out):
+            raise ValueError("fact frame count exceeds decoded samples")
+        out = out[:fact_frames]
+    return out
+
 
 def make_wav(
     n_samples: int, sample_rate: int = 44100, channels: int = 2,
     bits: int = 16, seed: int = 0, float_fmt: bool = False,
     g711: str | None = None, ima_adpcm: bool = False,
+    ms_adpcm: bool = False,
 ) -> bytes:
     """Canonical RIFF/WAVE: deterministic full-scale-bounded samples
     (a seeded integer LCG, library-free and platform-exact).
@@ -133,10 +242,54 @@ def make_wav(
         raise ValueError("float WAV is 32-bit")
     if g711 is not None and bits != 8:
         raise ValueError("G.711 WAV is 8-bit")
-    if ima_adpcm and bits != 4:
-        raise ValueError("IMA ADPCM WAV is 4-bit")
+    if (ima_adpcm or ms_adpcm) and bits != 4:
+        raise ValueError("ADPCM WAV is 4-bit")
     # 64-bit LCG (plain Python ints, masked), folded to the sample width
     mask = (1 << 64) - 1
+    if ms_adpcm:
+        # compressed-block layout: valid per-block headers (predictor
+        # index 0..6 into the standard coefficient table, delta >= 16,
+        # int16 sample1/sample2) + LCG code payloads - decode is
+        # well-defined for ANY code stream, same scheme as the IMA
+        # fixtures. fmt extension carries wSamplesPerBlock, wNumCoef
+        # and the 7 standard coefficient pairs per the published spec.
+        ba = 70 * channels
+        n_blocks = -(-n_samples // _MS_SPB)
+        state = (seed * 6364136223846793005 + 1442695040888963407) & mask
+        blocks = bytearray()
+        for _ in range(n_blocks):
+            hdr_vals = []
+            for _c in range(channels):
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                pred_idx = (state >> 33) % 7
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                delta = 16 + (state >> 33) % 4096
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                s1 = (state >> 33) % 65536 - 32768
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                s2 = (state >> 33) % 65536 - 32768
+                hdr_vals.append((pred_idx, delta, s1, s2))
+            blocks += bytes(h[0] for h in hdr_vals)
+            for k in (1, 2, 3):
+                for h in hdr_vals:
+                    blocks += struct.pack("<h", h[k])
+            for _b in range(_MS_DPC * channels):
+                state = (state * 6364136223846793005 + 1442695040888963407) & mask
+                blocks.append((state >> 33) % 256)
+        byte_rate = sample_rate * ba // _MS_SPB
+        fmt = struct.pack(
+            "<HHIIHHHHH", 2, channels, sample_rate, byte_rate, ba, 4,
+            4 + 4 * 7, _MS_SPB, 7,
+        ) + b"".join(
+            struct.pack("<hh", c1, c2)
+            for c1, c2 in zip(_MS_COEF1, _MS_COEF2)
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"fact" + struct.pack("<II", 4, n_samples)
+        chunks += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        )
     if ima_adpcm:
         # compressed-block layout: valid per-block headers (clamped
         # predictor, in-range step index) + LCG nibble payloads; the
@@ -249,7 +402,10 @@ def wav_fmt_tag(payload: bytes) -> int:
     raise ValueError("no fmt chunk")
 
 
-_TAG_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}
+_TAG_NAMES = {
+    1: "pcm", 2: "ms_adpcm", 3: "float", 6: "alaw", 7: "ulaw",
+    17: "ima_adpcm",
+}
 
 
 def _ima_blocks(
@@ -302,11 +458,12 @@ def _ima_blocks(
 def wav_pcm(payload: bytes) -> np.ndarray:
     """(n_samples, channels) samples from the data chunk: int32 for
     integer PCM (tag 1), G.711 a-law/mu-law (tags 6/7, exact table
-    expansion) and IMA ADPCM (tag 17, exact block recurrence);
-    float32 for IEEE-float (tag 3; bit patterns are deterministic, so
-    folds over the values are exact). Corrupt containers raise a
-    clean ValueError; genuinely proprietary tags (MS-ADPCM, MP3 in
-    WAV) remain the module's honest NotImplementedError seam."""
+    expansion), IMA ADPCM (tag 17) and MS-ADPCM (tag 2) - both exact
+    block recurrences; float32 for IEEE-float (tag 3; bit patterns
+    are deterministic, so folds over the values are exact). Corrupt
+    containers raise a clean ValueError; Huffman-content codecs
+    (MP3-in-WAV) remain the module's honest NotImplementedError
+    seam."""
     channels, _rate, bits, _dur = wav_meta(payload)
     try:
         return _wav_pcm_impl(payload, channels, bits)
@@ -338,6 +495,8 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
         raise ValueError("no data chunk")
     if tag == 17:
         return _ima_blocks(raw, fmt_body, channels, fact_frames)
+    if tag == 2:
+        return _ms_adpcm_blocks(raw, fmt_body, channels, fact_frames)
     if tag == 3:
         if bits != 32:
             raise NotImplementedError("IEEE-float WAV is 32-bit only")
@@ -352,7 +511,8 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
         samples = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.int32)
     elif tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {tag} (PCM, IEEE float and G.711 supported)"
+            f"WAV format tag {tag} (PCM, IEEE float, G.711, "
+            "IMA/MS ADPCM supported)"
         )
     elif bits == 16:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
@@ -396,7 +556,7 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
                 200 + 37 * i,
                 rate,
                 1 + (i % 2),
-                (16, 24, 32, 8, "ulaw", "alaw", "ima", 16)[i % 8],
+                (16, 24, 32, 8, "ulaw", "alaw", "ima", "ms")[i % 8],
                 i,
             )
         )
@@ -408,6 +568,11 @@ def _make_fixture(ns: int, rate: int, ch: int, spec, seed: int) -> bytes:
         return make_wav(
             ns, sample_rate=rate, channels=ch, bits=4, seed=seed,
             ima_adpcm=True,
+        )
+    if spec == "ms":
+        return make_wav(
+            ns, sample_rate=rate, channels=ch, bits=4, seed=seed,
+            ms_adpcm=True,
         )
     if isinstance(spec, str):
         return make_wav(
@@ -521,7 +686,7 @@ def _full_scale(codec: str, bits: int) -> int:
     lattice wav_stats already uses (value 1.0 -> 2^23)."""
     if codec == "float":
         return 1 << 23
-    if codec in ("alaw", "ulaw", "ima_adpcm"):
+    if codec in ("alaw", "ulaw", "ima_adpcm", "ms_adpcm"):
         return 1 << 15
     return 1 << (bits - 1)
 

@@ -145,6 +145,21 @@ def put_pass(posts: DataFrame, store_root: str, pass_no: int) -> DataFrame:
 def binary_put_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: two write-if-absent passes against one fresh
     store; pass 1 writes the full keyset, pass 2 skips all of it."""
+    # The store root is a driver-local tempdir probed with
+    # os.path.exists inside executor tasks: correct ONLY when every
+    # executor shares the driver's filesystem (local / local-cluster
+    # on one host). On a real cluster the store must be a shared
+    # filesystem or object store; fail loudly rather than silently
+    # diverging (each executor would see its own empty /tmp, pass 2
+    # would rewrite everything, and the census would break).
+    master = spark.conf.get("spark.master", "")
+    if not (master.startswith("local") or "localhost" in master):
+        raise NotImplementedError(
+            "binary_put_sink's write-if-absent store uses a "
+            "driver-local tempdir; on a multi-node cluster route "
+            "store_root to a shared filesystem/object store "
+            f"(spark.master={master!r})"
+        )
     posts = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % PUT_SLICE_MOD == 0)

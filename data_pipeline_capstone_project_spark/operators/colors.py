@@ -424,8 +424,11 @@ def color_palette(images: DataFrame) -> DataFrame:
 def color_palette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: the full weekly color pipeline over the
     closed-form synthetic image store for users 0..19, capped at
-    MAX_IMAGES_PER_USER most-recent-by-event_id images per user (the
-    cap keeps the per-user pixel population <= KMEANS_SAMPLE, which is
+    MAX_IMAGES_PER_USER earliest-by-event_id images per user (the
+    window orders event_id ascending; result-invariant for this
+    fixture family because every image of a user is a rotation of one
+    multiset-identical tile - the cap keeps the per-user pixel
+    population <= KMEANS_SAMPLE, which is
     what makes the KMeans outcome provably exact - see
     COUNTS_BY_SUM_RANK). Because the fixture family has a provable
     Lloyd optimum, the palette JSON is closed-form per user and the

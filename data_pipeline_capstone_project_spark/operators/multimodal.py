@@ -80,9 +80,18 @@ def real_decode(payload: bytes) -> tuple[int, int]:
         from .mp4 import mp4_meta
 
         return mp4_meta(payload)[:2]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # audio has no pixel dims; the dispatcher's (width, height)
+        # slots carry (channels, sample_rate) - the deeper per-codec
+        # oracle (wav_stats) checks the full decode incl. the ADPCM
+        # recurrences
+        from .audio import wav_meta
+
+        ch, rate, _bits, _dur = wav_meta(payload)
+        return ch, rate
     raise NotImplementedError(
         "no codec for this format in this environment (PNG, baseline "
-        "JPEG and MP4 container metadata are supported)"
+        "JPEG, MP4 container metadata and RIFF/WAVE are supported)"
     )
 
 
@@ -148,8 +157,8 @@ FROM documents
 
 def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query for the ``real_decode`` DISPATCHER itself: one
-    store mixing PNG, baseline JPEG, progressive JPEG, MP4, and GIF
-    payloads, decoded through the same ``decode_media_meta`` plumbing
+    store mixing PNG, baseline JPEG, progressive JPEG, MP4, GIF, BMP,
+    and MS-ADPCM WAV payloads, decoded through the same ``decode_media_meta`` plumbing
     production would use (``decoder=real_decode``), hash-checked
     against a closed-form oracle. The per-format codecs each have
     their own deeper oracle query (image_decode / jpeg_decode /
@@ -161,6 +170,7 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
+    from .audio import make_wav
     from .gif import _lcg_indices, _lcg_palette, make_gif
     from .images import make_bmp, make_png
     from .jpeg import make_jpeg
@@ -187,6 +197,13 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             with open(os.path.join(work, f"m{i}_bmp.bmp"), "wb") as f:
                 f.write(make_bmp(px))
+            with open(os.path.join(work, f"m{i}_wav.wav"), "wb") as f:
+                f.write(
+                    make_wav(
+                        150 + 11 * i, sample_rate=8000 * (1 + i % 2),
+                        channels=1 + i % 2, bits=4, seed=i, ms_adpcm=True,
+                    )
+                )
         bin_df = spark.read.format("binaryFile").load(work).select(
             F.regexp_extract(
                 F.element_at(F.split("path", "/"), -1), r"m(\d+)_", 1
@@ -214,6 +231,7 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_dispatch_oracle() -> str:
     import numpy as np
 
+    from .audio import make_wav
     from .gif import _lcg_indices, _lcg_palette, make_gif
     from .images import make_bmp, make_png
     from .jpeg import make_jpeg
@@ -233,6 +251,14 @@ def _media_dispatch_oracle() -> str:
             ("mp4", make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i), (320 + 2 * i, 180 + i)),
             ("gif", gif_payload, (12 + i, 7 + i)),
             ("bmp", make_bmp(px), (6 + i, 10 + i)),
+            (
+                "wav",
+                make_wav(
+                    150 + 11 * i, sample_rate=8000 * (1 + i % 2),
+                    channels=1 + i % 2, bits=4, seed=i, ms_adpcm=True,
+                ),
+                (1 + i % 2, 8000 * (1 + i % 2)),
+            ),
         ):
             rows.append(
                 f"({i}, {len(payload)}, {w}, {h}, '{fmt}', "

@@ -496,7 +496,12 @@ from .operators.images import (
     color_palette_png_query,
     image_decode_query,
 )
-from .operators.ebml import WEBM_META_ORACLE_SQL, webm_meta_query
+from .operators.ebml import (
+    WEBM_BLOCK_CENSUS_ORACLE_SQL,
+    WEBM_META_ORACLE_SQL,
+    webm_block_census_query,
+    webm_meta_query,
+)
 from .operators.exif import EXIF_META_ORACLE_SQL, exif_meta_query
 from .operators.ogg import OGG_META_ORACLE_SQL, ogg_meta_query
 from .operators.search import (
@@ -514,7 +519,7 @@ from .operators.binary_sink import (
     binary_put_sink_query,
 )
 from .operators.h264_decode import (
-    H264_FRAMES_ORACLE_SQL,
+    h264_frames_oracle_sql,
     h264_frames_query,
 )
 from .operators.webdataset import (
@@ -835,6 +840,7 @@ QUERIES = {
     "h264_meta": h264_meta_query,
     "h264_nal_census": h264_nal_census_query,
     "webm_meta": webm_meta_query,
+    "webm_block_census": webm_block_census_query,
     "subtitle_parse": subtitle_parse_query,
     "caption_frame_align": caption_frame_align_query,
     "webdataset_pack": webdataset_pack_query,
@@ -1056,12 +1062,16 @@ ORACLES = {
     "h264_meta": H264_META_ORACLE_SQL,
     "h264_nal_census": H264_NAL_CENSUS_ORACLE_SQL,
     "webm_meta": WEBM_META_ORACLE_SQL,
+    "webm_block_census": WEBM_BLOCK_CENSUS_ORACLE_SQL,
     "subtitle_parse": SUBTITLE_PARSE_ORACLE_SQL,
     "caption_frame_align": CAPTION_FRAME_ALIGN_ORACLE_SQL,
     "webdataset_pack": WEBDATASET_PACK_ORACLE_SQL,
     "hybrid_search_rrf": HYBRID_SEARCH_RRF_ORACLE_SQL,
     "bm25_search": BM25_SEARCH_ORACLE_SQL,
-    "h264_frames": H264_FRAMES_ORACLE_SQL,
+    # stored as a callable: building this oracle encodes + decodes the
+    # whole fixture family, so it is resolved lazily at oracle_sql()
+    # time, not at registry import (ADVICE r8)
+    "h264_frames": h264_frames_oracle_sql,
     "binary_put_sink": BINARY_PUT_SINK_ORACLE_SQL,
     "fused_sql_inference": FUSED_SQL_INFERENCE_ORACLE_SQL,
     "streaming_topk": STREAMING_TOPK_ORACLE_SQL,

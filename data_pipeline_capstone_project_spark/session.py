@@ -17,6 +17,7 @@ configuration:
 from __future__ import annotations
 
 import os
+import re
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -78,10 +79,19 @@ def get_spark(
     ``cpus`` controls ``local[N]`` and the shuffle-partition count; at
     cluster scale you would drop ``master`` and let the resource manager
     decide, keeping the rest of the config identical.
+
+    ``SPARK_GRAFT_MASTER`` overrides the master URL entirely - e.g.
+    ``local-cluster[2,16,8192]`` runs 2 separate executor JVMs with 16
+    cores / 8 GiB each, exercising cross-process broadcast
+    serialization, Python-worker package shipping, and network shuffle
+    that single-JVM ``local[N]`` can never falsify. In that mode the
+    package zip is shipped automatically (executor Python workers
+    re-import Pandas-UDF modules by reference).
     """
     n = str(cpus or _DEFAULT_CPUS)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", n)
         .config("spark.sql.adaptive.enabled", "true")
@@ -95,6 +105,19 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if not master.startswith("local["):
+        # multi-process executors (local-cluster / standalone): each
+        # executor JVM gets its own heap. For local-cluster the master
+        # string already fixes MiB/worker - request exactly that, or
+        # Spark refuses to launch ("Asked to launch cluster with X
+        # MiB/worker but requested Y MiB/executor").
+        mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+        if mem is None:
+            m = re.match(r"local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]", master)
+            mem = f"{m.group(1)}m" if m else "8g"
+        builder = builder.config("spark.executor.memory", mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        ship_package(spark)
     return spark

@@ -52,6 +52,35 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def merge_topk_batch(batch_df: DataFrame, qv: DataFrame, state: str) -> None:
+    """Score one micro-batch against the broadcast query vector and
+    merge it into the k-row state parquet. Replay-idempotent: if a
+    failed batch is re-run AFTER the state parquet was already
+    overwritten (foreachBatch's at-least-once contract), the union
+    holds duplicate (doc_id, cos) rows; collapsing per doc_id before
+    the limit absorbs the replay (cos is a pure function of doc_id,
+    so max() is the value) - the same contract the upsert stream
+    tests as test_replay_is_idempotent (ADVICE r8)."""
+    scored = batch_df.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    if os.path.isdir(state):
+        scored = scored.unionByName(
+            batch_df.sparkSession.read.schema(_STATE_SCHEMA).parquet(state)
+        )
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.max("cos").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(TOPK)
+        # materialize BEFORE overwriting the directory the plan reads
+        # from (the self-overwrite hazard); k rows
+        .localCheckpoint(eager=True)
+    )
+    top.write.mode("overwrite").parquet(state)
+
+
 def streaming_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -75,24 +104,7 @@ def streaming_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).coalesce(1).write.parquet(os.path.join(src, f"wave{w}"))
 
         def merge(batch_df: DataFrame, batch_id: int) -> None:
-            scored = batch_df.crossJoin(F.broadcast(qv)).select(
-                F.col("vec_id").alias("doc_id"),
-                cosine(F.col("embedding"), F.col("qv")).alias("cos"),
-            )
-            if os.path.isdir(state):
-                scored = scored.unionByName(
-                    batch_df.sparkSession.read.schema(_STATE_SCHEMA).parquet(
-                        state
-                    )
-                )
-            top = (
-                scored.orderBy(F.desc("cos"), F.asc("doc_id"))
-                .limit(TOPK)
-                # materialize BEFORE overwriting the directory the
-                # plan reads from (the self-overwrite hazard); k rows
-                .localCheckpoint(eager=True)
-            )
-            top.write.mode("overwrite").parquet(state)
+            merge_topk_batch(batch_df, qv, state)
 
         q = (
             spark.readStream.schema(emb_schema)

@@ -109,14 +109,19 @@ def test_misaligned_24bit_rejected():
 
 
 def test_unsupported_format_tag_is_honest_seam():
-    """ADPCM (tag 2) and friends: metadata still parses, sample decode
-    raises NotImplementedError - the documented seam, not a crash."""
+    """MP3-in-WAV (tag 0x55) and friends: metadata still parses,
+    sample decode raises NotImplementedError - the documented seam,
+    not a crash. (MS-ADPCM, the former seam, decodes for real now;
+    a tag-2 file without its fmt extension is CORRUPTION, ValueError.)"""
     base = make_wav(10, sample_rate=8000, channels=1, bits=16, seed=5)
     foff = base.find(b"fmt ")
-    patched = base[: foff + 8] + struct.pack("<H", 2) + base[foff + 10 :]
+    patched = base[: foff + 8] + struct.pack("<H", 0x55) + base[foff + 10 :]
     assert wav_meta(patched)[0] == 1
     with pytest.raises(NotImplementedError):
         wav_pcm(patched)
+    ms_no_ext = base[: foff + 8] + struct.pack("<H", 2) + base[foff + 10 :]
+    with pytest.raises(ValueError):
+        wav_pcm(ms_no_ext)
 
 
 def test_g711_expansion_matches_published_values():
@@ -167,8 +172,10 @@ def test_wav_stats_query_spark(spark, sf_dir):
     for r in rows.values():
         by_codec.setdefault(r["codec"], []).append(r)
     # every decodable codec family present: integer PCM at three
-    # widths, IEEE float, both G.711 laws, and IMA ADPCM
-    assert set(by_codec) == {"pcm", "float", "alaw", "ulaw", "ima_adpcm"}
+    # widths, IEEE float, both G.711 laws, and both ADPCM variants
+    assert set(by_codec) == {
+        "pcm", "float", "alaw", "ulaw", "ima_adpcm", "ms_adpcm",
+    }
     # the 24-bit studio width's peaks use the widened range
     w24 = [r for r in by_codec["pcm"] if r["bits"] == 24]
     assert len(w24) == 3
@@ -189,6 +196,11 @@ def test_wav_stats_query_spark(spark, sf_dir):
     assert len(ima) == 3
     assert all(r["bits"] == 4 for r in ima)
     assert all(255 < r["peak"] <= 32768 for r in ima)
+    # MS-ADPCM: 4-bit container, full int16 expanded range
+    ms = by_codec["ms_adpcm"]
+    assert len(ms) == 3
+    assert all(r["bits"] == 4 for r in ms)
+    assert all(255 < r["peak"] <= 32768 for r in ms)
     # metadata and samples agree: duration from the actual PCM length
     assert all(r["peak"] > 0 for r in rows.values())
 
@@ -252,6 +264,62 @@ def test_ima_adpcm_matches_scalar_reference():
                     pred = pred - diff if n & 8 else pred + diff
                     pred = max(-32768, min(32767, pred))
                     idx = max(0, min(88, idx + itab[n]))
+                    ref[c].append(pred)
+        for c in range(ch):
+            assert list(got[:, c]) == ref[c][:ns]
+
+
+def test_ms_adpcm_matches_scalar_reference():
+    """The MS-ADPCM block decoder against an independent from-the-spec
+    scalar implementation (the published 7 coefficient pairs and
+    16-entry adaptation table, written here without numpy): HIGH
+    nibble first, header sample2-then-sample1 output order, >>8 floor
+    prediction (Windows DDK / libsndfile semantics), delta floor 16."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _MS_SPB,
+    )
+
+    c1t = [256, 512, 0, 192, 240, 460, 392]
+    c2t = [0, -256, 0, 64, 0, -208, -232]
+    adapt = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+    for ch in (1, 2):
+        ns = 2 * _MS_SPB + 23  # two full blocks + a trimmed third
+        payload = make_wav(ns, sample_rate=8000, channels=ch, bits=4,
+                           seed=47, ms_adpcm=True)
+        got = wav_pcm(payload)
+        assert got.shape == (ns, ch)
+
+        # scalar reference decode straight off the container bytes
+        doff = payload.find(b"data")
+        raw = payload[doff + 8 :]
+        ba = 70 * ch
+        ref = [[] for _ in range(ch)]
+        for boff in range(0, len(raw), ba):
+            block = raw[boff : boff + ba]
+            for c in range(ch):
+                pidx = block[c]
+                delta = struct.unpack("<h", block[ch + 2 * c : ch + 2 * c + 2])[0]
+                s1 = struct.unpack(
+                    "<h", block[3 * ch + 2 * c : 3 * ch + 2 * c + 2]
+                )[0]
+                s2 = struct.unpack(
+                    "<h", block[5 * ch + 2 * c : 5 * ch + 2 * c + 2]
+                )[0]
+                ref[c] += [s2, s1]
+                nibs = []
+                for k, byte in enumerate(block[7 * ch :]):
+                    for j, n in enumerate((byte >> 4, byte & 0x0F)):
+                        if (2 * k + j) % ch == c:
+                            nibs.append(n)
+                for n in nibs:
+                    signed = n - 16 if n & 8 else n
+                    pred = ((s1 * c1t[pidx]) + (s2 * c2t[pidx])) >> 8
+                    pred += signed * delta
+                    pred = max(-32768, min(32767, pred))
+                    s2, s1 = s1, pred
+                    delta = max(16, (adapt[n] * delta) >> 8)
                     ref[c].append(pred)
         for c in range(ch):
             assert list(got[:, c]) == ref[c][:ns]

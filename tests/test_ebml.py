@@ -146,3 +146,95 @@ def test_webm_query_matches_oracle(spark, sf_dir):
     pd.testing.assert_frame_equal(
         got.astype("object"), want.astype("object"), check_dtype=False
     )
+
+
+def test_block_census_expectations_hold():
+    """Parser rows == construction-derived rows for every census
+    fixture (the oracle asserts this too at build time; this test
+    keeps the failure local and named)."""
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        _CENSUS_FIXTURES,
+        _census_expected,
+        make_webm,
+        webm_block_census,
+    )
+
+    want = {
+        (r["file_name"], r["cluster_idx"]): r for r in _census_expected()
+    }
+    for name, kw in _CENSUS_FIXTURES:
+        for row in webm_block_census(make_webm(**kw)):
+            assert {"file_name": name, **row} == want[(name, row["cluster_idx"])]
+
+
+def test_block_census_keyframe_and_track_flags():
+    """keyframe_every and cycle_tracks change flag VALUES, not sizes:
+    byte census identical to the all-keyframe default, keyframe and
+    track counts differ."""
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        make_webm,
+        webm_block_census,
+        webm_meta,
+    )
+
+    base = make_webm(n_clusters=2, blocks_per_cluster=6, block_size=20,
+                     seed=4)
+    gop = make_webm(n_clusters=2, blocks_per_cluster=6, block_size=20,
+                    seed=4, keyframe_every=3, cycle_tracks=True)
+    assert len(base) == len(gop)
+    mb, mg = webm_meta(base), webm_meta(gop)
+    assert mb["block_bytes"] == mg["block_bytes"]
+    cb, cg = webm_block_census(base), webm_block_census(gop)
+    assert [c["n_keyframes"] for c in cb] == [6, 6]
+    assert [c["n_keyframes"] for c in cg] == [2, 2]
+    assert [c["n_tracks"] for c in cb] == [1, 1]
+    assert [c["n_tracks"] for c in cg] == [2, 2]
+    assert [c["payload_bytes"] for c in cb] == [c["payload_bytes"] for c in cg]
+
+
+def test_block_census_empty_cluster_and_corrupt_block():
+    """A cluster with zero SimpleBlocks yields a zero row; a
+    SimpleBlock whose framing is truncated raises EBMLError."""
+    import struct as _s
+
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        _CLUSTER,
+        _CLUSTER_TIMESTAMP,
+        _EBML,
+        _DOCTYPE,
+        _SEGMENT,
+        _SIMPLE_BLOCK,
+        _element,
+        _uint,
+        EBMLError,
+        webm_block_census,
+    )
+    import pytest as _pytest
+
+    ebml = _element(_EBML, _element(_DOCTYPE, b"webm"))
+    empty_cluster = _element(_CLUSTER, _element(_CLUSTER_TIMESTAMP, _uint(5)))
+    payload = ebml + _element(_SEGMENT, empty_cluster)
+    rows = webm_block_census(payload)
+    assert rows == [
+        {
+            "cluster_idx": 0, "cluster_ts": 5, "n_blocks": 0,
+            "n_keyframes": 0, "n_tracks": 0, "payload_bytes": 0,
+            "block_bytes": 0, "min_rel_ts": 0, "max_rel_ts": 0,
+        }
+    ]
+    # SimpleBlock with only a track VINT (no rel-ts/flags): corrupt
+    bad_cluster = _element(
+        _CLUSTER,
+        _element(_CLUSTER_TIMESTAMP, _uint(0))
+        + _element(_SIMPLE_BLOCK, b"\x81"),
+    )
+    with _pytest.raises(EBMLError):
+        webm_block_census(ebml + _element(_SEGMENT, bad_cluster))
+    # negative relative timestamps surface signed
+    neg_cluster = _element(
+        _CLUSTER,
+        _element(_CLUSTER_TIMESTAMP, _uint(0))
+        + _element(_SIMPLE_BLOCK, b"\x81" + _s.pack(">hB", -12, 0x80) + b"xy"),
+    )
+    rows = webm_block_census(ebml + _element(_SEGMENT, neg_cluster))
+    assert rows[0]["min_rel_ts"] == -12 and rows[0]["max_rel_ts"] == -12

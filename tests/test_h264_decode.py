@@ -136,14 +136,19 @@ def test_unsupported_seams_raise_decode_error():
 
     sps = make_sps(16, 16)
 
-    # I_4x4 macroblock (mb_type 0)
+    # I_4x4 macroblock with a CODED residual (cbp != 0): supported
+    # prediction, unsupported residual -> the CBP seam
     w = _BitWriter()
     w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
     w.se(0)
     w.ue(0)  # mb_type I_4x4
+    for _ in range(16):
+        w.u(1, 1)  # prev_intra4x4_pred_mode_flag (all predicted: DC)
+    w.ue(0)  # intra_chroma_pred_mode DC
+    w.ue(0)  # coded_block_pattern me codeNum 0 -> cbp 47 (Table 9-4)
     nal = bytes([0x65]) + _ebsp(w.rbsp())
     payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
-    with pytest.raises(H264DecodeError, match="I_4x4"):
+    with pytest.raises(H264DecodeError, match="CBP"):
         decode_first_i_frame(payload)
 
     # P slice
@@ -261,6 +266,7 @@ def test_random_legal_grids_roundtrip():
 
     from data_pipeline_capstone_project_spark.operators.h264_decode import (
         PCM_PATTERNS,
+        _I4_SCAN,
         _simulate_chroma,
     )
 
@@ -272,13 +278,35 @@ def test_random_legal_grids_roundtrip():
         for my in range(mb_h):
             row = []
             for mx in range(mb_w):
-                if draw(st.booleans()):
+                kind = draw(st.sampled_from(["pcm", "i16", "i4"]))
+                if kind == "pcm":
                     row.append(
                         (
                             "pcm",
                             draw(st.sampled_from(PCM_PATTERNS)),
                             draw(st.integers(0, 9)),
                         )
+                    )
+                elif kind == "i4":
+                    modes = []
+                    for sx, sy in _I4_SCAN:
+                        has_top = my > 0 or sy > 0
+                        has_left = mx > 0 or sx > 0
+                        ok = [2]
+                        if has_top:
+                            ok += [0, 3, 7]
+                        if has_left:
+                            ok += [1, 8]
+                        if has_top and has_left:
+                            ok += [4, 5, 6]
+                        modes.append(draw(st.sampled_from(ok)))
+                    chroma_ok = [0]
+                    if mx > 0:
+                        chroma_ok.append(1)
+                    if my > 0:
+                        chroma_ok.append(2)
+                    row.append(
+                        ("i4", modes, draw(st.sampled_from(chroma_ok)))
                     )
                 else:
                     luma_ok = [2]  # DC always legal
@@ -312,3 +340,138 @@ def test_random_legal_grids_roundtrip():
         assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
 
     run()
+
+
+def test_i4_hand_arithmetic():
+    """Three I_4x4 modes pinned by hand off the §8.3.1.2 formulas (a
+    third check independent of BOTH the decoder and the simulator):
+    t = [10,20,30,40,50,60,70,80], l = [90,100,110,120], c = 5."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _sim_i4_block,
+    )
+
+    t = np.array([10, 20, 30, 40, 50, 60, 70, 80], dtype=np.int64)
+    l = np.array([90, 100, 110, 120], dtype=np.int64)
+    c = 5
+
+    # DDL (mode 3): anti-diagonals of the 3-tap filtered top row;
+    # (3,3) is the (t6 + 3*t7 + 2) >> 2 = 78 special
+    want_ddl = np.array(
+        [
+            [20, 30, 40, 50],
+            [30, 40, 50, 60],
+            [40, 50, 60, 70],
+            [50, 60, 70, 78],
+        ]
+    )
+    assert np.array_equal(_sim_i4_block(t, l, c, 3), want_ddl)
+
+    # DDR (mode 4): constant along x-y diagonals; centre
+    # (t0 + 2c + l0 + 2) >> 2 = 28
+    want_ddr = np.array(
+        [
+            [28, 11, 20, 30],
+            [71, 28, 11, 20],
+            [100, 71, 28, 11],
+            [110, 100, 71, 28],
+        ]
+    )
+    assert np.array_equal(_sim_i4_block(t, l, c, 4), want_ddr)
+
+    # HU (mode 8): left-column interpolation saturating at l[3]
+    want_hu = np.array(
+        [
+            [95, 100, 105, 110],
+            [105, 110, 115, 118],
+            [115, 118, 120, 120],
+            [120, 120, 120, 120],
+        ]
+    )
+    assert np.array_equal(_sim_i4_block(t, l, c, 8), want_hu)
+
+
+def test_i4_mode_prediction_signalling():
+    """§8.3.1.1 most-probable-mode coding: a block whose mode equals
+    min(left, top) costs 1 bit; re-decoding must reproduce the exact
+    modes. Pinned by an MB whose scan walks both flag branches."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _I4_SCAN,
+        _simulate_luma,
+        build_fixture_mp4,
+        decode_first_i_frame,
+    )
+
+    # lone MB: block (0,0) must be DC (both neighbours outside ->
+    # predicted mode 2, flag=1 path); the rest alternate between the
+    # predicted mode and an explicit rem_intra4x4_pred_mode
+    modes = []
+    for sx, sy in _I4_SCAN:
+        if sx == 0 and sy == 0:
+            modes.append(2)
+        elif sy == 0:
+            modes.append(2 if sx % 2 else 8)
+        elif sx == 0:
+            modes.append(2 if sy % 2 else 7)
+        else:
+            modes.append((sx + sy) % 9)
+    spec = {"w": 16, "h": 16, "mbs": [[("i4", modes)]]}
+    got = decode_first_i_frame(build_fixture_mp4(spec))
+    assert got["n_i4"] == 1 and got["n_i16"] == 0 and got["n_pcm"] == 0
+    assert np.array_equal(got["luma"], _simulate_luma(spec))
+
+
+def test_i4_topright_availability_rule():
+    """§6.4.12 above-right availability over the §6.4.3 scan: blocks
+    3/7/11/13/15 never see their above-right decoded (in-MB future or
+    the right-hand MB); 1/4/5 at an MB's top row see the MB(s) above;
+    the picture's rightmost column never does."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _I4_SCAN,
+        _i4_topright_avail,
+    )
+
+    # centre MB of a 3x3-MB picture (mb coords (1,1)), blocks by scan
+    for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
+        bx, by = 4 + sx, 4 + sy
+        avail = _i4_topright_avail(bx, by, scan_idx, mb_w=3)
+        want = scan_idx not in (3, 7, 11, 13, 15)
+        assert avail == want, (scan_idx, sx, sy)
+    # top picture row: no samples above at all
+    assert not _i4_topright_avail(1, 0, 1, mb_w=3)
+    # picture's rightmost block column: off the right edge
+    assert not _i4_topright_avail(11, 4, 5, mb_w=3)
+
+
+def test_i4_topright_substitution_changes_pixels():
+    """The §8.3.1.2 p[3,-1] substitution is load-bearing: DDL over a
+    non-constant top row differs between tr_avail True/False, and the
+    False case equals running with t[4..7] literally replaced by
+    t[3]."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _predict_i4,
+        _sim_i4_block,
+    )
+
+    def fresh_plane():
+        plane = np.zeros((8, 12), dtype=np.uint8)
+        plane[3, :] = np.arange(12) * 9 % 256  # non-constant top row
+        return plane
+
+    # block at (bx, by) = (1, 1): px=4..7, py=4..7, top row = row 3
+    pa = fresh_plane()
+    _predict_i4(pa, 1, 1, 3, tr_avail=True)
+    pb = fresh_plane()
+    _predict_i4(pb, 1, 1, 3, tr_avail=False)
+    assert not np.array_equal(pa[4:8, 4:8], pb[4:8, 4:8])
+    # the substituted result == simulator fed an explicitly-pinned row
+    t = pa[3, 4:12].astype(np.int64).copy()
+    t_sub = np.concatenate([t[:4], np.full(4, t[3], dtype=np.int64)])
+    l = pa[4:8, 3].astype(np.int64)
+    want = _sim_i4_block(t_sub, l, int(pa[3, 3]), 3)
+    assert np.array_equal(pb[4:8, 4:8].astype(np.int64), want)

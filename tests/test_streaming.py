@@ -384,3 +384,43 @@ def test_streaming_topk_incremental_equals_batch(spark, sf_dir):
     ]
     waves = {r["doc_id"] % N_WAVES for r in got}
     assert len(waves) == N_WAVES
+
+
+def test_streaming_topk_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a batch may be re-run AFTER the
+    state parquet was already overwritten with its contribution.
+    Re-merging the same batch must leave the state unchanged - no
+    duplicate doc_ids occupying top-k slots (ADVICE r8)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_capstone_project_spark.streaming.topk_stream import (
+        QUERY_VEC_ID,
+        TOPK,
+        _STATE_SCHEMA,
+        merge_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    batch = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    state = str(tmp_path / "state")
+
+    merge_topk_batch(batch, qv, state)
+    first = sorted(
+        map(tuple, spark.read.schema(_STATE_SCHEMA).parquet(state).collect())
+    )
+    # the replay: same batch, state already holds its contribution
+    merge_topk_batch(batch, qv, state)
+    second = sorted(
+        map(tuple, spark.read.schema(_STATE_SCHEMA).parquet(state).collect())
+    )
+    assert first == second
+    ids = [r[0] for r in second]
+    assert len(ids) == len(set(ids)) == min(TOPK, len(ids))
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
