@@ -254,11 +254,88 @@ SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
 
 
 def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold-sensitivity report for near-dup policy: for each
-    candidate Jaccard cutoff, how many pairs survive and how many
-    documents are touched - the curve a curator reads before fixing
-    JACCARD_THRESHOLD (too low merges topical neighbors, too high
-    misses templated spam).
+    """Threshold-sensitivity report in CLUSTER-SUMMARY form (the
+    default since r9 - VERDICT r8 item 3): for each candidate Jaccard
+    cutoff, the surviving pair count plus the connected-component
+    statistics a curator actually consumes at 100 TB - cluster count,
+    docs touched, dupes that deduplication would remove
+    (docs - clusters), and the largest cluster.
+
+    Why summary-by-default: the duplicated corpus's true pair count
+    grows superlinearly (Yule-process clusters; SCALING.md), so any
+    pair-proportional report has a superlinear floor, while cluster
+    statistics are one row per threshold over one row per affected
+    doc. The pair-grain twin survives as
+    ``dedup_threshold_sweep_pairs`` for small-scale diagnostics.
+
+    Shape: the prefix-filtered candidate stage runs ONCE at the
+    lowest threshold (see the twin's docstring for why that is
+    lossless); all four thresholds are clustered in ONE star-CC run
+    over a composite node id (doc_id * n_thresholds + threshold_idx)
+    - a union graph whose round count is the max over thresholds, so
+    the iterative cost does not multiply by the sweep width."""
+    nt = len(SWEEP_THRESHOLDS)
+    pairs = _prefix_filtered_pairs(
+        spark, sf_dir, min(SWEEP_THRESHOLDS)
+    ).localCheckpoint(eager=True)
+    th = F.posexplode(
+        F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    )
+    swept = pairs.select(
+        "doc_a", "doc_b", "jaccard", th.alias("ti", "threshold")
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    n_pairs = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    from .clustering import connected_components_star
+
+    comp = connected_components_star(
+        swept.select(
+            (F.col("doc_a") * nt + F.col("ti")).alias("doc_a"),
+            (F.col("doc_b") * nt + F.col("ti")).alias("doc_b"),
+        )
+    )
+    csizes = comp.groupBy(
+        (F.col("doc_id") % nt).alias("ti"), "cluster_id"
+    ).agg(F.count(F.lit(1)).alias("csize"))
+    cstats = csizes.groupBy("ti").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("csize").alias("n_docs_affected"),
+        (F.sum("csize") - F.count(F.lit(1))).alias("n_dupes_removed"),
+        F.max("csize").alias("max_cluster_size"),
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS]),
+            (F.col("ti") + 1).cast("int"),
+        ).alias("threshold"),
+        "n_clusters", "n_docs_affected", "n_dupes_removed",
+        "max_cluster_size",
+    )
+    spine = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        spine.join(n_pairs, "threshold", "left")
+        .join(cstats, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_clusters", F.lit(0)).alias("n_clusters"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.coalesce("n_dupes_removed", F.lit(0)).alias("n_dupes_removed"),
+            F.coalesce("max_cluster_size", F.lit(0)).alias("max_cluster_size"),
+        )
+    )
+
+
+def dedup_threshold_sweep_pairs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-grain threshold sweep (the pre-r9 default, kept as the
+    small-scale diagnostic twin): for each candidate Jaccard cutoff,
+    how many pairs survive and how many documents are touched - the
+    curve a curator reads before fixing JACCARD_THRESHOLD (too low
+    merges topical neighbors, too high misses templated spam).
 
     Scale shape (round-7 fix, found by the sf2 scale run): the pair
     set comes from the PREFIX-FILTERED candidate path
@@ -341,8 +418,8 @@ WHERE common / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
 """
 
 
-DEDUP_THRESHOLD_SWEEP_ORACLE_SQL = f"""
-WITH {_ORACLE_SHINGLES},
+_SWEEP_ORACLE_COMMON = f"""
+{_ORACLE_SHINGLES},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -359,6 +436,10 @@ th AS (SELECT CAST(unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
 sw AS (
   SELECT threshold, doc_a, doc_b FROM th JOIN pairs ON jaccard >= threshold
 )
+"""
+
+DEDUP_THRESHOLD_SWEEP_PAIRS_ORACLE_SQL = f"""
+WITH {_SWEEP_ORACLE_COMMON.strip()}
 SELECT th.threshold,
        CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
        CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_affected
@@ -370,6 +451,52 @@ LEFT JOIN (
   FROM (SELECT threshold, unnest([doc_a, doc_b]) AS dd FROM sw)
   GROUP BY 1
 ) d USING (threshold)
+"""
+
+# Cluster-summary oracle: one recursive min-label CC over the
+# threshold-tagged union graph (the composite-key trick the Spark
+# plan uses), then per-threshold component statistics.
+DEDUP_THRESHOLD_SWEEP_ORACLE_SQL = f"""
+WITH RECURSIVE {_SWEEP_ORACLE_COMMON.strip()},
+edges AS (
+  SELECT threshold, doc_a AS src, doc_b AS dst FROM sw
+  UNION
+  SELECT threshold, doc_b AS src, doc_a AS dst FROM sw
+),
+reach(threshold, src, dst) AS (
+  SELECT threshold, src, dst FROM edges
+  UNION
+  SELECT r.threshold, r.src, e.dst
+  FROM reach r JOIN edges e
+    ON r.threshold = e.threshold AND r.dst = e.src
+  WHERE e.dst != r.src
+),
+comp AS (
+  SELECT threshold, src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY threshold, src
+),
+cstats AS (
+  SELECT threshold, cluster_id, count(*) AS csize
+  FROM comp GROUP BY 1, 2
+),
+per_th AS (
+  SELECT threshold,
+         count(*) AS n_clusters,
+         sum(csize) AS n_docs_affected,
+         sum(csize) - count(*) AS n_dupes_removed,
+         max(csize) AS max_cluster_size
+  FROM cstats GROUP BY 1
+)
+SELECT th.threshold,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(c.n_clusters, 0) AS BIGINT) AS n_clusters,
+       CAST(coalesce(c.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+       CAST(coalesce(c.n_dupes_removed, 0) AS BIGINT) AS n_dupes_removed,
+       CAST(coalesce(c.max_cluster_size, 0) AS BIGINT) AS max_cluster_size
+FROM th
+LEFT JOIN (SELECT threshold, count(*) AS n_pairs FROM sw GROUP BY 1) p
+  USING (threshold)
+LEFT JOIN per_th c USING (threshold)
 """
 
 

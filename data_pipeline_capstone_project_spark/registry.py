@@ -351,7 +351,9 @@ from .operators.inference import (
 )
 from .operators.dedup import (
     DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
+    DEDUP_THRESHOLD_SWEEP_PAIRS_ORACLE_SQL,
     dedup_threshold_sweep_query,
+    dedup_threshold_sweep_pairs_query,
     BLOOM_DEDUP_ORACLE_SQL,
     DEDUP_EMBEDDING_ORACLE_SQL,
     DEDUP_EVAL_ORACLE_SQL,
@@ -918,6 +920,7 @@ QUERIES = {
     "jpeg_decode": jpeg_decode_query,
     "packing_efficiency": packing_efficiency_query,
     "dedup_threshold_sweep": dedup_threshold_sweep_query,
+    "dedup_threshold_sweep_pairs": dedup_threshold_sweep_pairs_query,
     "embedding_quality": embedding_quality_query,
     "source_vocab_drift": source_vocab_drift_query,
     "color_palette_props": color_palette_props_query,
@@ -1081,6 +1084,7 @@ ORACLES = {
     "media_dispatch": MEDIA_DISPATCH_ORACLE_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_ORACLE_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_ORACLE_SQL,
+    "dedup_threshold_sweep_pairs": DEDUP_THRESHOLD_SWEEP_PAIRS_ORACLE_SQL,
     "embedding_quality": EMBEDDING_QUALITY_ORACLE_SQL,
     "source_vocab_drift": SOURCE_VOCAB_DRIFT_ORACLE_SQL,
     "video_frames": VIDEO_FRAMES_ORACLE_SQL,

@@ -261,3 +261,45 @@ def test_prefix_filter_join_equals_naive(spark, sf_dir):
         for r in similarity_join_exact_query(spark, sf_dir).collect()
     }
     assert naive == pref
+
+
+def test_threshold_sweep_summary_consistent_with_pairs(spark, sf_dir):
+    """The r9 cluster-summary default against its pair-grain twin:
+    same n_pairs/n_docs_affected per threshold, cluster stats obey
+    the component identities (docs - clusters = dupes removed;
+    max cluster <= docs; clusters <= pairs when pairs exist; stats
+    are monotone non-increasing in the threshold)."""
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        dedup_threshold_sweep_pairs_query,
+        dedup_threshold_sweep_query,
+    )
+
+    summary = {
+        r["threshold"]: r
+        for r in dedup_threshold_sweep_query(spark, sf_dir).collect()
+    }
+    pairs = {
+        r["threshold"]: r
+        for r in dedup_threshold_sweep_pairs_query(spark, sf_dir).collect()
+    }
+    assert set(summary) == set(pairs)
+    prev = None
+    for t in sorted(summary):
+        s, p = summary[t], pairs[t]
+        assert s["n_pairs"] == p["n_pairs"]
+        assert s["n_docs_affected"] == p["n_docs_affected"]
+        assert s["n_dupes_removed"] == s["n_docs_affected"] - s["n_clusters"]
+        assert s["max_cluster_size"] <= s["n_docs_affected"]
+        if s["n_pairs"]:
+            assert 1 <= s["n_clusters"] <= s["n_pairs"] + 1
+            assert s["max_cluster_size"] >= 2
+        else:
+            assert s["n_clusters"] == 0 == s["max_cluster_size"]
+        if prev is not None:
+            for k in ("n_pairs", "n_docs_affected"):
+                assert s[k] <= prev[k]
+        prev = s
+    # the fixture corpus actually exercises the clustering at the
+    # loosest cutoff
+    loosest = summary[min(summary)]
+    assert loosest["n_clusters"] > 0

@@ -31,6 +31,29 @@ sys.path.insert(0, "/root/repo")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: output-proportional entries (VERDICT r8 item 6): alongside rows/s,
+#: record pairs/s - work proportional to REPORTED pairs is the floor
+#: for an exact-pair operator, so a sub-linear rows/s row with flat
+#: pairs/s is output growth, not plan waste. The callables return the
+#: output pair count for the denominator.
+
+
+def _sweep_pairs(spark, sf_dir, queries):
+    # candidate-stage output: pairs surviving the LOOSEST threshold
+    rows = queries["dedup_threshold_sweep"](spark, sf_dir).collect()
+    return max(r["n_pairs"] for r in rows)
+
+
+def _exact_join_pairs(spark, sf_dir, queries):
+    return queries["similarity_join_exact"](spark, sf_dir).count()
+
+
+PAIR_REPORTERS = {
+    "dedup_threshold_sweep": _sweep_pairs,
+    "dedup_threshold_sweep_pairs": _sweep_pairs,
+    "similarity_join_exact": _exact_join_pairs,
+}
+
 HEAVY = {
     # name -> input tables for the rows/s denominator
     "streaming_lsh_dedup": ("documents",),
@@ -43,6 +66,9 @@ HEAVY = {
     "substring_dedup": ("documents",),
     "bpe_train": ("documents",),
     "pagerank": ("orders", "lineitem"),
+    # r9 addition (VERDICT r8 #3): the pair-grain sweep twin, kept
+    # measurable next to the cluster-summary default
+    "dedup_threshold_sweep_pairs": ("documents",),
     # r7 addition: corpus-wide paragraph dedup (segment-keyed window +
     # doc-keyed groupBy - the new entry with genuinely corpus-scale
     # shuffles)
@@ -115,9 +141,17 @@ def main() -> None:
                 "input_rows": in_rows,
                 "rows_per_sec": round(in_rows / best, 1),
             }
+            extra = ""
+            if name in PAIR_REPORTERS:
+                n_pairs = int(PAIR_REPORTERS[name](spark, sf_dir, queries))
+                results[label][name]["output_pairs"] = n_pairs
+                results[label][name]["pairs_per_sec"] = round(
+                    n_pairs / best, 1
+                )
+                extra = f"  {n_pairs:>9d} pairs {n_pairs / best:>10.0f} pairs/s"
             print(
                 f"{label:8s} {name:24s} {best:8.2f}s  "
-                f"{in_rows:>9d} rows  {in_rows / best:>12.0f} rows/s"
+                f"{in_rows:>9d} rows  {in_rows / best:>12.0f} rows/s" + extra
             )
             spark.catalog.clearCache()
             gc.collect()

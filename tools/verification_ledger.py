@@ -3,8 +3,10 @@ every verification signal it has - driver CORRECTNESS rounds, local
 oracle sweeps (sf0.01 / sf0.1), and whether it sits inside the
 driver's 50-entry gate window this round.
 
-Usage: python tools/verification_ledger.py [sf001_log] [sf01_log]
-(logs are `tools/check_oracle.py` outputs; pass "-" to skip one).
+Usage: python tools/verification_ledger.py [sf001_log] [sf01_log] [mx_log]
+(logs are `tools/check_oracle.py` outputs; pass "-" to skip one;
+mx_log is a sweep run under a multi-process master, e.g.
+SPARK_GRAFT_MASTER=local-cluster[2,16,8192]).
 """
 
 from __future__ import annotations
@@ -56,6 +58,7 @@ def main() -> None:
 
     sf001 = _local_log(sys.argv[1] if len(sys.argv) > 1 else "-")
     sf01 = _local_log(sys.argv[2] if len(sys.argv) > 2 else "-")
+    mx = _local_log(sys.argv[3] if len(sys.argv) > 3 else "-")
     driver = _driver_rounds()
 
     names = list(QUERIES)
@@ -67,14 +70,18 @@ def main() -> None:
         "every registry entry, with every verification signal on record.",
         "`driver` = green row in a CORRECTNESS_r*.json; `sf0.01`/`sf0.1` =",
         "local full-registry oracle sweeps (tools/check_oracle.py);",
-        "`window` = inside the first-50 gate window THIS round.",
+        "`window` = inside the first-50 gate window THIS round;",
+        "`mx` = oracle sweep under a MULTI-PROCESS master",
+        "(local-cluster[2,16,8192]: two executor JVMs, cross-process",
+        "broadcast serialization, network shuffle, Python worker",
+        "shipping - the single-JVM blind spot VERDICT r8 item 1 named).",
         "",
-        "| # | entry | oracle | window | driver | sf0.01 | sf0.1 |",
-        "|---|---|---|---|---|---|---|",
+        "| # | entry | oracle | window | driver | sf0.01 | sf0.1 | mx |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for i, name in enumerate(names):
         lines.append(
-            "| {} | {} | {} | {} | {} | {} | {} |".format(
+            "| {} | {} | {} | {} | {} | {} | {} | {} |".format(
                 i + 1,
                 name,
                 "yes" if name in ORACLES else "rows-only",
@@ -82,6 +89,7 @@ def main() -> None:
                 " ".join(driver.get(name, [])) or "-",
                 sf001.get(name, "-"),
                 sf01.get(name, "-"),
+                mx.get(name, "-"),
             )
         )
     never_driver = [n for n in names if n not in driver]
