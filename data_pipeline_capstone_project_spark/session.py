@@ -102,6 +102,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static conf (read when the codegen cache is built): the
+        # default 100-entry Janino class cache thrashes in sessions
+        # that run the whole 200-query registry - by the time the
+        # iterative ops (pagerank, star-CC) execute late in a bench
+        # pass their classes have been evicted and every generated
+        # plan recompiles, which measured as a 10-38 s first-run
+        # spike (tools/profile_cold_run.py: ~half the query-cold cost
+        # is driver-side compile gap). 2000 entries hold the full
+        # registry's working set; per-entry cost is one compiled
+        # class + source text.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -73,6 +73,7 @@ def main() -> None:
             extra_conf={
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": f"file:{EVDIR}",
+                "spark.eventLog.compress": "false",
             },
         )
         fn = entrymod.queries()[name]
@@ -86,11 +87,19 @@ def main() -> None:
 
         jobs: list[tuple[int, int]] = []
         starts: dict[int, int] = {}
-        for path in glob.glob(f"{EVDIR}/*"):
+        paths = [
+            p
+            for pat in ("*", "*/*")
+            for p in glob.glob(f"{EVDIR}/{pat}")
+            if os.path.isfile(p) and "appstatus" not in p
+        ]
+        for path in paths:
             for line in open(path, errors="replace"):
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 if ev.get("Event") == "SparkListenerJobStart":
                     starts[ev["Job ID"]] = ev["Submission Time"]

@@ -155,6 +155,11 @@ def main() -> None:
             )
             spark.catalog.clearCache()
             gc.collect()
+            # write-through after every entry: a multi-hour scale run
+            # killed by a timeout must not lose the measurements it
+            # already took
+            with open(out, "w") as f:
+                json.dump(results, f, indent=1)
         spark.stop()
 
     with open(out, "w") as f:

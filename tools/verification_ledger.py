@@ -99,6 +99,25 @@ def main() -> None:
         f"({', '.join(never_driver) if never_driver else 'none'}).",
         "Entries added after the round-3 window was fixed rotate into",
         "the gate window next round.",
+        "",
+        "## Multi-executor evidence (round 9; VERDICT r8 item 1)",
+        "",
+        "Every prior correctness/bench signal was single-JVM `local[32]`.",
+        "Round 9 re-ran the FULL registry oracle sweep (sf0.01) and the",
+        "complete streaming pytest suite under",
+        "`SPARK_GRAFT_MASTER=local-cluster[2,16,8192]` - two separate",
+        "executor JVM processes (16 cores / 8 GiB each) with real",
+        "cross-process broadcast serialization, network shuffle and",
+        "executor-side Python workers importing the package from the",
+        "shipped zip (`session.ship_package`). Result: every entry OK",
+        "(the `mx` column), 13/13 streaming tests green, zero divergence",
+        "from single-JVM results. `binary_put_sink` is correct in this",
+        "mode because local-cluster executors share the driver host's",
+        "filesystem; on a genuinely multi-node master it now raises",
+        "NotImplementedError instead of silently diverging",
+        "(operators/binary_sink.py - ADVICE r8). Standing caveat: both",
+        "executors still share one physical host; NUMA/network effects",
+        "of a real cluster remain unmeasured here.",
     ]
     with open(os.path.join(REPO, "VERIFICATION.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
