@@ -1393,17 +1393,40 @@ def _prefix_filtered_pairs(
     # size()>0 filters re-inline the whole interpreted chain).
     pre = ranked.select(
         "doc_id",
+        F.size("ss").alias("n"),
         F.explode_outer(
             F.transform(F.slice("ss", F.lit(1), plen), lambda st: st["s"])
         ).alias("s"),
     )
-    ca = pre.select(F.col("doc_id").alias("doc_a"), "s")
-    cb = pre.select(F.col("doc_id").alias("doc_b"), "s")
+    ca = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    cb = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    # AllPairs LENGTH filter (lossless): J(A,B) <= min/max, so J >= t
+    # forces min(|A|,|B|) >= t * max(|A|,|B|). Applied INSIDE the
+    # candidate join, before the per-pair array-intersect verify -
+    # this is what keeps the candidate set from growing superlinearly
+    # when vocabulary saturation makes even the rarest prefix
+    # shingles hot (measured at sf5: verify-stage cost, not true pair
+    # growth, dominated the 0.37x rows/s drop). The 1e-9 slack keeps
+    # the double-rounded product from ever excluding an exact-boundary
+    # true pair; the exact-Jaccard filter below remains the decider.
+    # NO distinct on the raw candidate stream: deduplicating
+    # candidate pairs BEFORE verification costs a full exchange +
+    # hash aggregate over the candidate set, which under vocabulary
+    # saturation is the plan's largest relation by far (measured at
+    # the synthetic sf5: 1.95e9 candidate rows, of which only 7% are
+    # repeat pairs - the pre-verify distinct alone took 410 s while
+    # saving an 8% smaller verify input). Instead the verify join
+    # streams the duplicated candidates and the distinct runs on the
+    # SURVIVORS of the exact-Jaccard cut (~1e5 x smaller).
     cands = (
         ca.join(cb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            - F.lit(1e-9)
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
@@ -1417,4 +1440,7 @@ def _prefix_filtered_pairs(
             (common / (F.size("shs_a") + F.size("shs_b") - common)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
+        # jaccard is a pure function of the pair, so the duplicate
+        # candidate rows collapse exactly here
+        .distinct()
     )
