@@ -189,8 +189,13 @@ def _ms_adpcm_blocks(
         raise ValueError("bad MS-ADPCM block_align")
     if spb != (block_align - hdr) * 2 // channels + 2:
         raise ValueError("samples_per_block inconsistent with block_align")
-    if len(raw) % block_align:
-        raise ValueError("MS-ADPCM data is not whole blocks")
+    # Real-world MS-ADPCM files commonly end with a truncated final
+    # block (ADVICE r9): decode it when it still carries the full
+    # 7*channels header (emitting however many samples its nibble
+    # bytes hold); only a tail too short for the header is corrupt.
+    tail = len(raw) % block_align
+    if tail and tail < hdr:
+        raise ValueError("MS-ADPCM final block shorter than its header")
     chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     for boff in range(0, len(raw), block_align):
         block = raw[boff : boff + block_align]
@@ -202,6 +207,10 @@ def _ms_adpcm_blocks(
         nibbles = np.empty(2 * len(data), dtype=np.uint8)
         nibbles[0::2] = data >> 4  # HIGH nibble first (opposite of IMA)
         nibbles[1::2] = data & 0x0F
+        # a truncated final block may end mid-round: keep only whole
+        # cross-channel sample rounds so every channel decodes the
+        # same count (np.stack below requires equal lengths)
+        nibbles = nibbles[: len(nibbles) - len(nibbles) % channels]
         for c in range(channels):
             if preds[c] >= n_coef:
                 raise ValueError("MS-ADPCM predictor index out of range")

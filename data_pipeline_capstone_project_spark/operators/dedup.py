@@ -1344,6 +1344,125 @@ FROM counts
 # --- prefix-filtered exact similarity self-join (AllPairs/PPJoin) ----------
 
 
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """The bounded candidate stage of the AllPairs/PPJoin self-join:
+    ``(doc_a, doc_b)`` rows (possibly duplicated - see below) that
+    survive the prefix, length, and positional filters for Jaccard
+    threshold ``t``. Exposed separately so ``tools/scale_bench.py``
+    can record candidates/s - the denominator that attributes any
+    at-scale rows/s collapse to candidate growth vs verify cost
+    (VERDICT r9 item 1).
+
+    Three lossless filters, cheapest-first:
+
+    * PREFIX (Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06):
+      with every doc's shingles sorted by one global order (ascending
+      document frequency, rarest first, ties by shingle hash), two
+      sets with J >= t MUST share an element inside their first
+      ``n - ceil(t*n) + 1`` elements, so only those short prefixes
+      enter the equi-join at all.
+    * LENGTH (AllPairs): J(A,B) <= min/max, so J >= t forces
+      min(|A|,|B|) >= t * max(|A|,|B|).
+    * POSITIONAL (PPJoin, Xiao et al. WWW'08 s3.2): a match on a
+      prefix token at 1-based positions (pa, pb) bounds the overlap
+      by ``1 + min(na - pa, nb - pb)`` (only the matched token plus
+      the suffixes after it can still intersect), while J >= t needs
+      overlap >= t/(1+t) * (na+nb). Rows whose bound falls short are
+      pruned BEFORE the expensive shingle-array verify joins.
+      Losslessness with duplicated candidate rows: for a TRUE pair,
+      its FIRST common token in the global order has every other
+      common token after it in BOTH lists, so that row's bound is
+      >= the real overlap >= the requirement - at least one row per
+      true pair always survives, and the verify stage's post-cut
+      ``distinct`` collapses the rest. Measured at the synthetic sf5
+      (250k docs, saturated vocabulary): 1.95e9 raw candidate rows
+      -> the positional filter prunes inside the join's codegen span
+      before any array payload is attached.
+
+    The 1e-9 slacks keep double rounding from ever excluding an
+    exact-boundary true pair; the exact-Jaccard verify remains the
+    decider.
+
+    NO distinct on the candidate stream: deduplicating candidate
+    pairs BEFORE verification costs a full exchange + hash aggregate
+    over the candidate set, which under vocabulary saturation is the
+    plan's largest relation by far (measured at the synthetic sf5:
+    the pre-verify distinct alone took 410 s while saving an 8%
+    smaller verify input - only ~7% of rows are repeat pairs).
+    Instead the verify join streams the duplicated candidates and
+    the distinct runs on the SURVIVORS of the exact-Jaccard cut
+    (~1e5 x smaller)."""
+    shx = sh.select("doc_id", F.explode_outer("shs").alias("s"))
+    freq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shx.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ss"))
+    )
+    plen = (
+        F.size("ss")
+        - F.ceil(F.size("ss") * F.lit(threshold)).cast("int")
+        + 1
+    )
+    # posexplode_outer, not posexplode: see dedup_ngram_query
+    # (inferred size()>0 filters re-inline the whole interpreted
+    # chain). pos is 0-based; the positional bound below uses 1-based
+    # pa = pos + 1.
+    pre = ranked.select(
+        "doc_id",
+        F.size("ss").alias("n"),
+        F.posexplode_outer(
+            F.transform(F.slice("ss", F.lit(1), plen), lambda st: st["s"])
+        ).alias("p", "s"),
+    )
+    ca = pre.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        (F.col("p") + 1).alias("pa"),
+        "s",
+    )
+    cb = pre.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        (F.col("p") + 1).alias("pb"),
+        "s",
+    )
+    min_overlap = (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("na") + F.col("nb")).cast("double")
+        - F.lit(1e-9)
+    )
+    return (
+        ca.join(cb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            - F.lit(1e-9)
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+                )
+            ).cast("double")
+            >= min_overlap
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def prefix_candidate_count(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> int:
+    """Candidate-stage cardinality (duplicated rows included - that
+    is what the verify joins actually stream) for scale-evidence
+    instrumentation. Runs the candidate stage only, no verify."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    return _prefix_candidates(sh, threshold).count()
+
+
 def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard similarity self-join with PREFIX FILTERING — the
     AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.
@@ -1377,57 +1496,7 @@ def _prefix_filtered_pairs(
     path behind ``similarity_join_exact`` (t = JACCARD_THRESHOLD) and
     ``dedup_threshold_sweep`` (t = the sweep's lowest cutoff)."""
     sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    shx = sh.select("doc_id", F.explode_outer("shs").alias("s"))
-    freq = shx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        shx.join(freq, "s")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ss"))
-    )
-    plen = (
-        F.size("ss")
-        - F.ceil(F.size("ss") * F.lit(threshold)).cast("int")
-        + 1
-    )
-    # explode_outer, not explode: see dedup_ngram_query (inferred
-    # size()>0 filters re-inline the whole interpreted chain).
-    pre = ranked.select(
-        "doc_id",
-        F.size("ss").alias("n"),
-        F.explode_outer(
-            F.transform(F.slice("ss", F.lit(1), plen), lambda st: st["s"])
-        ).alias("s"),
-    )
-    ca = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
-    cb = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
-    # AllPairs LENGTH filter (lossless): J(A,B) <= min/max, so J >= t
-    # forces min(|A|,|B|) >= t * max(|A|,|B|). Applied INSIDE the
-    # candidate join, before the per-pair array-intersect verify -
-    # this is what keeps the candidate set from growing superlinearly
-    # when vocabulary saturation makes even the rarest prefix
-    # shingles hot (measured at sf5: verify-stage cost, not true pair
-    # growth, dominated the 0.37x rows/s drop). The 1e-9 slack keeps
-    # the double-rounded product from ever excluding an exact-boundary
-    # true pair; the exact-Jaccard filter below remains the decider.
-    # NO distinct on the raw candidate stream: deduplicating
-    # candidate pairs BEFORE verification costs a full exchange +
-    # hash aggregate over the candidate set, which under vocabulary
-    # saturation is the plan's largest relation by far (measured at
-    # the synthetic sf5: 1.95e9 candidate rows, of which only 7% are
-    # repeat pairs - the pre-verify distinct alone took 410 s while
-    # saving an 8% smaller verify input). Instead the verify join
-    # streams the duplicated candidates and the distinct runs on the
-    # SURVIVORS of the exact-Jaccard cut (~1e5 x smaller).
-    cands = (
-        ca.join(cb, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
-            - F.lit(1e-9)
-        )
-        .select("doc_a", "doc_b")
-    )
+    cands = _prefix_candidates(sh, threshold)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     common = F.size(F.array_intersect("shs_a", "shs_b"))

@@ -116,7 +116,12 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    if not master.startswith("local["):
+    # Multi-process masters are matched explicitly (ADVICE r9): the
+    # legal single-thread "local" master and typos must NOT take this
+    # branch, which force-sets executor memory and ships the package
+    # zip - both wrong for an in-process executor.
+    multiproc = master.startswith(("local-cluster", "spark://", "yarn", "k8s://"))
+    if multiproc:
         # multi-process executors (local-cluster / standalone): each
         # executor JVM gets its own heap. For local-cluster the master
         # string already fixes MiB/worker - request exactly that, or
@@ -129,6 +134,6 @@ def get_spark(
         builder = builder.config("spark.executor.memory", mem)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if not master.startswith("local["):
+    if multiproc:
         ship_package(spark)
     return spark

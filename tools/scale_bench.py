@@ -34,25 +34,40 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: output-proportional entries (VERDICT r8 item 6): alongside rows/s,
 #: record pairs/s - work proportional to REPORTED pairs is the floor
 #: for an exact-pair operator, so a sub-linear rows/s row with flat
-#: pairs/s is output growth, not plan waste. The callables return the
-#: output pair count for the denominator.
+#: pairs/s is output growth, not plan waste. Pair counts are read
+#: from the LAST TIMED RUN's collected rows (ADVICE r9: a separate
+#: post-timing re-execution doubled the heaviest entry's wall time in
+#: a multi-hour scale run); these entries' outputs are tiny (<= ~15k
+#: small rows), so collect() costs the same as the noop write the
+#: other entries time.
 
 
-def _sweep_pairs(spark, sf_dir, queries):
-    # candidate-stage output: pairs surviving the LOOSEST threshold
-    rows = queries["dedup_threshold_sweep"](spark, sf_dir).collect()
+def _sweep_pairs(rows):
+    # pairs surviving the LOOSEST threshold; both sweep entries
+    # (cluster-summary default and pair-grain twin) report n_pairs
+    # per threshold row
     return max(r["n_pairs"] for r in rows)
-
-
-def _exact_join_pairs(spark, sf_dir, queries):
-    return queries["similarity_join_exact"](spark, sf_dir).count()
 
 
 PAIR_REPORTERS = {
     "dedup_threshold_sweep": _sweep_pairs,
     "dedup_threshold_sweep_pairs": _sweep_pairs,
-    "similarity_join_exact": _exact_join_pairs,
+    "similarity_join_exact": len,
 }
+
+
+def _candidate_threshold(name):
+    """Candidate-stage Jaccard cutoff for candidates/s (VERDICT r9
+    item 1): the sweep entries prefix-filter at their loosest
+    threshold, the exact join at JACCARD_THRESHOLD."""
+    from data_pipeline_capstone_project_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SWEEP_THRESHOLDS,
+    )
+
+    if name.startswith("dedup_threshold_sweep"):
+        return min(SWEEP_THRESHOLDS)
+    return JACCARD_THRESHOLD
 
 HEAVY = {
     # name -> input tables for the rows/s denominator
@@ -123,12 +138,18 @@ def main() -> None:
                 for t in tables
             )
             runs = []
+            last_rows = None
             try:
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    queries[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
+                    df = queries[name](spark, sf_dir)
+                    if name in PAIR_REPORTERS:
+                        # tiny output: collect IS the timed action, and
+                        # the last run's rows feed the pair count with
+                        # no re-execution (ADVICE r9)
+                        last_rows = df.collect()
+                    else:
+                        df.write.format("noop").mode("overwrite").save()
                     runs.append(round(time.perf_counter() - t0, 3))
             except Exception as exc:
                 print(f"{label} {name} FAILED: {exc}", file=sys.stderr)
@@ -143,12 +164,33 @@ def main() -> None:
             }
             extra = ""
             if name in PAIR_REPORTERS:
-                n_pairs = int(PAIR_REPORTERS[name](spark, sf_dir, queries))
+                n_pairs = int(PAIR_REPORTERS[name](last_rows))
                 results[label][name]["output_pairs"] = n_pairs
                 results[label][name]["pairs_per_sec"] = round(
                     n_pairs / best, 1
                 )
                 extra = f"  {n_pairs:>9d} pairs {n_pairs / best:>10.0f} pairs/s"
+                # third denominator (VERDICT r9 item 1): the candidate
+                # stage's cardinality, counted WITHOUT the verify
+                # joins - attributes a rows/s collapse to candidate
+                # growth vs verify cost. One extra candidate-stage
+                # execution, written through like everything else.
+                from data_pipeline_capstone_project_spark.operators.dedup import (
+                    prefix_candidate_count,
+                )
+
+                tc0 = time.perf_counter()
+                n_cand = prefix_candidate_count(
+                    spark, sf_dir, _candidate_threshold(name)
+                )
+                results[label][name]["candidates"] = n_cand
+                results[label][name]["candidate_stage_sec"] = round(
+                    time.perf_counter() - tc0, 3
+                )
+                results[label][name]["candidates_per_sec"] = round(
+                    n_cand / best, 1
+                )
+                extra += f"  {n_cand:>12d} cands"
             print(
                 f"{label:8s} {name:24s} {best:8.2f}s  "
                 f"{in_rows:>9d} rows  {in_rows / best:>12.0f} rows/s" + extra
