@@ -33,19 +33,31 @@ SUPPORTED (decoded bit-exactly):
   tables: prediction IS reconstruction, and CBP 0 + I_4x4 carries no
   mb_qp_delta and no residual syntax at all (§7.3.5);
 * the §9.2 coeff_token read for the always-present Intra16x16DCLevel
-  block, across all four nC ranges, with neighbour-derived nC.
+  block, across all four nC ranges, with neighbour-derived nC;
+* NONZERO Intra16x16DCLevel residuals (r10 fourth pass): the §9.2
+  CAVLC subset below (coeff_token rows TotalCoeff<=3 of the 0<=nC<2
+  column + the formulaic nC>=8 FLC; trailing-one signs and the fully
+  algorithmic §9.2.2 level_prefix/suffix for ANY TotalCoeff;
+  total_zeros columns TotalCoeff 1..3), the §8.5.10 4x4 Hadamard
+  inverse + qP scaling across all three rounding regimes (qP<36
+  rounding add, qP>=36 left shift), the §7.4.5 running-QP chain
+  (slice QP + mb_qp_delta), and §8.5.12.2 DC-only reconstruction -
+  with CBP 0 the AC coefficients are zero, so recon = clip(pred +
+  (dcY+32)>>6) per 4x4 block, bit-exactly.
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
 wrong pixels: P/B slices, I_8x8 (needs transform_size_8x8_flag PPS
-plumbing), nonzero CAVLC residual levels (the full Table
-9-5/9-7/9-10 VLC data is lookup content that CANNOT be externally
-verified in this sandbox - no ffmpeg/cv2/PyAV - and a misremembered
-codeword would round-trip self-consistently while breaking
-real-world interop, so it stays a seam rather than a gamble), CABAC,
-chroma plane prediction, deblocking (moot: zero-residual intra
-frames hit the filter's skip conditions only at quant edges we never
-produce; the fixtures assert bit-exactness without it).
+plumbing), nonzero AC residuals / CBP != 0 (needs the remaining
+Table 9-5 columns, Table 9-10 run_before, and the §8.5.12 full
+inverse transform; the untranscribed VLC rows CANNOT be externally
+cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so each lands
+only with structural prefix-free/Kraft validation plus fixture
+round-trips, and the residual grammar grows a verified subset at a
+time rather than gambling whole tables), CABAC, chroma plane
+prediction, deblocking (moot: the supported intra frames hit the
+filter's skip conditions only at quant edges we never produce; the
+fixtures assert bit-exactness without it).
 
 Correctness gate: every fixture's expected luma plane is computed by
 an INDEPENDENT numpy simulator (`_simulate_luma`) straight from the
@@ -102,40 +114,268 @@ class H264DecodeError(H264Error):
     """Valid-but-unsupported H.264 feature (the documented seams)."""
 
 
-# --- CAVLC coeff_token, TotalCoeff=0 row (Table 9-5) --------------------------
+# --- CAVLC residual coding, Intra16x16-DC subset (r10) ------------------------
 #
-# (TrailingOnes=0, TotalCoeff=0) per nC range: the only residual code
-# the zero-coefficient subset ever produces. nC >= 8 is the 6-bit FLC
-# whose (0,0) escape value is 3.
+# §9.2 residual_block_cavlc for the Intra16x16DCLevel block, covering
+# the codeword subset the fixture grammar can produce and the spec
+# rows transcribed around it:
+#
+# * coeff_token (Table 9-5): the full TotalCoeff=0 row across all four
+#   nC ranges (pre-r10 behavior, kept); the 0<=nC<2 column rows
+#   TotalCoeff 1..3; and the formulaic nC>=8 6-bit FLC
+#   (code = (TotalCoeff<<2) | TrailingOnes, except (0,0) -> 3).
+#   Unknown codewords raise the honest H264DecodeError seam -
+#   prefix-freeness of the published table guarantees a code outside
+#   the transcribed subset can never alias one inside it.
+# * trailing-one signs + level_prefix/level_suffix: fully algorithmic
+#   (§9.2.2.1-2, no lookup content), implemented for any TotalCoeff.
+# * total_zeros (Table 9-7, maxNumCoeff 16): columns TotalCoeff 1..3.
+# * run_before (Table 9-10): NOT transcribed - read only in the
+#   zerosLeft==0 / single-coefficient cases where §9.2.3 codes
+#   nothing; anything else raises the seam.
+#
+# Import-time structural checks below assert every transcribed column
+# is prefix-free with Kraft sum <= 1 (the published tables are
+# deliberately incomplete, so == 1 is not required) - a transcription
+# slip in code LENGTHS cannot survive them.
 
-_COEFF_TOKEN_00 = (  # (nC_lo, nC_hi, bits, length)
+_COEFF_TOKEN_00 = (  # (nC_lo, nC_hi, bits, length): TotalCoeff=0 row
     (0, 2, 0b1, 1),
     (2, 4, 0b11, 2),
     (4, 8, 0b1111, 4),
     (8, 1 << 30, 0b000011, 6),
 )
 
+#: Table 9-5, 0 <= nC < 2 column, rows TotalCoeff 1..3,
+#: keyed (TrailingOnes, TotalCoeff) -> codeword bits as a string.
+_COEFF_TOKEN_NC02 = {
+    (0, 1): "000101",
+    (1, 1): "01",
+    (0, 2): "00000111",
+    (1, 2): "000100",
+    (2, 2): "001",
+    (0, 3): "000000111",
+    (1, 3): "00000110",
+    (2, 3): "0000101",
+    (3, 3): "00011",
+}
 
-def _token00_for_nc(nc: int) -> tuple[int, int]:
+#: Table 9-7 (maxNumCoeff 16) total_zeros columns for TotalCoeff 1..3:
+#: tuple index = total_zeros value.
+_TOTAL_ZEROS_16 = {
+    1: (
+        "1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001",
+    ),
+    2: (
+        "111", "110", "101", "100", "011", "0101", "0100", "0011",
+        "0010", "00011", "00010", "000011", "000010", "000001", "000000",
+    ),
+    3: (
+        "0101", "111", "110", "101", "0100", "0011", "100", "011",
+        "0010", "00011", "00010", "000001", "00001", "000000",
+    ),
+}
+
+
+def _assert_prefix_free(codes: "list[str]", what: str) -> None:
+    kraft = sum(2.0 ** -len(c) for c in codes)
+    if kraft > 1.0 + 1e-12:
+        raise AssertionError(f"{what}: Kraft sum {kraft} > 1")
+    for i, a in enumerate(codes):
+        for b in codes[i + 1 :]:
+            if a.startswith(b) or b.startswith(a):
+                raise AssertionError(f"{what}: {a!r} / {b!r} not prefix-free")
+
+
+_assert_prefix_free(
+    ["1"] + list(_COEFF_TOKEN_NC02.values()), "coeff_token 0<=nC<2"
+)
+for _tc, _col in _TOTAL_ZEROS_16.items():
+    _assert_prefix_free(list(_col), f"total_zeros TotalCoeff={_tc}")
+
+#: decode map: codeword -> (TrailingOnes, TotalCoeff), plus the
+#: TotalCoeff=0 row's '1'
+_COEFF_TOKEN_NC02_DEC = {v: k for k, v in _COEFF_TOKEN_NC02.items()}
+_COEFF_TOKEN_NC02_DEC["1"] = (0, 0)
+
+
+def _read_vlc(r: _BitReader, table: "dict[str, object]", what: str):
+    """Prefix-incremental VLC read against a (partial) codeword map;
+    a code outside the transcribed subset is the honest seam."""
+    maxlen = max(len(k) for k in table)
+    bits = ""
+    while len(bits) < maxlen:
+        bits += str(r.u(1))
+        hit = table.get(bits)
+        if hit is not None:
+            return hit
+    raise H264DecodeError(f"{what} codeword {bits!r}... not in CAVLC subset")
+
+
+def _write_coeff_token(w: _BitWriter, nc: int, t1: int, tc: int) -> None:
+    """Encoder-side coeff_token for the supported nC columns."""
+    if tc == 0:
+        for lo, hi, bits, length in _COEFF_TOKEN_00:
+            if lo <= nc < hi:
+                w.u(bits, length)
+                return
+        raise H264Error(f"negative nC {nc}")
+    if nc >= 8:
+        # 6-bit FLC xxxxyy: xxxx = TotalCoeff - 1, yy = TrailingOnes
+        # (TotalCoeff encodes biased so TC=16 fits 4 bits; the invalid
+        # (TC-1=0, T1=3) slot 000011 is reused for TotalCoeff=0)
+        w.u(((tc - 1) << 2) | t1, 6)
+        return
+    if nc < 2:
+        code = _COEFF_TOKEN_NC02.get((t1, tc))
+        if code is None:
+            raise H264Error(f"coeff_token ({t1},{tc}) outside encoder subset")
+        for b in code:
+            w.u(int(b), 1)
+        return
+    raise H264Error("encoder subset: nonzero residual needs nC<2 or nC>=8")
+
+
+def _read_coeff_token(r: _BitReader, nc: int) -> tuple[int, int]:
+    """coeff_token -> (TrailingOnes, TotalCoeff). Supported columns
+    decode fully; elsewhere only the TotalCoeff=0 code is known and
+    any other bit pattern is the seam."""
+    if nc >= 8:
+        code = r.u(6)
+        if code == 3:
+            return 0, 0
+        tc, t1 = (code >> 2) + 1, code & 3
+        if t1 > min(3, tc):
+            raise H264DecodeError(f"invalid nC>=8 coeff_token FLC {code}")
+        return t1, tc
+    if nc < 2:
+        return _read_vlc(r, _COEFF_TOKEN_NC02_DEC, "coeff_token")
+    # 2 <= nC < 8: only the zero row transcribed
     for lo, hi, bits, length in _COEFF_TOKEN_00:
         if lo <= nc < hi:
-            return bits, length
+            if r.u(length) != bits:
+                raise H264DecodeError(
+                    "coeff_token column 2<=nC<8 not in CAVLC subset"
+                )
+            return 0, 0
     raise H264Error(f"negative nC {nc}")
 
 
-def _write_coeff_token_zero(w: _BitWriter, nc: int) -> None:
-    bits, length = _token00_for_nc(nc)
-    w.u(bits, length)
-
-
-def _read_coeff_token_zero(r: _BitReader, nc: int) -> None:
-    """Consume one coeff_token and require TotalCoeff=0; any other
-    code is the nonzero-residual seam."""
-    bits, length = _token00_for_nc(nc)
-    if r.u(length) != bits:
-        raise H264DecodeError(
-            "CAVLC residual levels not supported (TotalCoeff > 0)"
+def _read_levels(r: _BitReader, tc: int, t1: int) -> "list[int]":
+    """§9.2.2 level decode, highest-frequency coefficient first:
+    TrailingOnes sign bits, then level_prefix/level_suffix with the
+    adaptive suffixLength schedule. Fully algorithmic - no tables."""
+    levels = [(-1 if r.u(1) else 1) for _ in range(t1)]
+    suffix_len = 1 if tc > 10 and t1 < 3 else 0
+    for i in range(t1, tc):
+        lp = 0
+        while r.u(1) == 0:
+            lp += 1
+            if lp > 31:
+                raise H264Error("level_prefix overrun")
+        if lp >= 16:
+            raise H264DecodeError("level_prefix >= 16 not in CAVLC subset")
+        if suffix_len == 0:
+            if lp < 14:
+                level_code = lp
+            elif lp == 14:
+                level_code = 14 + r.u(4)
+            else:
+                level_code = 30 + r.u(12)
+        else:
+            if lp < 15:
+                level_code = (lp << suffix_len) + r.u(suffix_len)
+            else:
+                level_code = (15 << suffix_len) + r.u(12)
+        if i == t1 and t1 < 3:
+            level_code += 2
+        level = (
+            (level_code + 2) >> 1
+            if level_code % 2 == 0
+            else -((level_code + 1) >> 1)
         )
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    return levels
+
+
+def _read_residual_16(r: _BitReader, nc: int) -> "list[int]":
+    """One §9.2 residual block with maxNumCoeff 16 -> the 16
+    coefficient levels in coding-scan order. run_before stays a seam:
+    reads only occur in the §9.2.3 cases that code nothing."""
+    t1, tc = _read_coeff_token(r, nc)
+    coeffs = [0] * 16
+    if tc == 0:
+        return coeffs
+    levels = _read_levels(r, tc, t1)
+    if tc < 16:
+        col = _TOTAL_ZEROS_16.get(tc)
+        if col is None:
+            raise H264DecodeError(
+                f"total_zeros column TotalCoeff={tc} not in CAVLC subset"
+            )
+        total_zeros = _read_vlc(
+            r, {c: z for z, c in enumerate(col)}, "total_zeros"
+        )
+    else:
+        total_zeros = 0  # §9.2.3: not coded when the block is full
+    zeros_left = total_zeros
+    pos = tc - 1 + total_zeros
+    for i, lvl in enumerate(levels):
+        if pos < 0:
+            raise H264Error("CAVLC run placement underflow")
+        coeffs[pos] = lvl
+        if i < tc - 1:
+            if zeros_left > 0:
+                # Table 9-10 not transcribed; the encoder subset never
+                # produces interleaved zeros for TotalCoeff > 1
+                raise H264DecodeError(
+                    "run_before (Table 9-10) not in CAVLC subset"
+                )
+            pos -= 1
+    return coeffs
+
+
+def _write_residual_16(w: _BitWriter, nc: int, coeffs: "list[int]") -> None:
+    """Encoder twin of `_read_residual_16` for the fixture grammar:
+    all-±1 coefficient sets (TotalCoeff <= 3, TrailingOnes ==
+    TotalCoeff) at any gap-free packing, or one arbitrary coefficient
+    (|level| 2..7) at any scan position."""
+    nz = [i for i, v in enumerate(coeffs) if v != 0]
+    tc = len(nz)
+    if tc == 0:
+        _write_coeff_token(w, nc, 0, 0)
+        return
+    levels = [coeffs[i] for i in reversed(nz)]
+    t1 = 0
+    while t1 < min(3, tc) and abs(levels[t1]) == 1:
+        t1 += 1
+    total_zeros = nz[-1] + 1 - tc
+    if tc > 3 or (t1 != tc and tc != 1):
+        raise H264Error("encoder subset: coefficients must be all ±1 or one level")
+    if tc > 1 and (nz != list(range(tc))):
+        raise H264Error("encoder subset: TotalCoeff > 1 must pack scan 0..tc-1")
+    _write_coeff_token(w, nc, t1, tc)
+    for lvl in levels[:t1]:
+        w.u(1 if lvl < 0 else 0, 1)
+    for i in range(t1, tc):  # only reachable with tc == 1, t1 == 0
+        lvl = levels[i]
+        if not 2 <= abs(lvl) <= 7:
+            raise H264Error("encoder subset: |level| must be 2..7")
+        level_code = 2 * abs(lvl) - 2 + (1 if lvl < 0 else 0) - 2
+        w.u(0, level_code)  # unary: level_code zeros ...
+        w.u(1, 1)  # ... then the terminating 1
+    if tc < 16:
+        code = _TOTAL_ZEROS_16[tc][total_zeros]
+        for b in code:
+            w.u(int(b), 1)
+    # run_before: zerosLeft is 0 for every packed layout and the
+    # single-coefficient case codes no runs at all
 
 
 def _dc_nc(mb_x: int, mb_y: int, kinds: list[list[str]]) -> int:
@@ -281,16 +521,24 @@ def make_i_slice_nal(
 ) -> bytes:
     """One complete coded I slice covering the whole picture.
     ``mbs[row][col]`` is ``("pcm", pattern, seed)``,
-    ``("i16", luma_mode[, chroma_mode])`` with luma_mode in 0..3
-    (§8.3.3 order V/H/DC/Plane), or ``("i4", modes[, chroma_mode])``
-    with ``modes`` a 16-list of §8.3.1 modes (0..8, order
-    V/H/DC/DDL/DDR/VR/HD/VL/HU) in §6.4.3 scan order - coded with
-    CBP 0 (zero residual, so reconstruction == prediction and, per
-    §7.3.5, NO mb_qp_delta and NO residual syntax at all). chroma_mode
-    in 0..2 (§8.3.4 order DC/H/V; plane stays a decoder seam,
-    default DC). Slice header per §7.3.3 against this package's SPS
-    (poc_type 0, 8-bit frame_num, 8-bit poc lsb) and `_minimal_pps`
-    (CAVLC, no deblocking-control fields, qp offsets 0)."""
+    ``("i16", luma_mode[, chroma_mode[, dc16[, mb_qp_delta]]])`` with
+    luma_mode in 0..3 (§8.3.3 order V/H/DC/Plane), or
+    ``("i4", modes[, chroma_mode])`` with ``modes`` a 16-list of
+    §8.3.1 modes (0..8, order V/H/DC/DDL/DDR/VR/HD/VL/HU) in §6.4.3
+    scan order - coded with CBP 0 (zero AC residual; per §7.3.5 I_4x4
+    then carries NO mb_qp_delta and NO residual syntax at all).
+
+    ``dc16`` (r10): 16 Intra16x16DCLevel coefficient levels in
+    coding-scan (zig-zag) order - the DC residual block §7.3.5.3
+    ALWAYS codes for Intra_16x16 regardless of CBP. The encodable
+    grammar is `_write_residual_16`'s subset: all-±1 sets
+    (TotalCoeff <= 3) packed gap-free, or one |level| 2..7 anywhere.
+    ``mb_qp_delta`` feeds §8.5.10 DC scaling via the running QP
+    chain. chroma_mode in 0..2 (§8.3.4 order DC/H/V; plane stays a
+    decoder seam, default DC). Slice header per §7.3.3 against this
+    package's SPS (poc_type 0, 8-bit frame_num, 8-bit poc lsb) and
+    `_minimal_pps` (CAVLC, no deblocking-control fields,
+    qp offsets 0)."""
     w = _BitWriter()
     w.ue(0)  # first_mb_in_slice
     w.ue(7)  # slice_type: I (all-I coded stream form)
@@ -351,15 +599,21 @@ def make_i_slice_nal(
             else:
                 mode = desc[1]
                 chroma_mode = desc[2] if len(desc) > 2 else 0
+                dc16 = desc[3] if len(desc) > 3 else [0] * 16
+                qp_delta = desc[4] if len(desc) > 4 else 0
                 if not 0 <= mode <= 3:
                     raise H264Error(f"I_16x16 mode {mode}")
                 if not 0 <= chroma_mode <= 3:
                     raise H264Error(f"chroma mode {chroma_mode}")
+                if len(dc16) != 16:
+                    raise H264Error("dc16 needs 16 zig-zag levels")
+                if not -26 <= qp_delta <= 25:
+                    raise H264Error(f"mb_qp_delta {qp_delta} out of range")
                 # mb_type 1..4: predMode=mode, cbp_chroma=0, cbp_luma=0
                 w.ue(1 + mode)
                 w.ue(chroma_mode)  # intra_chroma_pred_mode
-                w.se(0)  # mb_qp_delta (present for I_16x16)
-                _write_coeff_token_zero(w, _dc_nc(mb_x, mb_y, kinds))
+                w.se(qp_delta)  # mb_qp_delta (present for I_16x16)
+                _write_residual_16(w, _dc_nc(mb_x, mb_y, kinds), list(dc16))
     nal_type = 5 if idr else 1
     return bytes([0x60 | nal_type]) + _ebsp(w.rbsp())
 
@@ -369,6 +623,64 @@ def make_i_slice_nal(
 
 def _clip1(v: int) -> int:
     return 0 if v < 0 else 255 if v > 255 else v
+
+
+#: §8.5.6 4x4 zig-zag scan (shared bitstream geometry, encoder+decoder
+#: +simulator input convention, NOT a twin): coding-scan index ->
+#: (row, col) in the 4x4 coefficient array.
+_ZIGZAG_4x4 = (
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+)
+
+#: §8.5.9 normAdjust4x4(m, (0,0)) for the flat weightScale 16:
+#: LevelScale4x4(m, 0, 0) = 16 * this.
+_NORM_ADJUST_00 = (10, 11, 13, 14, 16, 18)
+
+
+def _luma_dc_dequant(coeffs: "list[int]", qp: int) -> "list[list[int]]":
+    """§8.5.10 Intra_16x16 luma DC: zig-zag placement into the 4x4 DC
+    array, the 4x4 Hadamard inverse transform (spec per-element
+    loops - the vectorized twin lives in `_sim_dc_residual`), then
+    quantisation-parameter scaling. Returns dcY[i][j], the scaled DC
+    for the luma 4x4 block at raster (row i, col j)."""
+    c = [[0] * 4 for _ in range(4)]
+    for k, (i, j) in enumerate(_ZIGZAG_4x4):
+        c[i][j] = coeffs[k]
+    h = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
+    # f = H * c * H (H symmetric)
+    tmp = [[sum(h[i][k] * c[k][j] for k in range(4)) for j in range(4)]
+           for i in range(4)]
+    f = [[sum(tmp[i][k] * h[k][j] for k in range(4)) for j in range(4)]
+         for i in range(4)]
+    ls = 16 * _NORM_ADJUST_00[qp % 6]
+    e = qp // 6
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            if qp >= 36:
+                out[i][j] = (f[i][j] * ls) << (e - 6)
+            else:
+                out[i][j] = (f[i][j] * ls + (1 << (5 - e))) >> (6 - e)
+    return out
+
+
+def _add_dc_residual(
+    plane: np.ndarray, mb_x: int, mb_y: int, dc_scaled: "list[list[int]]"
+) -> None:
+    """§8.5.12.2 core transform with all-zero AC: every sample of the
+    4x4 block at raster (i, j) gets (dcY[i][j] + 32) >> 6 added to its
+    prediction, clipped to 8 bits."""
+    for i in range(4):
+        for j in range(4):
+            r = (dc_scaled[i][j] + 32) >> 6
+            if r == 0:
+                continue
+            y0, x0 = mb_y * 16 + 4 * i, mb_x * 16 + 4 * j
+            blk = plane[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64) + r
+            plane[y0 : y0 + 4, x0 : x0 + 4] = np.clip(blk, 0, 255).astype(
+                np.uint8
+            )
 
 
 def _predict_i16(
@@ -671,7 +983,12 @@ def decode_i_slice(
             r.u(2)
         elif r.u(1):
             raise H264DecodeError("adaptive ref pic marking")
-    r.se()  # slice_qp_delta (qp unused: zero-residual subset)
+    # SliceQPY = 26 + pic_init_qp_minus26 (0 in `_minimal_pps`) +
+    # slice_qp_delta; the running QPY chain (§7.4.5: QPY = (QPY_prev +
+    # mb_qp_delta + 52) % 52 at 8-bit depth) feeds §8.5.10 DC scaling
+    qp_y = 26 + r.se()
+    if not 0 <= qp_y <= 51:
+        raise H264Error(f"slice QP {qp_y} out of range")
     mb_w, mb_h = sps["mb_width"], sps["mb_height"]
     plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
@@ -747,10 +1064,14 @@ def decode_i_slice(
                         "coded residual blocks not supported (CBP != 0)"
                     )
                 chroma_mode = r.ue()  # intra_chroma_pred_mode
-                r.se()  # mb_qp_delta
+                qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
                 kinds[mb_y][mb_x] = "i16"
-                _read_coeff_token_zero(r, _dc_nc(mb_x, mb_y, kinds))
+                dc_levels = _read_residual_16(r, _dc_nc(mb_x, mb_y, kinds))
                 _predict_i16(plane, mb_x, mb_y, pred_mode)
+                if any(dc_levels):
+                    _add_dc_residual(
+                        plane, mb_x, mb_y, _luma_dc_dequant(dc_levels, qp_y)
+                    )
                 _predict_chroma(cb, mb_x, mb_y, chroma_mode)
                 _predict_chroma(cr, mb_x, mb_y, chroma_mode)
                 n_i16 += 1
@@ -879,12 +1200,36 @@ def _sim_i4_block(
     return np.where(z <= -2, fp[3 + xg], out)
 
 
+def _sim_dc_residual(dc16: "list[int]", qp: int) -> np.ndarray:
+    """Vectorized numpy twin of §8.5.10 + §8.5.12.2 (the bit-level
+    decoder mirrors the spec's per-element loops in
+    `_luma_dc_dequant`): zig-zag levels -> 16x16 luma residual array
+    for one Intra_16x16 macroblock with zero AC."""
+    c = np.zeros((4, 4), dtype=np.int64)
+    rows = np.array([i for i, _ in _ZIGZAG_4x4])
+    cols = np.array([j for _, j in _ZIGZAG_4x4])
+    c[rows, cols] = dc16
+    h = np.array(
+        [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+        dtype=np.int64,
+    )
+    f = h @ c @ h
+    ls = 16 * _NORM_ADJUST_00[qp % 6]
+    e = qp // 6
+    if qp >= 36:
+        dc = (f * ls) << (e - 6)
+    else:
+        dc = (f * ls + (1 << (5 - e))) >> (6 - e)
+    return np.kron((dc + 32) >> 6, np.ones((4, 4), dtype=np.int64))
+
+
 def _simulate_luma(spec: dict) -> np.ndarray:
     """Vectorized numpy twin of §8.3.3 over the fixture's macroblock
     SPEC (never reads the bitstream): builds the expected cropped luma
     plane the decoder must reproduce bit-exactly."""
     mbs = spec["mbs"]
     mb_h, mb_w = len(mbs), len(mbs[0])
+    sim_qp = 26  # slice QP: pic_init 26 + deltas, tracked in raster order
     plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int64)
     # decoded-4x4-block mask: the simulator's OWN availability
     # derivation (an incremental invariant, vs the decoder's index
@@ -921,6 +1266,7 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                     done[by, bx] = True
                 continue
             mode = desc[1]
+            sim_qp = (sim_qp + (desc[4] if len(desc) > 4 else 0) + 52) % 52
             top = plane[y0 - 1, x0 : x0 + 16] if my > 0 else None
             left = plane[y0 : y0 + 16, x0 - 1] if mx > 0 else None
             if mode == 0:
@@ -955,6 +1301,11 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                 xg, yg = np.meshgrid(np.arange(16), np.arange(16))
                 blk[:] = np.clip(
                     (a + b * (xg - 7) + c * (yg - 7) + 16) >> 5, 0, 255
+                )
+            dc16 = desc[3] if len(desc) > 3 else None
+            if dc16 is not None and any(dc16):
+                blk[:] = np.clip(
+                    blk + _sim_dc_residual(list(dc16), sim_qp), 0, 255
                 )
             done[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
     h, w = spec["h"], spec["w"]
@@ -1172,6 +1523,53 @@ def h264_frame_fixtures() -> list[dict]:
         ],
     ]
     fixtures.append({"name": "i4_mixed_crop.mp4", "w": 44, "h": 28, "mbs": mbs})
+
+    # --- Intra_16x16 DC-residual family (r10): §9.2 CAVLC subset +
+    # §8.5.10 Hadamard dequant + §8.5.12.2 DC-only reconstruction ----
+
+    def dc(*pairs, qp_delta=None):
+        """(scan_pos, level) pairs -> ('i16' desc tail) 16-list."""
+        out = [0] * 16
+        for pos, lvl in pairs:
+            out[pos] = lvl
+        return out
+
+    # all nC=0 (i16 neighbours carry zero AC counts): single levels at
+    # varied scan positions (total_zeros column 1), an all-±1 packed
+    # triple (TC=3, T1=3), and a packed pair under the qp-36 shift path
+    mbs = [
+        [("i16", 2, 0, dc((0, 2))), ("i16", 1, 0, dc((0, 1), (1, -1), (2, 1)))],
+        [("i16", 0, 2, dc((5, -5))), ("i16", 3, 0, dc((0, 1), (1, -1)), 10)],
+    ]
+    fixtures.append(
+        {"name": "i16_dc_residual.mp4", "w": 32, "h": 32, "mbs": mbs}
+    )
+
+    # PCM neighbours force nC=16 -> the formulaic nC>=8 6-bit FLC; the
+    # bottom-right MB drops the running QP to 10 (low-qp rounding term)
+    mbs = [
+        [("pcm", "grad", 4), ("i16", 2, 1, dc((0, -1)))],
+        [("i16", 0, 2, dc((2, 1))), ("i16", 2, 0, dc((0, -1), (1, 1)), -16)],
+    ]
+    fixtures.append({"name": "i16_dc_nc8.mp4", "w": 32, "h": 32, "mbs": mbs})
+
+    # mixed kinds + the qp extremes: +14 -> QP 40 (the << path), then
+    # -20 -> QP 20; the last MB puts its lone coefficient at zig-zag
+    # position 15 (the deepest total_zeros codeword); i4 and pcm MBs
+    # interleave the running-QP chain without mb_qp_delta fields
+    mbs = [
+        [
+            ("pcm", "rampx"),
+            ("i16", 2, 0, dc((0, 7)), 14),
+            ("i16", 2, 0, dc((15, 1))),
+        ],
+        [
+            ("i16", 0, 2, dc((0, -1))),
+            ("i16", 2, 1, dc((0, 1), (1, -1), (2, 1)), -20),
+            ("i4", by_xy(lambda sx, sy: (2 * sx + sy) % 9), 1),
+        ],
+    ]
+    fixtures.append({"name": "i16_dc_mixed.mp4", "w": 48, "h": 32, "mbs": mbs})
 
     return fixtures
 

@@ -475,3 +475,223 @@ def test_i4_topright_substitution_changes_pixels():
     l = pa[4:8, 3].astype(np.int64)
     want = _sim_i4_block(t_sub, l, int(pa[3, 3]), 3)
     assert np.array_equal(pb[4:8, 4:8].astype(np.int64), want)
+
+
+# --- Intra_16x16 DC residuals (r10) ---------------------------------------------
+
+
+def test_dc_residual_hand_arithmetic():
+    """§8.5.10 scaling pinned by hand, independent of BOTH twins. A
+    lone I_16x16 DC-mode MB predicts flat 128; with a single DC
+    coefficient L at zig-zag position 0, f[i][j] = L everywhere, so:
+
+      qp 26 (e=4, LS=16*13=208), L=+2:
+        dcY = (2*208 + 2) >> 2 = 104;  r = (104+32) >> 6 = 2 -> 130
+      qp 26, L=-1:
+        dcY = (-208 + 2) >> 2 = -52;   r = (-52+32) >> 6 = -1 -> 127
+      qp 40 via mb_qp_delta +14 (e=6, 40%6=4 -> LS=256), L=+1:
+        dcY = 256 << 0 = 256;          r = (256+32) >> 6 = 4 -> 132
+    """
+    cases = [
+        ([2] + [0] * 15, 0, 130),
+        ([-1] + [0] * 15, 0, 127),
+        ([1] + [0] * 15, 14, 132),
+    ]
+    for dc16, qpd, want in cases:
+        spec = {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, dc16, qpd)]]}
+        got = decode_first_i_frame(build_fixture_mp4(spec))
+        assert (got["luma"] == want).all(), (dc16, qpd, got["luma"][0, 0])
+        assert np.array_equal(got["luma"], _simulate_luma(spec))
+
+
+def test_dc_residual_fixtures_roundtrip():
+    """The three r10 fixture files decode bit-exactly against the
+    independent simulator on every plane."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _simulate_chroma,
+    )
+
+    for name in ("i16_dc_residual.mp4", "i16_dc_nc8.mp4", "i16_dc_mixed.mp4"):
+        spec = next(s for s in h264_frame_fixtures() if s["name"] == name)
+        got = decode_first_i_frame(build_fixture_mp4(spec))
+        assert np.array_equal(got["luma"], _simulate_luma(spec)), name
+        assert np.array_equal(got["cb"], _simulate_chroma(spec, 0)), name
+        assert np.array_equal(got["cr"], _simulate_chroma(spec, 1)), name
+
+
+def test_dc_residual_changes_pixels():
+    """The residual is load-bearing: the same grid without dc16
+    decodes to a different luma plane."""
+    with_dc = {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [3] + [0] * 15)]]}
+    without = {"w": 16, "h": 16, "mbs": [[("i16", 2)]]}
+    a = decode_first_i_frame(build_fixture_mp4(with_dc))["luma"]
+    b = decode_first_i_frame(build_fixture_mp4(without))["luma"]
+    assert not np.array_equal(a, b)
+    assert (b == 128).all()
+
+
+def test_cavlc_roundtrip_all_encodable_blocks():
+    """Bit-level CAVLC round-trip across the ENTIRE encodable residual
+    grammar at both supported nC columns: every single-coefficient
+    block (16 positions x levels ±1..±7) and every packed all-±1 set
+    of size 2 and 3."""
+    from itertools import product
+
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+    )
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _read_residual_16,
+        _write_residual_16,
+    )
+
+    blocks = [[0] * 16]
+    for pos in range(16):
+        for lvl in (1, -1, 2, -2, 7, -7):
+            b = [0] * 16
+            b[pos] = lvl
+            blocks.append(b)
+    for s0, s1 in product((1, -1), repeat=2):
+        blocks.append([s0, s1] + [0] * 14)
+        for s2 in (1, -1):
+            blocks.append([s0, s1, s2] + [0] * 13)
+    for nc in (0, 8, 16):
+        for b in blocks:
+            w = _BitWriter()
+            _write_residual_16(w, nc, b)
+            w.u(1, 1)  # stop bit: the reader must not over-consume
+            r = _BitReader(w.rbsp())
+            assert _read_residual_16(r, nc) == b, (nc, b)
+            assert r.u(1) == 1, (nc, b)
+
+
+def test_cavlc_seams_raise():
+    """Codes outside the transcribed subset raise the honest seam, and
+    never mis-decode: (a) TotalCoeff=4 via the nC>=8 FLC hits the
+    missing total_zeros column; (b) TotalCoeff=2 with interleaved
+    zeros hits the run_before seam; (c) an unknown 0<=nC<2 coeff_token
+    codeword fails the prefix match."""
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+    )
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _read_residual_16,
+    )
+
+    # (a) FLC (tc=4, t1=0) = (4-1)<<2 = 12: levels then the missing
+    # total_zeros column 4
+    w = _BitWriter()
+    w.u(12, 6)
+    for _ in range(4):  # four level_prefix=0 unary codes (level +1... )
+        w.u(0, 2)
+        w.u(1, 1)
+    w.u(1, 1)
+    with pytest.raises(H264DecodeError, match="total_zeros column"):
+        _read_residual_16(_BitReader(w.rbsp()), 8)
+
+    # (b) tc=2 all-±1 with total_zeros=1 -> zerosLeft>0 at the first
+    # run_before read
+    w = _BitWriter()
+    w.u(((2 - 1) << 2) | 2, 6)  # FLC (t1=2, tc=2)
+    w.u(0, 1)
+    w.u(0, 1)  # two positive trailing-one signs
+    for bit in "110":  # total_zeros=1, TotalCoeff=2 column
+        w.u(int(bit), 1)
+    w.u(1, 1)
+    with pytest.raises(H264DecodeError, match="run_before"):
+        _read_residual_16(_BitReader(w.rbsp()), 8)
+
+    # (c) 0<=nC<2: '0000100' is no transcribed codeword and no prefix
+    # of one once 9 bits are consumed
+    w = _BitWriter()
+    for bit in "000010011":
+        w.u(int(bit), 1)
+    with pytest.raises(H264DecodeError, match="coeff_token"):
+        _read_residual_16(_BitReader(w.rbsp()), 0)
+
+
+def test_vlc_tables_structurally_sound():
+    """The transcribed VLC tables are prefix-free with Kraft <= 1
+    (asserted at import - this test documents the negative case)."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _assert_prefix_free,
+    )
+
+    _assert_prefix_free(["1", "01", "00"], "complete")
+    with pytest.raises(AssertionError, match="prefix"):
+        _assert_prefix_free(["1", "10"], "aliased")
+    with pytest.raises(AssertionError, match="Kraft"):
+        _assert_prefix_free(["1", "0", "00"], "overfull")
+
+
+def test_random_residual_grids_roundtrip():
+    """Hypothesis sweep over legal grids where I_16x16 MBs carry
+    random encodable DC residuals and mb_qp_delta walks the running-QP
+    chain: decode must equal the independent simulator bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        PCM_PATTERNS,
+        _simulate_chroma,
+    )
+
+    @st.composite
+    def dc_blocks(draw):
+        shape = draw(st.sampled_from(["zero", "single", "pair", "triple"]))
+        if shape == "zero":
+            return [0] * 16
+        if shape == "single":
+            b = [0] * 16
+            b[draw(st.integers(0, 15))] = draw(
+                st.sampled_from([1, -1, 2, -2, 3, -3, 7, -7])
+            )
+            return b
+        n = 2 if shape == "pair" else 3
+        return [draw(st.sampled_from([1, -1])) for _ in range(n)] + [0] * (
+            16 - n
+        )
+
+    @st.composite
+    def grids(draw):
+        mb_w = draw(st.integers(1, 3))
+        mb_h = draw(st.integers(1, 3))
+        rows = []
+        for my in range(mb_h):
+            row = []
+            for mx in range(mb_w):
+                if draw(st.booleans()) and (my + mx) % 3 == 2:
+                    row.append(
+                        ("pcm", draw(st.sampled_from(PCM_PATTERNS)),
+                         draw(st.integers(0, 9)))
+                    )
+                    continue
+                luma_ok = [2] + ([0] if my > 0 else []) + ([1] if mx > 0 else [])
+                if my > 0 and mx > 0:
+                    luma_ok.append(3)
+                chroma_ok = [0] + ([1] if mx > 0 else []) + (
+                    [2] if my > 0 else []
+                )
+                row.append(
+                    (
+                        "i16",
+                        draw(st.sampled_from(luma_ok)),
+                        draw(st.sampled_from(chroma_ok)),
+                        draw(dc_blocks()),
+                        draw(st.integers(-10, 12)),
+                    )
+                )
+            rows.append(row)
+        return {"w": mb_w * 16, "h": mb_h * 16, "mbs": rows}
+
+    @settings(max_examples=40, deadline=None)
+    @given(grids())
+    def run(spec):
+        got = decode_first_i_frame(build_fixture_mp4(spec))
+        assert np.array_equal(got["luma"], _simulate_luma(spec))
+        assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
+        assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+
+    run()
