@@ -17,11 +17,18 @@ query semantics and are implemented here (r8), closing the item:
 * payload sizes are closed-form in ``event_id`` so the DuckDB oracle
   predicts every byte written without observing the filesystem;
 * the sink is ``mapInPandas`` over the post slice: each batch writes
-  its objects to the store root (file per key - locally a directory,
-  at 100 TB an object-store client with If-None-Match) and emits the
+  its objects through an INJECTABLE blob-store object (r10, VERDICT
+  r9 item 5): `LocalFsBlobStore` - atomic O_CREAT|O_EXCL
+  write-if-absent over any path every executor mounts - today, any
+  object implementing the same one-method ``put_if_absent`` protocol
+  (an S3 ``If-None-Match: *`` client) at 100 TB; each batch emits the
   OBSERVED per-kind (written, skipped, bytes) counts - the result
   reports what the side effect actually did, not what the input
-  implied;
+  implied. The registry entry resolves its root from
+  ``SPARK_GRAFT_BLOB_STORE_ROOT`` (shared-filesystem injection
+  without code), falls back to a tempdir on single-host masters, and
+  on a multi-node master without a configured store raises the
+  narrow "no shared store configured" seam;
 * the registry query runs the sink TWICE against the same store and
   returns both passes' censuses: pass 1 must write everything and
   skip nothing, pass 2 must write NOTHING and skip everything - the
@@ -89,32 +96,65 @@ def _payload(key: str, size: int) -> bytes:
     return bytes(out)
 
 
-def put_pass(posts: DataFrame, store_root: str, pass_no: int) -> DataFrame:
+class LocalFsBlobStore:
+    """Write-if-absent blob store over a filesystem path - the
+    injectable store seam (VERDICT r9 item 5). The PROTOCOL is the
+    single method ``put_if_absent(key, data) -> bool`` (True = this
+    call created the object); any object implementing it can be passed
+    to `put_pass` / `binary_put_census` - at 100 TB that is an
+    object-store client issuing a conditional put (S3
+    ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``), which gives
+    the same created-by-this-call answer server-side. Instances are
+    cloudpickled into the executor tasks, so they must stay tiny and
+    hold no open handles.
+
+    The local implementation is correct on ANY master whose executors
+    mount ``root`` (local[N], local-cluster, a real cluster over
+    NFS/FUSE): existence is probed by O_CREAT|O_EXCL, so two
+    concurrent writers of one key can never both report "written" -
+    the census stays exact without a coordination shuffle."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._made_dirs: set[str] = set()  # one mkdir per prefix, not per object
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        path = os.path.join(self.root, key)
+        parent = os.path.dirname(path)
+        if parent not in self._made_dirs:
+            os.makedirs(parent, exist_ok=True)
+            self._made_dirs.add(parent)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # the reference's KeyCount < 1 existence guard
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+
+def put_pass(posts: DataFrame, store, pass_no: int) -> DataFrame:
     """One write-if-absent pass over the post slice -> per-kind
-    censuses of what the side effect ACTUALLY did."""
+    censuses of what the side effect ACTUALLY did. ``store`` is any
+    object with the `LocalFsBlobStore.put_if_absent` protocol (a str
+    is accepted as a local root for convenience)."""
+    if isinstance(store, str):
+        store = LocalFsBlobStore(store)
 
     def write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        made_dirs: set[str] = set()  # one mkdir syscall per prefix, not per object
         for pdf in batches:
             counts: dict[str, list[int]] = {}
             for eid, uid, etype in zip(
                 pdf["event_id"], pdf["user_id"], pdf["event_type"]
             ):
                 for kind, key, size in _keyset(int(eid), int(uid), etype):
-                    path = os.path.join(store_root, key)
                     c = counts.setdefault(kind, [0, 0, 0])
-                    # the reference's KeyCount < 1 existence guard
-                    if os.path.exists(path):
+                    if store.put_if_absent(key, _payload(key, size)):
+                        c[0] += 1
+                        c[2] += size
+                    else:
                         c[1] += 1
-                        continue
-                    parent = os.path.dirname(path)
-                    if parent not in made_dirs:
-                        os.makedirs(parent, exist_ok=True)
-                        made_dirs.add(parent)
-                    with open(path, "wb") as f:
-                        f.write(_payload(key, size))
-                    c[0] += 1
-                    c[2] += size
             yield pd.DataFrame(
                 [
                     {
@@ -142,36 +182,52 @@ def put_pass(posts: DataFrame, store_root: str, pass_no: int) -> DataFrame:
     )
 
 
-def binary_put_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: two write-if-absent passes against one fresh
-    store; pass 1 writes the full keyset, pass 2 skips all of it."""
-    # The store root is a driver-local tempdir probed with
-    # os.path.exists inside executor tasks: correct ONLY when every
-    # executor shares the driver's filesystem (local / local-cluster
-    # on one host). On a real cluster the store must be a shared
-    # filesystem or object store; fail loudly rather than silently
-    # diverging (each executor would see its own empty /tmp, pass 2
-    # would rewrite everything, and the census would break).
-    master = spark.conf.get("spark.master", "")
-    if not (master.startswith("local") or "localhost" in master):
-        raise NotImplementedError(
-            "binary_put_sink's write-if-absent store uses a "
-            "driver-local tempdir; on a multi-node cluster route "
-            "store_root to a shared filesystem/object store "
-            f"(spark.master={master!r})"
-        )
+def binary_put_census(spark: SparkSession, sf_dir: str, store) -> DataFrame:
+    """Two write-if-absent passes against one store; pass 1 writes the
+    full keyset, pass 2 skips all of it. ``store`` is any
+    `LocalFsBlobStore`-protocol object (injectable seam: a local/NFS
+    path today, an object-store client with conditional puts at
+    100 TB)."""
     posts = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % PUT_SLICE_MOD == 0)
         .select("event_id", "user_id", "event_type")
     )
-    store = tempfile.mkdtemp(prefix="binary_put_store_")
+    first = put_pass(posts, store, 1).localCheckpoint(eager=True)
+    second = put_pass(posts, store, 2).localCheckpoint(eager=True)
+    return first.unionByName(second).orderBy("pass_no", "kind")
+
+
+def _resolve_store_root(spark: SparkSession) -> str:
+    """Registry-entry store-root policy: SPARK_GRAFT_BLOB_STORE_ROOT
+    (a path mounted on every executor - how a shared filesystem is
+    injected without code) wins; a single-host master may fall back to
+    a driver tempdir; a multi-node master without a configured store
+    fails loudly rather than silently diverging (each executor would
+    see its own empty /tmp, pass 2 would rewrite everything, and the
+    census would break)."""
+    configured = os.environ.get("SPARK_GRAFT_BLOB_STORE_ROOT")
+    if configured:
+        return tempfile.mkdtemp(prefix="binary_put_store_", dir=configured)
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local") or "localhost" in master:
+        return tempfile.mkdtemp(prefix="binary_put_store_")
+    raise NotImplementedError(
+        "binary_put_sink: no shared store configured - set "
+        "SPARK_GRAFT_BLOB_STORE_ROOT to a path mounted on every "
+        "executor, or call binary_put_census() with an object-store "
+        f"client implementing put_if_absent (spark.master={master!r})"
+    )
+
+
+def binary_put_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the idempotency census over a fresh
+    LocalFsBlobStore at the resolved store root."""
+    root = _resolve_store_root(spark)
     try:
-        first = put_pass(posts, store, 1).localCheckpoint(eager=True)
-        second = put_pass(posts, store, 2).localCheckpoint(eager=True)
-        return first.unionByName(second).orderBy("pass_no", "kind")
+        return binary_put_census(spark, sf_dir, LocalFsBlobStore(root))
     finally:
-        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 BINARY_PUT_SINK_ORACLE_SQL = f"""

@@ -82,3 +82,55 @@ def test_registry_query_shape(spark, sf_dir):
         by_pass.setdefault(r["pass_no"], {})[r["kind"]] = r
     assert all(r["n_skipped"] == 0 for r in by_pass[1].values())
     assert all(r["n_written"] == 0 for r in by_pass[2].values())
+
+
+def test_local_store_put_if_absent_is_atomic():
+    """O_CREAT|O_EXCL: exactly one of N put attempts on a key reports
+    written, and the first payload wins."""
+    import shutil
+
+    from data_pipeline_capstone_project_spark.operators.binary_sink import (
+        LocalFsBlobStore,
+    )
+
+    root = tempfile.mkdtemp(prefix="blob_store_test_")
+    try:
+        store = LocalFsBlobStore(root)
+        assert store.put_if_absent("a/b/key.bin", b"first") is True
+        assert store.put_if_absent("a/b/key.bin", b"second") is False
+        with open(os.path.join(root, "a/b/key.bin"), "rb") as f:
+            assert f.read() == b"first"
+        # a fresh instance (fresh mkdir cache) still sees the object
+        assert LocalFsBlobStore(root).put_if_absent("a/b/key.bin", b"x") is False
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_store_root_resolution(spark, monkeypatch):
+    """SPARK_GRAFT_BLOB_STORE_ROOT routes the registry entry's store
+    to an injected (shared) root; without it a non-local master is the
+    narrow 'no store configured' seam."""
+    import shutil
+
+    import pytest as _pytest
+
+    from data_pipeline_capstone_project_spark.operators import binary_sink
+
+    shared = tempfile.mkdtemp(prefix="shared_store_")
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_BLOB_STORE_ROOT", shared)
+        root = binary_sink._resolve_store_root(spark)
+        assert root.startswith(shared)
+        monkeypatch.delenv("SPARK_GRAFT_BLOB_STORE_ROOT")
+
+        class FakeConf:
+            def get(self, k, d=None):
+                return "spark://remote-master:7077"
+
+        class FakeSpark:
+            conf = FakeConf()
+
+        with _pytest.raises(NotImplementedError, match="no shared store"):
+            binary_sink._resolve_store_root(FakeSpark())
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
