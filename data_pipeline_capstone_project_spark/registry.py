@@ -838,7 +838,13 @@ QUERIES = {
     # window at 50 (fuzzy_match, funnel, feature_*, event_unpivot,
     # doc_score_inference, gap_fill...) retain their r3 driver rows
     # and their two-scale OK in VERIFICATION.md. Rotation history:
-    # VERDICT r3 item 1 / r4 item 1 / r6 item 3.
+    # VERDICT r3 item 1 / r4 item 1 / r6 item 3. r10 rotation
+    # (VERDICT r9 item 4): dedup_threshold_sweep(+_pairs) - the last
+    # never-driver-checked entry - plus similarity_join_exact and
+    # dedup_ngram_jaccard (all four share the r10 PPJoin
+    # positional-filter rewrite) swapped in for pagerank,
+    # scd2_history, streaming_dedup, streaming_upsert (each with
+    # multiple green driver rows, newest r9).
     "h264_meta": h264_meta_query,
     "h264_nal_census": h264_nal_census_query,
     "webm_meta": webm_meta_query,
@@ -880,15 +886,15 @@ QUERIES = {
     "json_lake_ingest": json_lake_ingest_query,
     "keyword_search": keyword_search_query,
     "multimodal_meta": multimodal_meta_query,
-    "pagerank": pagerank_query,
-    "scd2_history": scd2_history_query,
+    "dedup_threshold_sweep": dedup_threshold_sweep_query,
+    "dedup_threshold_sweep_pairs": dedup_threshold_sweep_pairs_query,
     "similarity_ivf_ann": similarity_ivf_query,
     "similarity_lsh_ann": similarity_lsh_query,
     "similarity_topk": similarity_topk_query,
     "stats_suite": stats_suite_query,
-    "streaming_dedup": streaming_dedup_query,
+    "dedup_ngram_jaccard": dedup_ngram_query,
     "streaming_stateful": streaming_stateful_query,
-    "streaming_upsert": streaming_upsert_query,
+    "similarity_join_exact": similarity_join_exact_query,
     "streaming_window_agg": streaming_window_query,
     "tpch_market_share": market_share_query,
     "tpch_regional_volume": regional_volume_query,
@@ -904,7 +910,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_query,
     "doc_chunking": doc_chunking_query,
     "image_decode": image_decode_query,
-    # --- end of round-7 gate window (50) ---
+    # --- end of round-10 gate window (50) ---
     "above_customer_avg": above_customer_avg_query,
     "doc_score_inference": doc_score_inference_query,
     "event_unpivot": event_unpivot_query,
@@ -919,8 +925,8 @@ QUERIES = {
     "tpch_product_profit": product_profit_query,
     "jpeg_decode": jpeg_decode_query,
     "packing_efficiency": packing_efficiency_query,
-    "dedup_threshold_sweep": dedup_threshold_sweep_query,
-    "dedup_threshold_sweep_pairs": dedup_threshold_sweep_pairs_query,
+    "pagerank": pagerank_query,
+    "scd2_history": scd2_history_query,
     "embedding_quality": embedding_quality_query,
     "source_vocab_drift": source_vocab_drift_query,
     "color_palette_props": color_palette_props_query,
@@ -958,7 +964,7 @@ QUERIES = {
     "winnowing_fingerprint": winnowing_fingerprint_query,
     "tfidf_top_terms": tfidf_query,
     "dedup_exact": dedup_exact_query,
-    "dedup_ngram_jaccard": dedup_ngram_query,
+    "streaming_upsert": streaming_upsert_query,
     "dedup_minhash_lsh": dedup_minhash_query,
     "dedup_embedding_cosine": dedup_embedding_query,
     "user_rank_suite": user_rank_suite_query,
@@ -1026,7 +1032,7 @@ QUERIES = {
     "streaming_late_data": streaming_late_data_query,
     "substring_dedup": substring_dedup_query,
     "dedup_eval": dedup_eval_query,
-    "similarity_join_exact": similarity_join_exact_query,
+    "streaming_dedup": streaming_dedup_query,
     "variant_json_suite": variant_json_suite_query,
     "balanced_sample": balanced_sample_query,
     "leakage_safe_split": leakage_safe_split_query,
