@@ -394,3 +394,120 @@ def test_resample_2to1_dc_and_alignment():
     nyq = np.tile([2000, -2000], 32).reshape(-1, 1).astype(np.int64)
     y2 = resample_2to1(nyq)
     assert (np.abs(y2[2:-2]) <= 63).all()  # 2000 -> sub-LSB leakage
+
+
+# --- MS-ADPCM adversarial edges (r10, VERDICT r9 item 6) ------------------------
+
+_MS_C1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_C2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT_REF = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_scalar_ref(pidx, delta, s1, s2, codes):
+    """From-the-spec scalar recurrence, independent of the numpy
+    decoder (mirrors test_ms_adpcm_matches_scalar_reference)."""
+    out = []
+    for n in codes:
+        signed = n - 16 if n & 8 else n
+        pred = ((s1 * _MS_C1[pidx]) + (s2 * _MS_C2[pidx])) >> 8
+        pred += signed * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max(16, (_MS_ADAPT_REF[n] * delta) >> 8)
+        out.append(pred)
+    return out
+
+
+def test_ms_adpcm_delta_clamp_at_16():
+    """delta 16 with shrink codes (adapt 230: (230*16)>>8 = 14 -> the
+    16 floor) stays clamped forever; the decoder must agree with the
+    scalar reference sample-for-sample through the clamp."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _ms_decode_channel,
+    )
+
+    codes = np.array([0, 1, 2, 3, 13, 14, 15] * 9, dtype=np.uint8)
+    got = _ms_decode_channel(256, 0, 16, 100, 90, codes)
+    assert list(got) == _ms_scalar_ref(0, 16, 100, 90, list(codes))
+
+
+def test_ms_adpcm_pair7_rail_extremes():
+    """Coefficient pair 7 (392, -232) with rail-valued header samples
+    and a huge delta: predictions clamp at both rails and the delta
+    adaptation walks through its full growth (768) and shrink (230)
+    entries; decoder == scalar reference exactly."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _ms_decode_channel,
+    )
+
+    for delta, s1, s2 in [
+        (32767, 32767, -32768),
+        (32767, -32768, 32767),
+        (16, -32768, -32768),
+        (17, 32767, 32767),  # (230*17)>>8 = 15 -> clamps next step
+    ]:
+        codes = np.array([7, 8, 0, 15, 8, 7, 4, 11] * 8, dtype=np.uint8)
+        got = _ms_decode_channel(392, -232, delta, s1, s2, codes)
+        assert list(got) == _ms_scalar_ref(6, delta, s1, s2, list(codes))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 6),
+    st.integers(16, 32767),
+    st.integers(-32768, 32767),
+    st.integers(-32768, 32767),
+    st.lists(st.integers(0, 15), min_size=1, max_size=128),
+)
+def test_ms_adpcm_channel_fuzz(pidx, delta, s1, s2, codes):
+    """Hypothesis sweep of the per-channel recurrence over the whole
+    header parameter space against the independent scalar reference."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _ms_decode_channel,
+    )
+
+    got = _ms_decode_channel(
+        _MS_C1[pidx], _MS_C2[pidx], delta, s1, s2,
+        np.array(codes, dtype=np.uint8),
+    )
+    assert list(got) == _ms_scalar_ref(pidx, delta, s1, s2, codes)
+
+
+def test_ms_adpcm_truncated_final_block():
+    """ADVICE r9: a data chunk ending mid-block still decodes when the
+    full per-channel header is present - emitting exactly the samples
+    the truncated nibble bytes hold - and a tail shorter than the
+    header raises."""
+    from data_pipeline_capstone_project_spark.operators.audio import (
+        _MS_SPB,
+    )
+
+    for ch in (1, 2):
+        full = make_wav(2 * _MS_SPB, sample_rate=8000, channels=ch,
+                        bits=4, seed=11, ms_adpcm=True)
+        want = wav_pcm(full)
+        doff = full.find(b"data")
+        dlen = struct.unpack("<I", full[doff + 4 : doff + 8])[0]
+        ba = 70 * ch
+
+        def rebuild(cut):
+            raw = full[doff + 8 : doff + 8 + dlen][:cut]
+            head = full[:doff]
+            # drop the fact chunk (it pins the full-length frame count)
+            foff = head.find(b"fact")
+            head = head[:foff] + head[foff + 16 :]
+            out = head + b"data" + struct.pack("<I", len(raw)) + raw
+            return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+        # cut 10 code bytes into block 2: header (7*ch) + 10 bytes of
+        # nibbles -> 2 header samples + floor(20/ch) decoded per channel
+        cut = ba + 7 * ch + 10
+        got = wav_pcm(rebuild(cut))
+        n_extra = (2 * 10) // ch
+        assert got.shape == (_MS_SPB + 2 + n_extra, ch)
+        assert np.array_equal(got, want[: len(got)])
+
+        # tail shorter than the per-channel header: corrupt
+        with pytest.raises(ValueError, match="shorter than its header"):
+            wav_pcm(rebuild(ba + 7 * ch - 1))
