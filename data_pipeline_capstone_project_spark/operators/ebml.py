@@ -601,10 +601,10 @@ def webm_block_census(payload: bytes) -> list[dict]:
                 ts = _as_uint(payload, c, d)
             elif e2 == _SIMPLE_BLOCK:
                 track, pos, unknown = _read_vint(payload, c, keep_marker=False)
-                # the track VINT must end INSIDE the element body
-                # (ADVICE r9: bound against d, not just the whole
-                # payload) with >= 3 bytes left for rel-ts + flags
-                if unknown or pos > d or pos + 3 > d:
+                # the track VINT must end inside the element body with
+                # >= 3 bytes left for rel-ts + flags; `pos + 3 > d`
+                # also rejects a VINT that itself crossed d (pos > d)
+                if unknown or pos + 3 > d:
                     raise EBMLError("corrupt SimpleBlock framing")
                 (rel,) = struct.unpack(">h", payload[pos : pos + 2])
                 flags = payload[pos + 2]

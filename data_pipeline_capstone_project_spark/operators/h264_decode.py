@@ -344,8 +344,9 @@ def _read_residual_16(r: _BitReader, nc: int) -> "list[int]":
 def _write_residual_16(w: _BitWriter, nc: int, coeffs: "list[int]") -> None:
     """Encoder twin of `_read_residual_16` for the fixture grammar:
     all-±1 coefficient sets (TotalCoeff <= 3, TrailingOnes ==
-    TotalCoeff) at any gap-free packing, or one arbitrary coefficient
-    (|level| 2..7) at any scan position."""
+    TotalCoeff) packed at scan positions 0..TotalCoeff-1 (an offset
+    packing would need run_before codes this subset doesn't emit), or
+    one arbitrary coefficient (|level| 2..7) at any scan position."""
     nz = [i for i, v in enumerate(coeffs) if v != 0]
     tc = len(nz)
     if tc == 0:
@@ -1527,8 +1528,9 @@ def h264_frame_fixtures() -> list[dict]:
     # --- Intra_16x16 DC-residual family (r10): §9.2 CAVLC subset +
     # §8.5.10 Hadamard dequant + §8.5.12.2 DC-only reconstruction ----
 
-    def dc(*pairs, qp_delta=None):
-        """(scan_pos, level) pairs -> ('i16' desc tail) 16-list."""
+    def dc(*pairs):
+        """(scan_pos, level) pairs -> ('i16' desc tail) 16-list.
+        mb_qp_delta goes in the desc tuple's 5th slot, never here."""
         out = [0] * 16
         for pos, lvl in pairs:
             out[pos] = lvl

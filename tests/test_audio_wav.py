@@ -409,6 +409,9 @@ def _ms_scalar_ref(pidx, delta, s1, s2, codes):
     decoder (mirrors test_ms_adpcm_matches_scalar_reference)."""
     out = []
     for n in codes:
+        # exact Python ints: list(np.uint8 array) yields numpy scalars
+        # whose fixed-width arithmetic wraps once delta grows past 2^59
+        n = int(n)
         signed = n - 16 if n & 8 else n
         pred = ((s1 * _MS_C1[pidx]) + (s2 * _MS_C2[pidx])) >> 8
         pred += signed * delta
