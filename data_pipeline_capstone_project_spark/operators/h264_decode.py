@@ -41,23 +41,33 @@ SUPPORTED (decoded bit-exactly):
   total_zeros columns TotalCoeff 1..3), the §8.5.10 4x4 Hadamard
   inverse + qP scaling across all three rounding regimes (qP<36
   rounding add, qP>=36 left shift), the §7.4.5 running-QP chain
-  (slice QP + mb_qp_delta), and §8.5.12.2 DC-only reconstruction -
-  with CBP 0 the AC coefficients are zero, so recon = clip(pred +
-  (dcY+32)>>6) per 4x4 block, bit-exactly.
+  (slice QP + mb_qp_delta), and §8.5.12.2 DC-only reconstruction
+  when CBP is 0: recon = clip(pred + (dcY+32)>>6) per 4x4 block;
+* NONZERO Intra16x16ACLevel residuals / CBP luma 15 (r11 fifth
+  pass): mb_type 13..24, all 16 maxNumCoeff-15 AC blocks in §6.4.3
+  scan order, per-4x4-block §9.2.1 nC from a decoded-TotalCoeff map
+  (I_PCM neighbours 16, the spec rule), Table 9-10 run_before in
+  full (interleaved-zero layouts), §8.5.12.1 dequantisation (flat
+  weightScale 16, both the qP>=24 shift and the qP<24 rounding-add
+  regimes), and the §8.5.12.2 core inverse 4x4 transform with the
+  Hadamard-scaled DC substituted at d[0][0] - bit-exactly against
+  the independent simulator.
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
 wrong pixels: P/B slices, I_8x8 (needs transform_size_8x8_flag PPS
-plumbing), nonzero AC residuals / CBP != 0 (needs the remaining
-Table 9-5 columns, Table 9-10 run_before, and the §8.5.12 full
-inverse transform; the untranscribed VLC rows CANNOT be externally
-cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so each lands
-only with structural prefix-free/Kraft validation plus fixture
-round-trips, and the residual grammar grows a verified subset at a
-time rather than gambling whole tables), CABAC, chroma plane
-prediction, deblocking (moot: the supported intra frames hit the
-filter's skip conditions only at quant edges we never produce; the
-fixtures assert bit-exactness without it).
+plumbing), chroma residuals (CBP chroma != 0: Table 9-9 chroma-DC
+total_zeros + §8.5.11), I_4x4 luma residuals (CBP != 0 for I_NxN),
+coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
+columns beyond TotalCoeff 3 (the untranscribed VLC rows CANNOT be
+externally cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so
+each lands only with structural prefix-free/Kraft validation plus
+fixture round-trips, and the residual grammar grows a verified
+subset at a time rather than gambling whole tables), level_prefix
+>= 16, CABAC, chroma plane prediction, deblocking (moot: the
+supported intra frames hit the filter's skip conditions only at
+quant edges we never produce; the fixtures assert bit-exactness
+without it).
 
 Correctness gate: every fixture's expected luma plane is computed by
 an INDEPENDENT numpy simulator (`_simulate_luma`) straight from the
@@ -114,11 +124,12 @@ class H264DecodeError(H264Error):
     """Valid-but-unsupported H.264 feature (the documented seams)."""
 
 
-# --- CAVLC residual coding, Intra16x16-DC subset (r10) ------------------------
+# --- CAVLC residual coding, Intra16x16 DC+AC subset (r10/r11) -----------------
 #
-# §9.2 residual_block_cavlc for the Intra16x16DCLevel block, covering
-# the codeword subset the fixture grammar can produce and the spec
-# rows transcribed around it:
+# §9.2 residual_block_cavlc for the Intra16x16DCLevel (maxNumCoeff 16)
+# and Intra16x16ACLevel (maxNumCoeff 15) blocks, covering the codeword
+# subset the fixture grammar can produce and the spec rows transcribed
+# around it:
 #
 # * coeff_token (Table 9-5): the full TotalCoeff=0 row across all four
 #   nC ranges (pre-r10 behavior, kept); the 0<=nC<2 column rows
@@ -128,11 +139,14 @@ class H264DecodeError(H264Error):
 #   prefix-freeness of the published table guarantees a code outside
 #   the transcribed subset can never alias one inside it.
 # * trailing-one signs + level_prefix/level_suffix: fully algorithmic
-#   (§9.2.2.1-2, no lookup content), implemented for any TotalCoeff.
-# * total_zeros (Table 9-7, maxNumCoeff 16): columns TotalCoeff 1..3.
-# * run_before (Table 9-10): NOT transcribed - read only in the
-#   zerosLeft==0 / single-coefficient cases where §9.2.3 codes
-#   nothing; anything else raises the seam.
+#   (§9.2.2.1-2, no lookup content), implemented for any TotalCoeff
+#   on BOTH sides - the r11 encoder writes arbitrary levels through
+#   the same adaptive suffixLength schedule the decoder reads.
+# * total_zeros (Table 9-7): columns TotalCoeff 1..3. §9.2.3 selects
+#   this same 4x4 table for maxNumCoeff 15 and 16; the AC blocks just
+#   never reach values above maxNumCoeff - TotalCoeff.
+# * run_before (Table 9-10, new r11): ALL seven zerosLeft columns,
+#   runs 0..14 - interleaved-zero coefficient layouts now decode.
 #
 # Import-time structural checks below assert every transcribed column
 # is prefix-free with Kraft sum <= 1 (the published tables are
@@ -179,6 +193,24 @@ _TOTAL_ZEROS_16 = {
 }
 
 
+#: Table 9-10 run_before: column key = min(zerosLeft, 7) (the spec's
+#: ">6" column), tuple index = run_before value. The >6 column's runs
+#: 7..14 are the formulaic (run-4) zeros + '1' tail.
+_RUN_BEFORE = {
+    1: ("1", "0"),
+    2: ("1", "01", "00"),
+    3: ("11", "10", "01", "00"),
+    4: ("11", "10", "01", "001", "000"),
+    5: ("11", "10", "011", "010", "001", "000"),
+    6: ("11", "000", "001", "011", "010", "101", "100"),
+    7: (
+        "111", "110", "101", "100", "011", "010", "001", "0001",
+        "00001", "000001", "0000001", "00000001", "000000001",
+        "0000000001", "00000000001",
+    ),
+}
+
+
 def _assert_prefix_free(codes: "list[str]", what: str) -> None:
     kraft = sum(2.0 ** -len(c) for c in codes)
     if kraft > 1.0 + 1e-12:
@@ -194,6 +226,8 @@ _assert_prefix_free(
 )
 for _tc, _col in _TOTAL_ZEROS_16.items():
     _assert_prefix_free(list(_col), f"total_zeros TotalCoeff={_tc}")
+for _zl, _col in _RUN_BEFORE.items():
+    _assert_prefix_free(list(_col), f"run_before zerosLeft={_zl}")
 
 #: decode map: codeword -> (TrailingOnes, TotalCoeff), plus the
 #: TotalCoeff=0 row's '1'
@@ -304,16 +338,21 @@ def _read_levels(r: _BitReader, tc: int, t1: int) -> "list[int]":
     return levels
 
 
-def _read_residual_16(r: _BitReader, nc: int) -> "list[int]":
-    """One §9.2 residual block with maxNumCoeff 16 -> the 16
-    coefficient levels in coding-scan order. run_before stays a seam:
-    reads only occur in the §9.2.3 cases that code nothing."""
+def _read_residual_block(
+    r: _BitReader, nc: int, max_coeff: int
+) -> "list[int]":
+    """One §9.2 residual block -> ``max_coeff`` coefficient levels in
+    coding-scan order (16 for Intra16x16DCLevel, 15 for the AC blocks
+    whose scan starts at zig-zag position 1). run_before decodes from
+    the full Table 9-10, so interleaved-zero layouts are in-subset."""
     t1, tc = _read_coeff_token(r, nc)
-    coeffs = [0] * 16
+    coeffs = [0] * max_coeff
     if tc == 0:
         return coeffs
+    if tc > max_coeff:
+        raise H264Error(f"TotalCoeff {tc} > maxNumCoeff {max_coeff}")
     levels = _read_levels(r, tc, t1)
-    if tc < 16:
+    if tc < max_coeff:
         col = _TOTAL_ZEROS_16.get(tc)
         if col is None:
             raise H264DecodeError(
@@ -322,33 +361,96 @@ def _read_residual_16(r: _BitReader, nc: int) -> "list[int]":
         total_zeros = _read_vlc(
             r, {c: z for z, c in enumerate(col)}, "total_zeros"
         )
+        if tc + total_zeros > max_coeff:
+            raise H264Error(
+                f"total_zeros {total_zeros} overruns maxNumCoeff {max_coeff}"
+            )
     else:
         total_zeros = 0  # §9.2.3: not coded when the block is full
     zeros_left = total_zeros
     pos = tc - 1 + total_zeros
     for i, lvl in enumerate(levels):
-        if pos < 0:
-            raise H264Error("CAVLC run placement underflow")
         coeffs[pos] = lvl
-        if i < tc - 1:
-            if zeros_left > 0:
-                # Table 9-10 not transcribed; the encoder subset never
-                # produces interleaved zeros for TotalCoeff > 1
-                raise H264DecodeError(
-                    "run_before (Table 9-10) not in CAVLC subset"
+        if i == tc - 1:
+            break
+        run = 0
+        if zeros_left > 0:
+            col = _RUN_BEFORE[min(zeros_left, 7)]
+            run = _read_vlc(
+                r, {c: z for z, c in enumerate(col)}, "run_before"
+            )
+            if run > zeros_left:
+                raise H264Error(
+                    f"run_before {run} > zerosLeft {zeros_left}"
                 )
-            pos -= 1
+        zeros_left -= run
+        pos -= 1 + run
     return coeffs
 
 
-def _write_residual_16(w: _BitWriter, nc: int, coeffs: "list[int]") -> None:
-    """Encoder twin of `_read_residual_16` for the fixture grammar:
-    all-±1 coefficient sets (TotalCoeff <= 3, TrailingOnes ==
-    TotalCoeff) packed at scan positions 0..TotalCoeff-1 (an offset
-    packing would need run_before codes this subset doesn't emit), or
-    one arbitrary coefficient (|level| 2..7) at any scan position."""
+def _read_residual_16(r: _BitReader, nc: int) -> "list[int]":
+    return _read_residual_block(r, nc, 16)
+
+
+def _write_levels(w: _BitWriter, levels: "list[int]", t1: int) -> None:
+    """§9.2.2 level encode, the exact mirror of `_read_levels`:
+    TrailingOnes sign bits, then level_prefix/level_suffix under the
+    same adaptive suffixLength schedule. Raises when a level needs
+    level_prefix >= 16 (beyond the lp==15 escape's 12-bit suffix) -
+    that row stays the decoder's seam too."""
+    tc = len(levels)
+    for lvl in levels[:t1]:
+        w.u(1 if lvl < 0 else 0, 1)
+    suffix_len = 1 if tc > 10 and t1 < 3 else 0
+    for i in range(t1, tc):
+        lvl = levels[i]
+        if lvl == 0:
+            raise H264Error("zero level in nonzero-coefficient list")
+        level_code = 2 * abs(lvl) - 2 if lvl > 0 else 2 * abs(lvl) - 1
+        if i == t1 and t1 < 3:
+            level_code -= 2  # the decoder adds 2 back (§9.2.2)
+        if suffix_len == 0:
+            if level_code < 14:
+                w.u(0, level_code)
+                w.u(1, 1)
+            elif level_code < 30:
+                w.u(0, 14)
+                w.u(1, 1)
+                w.u(level_code - 14, 4)
+            elif level_code < 30 + 4096:
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(level_code - 30, 12)
+            else:
+                raise H264Error(f"level {lvl} needs level_prefix >= 16")
+        else:
+            if level_code < (15 << suffix_len):
+                w.u(0, level_code >> suffix_len)
+                w.u(1, 1)
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            elif level_code < (15 << suffix_len) + 4096:
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(level_code - (15 << suffix_len), 12)
+            else:
+                raise H264Error(f"level {lvl} needs level_prefix >= 16")
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(lvl) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+
+
+def _write_residual_block(
+    w: _BitWriter, nc: int, coeffs: "list[int]", max_coeff: int
+) -> None:
+    """Encoder twin of `_read_residual_block` for the fixture grammar.
+    Levels and run_before are fully general (any magnitudes up to the
+    level_prefix<16 bound, any zero interleaving); the remaining
+    grammar bound is coeff_token: TotalCoeff <= 3 unless nC >= 8."""
     nz = [i for i, v in enumerate(coeffs) if v != 0]
     tc = len(nz)
+    if len(coeffs) != max_coeff:
+        raise H264Error(f"residual block needs {max_coeff} levels")
     if tc == 0:
         _write_coeff_token(w, nc, 0, 0)
         return
@@ -356,49 +458,58 @@ def _write_residual_16(w: _BitWriter, nc: int, coeffs: "list[int]") -> None:
     t1 = 0
     while t1 < min(3, tc) and abs(levels[t1]) == 1:
         t1 += 1
-    total_zeros = nz[-1] + 1 - tc
-    if tc > 3 or (t1 != tc and tc != 1):
-        raise H264Error("encoder subset: coefficients must be all ±1 or one level")
-    if tc > 1 and (nz != list(range(tc))):
-        raise H264Error("encoder subset: TotalCoeff > 1 must pack scan 0..tc-1")
+    # §9.2.2's first-coded-level "+2" assumes |level| >= 2 whenever a
+    # ±1 was NOT absorbed into TrailingOnes; with maximal t1 that only
+    # fails when a 4th+ ±1 follows three trailing ones - encodable,
+    # since level_code 2*1-2=0 needs no adjustment there (i > t1).
     _write_coeff_token(w, nc, t1, tc)
-    for lvl in levels[:t1]:
-        w.u(1 if lvl < 0 else 0, 1)
-    for i in range(t1, tc):  # only reachable with tc == 1, t1 == 0
-        lvl = levels[i]
-        if not 2 <= abs(lvl) <= 7:
-            raise H264Error("encoder subset: |level| must be 2..7")
-        level_code = 2 * abs(lvl) - 2 + (1 if lvl < 0 else 0) - 2
-        w.u(0, level_code)  # unary: level_code zeros ...
-        w.u(1, 1)  # ... then the terminating 1
-    if tc < 16:
-        code = _TOTAL_ZEROS_16[tc][total_zeros]
-        for b in code:
+    _write_levels(w, levels, t1)
+    total_zeros = nz[-1] + 1 - tc
+    if tc < max_coeff:
+        col = _TOTAL_ZEROS_16.get(tc)
+        if col is None:
+            raise H264Error(
+                f"encoder subset: total_zeros column TotalCoeff={tc}"
+                " not transcribed (need TC <= 3 or a full block)"
+            )
+        for b in col[total_zeros]:
             w.u(int(b), 1)
-    # run_before: zerosLeft is 0 for every packed layout and the
-    # single-coefficient case codes no runs at all
+    zeros_left = total_zeros
+    ps = list(reversed(nz))
+    for i in range(tc - 1):
+        run = ps[i] - ps[i + 1] - 1
+        if zeros_left > 0:
+            code = _RUN_BEFORE[min(zeros_left, 7)][run]
+            for b in code:
+                w.u(int(b), 1)
+        elif run:
+            raise H264Error("zero run with no zerosLeft")
+        zeros_left -= run
 
 
-def _dc_nc(mb_x: int, mb_y: int, kinds: list[list[str]]) -> int:
-    """nC for the Intra16x16DCLevel block at macroblock (mb_x, mb_y)
-    (§9.2.1): averaged from the left/top neighbouring 4x4 blocks'
-    TotalCoeff. In the supported subset every 4x4 block of a
-    macroblock has the same count - 0 for zero-residual I_16x16, 16
-    for I_PCM (the spec's explicit I_PCM rule)."""
+def _write_residual_16(w: _BitWriter, nc: int, coeffs: "list[int]") -> None:
+    _write_residual_block(w, nc, coeffs, 16)
 
-    def count(kind: str) -> int:
-        return 16 if kind == "pcm" else 0
 
-    avail_a = mb_x > 0
-    avail_b = mb_y > 0
+def _nc_at(tc_map: np.ndarray, gx: int, gy: int) -> int:
+    """§9.2.1 nC for the 4x4 luma block at absolute block coords
+    (gx, gy): averaged from the left/top neighbouring blocks' decoded
+    TotalCoeff (``tc_map``, maintained in raster order: 16 for every
+    I_PCM block per the spec's explicit rule, the AC block's own
+    TotalCoeff for coded Intra16x16AC blocks, else 0). The
+    Intra16x16DCLevel block uses luma4x4BlkIdx 0's neighbours, i.e.
+    (mb_x*4, mb_y*4). Single slice: in-picture neighbours are always
+    available."""
+    avail_a = gx > 0
+    avail_b = gy > 0
     if avail_a and avail_b:
-        na = count(kinds[mb_y][mb_x - 1])
-        nb = count(kinds[mb_y - 1][mb_x])
+        na = int(tc_map[gy, gx - 1])
+        nb = int(tc_map[gy - 1, gx])
         return (na + nb + 1) >> 1
     if avail_a:
-        return count(kinds[mb_y][mb_x - 1])
+        return int(tc_map[gy, gx - 1])
     if avail_b:
-        return count(kinds[mb_y - 1][mb_x])
+        return int(tc_map[gy - 1, gx])
     return 0
 
 
@@ -522,8 +633,8 @@ def make_i_slice_nal(
 ) -> bytes:
     """One complete coded I slice covering the whole picture.
     ``mbs[row][col]`` is ``("pcm", pattern, seed)``,
-    ``("i16", luma_mode[, chroma_mode[, dc16[, mb_qp_delta]]])`` with
-    luma_mode in 0..3 (§8.3.3 order V/H/DC/Plane), or
+    ``("i16", luma_mode[, chroma_mode[, dc16[, mb_qp_delta[, ac]]]])``
+    with luma_mode in 0..3 (§8.3.3 order V/H/DC/Plane), or
     ``("i4", modes[, chroma_mode])`` with ``modes`` a 16-list of
     §8.3.1 modes (0..8, order V/H/DC/DDL/DDR/VR/HD/VL/HU) in §6.4.3
     scan order - coded with CBP 0 (zero AC residual; per §7.3.5 I_4x4
@@ -531,11 +642,18 @@ def make_i_slice_nal(
 
     ``dc16`` (r10): 16 Intra16x16DCLevel coefficient levels in
     coding-scan (zig-zag) order - the DC residual block §7.3.5.3
-    ALWAYS codes for Intra_16x16 regardless of CBP. The encodable
-    grammar is `_write_residual_16`'s subset: all-±1 sets
-    (TotalCoeff <= 3) packed gap-free, or one |level| 2..7 anywhere.
-    ``mb_qp_delta`` feeds §8.5.10 DC scaling via the running QP
-    chain. chroma_mode in 0..2 (§8.3.4 order DC/H/V; plane stays a
+    ALWAYS codes for Intra_16x16 regardless of CBP. ``mb_qp_delta``
+    feeds §8.5.10/§8.5.12 scaling via the running QP chain.
+
+    ``ac`` (r11): None for CodedBlockPatternLuma 0 (mb_type 1..12), or
+    a dict {luma4x4BlkIdx: 15 Intra16x16ACLevel levels in coding-scan
+    order (zig-zag positions 1..15)} for CBP luma 15 (mb_type 13..24,
+    Table 7-11's +12). ALL 16 AC blocks then code (absent indices as
+    TotalCoeff 0), each against its §9.2.1 neighbour-derived nC. The
+    encodable residual grammar is `_write_residual_block`'s: arbitrary
+    levels below the level_prefix<16 bound, arbitrary zero
+    interleaving (Table 9-10), TotalCoeff <= 3 unless the block's nC
+    is >= 8. chroma_mode in 0..2 (§8.3.4 order DC/H/V; plane stays a
     decoder seam, default DC). Slice header per §7.3.3 against this
     package's SPS (poc_type 0, 8-bit frame_num, 8-bit poc lsb) and
     `_minimal_pps` (CAVLC, no deblocking-control fields,
@@ -556,6 +674,8 @@ def make_i_slice_nal(
     w.se(0)  # slice_qp_delta
     kinds = [[d[0] for d in row] for row in mbs]
     i4modes: dict[tuple[int, int], int] = {}
+    # per-4x4-block TotalCoeff, filled in raster MB order (§9.2.1 nC)
+    tc_map = np.zeros((len(mbs) * 4, len(mbs[0]) * 4), dtype=np.int16)
 
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
@@ -565,6 +685,7 @@ def make_i_slice_nal(
             if desc[0] == "pcm":
                 w.ue(25)  # mb_type I_PCM
                 w.byte_align_zero()
+                tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
                 seed = desc[2] if len(desc) > 2 else 0
                 tile = pcm_luma(desc[1], seed)
                 for v in tile.reshape(-1):
@@ -602,6 +723,7 @@ def make_i_slice_nal(
                 chroma_mode = desc[2] if len(desc) > 2 else 0
                 dc16 = desc[3] if len(desc) > 3 else [0] * 16
                 qp_delta = desc[4] if len(desc) > 4 else 0
+                ac = desc[5] if len(desc) > 5 else None
                 if not 0 <= mode <= 3:
                     raise H264Error(f"I_16x16 mode {mode}")
                 if not 0 <= chroma_mode <= 3:
@@ -610,11 +732,24 @@ def make_i_slice_nal(
                     raise H264Error("dc16 needs 16 zig-zag levels")
                 if not -26 <= qp_delta <= 25:
                     raise H264Error(f"mb_qp_delta {qp_delta} out of range")
-                # mb_type 1..4: predMode=mode, cbp_chroma=0, cbp_luma=0
-                w.ue(1 + mode)
+                # mb_type (Table 7-11): 1 + predMode + 4*cbp_chroma(=0)
+                # + 12 when CodedBlockPatternLuma is 15
+                w.ue(1 + mode + (12 if ac is not None else 0))
                 w.ue(chroma_mode)  # intra_chroma_pred_mode
                 w.se(qp_delta)  # mb_qp_delta (present for I_16x16)
-                _write_residual_16(w, _dc_nc(mb_x, mb_y, kinds), list(dc16))
+                _write_residual_block(
+                    w, _nc_at(tc_map, mb_x * 4, mb_y * 4), list(dc16), 16
+                )
+                if ac is not None:
+                    if not all(0 <= k <= 15 for k in ac):
+                        raise H264Error("ac keys must be luma4x4BlkIdx 0..15")
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                        coeffs = list(ac.get(blk_idx, [0] * 15))
+                        _write_residual_block(
+                            w, _nc_at(tc_map, gx, gy), coeffs, 15
+                        )
+                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
     nal_type = 5 if idr else 1
     return bytes([0x60 | nal_type]) + _ebsp(w.rbsp())
 
@@ -637,6 +772,97 @@ _ZIGZAG_4x4 = (
 #: §8.5.9 normAdjust4x4(m, (0,0)) for the flat weightScale 16:
 #: LevelScale4x4(m, 0, 0) = 16 * this.
 _NORM_ADJUST_00 = (10, 11, 13, 14, 16, 18)
+
+#: §8.5.9 normAdjust4x4(m, (i,j)) columns: (both-even, both-odd,
+#: mixed) position classes. Column 0 equals `_NORM_ADJUST_00`.
+_NORM_ADJUST_V = (
+    (10, 16, 13), (11, 18, 14), (13, 20, 16),
+    (14, 23, 18), (16, 25, 20), (18, 29, 23),
+)
+
+
+def _level_scale_4x4(m: int, i: int, j: int) -> int:
+    """LevelScale4x4(m, i, j) = weightScale(=16, flat) * normAdjust."""
+    v = _NORM_ADJUST_V[m]
+    if i % 2 == 0 and j % 2 == 0:
+        return 16 * v[0]
+    if i % 2 == 1 and j % 2 == 1:
+        return 16 * v[1]
+    return 16 * v[2]
+
+
+def _transform_4x4(d: "list[list[int]]") -> "list[list[int]]":
+    """§8.5.12.2 core inverse 4x4 transform (spec per-element loops -
+    the vectorized twin lives in `_sim_i16_residual`): horizontal
+    pass, vertical pass, then the (x + 32) >> 6 rounding. The >> 1 on
+    intermediates is the spec's arithmetic shift (Python floors)."""
+    e = [
+        [
+            d[i][0] + d[i][2],
+            d[i][0] - d[i][2],
+            (d[i][1] >> 1) - d[i][3],
+            d[i][1] + (d[i][3] >> 1),
+        ]
+        for i in range(4)
+    ]
+    f = [
+        [
+            e[i][0] + e[i][3],
+            e[i][1] + e[i][2],
+            e[i][1] - e[i][2],
+            e[i][0] - e[i][3],
+        ]
+        for i in range(4)
+    ]
+    g = [
+        [f[0][j] + f[2][j] for j in range(4)],
+        [f[0][j] - f[2][j] for j in range(4)],
+        [(f[1][j] >> 1) - f[3][j] for j in range(4)],
+        [f[1][j] + (f[3][j] >> 1) for j in range(4)],
+    ]
+    h = [
+        [g[0][j] + g[3][j] for j in range(4)],
+        [g[1][j] + g[2][j] for j in range(4)],
+        [g[1][j] - g[2][j] for j in range(4)],
+        [g[0][j] - g[3][j] for j in range(4)],
+    ]
+    return [[(h[i][j] + 32) >> 6 for j in range(4)] for i in range(4)]
+
+
+def _add_i16_residual(
+    plane: np.ndarray,
+    mb_x: int,
+    mb_y: int,
+    dc_scaled: "list[list[int]]",
+    ac_blocks: "list[list[int]]",
+    qp: int,
+) -> None:
+    """§8.5.12 full residual for an Intra_16x16 MB with CBP luma 15:
+    per 4x4 block, d[0][0] substitutes the §8.5.10-scaled DC, the 15
+    AC levels dequantise per §8.5.12.1 (flat weightScale 16, both
+    rounding regimes), and the §8.5.12.2 transform adds to the
+    prediction, clipped to 8 bits."""
+    m, e = qp % 6, qp // 6
+    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+        d = [[0] * 4 for _ in range(4)]
+        d[0][0] = dc_scaled[sy][sx]
+        for k, lvl in enumerate(ac_blocks[blk_idx]):
+            if lvl == 0:
+                continue
+            i, j = _ZIGZAG_4x4[k + 1]
+            ls = _level_scale_4x4(m, i, j)
+            if qp >= 24:
+                d[i][j] = (lvl * ls) << (e - 4)
+            else:
+                d[i][j] = (lvl * ls + (1 << (3 - e))) >> (4 - e)
+        res = _transform_4x4(d)
+        y0, x0 = mb_y * 16 + 4 * sy, mb_x * 16 + 4 * sx
+        blk = plane[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64) + np.array(
+            res, dtype=np.int64
+        )
+        plane[y0 : y0 + 4, x0 : x0 + 4] = np.clip(blk, 0, 255).astype(
+            np.uint8
+        )
 
 
 def _luma_dc_dequant(coeffs: "list[int]", qp: int) -> "list[list[int]]":
@@ -996,6 +1222,10 @@ def decode_i_slice(
     cr = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     kinds: list[list[str]] = [["?"] * mb_w for _ in range(mb_h)]
     i4modes: dict[tuple[int, int], int] = {}
+    # per-4x4-block TotalCoeff in raster decode order (§9.2.1 nC):
+    # 16 for I_PCM blocks, the AC TotalCoeff for coded Intra16x16AC
+    # blocks, 0 otherwise (the DC block's count never enters the map)
+    tc_map = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int16)
 
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
@@ -1021,6 +1251,7 @@ def decode_i_slice(
                         mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
                     ] = ctile
                 kinds[mb_y][mb_x] = "pcm"
+                tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
                 n_pcm += 1
             elif mb_type == 0:  # I_NxN -> I_4x4 (no 8x8 transform)
                 # mark the MB kind BEFORE reading block modes: the
@@ -1060,16 +1291,35 @@ def decode_i_slice(
                 pred_mode = (mb_type - 1) % 4
                 cbp_chroma = ((mb_type - 1) // 4) % 3
                 cbp_luma = 15 if mb_type > 12 else 0
-                if cbp_chroma or cbp_luma:
+                if cbp_chroma:
                     raise H264DecodeError(
-                        "coded residual blocks not supported (CBP != 0)"
+                        "chroma residual blocks not supported"
+                        " (CBP chroma != 0)"
                     )
                 chroma_mode = r.ue()  # intra_chroma_pred_mode
                 qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
                 kinds[mb_y][mb_x] = "i16"
-                dc_levels = _read_residual_16(r, _dc_nc(mb_x, mb_y, kinds))
+                dc_levels = _read_residual_block(
+                    r, _nc_at(tc_map, mb_x * 4, mb_y * 4), 16
+                )
+                ac_blocks: list[list[int]] = []
+                if cbp_luma:
+                    # §7.3.5.3.3: all 16 Intra16x16ACLevel blocks, in
+                    # §6.4.3 scan order, each with maxNumCoeff 15
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                        coeffs = _read_residual_block(
+                            r, _nc_at(tc_map, gx, gy), 15
+                        )
+                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                        ac_blocks.append(coeffs)
                 _predict_i16(plane, mb_x, mb_y, pred_mode)
-                if any(dc_levels):
+                if cbp_luma:
+                    _add_i16_residual(
+                        plane, mb_x, mb_y,
+                        _luma_dc_dequant(dc_levels, qp_y), ac_blocks, qp_y,
+                    )
+                elif any(dc_levels):
                     _add_dc_residual(
                         plane, mb_x, mb_y, _luma_dc_dequant(dc_levels, qp_y)
                     )
@@ -1201,11 +1451,11 @@ def _sim_i4_block(
     return np.where(z <= -2, fp[3 + xg], out)
 
 
-def _sim_dc_residual(dc16: "list[int]", qp: int) -> np.ndarray:
-    """Vectorized numpy twin of §8.5.10 + §8.5.12.2 (the bit-level
-    decoder mirrors the spec's per-element loops in
-    `_luma_dc_dequant`): zig-zag levels -> 16x16 luma residual array
-    for one Intra_16x16 macroblock with zero AC."""
+def _sim_dc_scaled(dc16: "list[int]", qp: int) -> np.ndarray:
+    """Vectorized numpy twin of §8.5.10 (the bit-level decoder mirrors
+    the spec's per-element loops in `_luma_dc_dequant`): zig-zag
+    levels -> the 4x4 array of scaled DC values, dcY[i][j] for the
+    luma 4x4 block at raster (row i, col j)."""
     c = np.zeros((4, 4), dtype=np.int64)
     rows = np.array([i for i, _ in _ZIGZAG_4x4])
     cols = np.array([j for _, j in _ZIGZAG_4x4])
@@ -1218,10 +1468,53 @@ def _sim_dc_residual(dc16: "list[int]", qp: int) -> np.ndarray:
     ls = 16 * _NORM_ADJUST_00[qp % 6]
     e = qp // 6
     if qp >= 36:
-        dc = (f * ls) << (e - 6)
-    else:
-        dc = (f * ls + (1 << (5 - e))) >> (6 - e)
+        return (f * ls) << (e - 6)
+    return (f * ls + (1 << (5 - e))) >> (6 - e)
+
+
+def _sim_dc_residual(dc16: "list[int]", qp: int) -> np.ndarray:
+    """§8.5.12.2 with all-zero AC collapses to a per-block constant:
+    16x16 luma residual array for one CBP-0 Intra_16x16 macroblock."""
+    dc = _sim_dc_scaled(dc16, qp)
     return np.kron((dc + 32) >> 6, np.ones((4, 4), dtype=np.int64))
+
+
+def _sim_i16_residual(dc16: "list[int]", ac: dict, qp: int) -> np.ndarray:
+    """Vectorized numpy twin of §8.5.12 for CBP luma 15: per-4x4-block
+    dequant (using the COLLAPSED flat-matrix identity d = c *
+    normAdjust << qp//6, vs the decoder's branchy spec formulas - the
+    twins agree only if both transcriptions are right) + the core
+    inverse transform -> the 16x16 residual array."""
+    na = np.empty((4, 4), dtype=np.int64)
+    v = _NORM_ADJUST_V[qp % 6]
+    for i in range(4):
+        for j in range(4):
+            na[i, j] = v[0] if i % 2 == 0 and j % 2 == 0 else (
+                v[1] if i % 2 == 1 and j % 2 == 1 else v[2]
+            )
+    d = np.zeros((16, 4, 4), dtype=np.int64)
+    rows = np.array([i for i, _ in _ZIGZAG_4x4[1:]])
+    cols = np.array([j for _, j in _ZIGZAG_4x4[1:]])
+    for blk_idx, levels in (ac or {}).items():
+        d[blk_idx, rows, cols] = levels
+    d = (d * na[None]) << (qp // 6)
+    dc = _sim_dc_scaled(dc16, qp)
+    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+        d[blk_idx, 0, 0] = dc[sy, sx]
+
+    def half(x: np.ndarray) -> np.ndarray:
+        # combine along the LAST axis with the spec's >> 1 floors
+        e0, e1 = x[..., 0] + x[..., 2], x[..., 0] - x[..., 2]
+        e2 = (x[..., 1] >> 1) - x[..., 3]
+        e3 = x[..., 1] + (x[..., 3] >> 1)
+        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+
+    h = np.swapaxes(half(np.swapaxes(half(d), 1, 2)), 1, 2)
+    r = (h + 32) >> 6
+    out = np.zeros((16, 16), dtype=np.int64)
+    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+        out[4 * sy : 4 * sy + 4, 4 * sx : 4 * sx + 4] = r[blk_idx]
+    return out
 
 
 def _simulate_luma(spec: dict) -> np.ndarray:
@@ -1304,7 +1597,17 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                     (a + b * (xg - 7) + c * (yg - 7) + 16) >> 5, 0, 255
                 )
             dc16 = desc[3] if len(desc) > 3 else None
-            if dc16 is not None and any(dc16):
+            ac = desc[5] if len(desc) > 5 else None
+            if ac is not None:
+                blk[:] = np.clip(
+                    blk
+                    + _sim_i16_residual(
+                        list(dc16) if dc16 is not None else [0] * 16,
+                        ac, sim_qp,
+                    ),
+                    0, 255,
+                )
+            elif dc16 is not None and any(dc16):
                 blk[:] = np.clip(
                     blk + _sim_dc_residual(list(dc16), sim_qp), 0, 255
                 )
@@ -1572,6 +1875,61 @@ def h264_frame_fixtures() -> list[dict]:
         ],
     ]
     fixtures.append({"name": "i16_dc_mixed.mp4", "w": 48, "h": 32, "mbs": mbs})
+
+    # --- Intra_16x16 AC-residual family (r11): CBP luma 15, §9.2 AC
+    # scan, Table 9-10 run_before, §8.5.12 dequant+transform ----------
+
+    def acd(*items):
+        """(blk_idx, [(scan_pos 0..14, level), ...]) pairs -> ac dict
+        for the i16 desc's 6th slot."""
+        out = {}
+        for blk_idx, pairs in items:
+            b = [0] * 15
+            for pos, lvl in pairs:
+                b[pos] = lvl
+            out[blk_idx] = b
+        return out
+
+    # low-nC grammar: singles, a gap pair (run_before zerosLeft<=6),
+    # a gap triple (three runs), a DC+AC mix, the qp<24 rounding
+    # regime via mb_qp_delta -6, and a CBP-15 MB whose AC blocks are
+    # ALL zero (mb_type 13..24 with empty residuals)
+    mbs = [
+        [
+            ("i16", 2, 0, dc((0, 1)), 0,
+             acd((0, [(0, 2)]), (5, [(3, -1), (7, 1)]))),
+            ("i16", 1, 0, [0] * 16, 0,
+             acd((2, [(1, 1), (2, -1), (9, 1)]))),
+        ],
+        [
+            ("i16", 0, 0, dc((0, 1), (1, -1)), -6,
+             acd((10, [(14, 3)]))),
+            ("i16", 2, 0, [0] * 16, 10, {}),
+        ],
+    ]
+    fixtures.append(
+        {"name": "i16_ac_residual.mp4", "w": 32, "h": 32, "mbs": mbs}
+    )
+
+    # nC>=8 FLC grammar beside I_PCM: a FULL TC=15 AC block (skips
+    # total_zeros, starts suffixLength at 1 per §9.2.2's TC>10 rule),
+    # TC>3 neighbours chaining nC 15/16, and a below-PCM nC=8 block
+    mbs = [
+        [
+            ("pcm", "rampy", 2),
+            ("i16", 2, 0, dc((0, -1)), 0,
+             acd(
+                 (0, [(i, (-1) ** i * ((i % 5) + 1)) for i in range(15)]),
+                 (1, [(0, -2), (5, 1)]),
+                 (2, [(4, 6)]),
+             )),
+        ],
+        [
+            ("i16", 0, 2, [0] * 16, 4, acd((1, [(2, -4)]))),
+            ("i16", 3, 0, [0] * 16, 0),
+        ],
+    ]
+    fixtures.append({"name": "i16_ac_nc8.mp4", "w": 32, "h": 32, "mbs": mbs})
 
     return fixtures
 

@@ -13,7 +13,7 @@ from data_pipeline_capstone_project_spark.operators.h264 import (
 )
 from data_pipeline_capstone_project_spark.operators.h264_decode import (
     H264DecodeError,
-    _dc_nc,
+    _nc_at,
     _simulate_luma,
     build_fixture_mp4,
     decode_first_i_frame,
@@ -81,18 +81,35 @@ def test_dc_left_only_hand_value():
 
 def test_nc_neighbour_rule():
     """§9.2.1: I_PCM neighbours count as TotalCoeff=16; averaged with
-    round-up when both sides exist."""
-    kinds = [
-        ["pcm", "i16", "pcm"],
-        ["i16", "i16", "i16"],
-        ["pcm", "pcm", "i16"],
-    ]
-    assert _dc_nc(0, 0, kinds) == 0  # no neighbours
-    assert _dc_nc(1, 0, kinds) == 16  # left PCM only
-    assert _dc_nc(0, 1, kinds) == 16  # top PCM only
-    assert _dc_nc(1, 1, kinds) == (0 + 0 + 1) >> 1  # both i16 -> 0
-    assert _dc_nc(2, 1, kinds) == (0 + 16 + 1) >> 1  # left i16, top pcm -> 8
-    assert _dc_nc(2, 2, kinds) == (16 + 0 + 1) >> 1  # left pcm, top i16 -> 8
+    round-up when both sides exist. tc_map is in 4x4-block units, so
+    MB (mx,my)'s DC block reads (mx*4, my*4)."""
+    tc = np.zeros((12, 12), dtype=np.int16)
+    for my, row in enumerate(
+        [["pcm", "i16", "pcm"], ["i16", "i16", "i16"], ["pcm", "pcm", "i16"]]
+    ):
+        for mx, kind in enumerate(row):
+            if kind == "pcm":
+                tc[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+    assert _nc_at(tc, 0, 0) == 0  # no neighbours
+    assert _nc_at(tc, 4, 0) == 16  # left PCM only
+    assert _nc_at(tc, 0, 4) == 16  # top PCM only
+    assert _nc_at(tc, 4, 4) == (0 + 0 + 1) >> 1  # both i16 -> 0
+    assert _nc_at(tc, 8, 4) == (0 + 16 + 1) >> 1  # left i16, top pcm -> 8
+    assert _nc_at(tc, 8, 8) == (16 + 0 + 1) >> 1  # left pcm, top i16 -> 8
+
+
+def test_nc_per_block_from_decoded_totalcoeff():
+    """§9.2.1 at 4x4 grain: a coded AC block's TotalCoeff feeds its
+    right and below neighbours' nC (tc_map indexed [gy, gx])."""
+    tc = np.zeros((8, 8), dtype=np.int16)
+    tc[0, 0] = 3  # block (x=0, y=0): TC 3
+    assert _nc_at(tc, 1, 0) == 3  # right neighbour: left=3, no top
+    assert _nc_at(tc, 0, 1) == 3  # below neighbour: top=3, no left
+    assert _nc_at(tc, 1, 1) == 0  # diagonal: left (0,1)=0, top (1,0)=0
+    tc[1, 0] = 3  # block (x=0, y=1)
+    tc[0, 1] = 1  # block (x=1, y=0)
+    # (1,1): left is (0,1) -> tc[1,0]=3, top is (1,0) -> tc[0,1]=1
+    assert _nc_at(tc, 1, 1) == (3 + 1 + 1) >> 1
 
 
 def test_emulation_prevention_actually_fires():
@@ -159,14 +176,15 @@ def test_unsupported_seams_raise_decode_error():
     with pytest.raises(H264DecodeError, match="non-I"):
         decode_first_i_frame(payload)
 
-    # I_16x16 with coded residual blocks (cbp_luma=15 -> mb_type > 12)
+    # I_16x16 with coded CHROMA residual blocks (cbp_chroma=1 ->
+    # mb_type 5; luma CBP 15 decodes for real since r11)
     w = _BitWriter()
     w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
     w.se(0)
-    w.ue(13)  # predMode 0, cbp_luma 15
+    w.ue(5)  # predMode 0, cbp_chroma 1, cbp_luma 0
     nal = bytes([0x65]) + _ebsp(w.rbsp())
     payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
-    with pytest.raises(H264DecodeError, match="CBP"):
+    with pytest.raises(H264DecodeError, match="CBP chroma"):
         decode_first_i_frame(payload)
 
 
@@ -566,13 +584,137 @@ def test_cavlc_roundtrip_all_encodable_blocks():
             assert r.u(1) == 1, (nc, b)
 
 
+def test_cavlc_roundtrip_general_grammar():
+    """r11 grammar widening: interleaved zeros (Table 9-10 run_before,
+    every zerosLeft column incl. the >6 formulaic tail), large levels
+    through the adaptive suffixLength schedule and both escape rows,
+    and maxNumCoeff 15 — write/read must be inverse bijections with
+    no bit over/under-consumption."""
+    import random
+
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+    )
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _read_residual_block,
+        _write_residual_block,
+    )
+
+    rng = random.Random(0xAC11)
+    cases = []
+    # hand-picked: gap layouts at every zerosLeft column
+    for max_coeff in (15, 16):
+        for gap in range(1, 15):
+            b = [0] * max_coeff
+            b[0] = 1
+            hi = min(max_coeff - 1, 1 + gap)
+            b[hi] = -1
+            cases.append((max_coeff, b))
+        # three ±1s maximally spread (runs through the >6 column)
+        b = [0] * max_coeff
+        b[0], b[max_coeff // 2], b[max_coeff - 1] = 1, -1, 1
+        cases.append((max_coeff, b))
+        # big levels: suffixLength growth + the lp=14/15 escapes
+        for lvl in (8, -30, 100, -1000, 2000):
+            b = [0] * max_coeff
+            b[rng.randrange(max_coeff)] = lvl
+            cases.append((max_coeff, b))
+        # a FULL block (TotalCoeff == maxNumCoeff skips total_zeros;
+        # nC>=8 FLC carries TC up to 16) with mixed magnitudes
+        b = [(-1) ** i * (1 + i % 5) for i in range(max_coeff)]
+        cases.append((max_coeff, b))
+    # random sparse blocks, TC <= 3 (encodable at nC < 2 too)
+    for _ in range(300):
+        max_coeff = rng.choice((15, 16))
+        b = [0] * max_coeff
+        for pos in rng.sample(range(max_coeff), rng.randint(1, 3)):
+            b[pos] = rng.choice(
+                (1, -1, 2, -2, 7, -9, 31, -64, 500, -2047)
+            )
+        cases.append((max_coeff, b))
+    for max_coeff, b in cases:
+        tc = sum(1 for v in b if v)
+        for nc in ((0, 1, 8, 16) if tc <= 3 else (8, 16)):
+            w = _BitWriter()
+            _write_residual_block(w, nc, b, max_coeff)
+            w.u(1, 1)  # stop bit: the reader must not over-consume
+            r = _BitReader(w.rbsp())
+            assert _read_residual_block(r, nc, max_coeff) == b, (nc, b)
+            assert r.u(1) == 1, (nc, b)
+
+
+def test_ac_residual_hand_arithmetic():
+    """§8.5.12 pinned by hand, independent of BOTH twins. A lone
+    I_16x16 DC-mode MB (pred flat 128) at qp 26 (m=2, e=4) with one
+    AC level +2 at zig-zag position 1 = (row 0, col 1) of block 0:
+
+      LevelScale(2, 0, 1) = 16 * normAdjust(2, mixed) = 16*16 = 256
+      d[0][1] = (2*256) << (4-4) = 512
+      horizontal: f row0 = [512, 256, -256, -512]; vertical copies
+      row0 into all rows -> r = [(512+32)>>6, (256+32)>>6,
+      (-256+32)>>6, (-512+32)>>6] = [8, 4, -4, -8] per row
+      -> block 0 columns = 136, 132, 124, 120; rest of MB stays 128.
+    """
+    ac = {0: [2] + [0] * 14}
+    spec = {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [0] * 16, 0, ac)]]}
+    got = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
+    assert got[0, 0] == 136 and got[3, 0] == 136
+    assert got[0, 1] == 132
+    assert got[0, 2] == 124
+    assert got[0, 3] == 120
+    assert (got[:, 4:] == 128).all()
+    assert (got[4:, :4] == 128).all()
+    assert np.array_equal(got, _simulate_luma(spec))
+
+
+def test_ac_low_qp_rounding_regime():
+    """qp < 24 exercises §8.5.12.1's rounding-add branch (the decoder
+    codes it; the simulator uses the collapsed flat-matrix identity -
+    agreement IS the check), and the DC substitution still applies."""
+    ac = {5: [0, 0, 1, 0, -1] + [0] * 10}
+    dc16 = [1, -1] + [0] * 14
+    spec = {
+        "w": 32, "h": 16,
+        "mbs": [[("i16", 2, 0, dc16, -16, ac), ("i16", 1, 0)]],
+    }
+    got = decode_first_i_frame(build_fixture_mp4(spec))
+    assert np.array_equal(got["luma"], _simulate_luma(spec))
+
+
+def test_ac_neighbour_nc_chain_roundtrip():
+    """AC TotalCoeff feeds the NEXT block's nC (in-MB and cross-MB):
+    a two-MB row where the first MB's right-column blocks carry TC=3,
+    pushing the second MB's left-column AC blocks to nC=2..3 - which
+    forces them to TotalCoeff 0 in the encodable grammar - plus a PCM
+    MB above forcing the nC>=8 FLC on the top row."""
+    ac_a = {
+        1: [1, -1, 1] + [0] * 12,  # blk (1,0)
+        5: [1, 1, -1] + [0] * 12,  # blk (3,0): right column
+        13: [-1] + [0] * 14,       # blk (3,1)
+    }
+    ac_b = {
+        2: [0, 2] + [0] * 13,      # blk (0,1): left col, nC from A's (3,1)=1 -> (1+?); in-MB top
+        12: [1, 1] + [0] * 13,     # blk (2,2)
+    }
+    mbs = [
+        [("pcm", "grad", 7), ("i16", 2, 0, [0] * 16, 0, {})],
+        [("i16", 2, 0, [1] + [0] * 15, 0, ac_a), ("i16", 1, 2, [0] * 16, 0, ac_b)],
+    ]
+    spec = {"w": 32, "h": 32, "mbs": mbs}
+    got = decode_first_i_frame(build_fixture_mp4(spec))
+    assert np.array_equal(got["luma"], _simulate_luma(spec))
+
+
 def test_cavlc_seams_raise():
     """Codes outside the transcribed subset raise the honest seam, and
     never mis-decode: (a) TotalCoeff=4 via the nC>=8 FLC hits the
-    missing total_zeros column; (b) TotalCoeff=2 with interleaved
-    zeros hits the run_before seam; (c) an unknown 0<=nC<2 coeff_token
-    codeword fails the prefix match."""
+    missing total_zeros column; (b) level_prefix >= 16 is beyond the
+    lp==15 escape; (c) an unknown 0<=nC<2 coeff_token codeword fails
+    the prefix match. A corrupt run_before that overruns zerosLeft is
+    a stream error (d), not a seam."""
     from data_pipeline_capstone_project_spark.operators.h264 import (
+        H264Error,
         _BitReader,
         _BitWriter,
     )
@@ -591,16 +733,12 @@ def test_cavlc_seams_raise():
     with pytest.raises(H264DecodeError, match="total_zeros column"):
         _read_residual_16(_BitReader(w.rbsp()), 8)
 
-    # (b) tc=2 all-±1 with total_zeros=1 -> zerosLeft>0 at the first
-    # run_before read
+    # (b) FLC (tc=1, t1=0): level_prefix of 16 zeros then the marker
     w = _BitWriter()
-    w.u(((2 - 1) << 2) | 2, 6)  # FLC (t1=2, tc=2)
-    w.u(0, 1)
-    w.u(0, 1)  # two positive trailing-one signs
-    for bit in "110":  # total_zeros=1, TotalCoeff=2 column
-        w.u(int(bit), 1)
+    w.u(0, 6)  # FLC code 0 -> (tc=1, t1=0)
+    w.u(0, 16)
     w.u(1, 1)
-    with pytest.raises(H264DecodeError, match="run_before"):
+    with pytest.raises(H264DecodeError, match="level_prefix"):
         _read_residual_16(_BitReader(w.rbsp()), 8)
 
     # (c) 0<=nC<2: '0000100' is no transcribed codeword and no prefix
@@ -610,6 +748,22 @@ def test_cavlc_seams_raise():
         w.u(int(bit), 1)
     with pytest.raises(H264DecodeError, match="coeff_token"):
         _read_residual_16(_BitReader(w.rbsp()), 0)
+
+    # (d) corrupt-stream guard: maxNumCoeff=15 with tc=1 and
+    # total_zeros=15 (legal bits in the shared TotalCoeff=1 column,
+    # impossible for an AC block) -> stream error, not a seam
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _read_residual_block,
+    )
+
+    w = _BitWriter()
+    w.u(0, 6)  # FLC (tc=1, t1=0)
+    w.u(0, 1)
+    w.u(1, 1)  # level_prefix 1 -> level +2... (level_code 1+? ) sign
+    for bit in "000000001":  # total_zeros=15 (TotalCoeff=1 column)
+        w.u(int(bit), 1)
+    with pytest.raises(H264Error, match="overruns maxNumCoeff"):
+        _read_residual_block(_BitReader(w.rbsp()), 8, 15)
 
 
 def test_vlc_tables_structurally_sound():
@@ -628,15 +782,49 @@ def test_vlc_tables_structurally_sound():
 
 def test_random_residual_grids_roundtrip():
     """Hypothesis sweep over legal grids where I_16x16 MBs carry
-    random encodable DC residuals and mb_qp_delta walks the running-QP
-    chain: decode must equal the independent simulator bit-exactly."""
+    random encodable DC residuals, mb_qp_delta walks the running-QP
+    chain, and (r11) a random subset carries CBP-15 AC residuals on a
+    checkerboard of 4x4 blocks - the parity rule keeps every coded
+    block's neighbour TotalCoeffs in {0, 16}, so nC always lands in
+    the encodable nC<2 / nC>=8 coeff_token columns. Decode must equal
+    the independent simulator bit-exactly."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from data_pipeline_capstone_project_spark.operators.h264_decode import (
         PCM_PATTERNS,
+        _I4_SCAN,
         _simulate_chroma,
     )
+
+    @st.composite
+    def ac_dicts(draw):
+        if draw(st.booleans()):
+            return None  # CBP luma 0 (mb_type 1..12)
+        ac = {}
+        for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+            if (sx + sy) % 2:
+                continue  # checkerboard: keep neighbour nC encodable
+            shape = draw(st.sampled_from(["zero", "zero", "single", "multi"]))
+            if shape == "zero":
+                continue
+            b = [0] * 15
+            if shape == "single":
+                b[draw(st.integers(0, 14))] = draw(
+                    st.sampled_from([1, -1, 2, -3, 9, -20, 150])
+                )
+            else:
+                n = draw(st.integers(2, 3))
+                positions = draw(
+                    st.lists(
+                        st.integers(0, 14), min_size=n, max_size=n,
+                        unique=True,
+                    )
+                )
+                for pos in positions:
+                    b[pos] = draw(st.sampled_from([1, -1, 4, -7, 33]))
+            ac[blk_idx] = b
+        return ac or None
 
     @st.composite
     def dc_blocks(draw):
@@ -681,6 +869,7 @@ def test_random_residual_grids_roundtrip():
                         draw(st.sampled_from(chroma_ok)),
                         draw(dc_blocks()),
                         draw(st.integers(-10, 12)),
+                        draw(ac_dicts()),
                     )
                 )
             rows.append(row)
