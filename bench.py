@@ -61,11 +61,23 @@ def main() -> None:
     # a judge can see whether the gate actually held.
     quiet_load = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.5"))
     quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+    # r11: ALSO gate on the 5-minute average. The r10 artifact was
+    # recorded with 1-min 1.30 (gate held) but 5-min 6.52 / 15-min
+    # 14.6 - the measured pass started on a box still shedding a
+    # heavy predecessor job (page cache, memory pressure), and the
+    # staging-I/O-sensitive entries (streaming_late_data 3x,
+    # bigram_lm_score 3x, leakage_safe_split 1.8x) paid for it while
+    # per-query spreads stayed tight. A 5-min bound catches the
+    # "recently hammered" state the 1-min average forgives.
+    quiet_load5 = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD5", "3.0"))
     waited = 0.0
-    while os.getloadavg()[0] >= quiet_load and waited < quiet_wait:
+    while (
+        os.getloadavg()[0] >= quiet_load or os.getloadavg()[1] >= quiet_load5
+    ) and waited < quiet_wait:
         print(
-            f"quiet-gate: loadavg {os.getloadavg()[0]:.2f} >= "
-            f"{quiet_load}, waiting ({waited:.0f}s)",
+            f"quiet-gate: loadavg {os.getloadavg()[0]:.2f}/"
+            f"{os.getloadavg()[1]:.2f} (1m>={quiet_load} or "
+            f"5m>={quiet_load5}), waiting ({waited:.0f}s)",
             file=sys.stderr,
         )
         time.sleep(10.0)
@@ -267,6 +279,7 @@ def main() -> None:
                 "loadavg_end": os.getloadavg(),
                 "quiet_gate": {
                     "threshold": quiet_load,
+                    "threshold_5min": quiet_load5,
                     "waited_sec": waited,
                 },
                 "whole_run_retry": whole_run_retry,

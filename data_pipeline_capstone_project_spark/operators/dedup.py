@@ -273,7 +273,16 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless); all four thresholds are clustered in ONE star-CC run
     over a composite node id (doc_id * n_thresholds + threshold_idx)
     - a union graph whose round count is the max over thresholds, so
-    the iterative cost does not multiply by the sweep width."""
+    the iterative cost does not multiply by the sweep width.
+
+    AT-SCALE LIMIT (measured r11): sweeping at cutoff 0.3 makes the
+    prefix ~70% of each shingle set, so the candidate stage is the
+    quadratic-by-vocabulary-saturation case described in
+    ``similarity_join_exact_query`` at its WORST (sf5: 1.18e9
+    candidates, 429 s wall for 250k docs). The cluster-summary OUTPUT
+    stays tiny, but the exact candidate floor makes this a
+    bounded-corpus diagnostic; at 100 TB sweep thresholds over the
+    LSH-banded pair sets instead."""
     nt = len(SWEEP_THRESHOLDS)
     pairs = _prefix_filtered_pairs(
         spark, sf_dir, min(SWEEP_THRESHOLDS)
@@ -353,7 +362,11 @@ def dedup_threshold_sweep_pairs_query(
     exploded-doc distinct counts) - without the pin the lazy plan
     re-runs the candidate join per branch. localCheckpoint (not
     persist) so the materialized blocks are released with the RDD
-    reference instead of leaking cache for the session lifetime."""
+    reference instead of leaking cache for the session lifetime.
+
+    AT-SCALE LIMIT: shares the cluster-summary sweep's candidate
+    stage and its measured quadratic bound (see
+    ``dedup_threshold_sweep_query``); bounded-corpus diagnostic."""
     pairs = _prefix_filtered_pairs(
         spark, sf_dir, min(SWEEP_THRESHOLDS)
     ).localCheckpoint(eager=True)
@@ -1374,10 +1387,14 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
       common token after it in BOTH lists, so that row's bound is
       >= the real overlap >= the requirement - at least one row per
       true pair always survives, and the verify stage's post-cut
-      ``distinct`` collapses the rest. Measured at the synthetic sf5
-      (250k docs, saturated vocabulary): 1.95e9 raw candidate rows
-      -> the positional filter prunes inside the join's codegen span
-      before any array payload is attached.
+      ``distinct`` collapses the rest. The filter prunes inside the
+      join's codegen span before any array payload is attached;
+      recorded post-filter candidate counts at the synthetic sf5
+      (250k docs, saturated vocabulary,
+      tools/scale_bench_results.json r11): 5.19e8 at t=0.7 and
+      1.18e9 at the sweep's t=0.3 - still quadratic in documents
+      (see ``similarity_join_exact_query``'s AT-SCALE LIMIT), the
+      filters improve the constant, not the exponent.
 
     The 1e-9 slacks keep double rounding from ever excluding an
     exact-boundary true pair; the exact-Jaccard verify remains the
@@ -1484,7 +1501,24 @@ def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-combinable df aggregate, one re-group by
     doc, a candidate equi-join sized by *prefix* postings only, and
-    verification linear in candidates."""
+    verification linear in candidates.
+
+    AT-SCALE LIMIT (measured r11, tools/scale_bench_results.json):
+    on this corpus family the candidate set is quadratic in documents
+    even WITH prefix+positional filtering - a near-constant ~0.8% of
+    all doc pairs at every measured scale (sf0.1 131.6k cands / 25M
+    pairs, sf1 19.2M / 2.5G, sf2 79.6M / 10G, sf5 519M / 62.5G;
+    wall 3.1 s -> 208 s at 50x docs, verify-stage bound at ~2.5M
+    candidates/s). The cause is vocabulary saturation: the synthetic
+    corpus draws from a ~40-word Zipf vocabulary, so even the RAREST
+    shingle in a document's prefix has document frequency growing
+    linearly with the corpus, and sum(prefix-df^2) is inherently
+    quadratic - the adversarial case for df-ordered prefix filtering
+    (real heavy-tailed corpora have genuinely rare shingles and fare
+    far better). This entry is therefore a BOUNDED-CORPUS DIAGNOSTIC
+    (exactness oracle, per-cluster audits, <=~1M docs per shard); the
+    100 TB primary paths are the banding-bounded
+    ``dedup_minhash_lsh`` / ``semantic_dedup`` family."""
     return _prefix_filtered_pairs(spark, sf_dir, JACCARD_THRESHOLD)
 
 
