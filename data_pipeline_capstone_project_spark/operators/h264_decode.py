@@ -51,13 +51,19 @@ SUPPORTED (decoded bit-exactly):
   weightScale 16, both the qP>=24 shift and the qP<24 rounding-add
   regimes), and the §8.5.12.2 core inverse 4x4 transform with the
   Hadamard-scaled DC substituted at d[0][0] - bit-exactly against
-  the independent simulator.
+  the independent simulator;
+* NONZERO chroma residuals / CBP chroma 1 and 2 (r11 sixth pass):
+  the COMPLETE Table 9-5 nC=-1 ChromaDCLevel coeff_token column
+  (Kraft-sum-1-validated) and Table 9-9(a) total_zeros, the §8.5.11
+  2x2 inverse Hadamard + ((f*LS)<<e)>>5 scaling, Table 8-15 qPy->qPc
+  mapping, and per-component ChromaACLevel blocks with their own
+  §9.2.1 nC maps - reconstruction through the same §8.5.12 core
+  transform on the Cb/Cr planes.
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
 wrong pixels: P/B slices, I_8x8 (needs transform_size_8x8_flag PPS
-plumbing), chroma residuals (CBP chroma != 0: Table 9-9 chroma-DC
-total_zeros + §8.5.11), I_4x4 luma residuals (CBP != 0 for I_NxN),
+plumbing), I_4x4 luma residuals (CBP != 0 for I_NxN),
 coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
 columns beyond TotalCoeff 3 (the untranscribed VLC rows CANNOT be
 externally cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so
@@ -193,6 +199,35 @@ _TOTAL_ZEROS_16 = {
 }
 
 
+#: Table 9-5, nC == -1 column (ChromaDCLevel, 4:2:0 / ChromaArrayType
+#: 1, §9.2.1): keyed (TrailingOnes, TotalCoeff). A COMPLETE prefix
+#: code - the import-time Kraft check below asserts sum == 1 exactly,
+#: which a mis-transcribed entry cannot survive.
+_COEFF_TOKEN_CDC = {
+    (0, 0): "01",
+    (0, 1): "000111",
+    (1, 1): "1",
+    (0, 2): "000100",
+    (1, 2): "000110",
+    (2, 2): "001",
+    (0, 3): "000011",
+    (1, 3): "0000011",
+    (2, 3): "0000010",
+    (3, 3): "000101",
+    (0, 4): "000010",
+    (1, 4): "00000011",
+    (2, 4): "00000010",
+    (3, 4): "0000000",
+}
+
+#: Table 9-9(a) total_zeros for chroma DC (maxNumCoeff 4): tuple
+#: index = total_zeros, keyed by TotalCoeff. Truncated unary.
+_TOTAL_ZEROS_CDC = {
+    1: ("1", "01", "001", "000"),
+    2: ("1", "01", "00"),
+    3: ("1", "0"),
+}
+
 #: Table 9-10 run_before: column key = min(zerosLeft, 7) (the spec's
 #: ">6" column), tuple index = run_before value. The >6 column's runs
 #: 7..14 are the formulaic (run-4) zeros + '1' tail.
@@ -228,6 +263,15 @@ for _tc, _col in _TOTAL_ZEROS_16.items():
     _assert_prefix_free(list(_col), f"total_zeros TotalCoeff={_tc}")
 for _zl, _col in _RUN_BEFORE.items():
     _assert_prefix_free(list(_col), f"run_before zerosLeft={_zl}")
+_assert_prefix_free(list(_COEFF_TOKEN_CDC.values()), "coeff_token nC=-1")
+if abs(sum(2.0 ** -len(c) for c in _COEFF_TOKEN_CDC.values()) - 1.0) > 1e-12:
+    raise AssertionError("coeff_token nC=-1 must be a COMPLETE code")
+for _tc, _col in _TOTAL_ZEROS_CDC.items():
+    _assert_prefix_free(list(_col), f"chroma-DC total_zeros TC={_tc}")
+    if abs(sum(2.0 ** -len(c) for c in _col) - 1.0) > 1e-12:
+        raise AssertionError("Table 9-9(a) columns are complete codes")
+
+_COEFF_TOKEN_CDC_DEC = {v: k for k, v in _COEFF_TOKEN_CDC.items()}
 
 #: decode map: codeword -> (TrailingOnes, TotalCoeff), plus the
 #: TotalCoeff=0 row's '1'
@@ -250,6 +294,13 @@ def _read_vlc(r: _BitReader, table: "dict[str, object]", what: str):
 
 def _write_coeff_token(w: _BitWriter, nc: int, t1: int, tc: int) -> None:
     """Encoder-side coeff_token for the supported nC columns."""
+    if nc == -1:  # ChromaDCLevel, 4:2:0 (§9.2.1)
+        code = _COEFF_TOKEN_CDC.get((t1, tc))
+        if code is None:
+            raise H264Error(f"chroma-DC coeff_token ({t1},{tc}) invalid")
+        for b in code:
+            w.u(int(b), 1)
+        return
     if tc == 0:
         for lo, hi, bits, length in _COEFF_TOKEN_00:
             if lo <= nc < hi:
@@ -276,6 +327,8 @@ def _read_coeff_token(r: _BitReader, nc: int) -> tuple[int, int]:
     """coeff_token -> (TrailingOnes, TotalCoeff). Supported columns
     decode fully; elsewhere only the TotalCoeff=0 code is known and
     any other bit pattern is the seam."""
+    if nc == -1:  # ChromaDCLevel, 4:2:0: a complete code, no seam
+        return _read_vlc(r, _COEFF_TOKEN_CDC_DEC, "chroma-DC coeff_token")
     if nc >= 8:
         code = r.u(6)
         if code == 3:
@@ -353,7 +406,8 @@ def _read_residual_block(
         raise H264Error(f"TotalCoeff {tc} > maxNumCoeff {max_coeff}")
     levels = _read_levels(r, tc, t1)
     if tc < max_coeff:
-        col = _TOTAL_ZEROS_16.get(tc)
+        table = _TOTAL_ZEROS_CDC if max_coeff == 4 else _TOTAL_ZEROS_16
+        col = table.get(tc)
         if col is None:
             raise H264DecodeError(
                 f"total_zeros column TotalCoeff={tc} not in CAVLC subset"
@@ -466,7 +520,8 @@ def _write_residual_block(
     _write_levels(w, levels, t1)
     total_zeros = nz[-1] + 1 - tc
     if tc < max_coeff:
-        col = _TOTAL_ZEROS_16.get(tc)
+        table = _TOTAL_ZEROS_CDC if max_coeff == 4 else _TOTAL_ZEROS_16
+        col = table.get(tc)
         if col is None:
             raise H264Error(
                 f"encoder subset: total_zeros column TotalCoeff={tc}"
@@ -653,7 +708,17 @@ def make_i_slice_nal(
     encodable residual grammar is `_write_residual_block`'s: arbitrary
     levels below the level_prefix<16 bound, arbitrary zero
     interleaving (Table 9-10), TotalCoeff <= 3 unless the block's nC
-    is >= 8. chroma_mode in 0..2 (§8.3.4 order DC/H/V; plane stays a
+    is >= 8.
+
+    ``cres`` (r11, desc slot 7): None for CodedBlockPatternChroma 0,
+    ``(1, cb_dc4, cr_dc4)`` for DC-only chroma residual, or
+    ``(2, cb_dc4, cr_dc4, cb_ac, cr_ac)`` with each ``*_dc4`` the four
+    ChromaDCLevel coefficients in 2x2 raster order and each ``*_ac`` a
+    dict {chroma4x4BlkIdx 0..3: 15 ChromaACLevel levels} (Table 7-11's
+    +4 per CBP chroma step; chroma-DC coeff_token is the complete
+    nC=-1 column, so any 0..4-coefficient DC block encodes).
+
+    chroma_mode in 0..2 (§8.3.4 order DC/H/V; plane stays a
     decoder seam, default DC). Slice header per §7.3.3 against this
     package's SPS (poc_type 0, 8-bit frame_num, 8-bit poc lsb) and
     `_minimal_pps` (CAVLC, no deblocking-control fields,
@@ -676,6 +741,10 @@ def make_i_slice_nal(
     i4modes: dict[tuple[int, int], int] = {}
     # per-4x4-block TotalCoeff, filled in raster MB order (§9.2.1 nC)
     tc_map = np.zeros((len(mbs) * 4, len(mbs[0]) * 4), dtype=np.int16)
+    ctc = [
+        np.zeros((len(mbs) * 2, len(mbs[0]) * 2), dtype=np.int16),
+        np.zeros((len(mbs) * 2, len(mbs[0]) * 2), dtype=np.int16),
+    ]
 
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
@@ -686,6 +755,8 @@ def make_i_slice_nal(
                 w.ue(25)  # mb_type I_PCM
                 w.byte_align_zero()
                 tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
+                for t in ctc:
+                    t[mb_y * 2 : mb_y * 2 + 2, mb_x * 2 : mb_x * 2 + 2] = 16
                 seed = desc[2] if len(desc) > 2 else 0
                 tile = pcm_luma(desc[1], seed)
                 for v in tile.reshape(-1):
@@ -724,6 +795,7 @@ def make_i_slice_nal(
                 dc16 = desc[3] if len(desc) > 3 else [0] * 16
                 qp_delta = desc[4] if len(desc) > 4 else 0
                 ac = desc[5] if len(desc) > 5 else None
+                cres = desc[6] if len(desc) > 6 else None
                 if not 0 <= mode <= 3:
                     raise H264Error(f"I_16x16 mode {mode}")
                 if not 0 <= chroma_mode <= 3:
@@ -732,9 +804,12 @@ def make_i_slice_nal(
                     raise H264Error("dc16 needs 16 zig-zag levels")
                 if not -26 <= qp_delta <= 25:
                     raise H264Error(f"mb_qp_delta {qp_delta} out of range")
-                # mb_type (Table 7-11): 1 + predMode + 4*cbp_chroma(=0)
+                cbp_c = cres[0] if cres is not None else 0
+                if cbp_c not in (0, 1, 2):
+                    raise H264Error(f"CBP chroma {cbp_c} invalid")
+                # mb_type (Table 7-11): 1 + predMode + 4*cbp_chroma
                 # + 12 when CodedBlockPatternLuma is 15
-                w.ue(1 + mode + (12 if ac is not None else 0))
+                w.ue(1 + mode + 4 * cbp_c + (12 if ac is not None else 0))
                 w.ue(chroma_mode)  # intra_chroma_pred_mode
                 w.se(qp_delta)  # mb_qp_delta (present for I_16x16)
                 _write_residual_block(
@@ -750,6 +825,28 @@ def make_i_slice_nal(
                             w, _nc_at(tc_map, gx, gy), coeffs, 15
                         )
                         tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                if cbp_c:
+                    for dc4 in (cres[1], cres[2]):  # Cb then Cr DC
+                        if len(dc4) != 4:
+                            raise H264Error("chroma DC needs 4 levels")
+                        _write_residual_block(w, -1, list(dc4), 4)
+                    if cbp_c == 2:
+                        for comp, cacd in ((0, cres[3]), (1, cres[4])):
+                            if not all(0 <= k <= 3 for k in cacd):
+                                raise H264Error(
+                                    "chroma ac keys must be 0..3"
+                                )
+                            for blk in range(4):
+                                gx = mb_x * 2 + blk % 2
+                                gy = mb_y * 2 + blk // 2
+                                coeffs = list(cacd.get(blk, [0] * 15))
+                                _write_residual_block(
+                                    w, _nc_at(ctc[comp], gx, gy),
+                                    coeffs, 15,
+                                )
+                                ctc[comp][gy, gx] = sum(
+                                    1 for v in coeffs if v
+                                )
     nal_type = 5 if idr else 1
     return bytes([0x60 | nal_type]) + _ebsp(w.rbsp())
 
@@ -908,6 +1005,72 @@ def _add_dc_residual(
             plane[y0 : y0 + 4, x0 : x0 + 4] = np.clip(blk, 0, 255).astype(
                 np.uint8
             )
+
+
+#: Table 8-15: qPi -> QPc for qPi >= 30 (identity below 30; chroma
+#: qp offset is 0 in `_minimal_pps`).
+_QPC_TABLE = (
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36,
+    37, 37, 37, 38, 38, 38, 39, 39, 39, 39,
+)
+
+
+def _chroma_qp(qp_y: int) -> int:
+    return qp_y if qp_y < 30 else _QPC_TABLE[qp_y - 30]
+
+
+def _chroma_dc_dequant(coeffs: "list[int]", qpc: int) -> "list[list[int]]":
+    """§8.5.11 (4:2:0) chroma DC: the four ChromaDCLevel coefficients
+    in raster order -> 2x2 inverse Hadamard -> qPc scaling. Returns
+    dcC[i][j] for the chroma 4x4 block at raster (row i, col j)."""
+    c00, c01, c10, c11 = coeffs
+    f = [
+        [c00 + c01 + c10 + c11, c00 - c01 + c10 - c11],
+        [c00 + c01 - c10 - c11, c00 - c01 - c10 + c11],
+    ]
+    ls = 16 * _NORM_ADJUST_00[qpc % 6]
+    e = qpc // 6
+    return [
+        [((f[i][j] * ls) << e) >> 5 for j in range(2)] for i in range(2)
+    ]
+
+
+def _add_chroma_residual(
+    plane: np.ndarray,
+    mb_x: int,
+    mb_y: int,
+    dc_scaled: "list[list[int]]",
+    ac_blocks: "list[list[int]] | None",
+    qpc: int,
+) -> None:
+    """§8.5.12 residual for one 8x8 chroma component of an Intra_16x16
+    MB with CBP chroma >= 1: per 4x4 block (raster order), d[0][0]
+    substitutes the §8.5.11-scaled DC, the 15 AC levels (CBP chroma 2)
+    dequantise at qPc, and the core transform adds to the chroma
+    prediction."""
+    m, e = qpc % 6, qpc // 6
+    for blk in range(4):
+        bx, by = blk % 2, blk // 2
+        d = [[0] * 4 for _ in range(4)]
+        d[0][0] = dc_scaled[by][bx]
+        if ac_blocks is not None:
+            for k, lvl in enumerate(ac_blocks[blk]):
+                if lvl == 0:
+                    continue
+                i, j = _ZIGZAG_4x4[k + 1]
+                ls = _level_scale_4x4(m, i, j)
+                if qpc >= 24:
+                    d[i][j] = (lvl * ls) << (e - 4)
+                else:
+                    d[i][j] = (lvl * ls + (1 << (3 - e))) >> (4 - e)
+        res = _transform_4x4(d)
+        y0, x0 = mb_y * 8 + 4 * by, mb_x * 8 + 4 * bx
+        blkpx = plane[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64) + np.array(
+            res, dtype=np.int64
+        )
+        plane[y0 : y0 + 4, x0 : x0 + 4] = np.clip(blkpx, 0, 255).astype(
+            np.uint8
+        )
 
 
 def _predict_i16(
@@ -1226,6 +1389,11 @@ def decode_i_slice(
     # 16 for I_PCM blocks, the AC TotalCoeff for coded Intra16x16AC
     # blocks, 0 otherwise (the DC block's count never enters the map)
     tc_map = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int16)
+    # chroma AC nC maps, one per component (2x2 4x4-blocks per MB)
+    ctc = [
+        np.zeros((mb_h * 2, mb_w * 2), dtype=np.int16),
+        np.zeros((mb_h * 2, mb_w * 2), dtype=np.int16),
+    ]
 
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
@@ -1252,6 +1420,8 @@ def decode_i_slice(
                     ] = ctile
                 kinds[mb_y][mb_x] = "pcm"
                 tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
+                for t in ctc:
+                    t[mb_y * 2 : mb_y * 2 + 2, mb_x * 2 : mb_x * 2 + 2] = 16
                 n_pcm += 1
             elif mb_type == 0:  # I_NxN -> I_4x4 (no 8x8 transform)
                 # mark the MB kind BEFORE reading block modes: the
@@ -1291,11 +1461,6 @@ def decode_i_slice(
                 pred_mode = (mb_type - 1) % 4
                 cbp_chroma = ((mb_type - 1) // 4) % 3
                 cbp_luma = 15 if mb_type > 12 else 0
-                if cbp_chroma:
-                    raise H264DecodeError(
-                        "chroma residual blocks not supported"
-                        " (CBP chroma != 0)"
-                    )
                 chroma_mode = r.ue()  # intra_chroma_pred_mode
                 qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
                 kinds[mb_y][mb_x] = "i16"
@@ -1313,6 +1478,31 @@ def decode_i_slice(
                         )
                         tc_map[gy, gx] = sum(1 for v in coeffs if v)
                         ac_blocks.append(coeffs)
+                cdc: list[list[int]] = []
+                cac: list[list[list[int]] | None] = [None, None]
+                if cbp_chroma:
+                    # §7.3.5.3.3: ChromaDCLevel for Cb then Cr (nC=-1,
+                    # maxNumCoeff 4), then - CBP chroma 2 only - the
+                    # four ChromaACLevel blocks per component in
+                    # raster order (maxNumCoeff 15, §9.2.1 nC from
+                    # the component's own chroma block grid)
+                    cdc = [
+                        _read_residual_block(r, -1, 4) for _ in range(2)
+                    ]
+                    if cbp_chroma == 2:
+                        for comp in range(2):
+                            blocks = []
+                            for blk in range(4):
+                                gx = mb_x * 2 + blk % 2
+                                gy = mb_y * 2 + blk // 2
+                                coeffs = _read_residual_block(
+                                    r, _nc_at(ctc[comp], gx, gy), 15
+                                )
+                                ctc[comp][gy, gx] = sum(
+                                    1 for v in coeffs if v
+                                )
+                                blocks.append(coeffs)
+                            cac[comp] = blocks
                 _predict_i16(plane, mb_x, mb_y, pred_mode)
                 if cbp_luma:
                     _add_i16_residual(
@@ -1325,6 +1515,14 @@ def decode_i_slice(
                     )
                 _predict_chroma(cb, mb_x, mb_y, chroma_mode)
                 _predict_chroma(cr, mb_x, mb_y, chroma_mode)
+                if cbp_chroma:
+                    qpc = _chroma_qp(qp_y)
+                    for comp, cplane in ((0, cb), (1, cr)):
+                        _add_chroma_residual(
+                            cplane, mb_x, mb_y,
+                            _chroma_dc_dequant(cdc[comp], qpc),
+                            cac[comp], qpc,
+                        )
                 n_i16 += 1
             else:
                 raise H264Error(f"I-slice mb_type {mb_type} > 25")
@@ -1616,12 +1814,54 @@ def _simulate_luma(spec: dict) -> np.ndarray:
     return plane[:h, :w].astype(np.uint8)
 
 
+def _sim_chroma_residual(dc4: "list[int]", ac, qpc: int) -> np.ndarray:
+    """Vectorized numpy twin of §8.5.11 + §8.5.12 for one 8x8 chroma
+    component: 2x2 Hadamard + ((f*LS) << e) >> 5 DC scaling, collapsed
+    flat-matrix AC dequant, core transform -> 8x8 residual array."""
+    h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    c = np.array(dc4, dtype=np.int64).reshape(2, 2)
+    f = h2 @ c @ h2
+    dc = ((f * (16 * _NORM_ADJUST_00[qpc % 6])) << (qpc // 6)) >> 5
+    v = _NORM_ADJUST_V[qpc % 6]
+    na = np.empty((4, 4), dtype=np.int64)
+    for i in range(4):
+        for j in range(4):
+            na[i, j] = v[0] if i % 2 == 0 and j % 2 == 0 else (
+                v[1] if i % 2 == 1 and j % 2 == 1 else v[2]
+            )
+    d = np.zeros((4, 4, 4), dtype=np.int64)
+    rows = np.array([i for i, _ in _ZIGZAG_4x4[1:]])
+    cols = np.array([j for _, j in _ZIGZAG_4x4[1:]])
+    for blk, levels in (ac or {}).items():
+        d[blk, rows, cols] = levels
+    d = (d * na[None]) << (qpc // 6)
+    for blk in range(4):
+        d[blk, 0, 0] = dc[blk // 2, blk % 2]
+
+    def half(x: np.ndarray) -> np.ndarray:
+        e0, e1 = x[..., 0] + x[..., 2], x[..., 0] - x[..., 2]
+        e2 = (x[..., 1] >> 1) - x[..., 3]
+        e3 = x[..., 1] + (x[..., 3] >> 1)
+        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+
+    hh = np.swapaxes(half(np.swapaxes(half(d), 1, 2)), 1, 2)
+    r = (hh + 32) >> 6
+    out = np.zeros((8, 8), dtype=np.int64)
+    for blk in range(4):
+        bx, by = blk % 2, blk // 2
+        out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = r[blk]
+    return out
+
+
 def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
     """Vectorized numpy twin of §8.3.4 (DC per 4x4 sub-block with
     corner-source preferences, H/V copies) over the fixture SPEC -
-    one 8x8-per-MB chroma plane (0 = Cb, 1 = Cr), cropped."""
+    one 8x8-per-MB chroma plane (0 = Cb, 1 = Cr), cropped. r11:
+    tracks the running QP chain and adds the §8.5.11/§8.5.12 chroma
+    residual for descs carrying a ``cres`` slot."""
     mbs = spec["mbs"]
     mb_h, mb_w = len(mbs), len(mbs[0])
+    sim_qp = 26
     plane = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64)
     for my, row in enumerate(mbs):
         for mx, desc in enumerate(row):
@@ -1632,6 +1872,10 @@ def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
                     desc[1], desc[2] if len(desc) > 2 else 0, plane_idx
                 )
                 continue
+            if desc[0] == "i16":
+                sim_qp = (
+                    sim_qp + (desc[4] if len(desc) > 4 else 0) + 52
+                ) % 52
             cmode = desc[2] if len(desc) > 2 else 0
             top = plane[y0 - 1, x0 : x0 + 8] if my > 0 else None
             left = plane[y0 : y0 + 8, x0 - 1] if mx > 0 else None
@@ -1674,6 +1918,19 @@ def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
                                 else 128
                             )
                         blk[yo : yo + 4, xo : xo + 4] = dc
+            cres = (
+                desc[6] if desc[0] == "i16" and len(desc) > 6 else None
+            )
+            if cres is not None:
+                qpc = _chroma_qp(sim_qp)
+                dc4 = cres[1] if plane_idx == 0 else cres[2]
+                cacd = None
+                if cres[0] == 2:
+                    cacd = cres[3] if plane_idx == 0 else cres[4]
+                blk[:] = np.clip(
+                    blk + _sim_chroma_residual(list(dc4), cacd, qpc),
+                    0, 255,
+                )
     h, w = spec["h"] // 2, spec["w"] // 2
     return plane[:h, :w].astype(np.uint8)
 
@@ -1930,6 +2187,37 @@ def h264_frame_fixtures() -> list[dict]:
         ],
     ]
     fixtures.append({"name": "i16_ac_nc8.mp4", "w": 32, "h": 32, "mbs": mbs})
+
+    # --- chroma-residual family (r11): CBP chroma 1 and 2, §8.5.11
+    # 2x2 Hadamard DC, Table 9-9(a) total_zeros, nC=-1 coeff_token,
+    # chroma AC with per-component nC maps, Table 8-15 qPc bend ------
+    mbs = [
+        [
+            ("pcm", "grad", 3),
+            # CBP chroma 2 beside I_PCM: blk0's nC=16 FLC (TC>3
+            # encodable), blk3 in-MB nC=0
+            ("i16", 2, 0, dc((1, 1)), 0, None,
+             (2, [1, -1, 0, 0], [0, 0, 0, 2],
+              {0: [5, 1, -1] + [0] * 12, 3: [0, 0, 1] + [0] * 12},
+              {})),
+        ],
+        [
+            # DC-only chroma residual at qp 40 -> qPc 36 (the Table
+            # 8-15 bend + the <<e>>5 scaling at e=6); all-zero Cb DC
+            # exercises the nC=-1 TotalCoeff=0 codeword '01'
+            ("i16", 0, 2, [0] * 16, 14, None,
+             (1, [0, 0, 0, 0], [1, 0, 0, -1])),
+            # qp walks back to 20 (the qPc<24 AC rounding regime);
+            # Cb DC is FULL (TC=4 skips total_zeros); luma AC rides
+            # along so all three residual families stack in one MB
+            ("i16", 3, 1, dc((0, -2)), -20, {2: [1, -1] + [0] * 13},
+             (2, [1, 1, 1, 1], [2, 0, -1, 0],
+              {1: [1] + [0] * 14}, {})),
+        ],
+    ]
+    fixtures.append(
+        {"name": "i16_chroma_residual.mp4", "w": 32, "h": 32, "mbs": mbs}
+    )
 
     return fixtures
 

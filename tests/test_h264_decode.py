@@ -176,15 +176,20 @@ def test_unsupported_seams_raise_decode_error():
     with pytest.raises(H264DecodeError, match="non-I"):
         decode_first_i_frame(payload)
 
-    # I_16x16 with coded CHROMA residual blocks (cbp_chroma=1 ->
-    # mb_type 5; luma CBP 15 decodes for real since r11)
+    # chroma PLANE prediction (intra_chroma_pred_mode 3) - the one
+    # §8.3.4 mode still outside the subset (luma AND chroma CBP now
+    # decode for real since r11, so a lone MB's mode-3 read is the
+    # first seam hit)
     w = _BitWriter()
     w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
     w.se(0)
-    w.ue(5)  # predMode 0, cbp_chroma 1, cbp_luma 0
+    w.ue(3)  # I_16x16 predMode 2 (DC), cbp 0
+    w.ue(3)  # intra_chroma_pred_mode Plane
+    w.se(0)  # mb_qp_delta
+    w.u(1, 1)  # DC coeff_token TotalCoeff=0 (lone MB: nC=0 -> '1')
     nal = bytes([0x65]) + _ebsp(w.rbsp())
     payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
-    with pytest.raises(H264DecodeError, match="CBP chroma"):
+    with pytest.raises(H264DecodeError, match="plane prediction"):
         decode_first_i_frame(payload)
 
 
@@ -706,6 +711,107 @@ def test_ac_neighbour_nc_chain_roundtrip():
     assert np.array_equal(got["luma"], _simulate_luma(spec))
 
 
+def test_chroma_dc_hand_arithmetic():
+    """§8.5.11 pinned by hand, independent of BOTH twins. A lone
+    I_16x16 DC-mode MB (chroma pred flat 128) at qp 26 (qPc 26, m=2,
+    e=4, LS = 16*13 = 208) with Cb DC coefficients [2,0,0,0]:
+
+      2x2 Hadamard of [[2,0],[0,0]] -> f = 2 everywhere
+      dcC = ((2*208) << 4) >> 5 = 208 per block
+      r = (208+32) >> 6 = 3 -> every Cb sample 131; Cr [ -1,1,0,0 ]
+      -> f = [[0,-2],[0,-2]] -> dcC column 0 = 0, column 1 =
+      ((-2*208)<<4)>>5 = -208 -> r = (-208+32)>>6 = -3 (floor) ->
+      right half 125, left half 128.
+    """
+    cres = (1, [2, 0, 0, 0], [-1, 1, 0, 0])
+    spec = {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [0] * 16, 0, None, cres)]]}
+    got = decode_first_i_frame(build_fixture_mp4(spec))
+    assert (got["cb"] == 131).all()
+    assert (got["cr"][:, :4] == 128).all()
+    assert (got["cr"][:, 4:] == 125).all()
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _simulate_chroma,
+    )
+
+    assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
+    assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+
+
+def test_chroma_qp_table_8_15():
+    """Table 8-15 pinned at the bend points."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _chroma_qp,
+    )
+
+    assert _chroma_qp(0) == 0
+    assert _chroma_qp(29) == 29
+    assert _chroma_qp(30) == 29
+    assert _chroma_qp(37) == 34
+    assert _chroma_qp(43) == 37
+    assert _chroma_qp(51) == 39
+
+
+def test_chroma_dc_cavlc_roundtrip_complete():
+    """The nC=-1 column is a COMPLETE code: every (T1, TC) pair and
+    every chroma-DC coefficient layout (all 3^4 - with |level|<=2 -
+    plus larger singles) must round-trip bit-exactly with maxNumCoeff
+    4 and Table 9-9(a) total_zeros."""
+    from itertools import product
+
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+    )
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _read_residual_block,
+        _write_residual_block,
+    )
+
+    blocks = [list(b) for b in product((0, 1, -1, 2), repeat=4)]
+    for pos in range(4):
+        for lvl in (7, -30, 500):
+            b = [0] * 4
+            b[pos] = lvl
+            blocks.append(b)
+    for b in blocks:
+        w = _BitWriter()
+        _write_residual_block(w, -1, b, 4)
+        w.u(1, 1)
+        r = _BitReader(w.rbsp())
+        assert _read_residual_block(r, -1, 4) == b, b
+        assert r.u(1) == 1, b
+
+
+def test_chroma_ac_nc_chain_roundtrip():
+    """Chroma AC nC derives from the component's own 2x2-per-MB block
+    grid: PCM neighbours force the nC>=8 FLC, in-MB TotalCoeff feeds
+    the next block - a grid mixing CBP chroma 0/1/2 decodes
+    bit-exactly on all planes."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _simulate_chroma,
+    )
+
+    mbs = [
+        [
+            ("pcm", "rampx"),
+            ("i16", 2, 0, [0] * 16, 0, None,
+             (2, [1, 0, 0, 0], [0, 0, 0, -1],
+              {0: [4, -1, 1] + [0] * 12, 3: [0, 1] + [0] * 13},
+              {2: [-2] + [0] * 14})),
+        ],
+        [
+            ("i16", 0, 2, [0] * 16, 4, None, (1, [2, -2, 2, -2], [0] * 4)),
+            ("i16", 1, 1, [1] + [0] * 15, -10, None,
+             (2, [0, 1, 0, 0], [1, 1, 1, 1], {}, {0: [0, 0, 3] + [0] * 12})),
+        ],
+    ]
+    spec = {"w": 32, "h": 32, "mbs": mbs}
+    got = decode_first_i_frame(build_fixture_mp4(spec))
+    assert np.array_equal(got["luma"], _simulate_luma(spec))
+    assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
+    assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+
+
 def test_cavlc_seams_raise():
     """Codes outside the transcribed subset raise the honest seam, and
     never mis-decode: (a) TotalCoeff=4 via the nC>=8 FLC hits the
@@ -827,6 +933,35 @@ def test_random_residual_grids_roundtrip():
         return ac or None
 
     @st.composite
+    def chroma_res(draw):
+        if draw(st.booleans()):
+            return None  # CBP chroma 0
+        dcs = []
+        for _ in range(2):
+            # the nC=-1 column is complete: any TC 0..4 encodes
+            dcs.append(
+                [draw(st.sampled_from([0, 0, 1, -1, 2, -9]))
+                 for _ in range(4)]
+            )
+        if draw(st.booleans()):
+            return (1, dcs[0], dcs[1])
+        acs = []
+        for _ in range(2):
+            d = {}
+            for blk in (0, 3):  # checkerboard of the 2x2 chroma grid
+                if draw(st.booleans()):
+                    continue
+                b = [0] * 15
+                for pos in draw(
+                    st.lists(st.integers(0, 14), min_size=1, max_size=3,
+                             unique=True)
+                ):
+                    b[pos] = draw(st.sampled_from([1, -1, 2, -5, 40]))
+                d[blk] = b
+            acs.append(d)
+        return (2, dcs[0], dcs[1], acs[0], acs[1])
+
+    @st.composite
     def dc_blocks(draw):
         shape = draw(st.sampled_from(["zero", "single", "pair", "triple"]))
         if shape == "zero":
@@ -870,6 +1005,7 @@ def test_random_residual_grids_roundtrip():
                         draw(dc_blocks()),
                         draw(st.integers(-10, 12)),
                         draw(ac_dicts()),
+                        draw(chroma_res()),
                     )
                 )
             rows.append(row)
