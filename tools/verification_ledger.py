@@ -100,10 +100,13 @@ def main() -> None:
         "Entries added after the round-3 window was fixed rotate into",
         "the gate window next round.",
         "",
-        "## Multi-executor evidence (round 9; VERDICT r8 item 1)",
+        "## Multi-executor evidence (first run round 9, VERDICT r8",
+        "item 1; the `mx` column above is from THIS regeneration's",
+        "fresh local-cluster sweep)",
         "",
         "Every prior correctness/bench signal was single-JVM `local[32]`.",
-        "Round 9 re-ran the FULL registry oracle sweep (sf0.01) and the",
+        "Round 9 (and each ledger regeneration since) re-ran the FULL",
+        "registry oracle sweep (sf0.01) and the",
         "complete streaming pytest suite under",
         "`SPARK_GRAFT_MASTER=local-cluster[2,16,8192]` - two separate",
         "executor JVM processes (16 cores / 8 GiB each) with real",
