@@ -58,12 +58,20 @@ SUPPORTED (decoded bit-exactly):
   2x2 inverse Hadamard + ((f*LS)<<e)>>5 scaling, Table 8-15 qPy->qPc
   mapping, and per-component ChromaACLevel blocks with their own
   §9.2.1 nC maps - reconstruction through the same §8.5.12 core
-  transform on the Cb/Cr planes.
+  transform on the Cb/Cr planes;
+* I_4x4 CODED residuals (r11 seventh pass) for the transcribed
+  Table 9-4 intra me(v) subset codeNums {0,1,2,3} <-> cbp
+  {47,31,15,0} (luma all-or-nothing + any chroma CBP - the same
+  granularity Intra_16x16 gets from mb_type): LumaLevel4x4 blocks
+  (maxNumCoeff 16, no DC substitution), the cbp>0 mb_qp_delta, and
+  the per-block predict-then-reconstruct ordering §8.3.1 requires
+  (each block's residual lands BEFORE the next block predicts from
+  its samples).
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
 wrong pixels: P/B slices, I_8x8 (needs transform_size_8x8_flag PPS
-plumbing), I_4x4 luma residuals (CBP != 0 for I_NxN),
+plumbing), the 44 partial-luma Table 9-4 intra codeNums,
 coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
 columns beyond TotalCoeff 3 (the untranscribed VLC rows CANNOT be
 externally cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so
@@ -583,6 +591,16 @@ I4_MODE_NAMES = ("V", "H", "DC", "DDL", "DDR", "VR", "HD", "VL", "HU")
 #: the only value the zero-residual subset writes/accepts.
 _CBP_ZERO_CODENUM = 3
 
+#: Table 9-4 (intra) me(v) TRANSCRIBED SUBSET (r11): the table's head
+#: entries, cbp <-> codeNum. cbp = CodedBlockPatternLuma +
+#: 16 * CodedBlockPatternChroma; the subset covers luma
+#: all-or-nothing (0 / 15) with any chroma CBP - the same
+#: granularity Intra_16x16 gets from its mb_type. The remaining 44
+#: codeNums (partial luma patterns) stay a decode seam rather than
+#: gamble an unverifiable transcription (module docstring policy).
+_CBP_INTRA_CODENUM = {0: 3, 15: 2, 31: 1, 47: 0}
+_CBP_INTRA_DECODE = {v: k for k, v in _CBP_INTRA_CODENUM.items()}
+
 
 def _i4_pred_mode(
     bx: int, by: int, kind_at, i4modes: dict
@@ -690,10 +708,16 @@ def make_i_slice_nal(
     ``mbs[row][col]`` is ``("pcm", pattern, seed)``,
     ``("i16", luma_mode[, chroma_mode[, dc16[, mb_qp_delta[, ac]]]])``
     with luma_mode in 0..3 (§8.3.3 order V/H/DC/Plane), or
-    ``("i4", modes[, chroma_mode])`` with ``modes`` a 16-list of
-    §8.3.1 modes (0..8, order V/H/DC/DDL/DDR/VR/HD/VL/HU) in §6.4.3
-    scan order - coded with CBP 0 (zero AC residual; per §7.3.5 I_4x4
-    then carries NO mb_qp_delta and NO residual syntax at all).
+    ``("i4", modes[, chroma_mode[, lres[, mb_qp_delta[, cres]]]])``
+    with ``modes`` a 16-list of §8.3.1 modes (0..8, order
+    V/H/DC/DDL/DDR/VR/HD/VL/HU) in §6.4.3 scan order. ``lres`` (r11)
+    is None for CBP luma 0 or a dict {luma4x4BlkIdx: 16 LumaLevel4x4
+    levels in zig-zag order - position 0 is a REGULAR coefficient,
+    no DC substitution} for CBP luma 15; ``cres`` follows the i16
+    grammar below but REQUIRES ``lres`` (the transcribed Table 9-4
+    subset covers codeNums {0,1,2,3} <-> cbp {47,31,15,0} only - luma
+    all-or-nothing with any chroma CBP). With CBP 0 the desc carries
+    NO mb_qp_delta and NO residual syntax at all (§7.3.5).
 
     ``dc16`` (r10): 16 Intra16x16DCLevel coefficient levels in
     coding-scan (zig-zag) order - the DC residual block §7.3.5.3
@@ -768,10 +792,24 @@ def make_i_slice_nal(
             elif desc[0] == "i4":
                 modes = desc[1]
                 chroma_mode = desc[2] if len(desc) > 2 else 0
+                lres = desc[3] if len(desc) > 3 else None
+                qp_delta = desc[4] if len(desc) > 4 else 0
+                cres = desc[5] if len(desc) > 5 else None
                 if len(modes) != 16:
                     raise H264Error("I_4x4 needs 16 block modes")
                 if not 0 <= chroma_mode <= 3:
                     raise H264Error(f"chroma mode {chroma_mode}")
+                if cres is not None and lres is None:
+                    raise H264Error(
+                        "I_4x4 chroma residual needs the luma residual"
+                        " too (Table 9-4 subset: cbp 16/32 codeNums"
+                        " untranscribed)"
+                    )
+                cbp = (15 if lres is not None else 0) + 16 * (
+                    cres[0] if cres is not None else 0
+                )
+                if cbp == 0 and qp_delta:
+                    raise H264Error("I_4x4 CBP 0 carries no mb_qp_delta")
                 w.ue(0)  # mb_type I_NxN (transform_8x8 off -> I_4x4)
                 for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
                     bx, by = mb_x * 4 + sx, mb_y * 4 + sy
@@ -785,10 +823,22 @@ def make_i_slice_nal(
                         w.u(mode if mode < pred else mode - 1, 3)
                     i4modes[(bx, by)] = mode
                 w.ue(chroma_mode)  # intra_chroma_pred_mode
-                # coded_block_pattern me(v), Table 9-4 intra: cbp 0
-                # <-> codeNum 3. CBP 0 + I_4x4 -> no mb_qp_delta, no
-                # residual syntax (§7.3.5).
-                w.ue(_CBP_ZERO_CODENUM)
+                # coded_block_pattern me(v), Table 9-4 intra subset
+                w.ue(_CBP_INTRA_CODENUM[cbp])
+                if cbp:
+                    w.se(qp_delta)  # mb_qp_delta (§7.3.5: cbp > 0)
+                if lres is not None:
+                    if not all(0 <= k <= 15 for k in lres):
+                        raise H264Error("lres keys must be 0..15")
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                        coeffs = list(lres.get(blk_idx, [0] * 16))
+                        _write_residual_block(
+                            w, _nc_at(tc_map, gx, gy), coeffs, 16
+                        )
+                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                if cres is not None:
+                    _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
             else:
                 mode = desc[1]
                 chroma_mode = desc[2] if len(desc) > 2 else 0
@@ -826,27 +876,7 @@ def make_i_slice_nal(
                         )
                         tc_map[gy, gx] = sum(1 for v in coeffs if v)
                 if cbp_c:
-                    for dc4 in (cres[1], cres[2]):  # Cb then Cr DC
-                        if len(dc4) != 4:
-                            raise H264Error("chroma DC needs 4 levels")
-                        _write_residual_block(w, -1, list(dc4), 4)
-                    if cbp_c == 2:
-                        for comp, cacd in ((0, cres[3]), (1, cres[4])):
-                            if not all(0 <= k <= 3 for k in cacd):
-                                raise H264Error(
-                                    "chroma ac keys must be 0..3"
-                                )
-                            for blk in range(4):
-                                gx = mb_x * 2 + blk % 2
-                                gy = mb_y * 2 + blk // 2
-                                coeffs = list(cacd.get(blk, [0] * 15))
-                                _write_residual_block(
-                                    w, _nc_at(ctc[comp], gx, gy),
-                                    coeffs, 15,
-                                )
-                                ctc[comp][gy, gx] = sum(
-                                    1 for v in coeffs if v
-                                )
+                    _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
     nal_type = 5 if idr else 1
     return bytes([0x60 | nal_type]) + _ebsp(w.rbsp())
 
@@ -1073,6 +1103,34 @@ def _add_chroma_residual(
         )
 
 
+def _add_i4_residual(
+    plane: np.ndarray, bx: int, by: int, coeffs: "list[int]", qp: int
+) -> None:
+    """§8.5.12 residual for one LumaLevel4x4 block of an I_4x4 MB:
+    all 16 coefficients (zig-zag order, position 0 included - no DC
+    substitution) dequantise per §8.5.12.1 and the core transform
+    adds to the just-predicted block. MUST run before the next block
+    in §6.4.3 scan order predicts: intra 4x4 prediction reads
+    RECONSTRUCTED neighbour samples."""
+    m, e = qp % 6, qp // 6
+    d = [[0] * 4 for _ in range(4)]
+    for k, lvl in enumerate(coeffs):
+        if lvl == 0:
+            continue
+        i, j = _ZIGZAG_4x4[k]
+        ls = _level_scale_4x4(m, i, j)
+        if qp >= 24:
+            d[i][j] = (lvl * ls) << (e - 4)
+        else:
+            d[i][j] = (lvl * ls + (1 << (3 - e))) >> (4 - e)
+    res = _transform_4x4(d)
+    y0, x0 = by * 4, bx * 4
+    blk = plane[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64) + np.array(
+        res, dtype=np.int64
+    )
+    plane[y0 : y0 + 4, x0 : x0 + 4] = np.clip(blk, 0, 255).astype(np.uint8)
+
+
 def _predict_i16(
     plane: np.ndarray, mb_x: int, mb_y: int, mode: int
 ) -> None:
@@ -1138,6 +1196,55 @@ def _predict_i16(
                 plane[y0 + y, x0 + x] = _clip1(
                     (a + b * (x - 7) + c * (y - 7) + 16) >> 5
                 )
+
+
+def _read_chroma_residual(
+    r: _BitReader, ctc, mb_x: int, mb_y: int, cbp_chroma: int
+) -> tuple:
+    """§7.3.5.3.3 chroma residual syntax shared by the Intra_16x16
+    and I_4x4 branches: ChromaDCLevel for Cb then Cr (nC=-1,
+    maxNumCoeff 4), then - CBP chroma 2 only - four ChromaACLevel
+    blocks per component (raster order, maxNumCoeff 15, nC from the
+    component's own chroma block grid, which this updates)."""
+    cdc = [_read_residual_block(r, -1, 4) for _ in range(2)]
+    cac: list = [None, None]
+    if cbp_chroma == 2:
+        for comp in range(2):
+            blocks = []
+            for blk in range(4):
+                gx = mb_x * 2 + blk % 2
+                gy = mb_y * 2 + blk // 2
+                coeffs = _read_residual_block(
+                    r, _nc_at(ctc[comp], gx, gy), 15
+                )
+                ctc[comp][gy, gx] = sum(1 for v in coeffs if v)
+                blocks.append(coeffs)
+            cac[comp] = blocks
+    return cdc, cac
+
+
+def _write_chroma_residual(
+    w: _BitWriter, ctc, mb_x: int, mb_y: int, cres: tuple
+) -> None:
+    """Encoder twin of `_read_chroma_residual` over the desc-grammar
+    ``cres`` tuple (see `make_i_slice_nal`)."""
+    cbp_c = cres[0]
+    for dc4 in (cres[1], cres[2]):  # Cb then Cr DC
+        if len(dc4) != 4:
+            raise H264Error("chroma DC needs 4 levels")
+        _write_residual_block(w, -1, list(dc4), 4)
+    if cbp_c == 2:
+        for comp, cacd in ((0, cres[3]), (1, cres[4])):
+            if not all(0 <= k <= 3 for k in cacd):
+                raise H264Error("chroma ac keys must be 0..3")
+            for blk in range(4):
+                gx = mb_x * 2 + blk % 2
+                gy = mb_y * 2 + blk // 2
+                coeffs = list(cacd.get(blk, [0] * 15))
+                _write_residual_block(
+                    w, _nc_at(ctc[comp], gx, gy), coeffs, 15
+                )
+                ctc[comp][gy, gx] = sum(1 for v in coeffs if v)
 
 
 def _predict_i4(
@@ -1440,22 +1547,58 @@ def decode_i_slice(
                     i4modes[(bx, by)] = mode
                     modes.append(mode)
                 chroma_mode = r.ue()  # intra_chroma_pred_mode
-                # coded_block_pattern me(v), Table 9-4 intra: only
-                # codeNum 3 (cbp 0) is in the zero-residual subset;
-                # every other codeNum maps to a nonzero CBP
-                if r.ue() != _CBP_ZERO_CODENUM:
+                # coded_block_pattern me(v), Table 9-4 intra subset:
+                # luma all-or-nothing with any chroma CBP; the 44
+                # partial-luma codeNums stay the honest seam
+                code = r.ue()
+                cbp = _CBP_INTRA_DECODE.get(code)
+                if cbp is None:
                     raise H264DecodeError(
-                        "coded residual blocks not supported (CBP != 0)"
+                        f"coded_block_pattern codeNum {code} not in"
+                        " the transcribed Table 9-4 subset"
                     )
-                # CBP 0 + I_4x4: no mb_qp_delta, no residual (§7.3.5)
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
+                lres_blocks: list[list[int]] = []
+                if cbp_luma:
+                    # LumaLevel4x4 in §6.4.3 scan order (maxNumCoeff
+                    # 16, position 0 is a regular coefficient)
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                        coeffs = _read_residual_block(
+                            r, _nc_at(tc_map, gx, gy), 16
+                        )
+                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                        lres_blocks.append(coeffs)
+                i4_cdc: list[list[int]] = []
+                i4_cac: list = [None, None]
+                if cbp_chroma:
+                    i4_cdc, i4_cac = _read_chroma_residual(
+                        r, ctc, mb_x, mb_y, cbp_chroma
+                    )
                 for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
                     bx, by = mb_x * 4 + sx, mb_y * 4 + sy
                     _predict_i4(
                         plane, bx, by, modes[scan_idx],
                         _i4_topright_avail(bx, by, scan_idx, mb_w),
                     )
+                    if cbp_luma:
+                        # residual BEFORE the next block predicts:
+                        # §8.3.1 reads reconstructed neighbours
+                        _add_i4_residual(
+                            plane, bx, by, lres_blocks[scan_idx], qp_y
+                        )
                 _predict_chroma(cb, mb_x, mb_y, chroma_mode)
                 _predict_chroma(cr, mb_x, mb_y, chroma_mode)
+                if cbp_chroma:
+                    qpc = _chroma_qp(qp_y)
+                    for comp, cplane in ((0, cb), (1, cr)):
+                        _add_chroma_residual(
+                            cplane, mb_x, mb_y,
+                            _chroma_dc_dequant(i4_cdc[comp], qpc),
+                            i4_cac[comp], qpc,
+                        )
                 n_i4 += 1
             elif 1 <= mb_type <= 24:
                 pred_mode = (mb_type - 1) % 4
@@ -1481,28 +1624,9 @@ def decode_i_slice(
                 cdc: list[list[int]] = []
                 cac: list[list[list[int]] | None] = [None, None]
                 if cbp_chroma:
-                    # §7.3.5.3.3: ChromaDCLevel for Cb then Cr (nC=-1,
-                    # maxNumCoeff 4), then - CBP chroma 2 only - the
-                    # four ChromaACLevel blocks per component in
-                    # raster order (maxNumCoeff 15, §9.2.1 nC from
-                    # the component's own chroma block grid)
-                    cdc = [
-                        _read_residual_block(r, -1, 4) for _ in range(2)
-                    ]
-                    if cbp_chroma == 2:
-                        for comp in range(2):
-                            blocks = []
-                            for blk in range(4):
-                                gx = mb_x * 2 + blk % 2
-                                gy = mb_y * 2 + blk // 2
-                                coeffs = _read_residual_block(
-                                    r, _nc_at(ctc[comp], gx, gy), 15
-                                )
-                                ctc[comp][gy, gx] = sum(
-                                    1 for v in coeffs if v
-                                )
-                                blocks.append(coeffs)
-                            cac[comp] = blocks
+                    cdc, cac = _read_chroma_residual(
+                        r, ctc, mb_x, mb_y, cbp_chroma
+                    )
                 _predict_i16(plane, mb_x, mb_y, pred_mode)
                 if cbp_luma:
                     _add_i16_residual(
@@ -1649,6 +1773,41 @@ def _sim_i4_block(
     return np.where(z <= -2, fp[3 + xg], out)
 
 
+def _sim_half(x: np.ndarray) -> np.ndarray:
+    """One §8.5.12.2 butterfly pass along the LAST axis with the
+    spec's >> 1 floors (shared by the luma/chroma/I_4x4 simulator
+    twins; apply-swap-apply-swap gives the full 2-D transform)."""
+    e0, e1 = x[..., 0] + x[..., 2], x[..., 0] - x[..., 2]
+    e2 = (x[..., 1] >> 1) - x[..., 3]
+    e3 = x[..., 1] + (x[..., 3] >> 1)
+    return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+
+
+def _sim_norm_adjust(qp: int) -> np.ndarray:
+    v = _NORM_ADJUST_V[qp % 6]
+    na = np.empty((4, 4), dtype=np.int64)
+    for i in range(4):
+        for j in range(4):
+            na[i, j] = v[0] if i % 2 == 0 and j % 2 == 0 else (
+                v[1] if i % 2 == 1 and j % 2 == 1 else v[2]
+            )
+    return na
+
+
+def _sim_4x4_residual(coeffs: "list[int]", qp: int) -> np.ndarray:
+    """Vectorized twin of §8.5.12 for one LumaLevel4x4 block (I_4x4,
+    no DC substitution): all 16 zig-zag coefficients through the
+    collapsed flat-matrix dequant and the core transform -> 4x4
+    residual array."""
+    c = np.zeros((4, 4), dtype=np.int64)
+    rows = np.array([i for i, _ in _ZIGZAG_4x4])
+    cols = np.array([j for _, j in _ZIGZAG_4x4])
+    c[rows, cols] = coeffs
+    d = (c * _sim_norm_adjust(qp)) << (qp // 6)
+    h = np.swapaxes(_sim_half(np.swapaxes(_sim_half(d), 0, 1)), 0, 1)
+    return (h + 32) >> 6
+
+
 def _sim_dc_scaled(dc16: "list[int]", qp: int) -> np.ndarray:
     """Vectorized numpy twin of §8.5.10 (the bit-level decoder mirrors
     the spec's per-element loops in `_luma_dc_dequant`): zig-zag
@@ -1683,31 +1842,16 @@ def _sim_i16_residual(dc16: "list[int]", ac: dict, qp: int) -> np.ndarray:
     normAdjust << qp//6, vs the decoder's branchy spec formulas - the
     twins agree only if both transcriptions are right) + the core
     inverse transform -> the 16x16 residual array."""
-    na = np.empty((4, 4), dtype=np.int64)
-    v = _NORM_ADJUST_V[qp % 6]
-    for i in range(4):
-        for j in range(4):
-            na[i, j] = v[0] if i % 2 == 0 and j % 2 == 0 else (
-                v[1] if i % 2 == 1 and j % 2 == 1 else v[2]
-            )
     d = np.zeros((16, 4, 4), dtype=np.int64)
     rows = np.array([i for i, _ in _ZIGZAG_4x4[1:]])
     cols = np.array([j for _, j in _ZIGZAG_4x4[1:]])
     for blk_idx, levels in (ac or {}).items():
         d[blk_idx, rows, cols] = levels
-    d = (d * na[None]) << (qp // 6)
+    d = (d * _sim_norm_adjust(qp)[None]) << (qp // 6)
     dc = _sim_dc_scaled(dc16, qp)
     for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
         d[blk_idx, 0, 0] = dc[sy, sx]
-
-    def half(x: np.ndarray) -> np.ndarray:
-        # combine along the LAST axis with the spec's >> 1 floors
-        e0, e1 = x[..., 0] + x[..., 2], x[..., 0] - x[..., 2]
-        e2 = (x[..., 1] >> 1) - x[..., 3]
-        e3 = x[..., 1] + (x[..., 3] >> 1)
-        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
-
-    h = np.swapaxes(half(np.swapaxes(half(d), 1, 2)), 1, 2)
+    h = np.swapaxes(_sim_half(np.swapaxes(_sim_half(d), 1, 2)), 1, 2)
     r = (h + 32) >> 6
     out = np.zeros((16, 16), dtype=np.int64)
     for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
@@ -1736,6 +1880,12 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                 done[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
                 continue
             if desc[0] == "i4":
+                lres = desc[3] if len(desc) > 3 else None
+                if lres is not None or (len(desc) > 5 and desc[5]):
+                    # cbp != 0 -> the desc carries mb_qp_delta
+                    sim_qp = (
+                        sim_qp + (desc[4] if len(desc) > 4 else 0) + 52
+                    ) % 52
                 for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
                     bx, by = mx * 4 + sx, my * 4 + sy
                     px, py = bx * 4, by * 4
@@ -1752,9 +1902,19 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                         if bx > 0 and by > 0
                         else None
                     )
-                    plane[py : py + 4, px : px + 4] = _sim_i4_block(
-                        t, l, c, desc[1][scan_idx]
-                    )
+                    pred = _sim_i4_block(t, l, c, desc[1][scan_idx])
+                    if lres is not None:
+                        # reconstructed (not predicted) samples feed
+                        # the NEXT block's prediction - same ordering
+                        # invariant as the decoder
+                        pred = np.clip(
+                            pred + _sim_4x4_residual(
+                                list(lres.get(scan_idx, [0] * 16)),
+                                sim_qp,
+                            ),
+                            0, 255,
+                        )
+                    plane[py : py + 4, px : px + 4] = pred
                     done[by, bx] = True
                 continue
             mode = desc[1]
@@ -1822,29 +1982,15 @@ def _sim_chroma_residual(dc4: "list[int]", ac, qpc: int) -> np.ndarray:
     c = np.array(dc4, dtype=np.int64).reshape(2, 2)
     f = h2 @ c @ h2
     dc = ((f * (16 * _NORM_ADJUST_00[qpc % 6])) << (qpc // 6)) >> 5
-    v = _NORM_ADJUST_V[qpc % 6]
-    na = np.empty((4, 4), dtype=np.int64)
-    for i in range(4):
-        for j in range(4):
-            na[i, j] = v[0] if i % 2 == 0 and j % 2 == 0 else (
-                v[1] if i % 2 == 1 and j % 2 == 1 else v[2]
-            )
     d = np.zeros((4, 4, 4), dtype=np.int64)
     rows = np.array([i for i, _ in _ZIGZAG_4x4[1:]])
     cols = np.array([j for _, j in _ZIGZAG_4x4[1:]])
     for blk, levels in (ac or {}).items():
         d[blk, rows, cols] = levels
-    d = (d * na[None]) << (qpc // 6)
+    d = (d * _sim_norm_adjust(qpc)[None]) << (qpc // 6)
     for blk in range(4):
         d[blk, 0, 0] = dc[blk // 2, blk % 2]
-
-    def half(x: np.ndarray) -> np.ndarray:
-        e0, e1 = x[..., 0] + x[..., 2], x[..., 0] - x[..., 2]
-        e2 = (x[..., 1] >> 1) - x[..., 3]
-        e3 = x[..., 1] + (x[..., 3] >> 1)
-        return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
-
-    hh = np.swapaxes(half(np.swapaxes(half(d), 1, 2)), 1, 2)
+    hh = np.swapaxes(_sim_half(np.swapaxes(_sim_half(d), 1, 2)), 1, 2)
     r = (hh + 32) >> 6
     out = np.zeros((8, 8), dtype=np.int64)
     for blk in range(4):
@@ -1872,7 +2018,12 @@ def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
                     desc[1], desc[2] if len(desc) > 2 else 0, plane_idx
                 )
                 continue
-            if desc[0] == "i16":
+            if desc[0] == "i16" or (
+                desc[0] == "i4"
+                and ((len(desc) > 3 and desc[3] is not None)
+                     or (len(desc) > 5 and desc[5]))
+            ):
+                # i16 always carries mb_qp_delta; i4 only with cbp!=0
                 sim_qp = (
                     sim_qp + (desc[4] if len(desc) > 4 else 0) + 52
                 ) % 52
@@ -1918,9 +2069,10 @@ def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
                                 else 128
                             )
                         blk[yo : yo + 4, xo : xo + 4] = dc
-            cres = (
-                desc[6] if desc[0] == "i16" and len(desc) > 6 else None
-            )
+            if desc[0] == "i16":
+                cres = desc[6] if len(desc) > 6 else None
+            else:  # i4: cres sits at desc slot 5
+                cres = desc[5] if len(desc) > 5 else None
             if cres is not None:
                 qpc = _chroma_qp(sim_qp)
                 dc4 = cres[1] if plane_idx == 0 else cres[2]
@@ -2218,6 +2370,42 @@ def h264_frame_fixtures() -> list[dict]:
     fixtures.append(
         {"name": "i16_chroma_residual.mp4", "w": 32, "h": 32, "mbs": mbs}
     )
+
+    # --- I_4x4 coded-residual family (r11): Table 9-4 subset, cbp>0
+    # mb_qp_delta, LumaLevel4x4 (no DC substitution), and the
+    # predict-then-reconstruct block ordering -----------------------
+    mbs = [
+        [
+            ("pcm", "grad", 1),
+            # beside I_PCM: blk0 is a FULL TC=16 block (nC=16 FLC,
+            # skips total_zeros, suffixLength starts at 1), blk1
+            # chains off its TotalCoeff; chroma rides along (CBP 47)
+            ("i4",
+             by_xy(lambda sx, sy: 2 if sy == 0 else (sx + 4 * sy) % 9),
+             0,
+             {0: [(-1) ** k * ((k % 3) + 1) for k in range(16)],
+              1: [1, -1, 1] + [0] * 13,
+              10: [0] * 14 + [2, 0]},
+             6,
+             (1, [1, -1, 0, 0], [0, 0, 2, 0])),
+        ],
+        [
+            # left-column MB: top-only modes on its left edge, coded
+            # residual under the low-QP rounding regime (qp 20),
+            # chroma AC via CBP 47
+            ("i4",
+             by_xy(lambda sx, sy: (0, 2, 3, 7)[sy] if sx == 0
+                   else (2 * sx + sy + 1) % 9),
+             2,
+             {5: [0, 4] + [0] * 14, 15: [-1] + [0] * 15},
+             -12,
+             (2, [0, 0, 0, 0], [1, 0, 0, 0], {0: [6] + [0] * 14}, {})),
+            # CBP 0 twin: no qp_delta, no residual syntax - the r9
+            # zero-residual path must keep decoding next to coded MBs
+            ("i4", by_xy(lambda sx, sy: (sx + 3 * sy + 5) % 9), 1),
+        ],
+    ]
+    fixtures.append({"name": "i4_residual.mp4", "w": 32, "h": 32, "mbs": mbs})
 
     return fixtures
 

@@ -153,8 +153,9 @@ def test_unsupported_seams_raise_decode_error():
 
     sps = make_sps(16, 16)
 
-    # I_4x4 macroblock with a CODED residual (cbp != 0): supported
-    # prediction, unsupported residual -> the CBP seam
+    # I_4x4 macroblock with a PARTIAL-luma CBP (codeNum 5 -> one of
+    # the 44 untranscribed Table 9-4 rows; codeNums 0..3 decode for
+    # real since r11)
     w = _BitWriter()
     w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
     w.se(0)
@@ -162,10 +163,10 @@ def test_unsupported_seams_raise_decode_error():
     for _ in range(16):
         w.u(1, 1)  # prev_intra4x4_pred_mode_flag (all predicted: DC)
     w.ue(0)  # intra_chroma_pred_mode DC
-    w.ue(0)  # coded_block_pattern me codeNum 0 -> cbp 47 (Table 9-4)
+    w.ue(5)  # coded_block_pattern codeNum 5: untranscribed row
     nal = bytes([0x65]) + _ebsp(w.rbsp())
     payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
-    with pytest.raises(H264DecodeError, match="CBP"):
+    with pytest.raises(H264DecodeError, match="Table 9-4"):
         decode_first_i_frame(payload)
 
     # P slice
@@ -812,6 +813,87 @@ def test_chroma_ac_nc_chain_roundtrip():
     assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
 
 
+def test_i4_residual_hand_arithmetic():
+    """§8.5.12 for a LumaLevel4x4 block pinned by hand: a lone I_4x4
+    MB (all-DC modes, pred 128) at qp 30 via mb_qp_delta +4 (m=0,
+    e=5) with one coefficient +3 at zig-zag position 0 of block 0:
+
+      LevelScale(0, 0, 0) = 16*10 = 160
+      d[0][0] = (3*160) << (5-4) = 960   (no DC substitution)
+      DC-only transform -> r = (960+32) >> 6 = 15 everywhere
+      -> block 0 reconstructs 143 - and every LATER all-DC block
+      predicts from reconstructed 143 neighbours, so the whole MB
+      lands on 143 (itself evidence that reconstruction, not
+      prediction, feeds §8.3.1).
+    """
+    lres = {0: [3] + [0] * 15}
+    spec = {"w": 16, "h": 16,
+            "mbs": [[("i4", [2] * 16, 0, lres, 4)]]}
+    got = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
+    assert (got == 143).all()
+    assert np.array_equal(got, _simulate_luma(spec))
+
+
+def test_i4_residual_feeds_next_block_prediction():
+    """The §8.3.1 ordering invariant is load-bearing: block 1
+    predicts HORIZONTAL from block 0's samples, so block 0's residual
+    must change block 1's pixels - reconstruction, not prediction,
+    feeds the neighbour."""
+    modes = [2] * 16
+    modes[1] = 1  # blk (1,0): H from blk 0's right column
+    with_res = {"w": 16, "h": 16,
+                "mbs": [[("i4", modes, 0, {0: [3] + [0] * 15}, 4)]]}
+    without = {"w": 16, "h": 16, "mbs": [[("i4", modes, 0)]]}
+    a = decode_first_i_frame(build_fixture_mp4(with_res))["luma"]
+    b = decode_first_i_frame(build_fixture_mp4(without))["luma"]
+    # block 1 carries NO residual of its own, yet differs: it copied
+    # block 0's reconstructed (128+15) column
+    assert (a[:4, 4:8] == 143).all()
+    assert (b[:4, 4:8] == 128).all()
+    assert np.array_equal(a, _simulate_luma(with_res))
+
+
+def test_i4_cbp_table_9_4_seam():
+    """A partial-luma coded_block_pattern codeNum (outside the
+    transcribed {0,1,2,3} head of Table 9-4) raises the honest seam
+    instead of guessing a mapping."""
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitWriter,
+        _ebsp,
+    )
+
+    sps = make_sps(16, 16)
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 8); w.ue(0); w.u(0, 8); w.u(0, 2)
+    w.se(0)
+    w.ue(0)  # mb_type I_NxN
+    for _ in range(16):
+        w.u(1, 1)  # all predicted modes
+    w.ue(0)  # chroma DC
+    w.ue(4)  # coded_block_pattern codeNum 4: partial luma, a seam
+    nal = bytes([0x65]) + _ebsp(w.rbsp())
+    payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
+    with pytest.raises(H264DecodeError, match="Table 9-4"):
+        decode_first_i_frame(payload)
+
+
+def test_i4_residual_fixture_roundtrip():
+    """The i4_residual.mp4 fixture decodes bit-exactly on all planes
+    (full-TC-16 block, low-QP regime, chroma CBP 47, the CBP-0 twin
+    MB beside coded ones)."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _simulate_chroma,
+    )
+
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "i4_residual.mp4"
+    )
+    got = decode_first_i_frame(build_fixture_mp4(spec))
+    assert np.array_equal(got["luma"], _simulate_luma(spec))
+    assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
+    assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+
+
 def test_cavlc_seams_raise():
     """Codes outside the transcribed subset raise the honest seam, and
     never mis-decode: (a) TotalCoeff=4 via the nC>=8 FLC hits the
@@ -991,6 +1073,31 @@ def test_random_residual_grids_roundtrip():
                          draw(st.integers(0, 9)))
                     )
                     continue
+                if draw(st.booleans()) and (my + mx) % 2 == 1:
+                    # coded I_4x4: all-DC modes (always legal), a
+                    # checkerboard LumaLevel4x4 set (same parity
+                    # argument as the i16 AC strategy, now over all
+                    # 16 zig-zag positions), optional chroma residual
+                    lres = {}
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        if (sx + sy) % 2 or draw(st.booleans()):
+                            continue
+                        b = [0] * 16
+                        for pos in draw(
+                            st.lists(st.integers(0, 15), min_size=1,
+                                     max_size=3, unique=True)
+                        ):
+                            b[pos] = draw(
+                                st.sampled_from([1, -1, 2, -6, 75])
+                            )
+                        lres[blk_idx] = b
+                    if lres:
+                        row.append(
+                            ("i4", [2] * 16, 0, lres,
+                             draw(st.integers(-10, 12)),
+                             draw(chroma_res()))
+                        )
+                        continue
                 luma_ok = [2] + ([0] if my > 0 else []) + ([1] if mx > 0 else [])
                 if my > 0 and mx > 0:
                     luma_ok.append(3)
