@@ -122,6 +122,72 @@ def make_bmp(img: "np.ndarray") -> bytes:
     return head + info + bytes(body)
 
 
+def make_bmp_indexed(
+    idx: "np.ndarray", palette: "list[tuple[int, int, int]]", rle: bool = False
+) -> bytes:
+    """8-bit paletted BITMAPINFOHEADER BMP: BI_RGB (raw indices,
+    4-byte row stride) or BI_RLE8 (``rle=True``). The RLE encoder
+    walks each bottom-up row emitting encoded runs for >= 2 repeats,
+    absolute mode (escape 0, count 3..255, word-aligned) for literal
+    stretches of >= 3, single-pixel runs otherwise, an end-of-line
+    escape per row and the end-of-bitmap escape - so every
+    (non-delta) construct of the format is on the wire."""
+    import struct as _s
+
+    h, w = idx.shape
+    if idx.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    quads = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    if not rle:
+        pad = (-w) % 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            body += idx[y].astype(np.uint8).tobytes() + b"\0" * pad
+        comp = 0
+    else:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = idx[y]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 2:
+                    body += bytes((run, int(row[x])))
+                    x += run
+                    continue
+                # literal stretch until a >=3 run starts (or 255 cap)
+                j = x
+                while j < w and (j - x) < 255:
+                    if (
+                        j + 2 < w
+                        and row[j] == row[j + 1] == row[j + 2]
+                    ):
+                        break
+                    j += 1
+                n = j - x
+                if n >= 3:
+                    body += bytes((0, n))
+                    body += row[x:j].astype(np.uint8).tobytes()
+                    if n % 2:
+                        body += b"\0"  # absolute runs are word-aligned
+                else:
+                    for k in range(n):
+                        body += bytes((1, int(row[x + k])))
+                x = j
+            body += bytes((0, 0))  # end of line
+        body += bytes((0, 1))  # end of bitmap
+        comp = 1
+    info = _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 2835, 2835,
+        len(palette), 0,
+    )
+    off = 14 + 40 + len(quads)
+    head = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + quads + bytes(body)
+
+
 def bmp_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) from the BITMAPINFOHEADER (negative height =
     top-down layout, reported as its magnitude)."""
@@ -136,28 +202,102 @@ def bmp_meta(payload: bytes) -> tuple[int, int]:
 
 
 def bmp_pixels(payload: bytes) -> "np.ndarray":
-    """(h, w, 3) RGB from a 24-bit BI_RGB BMP (bottom-up or top-down).
-    Compressed/paletted variants raise NotImplementedError."""
+    """(h, w, 3) RGB from a BMP: 24-bit BI_RGB (bottom-up or
+    top-down), 8-bit paletted BI_RGB, or 8-bit BI_RLE8 (r11: encoded
+    runs, absolute mode with word alignment, end-of-line /
+    end-of-bitmap / delta escapes; pixels a delta skips stay palette
+    index 0, matching decoders that zero-initialise the raster).
+    Other depths/compressions raise NotImplementedError."""
     import struct as _s
 
     w, h = bmp_meta(payload)
+    if len(payload) < 54:
+        raise ValueError("truncated BITMAPINFOHEADER")
     (off,) = _s.unpack("<I", payload[10:14])
-    _sz, _w, rawh, _planes, bpp, comp = _s.unpack("<IiiHHI", payload[14:34])
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError("only 24-bit uncompressed BMP")
+    _sz, _w, rawh, _planes, bpp, comp, _isz, _xp, _yp, clr_used, _ci = (
+        _s.unpack("<IiiHHIIiiII", payload[14:54])
+    )
     if w <= 0 or h == 0 or w * h > 1 << 27:
         raise ValueError("hostile/corrupt BMP dimensions")
-    row = w * 3
-    stride = row + ((-row) % 4)
-    need = off + stride * h
-    if len(payload) < need:
-        raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(
-        payload[off : off + stride * h], dtype=np.uint8
-    ).reshape(h, stride)[:, :row].reshape(h, w, 3)
-    if rawh > 0:  # bottom-up
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 24 and comp == 0:
+        row = w * 3
+        stride = row + ((-row) % 4)
+        need = off + stride * h
+        if len(payload) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            payload[off : off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :row].reshape(h, w, 3)
+        if rawh > 0:  # bottom-up
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp != 8 or comp not in (0, 1):
+        raise NotImplementedError(
+            "only 24-bit BI_RGB and 8-bit BI_RGB/BI_RLE8 BMP"
+        )
+    n_pal = clr_used or 256
+    pal_off = 14 + _sz
+    quads = payload[pal_off : pal_off + 4 * n_pal]
+    if len(quads) < 4 * n_pal:
+        raise ValueError("truncated BMP color table")
+    palette = np.frombuffer(quads, dtype=np.uint8).reshape(n_pal, 4)[
+        :, [2, 1, 0]
+    ]  # BGRx -> RGB
+    if comp == 0:
+        stride = w + ((-w) % 4)
+        if len(payload) < off + stride * h:
+            raise ValueError("truncated BMP pixel data")
+        idx = np.frombuffer(
+            payload[off : off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :w]
+        if rawh > 0:
+            idx = idx[::-1]
+    else:  # BI_RLE8 (§ of the BITMAPINFOHEADER spec: bottom-up only)
+        if rawh < 0:
+            raise ValueError("top-down BI_RLE8 is invalid")
+        idx = np.zeros((h, w), dtype=np.uint8)
+        x = y = 0  # y counts rows from the BOTTOM
+        i = off
+        end = len(payload)
+        while True:
+            if i + 2 > end:
+                raise ValueError("truncated BI_RLE8 stream")
+            b0, b1 = payload[i], payload[i + 1]
+            i += 2
+            if b0:  # encoded run
+                if y >= h or x + b0 > w:
+                    raise ValueError("BI_RLE8 run overflows the row")
+                idx[h - 1 - y, x : x + b0] = b1
+                x += b0
+            elif b1 == 0:  # end of line
+                x, y = 0, y + 1
+                if y > h:
+                    raise ValueError("BI_RLE8 ran past the last row")
+            elif b1 == 1:  # end of bitmap
+                break
+            elif b1 == 2:  # delta: skipped pixels stay index 0
+                if i + 2 > end:
+                    raise ValueError("truncated BI_RLE8 delta")
+                x += payload[i]
+                y += payload[i + 1]
+                i += 2
+                if x > w or y >= h:
+                    raise ValueError("BI_RLE8 delta out of bounds")
+            else:  # absolute mode, word-aligned
+                n = b1
+                pad = n % 2
+                if i + n + pad > end:
+                    raise ValueError("truncated BI_RLE8 absolute run")
+                if y >= h or x + n > w:
+                    raise ValueError("BI_RLE8 absolute run overflows")
+                idx[h - 1 - y, x : x + n] = np.frombuffer(
+                    payload[i : i + n], dtype=np.uint8
+                )
+                x += n
+                i += n + pad
+    if int(idx.max(initial=0)) >= n_pal:
+        raise ValueError("BMP index outside the color table")
+    return palette[idx].copy()
 
 
 def png_meta(payload: bytes) -> tuple[int, int]:

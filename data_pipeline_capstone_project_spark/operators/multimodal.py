@@ -172,7 +172,7 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .audio import make_wav
     from .gif import _lcg_indices, _lcg_palette, make_gif
-    from .images import make_bmp, make_png
+    from .images import make_bmp, make_bmp_indexed, make_png
     from .jpeg import make_jpeg
     from .mp4 import make_mp4
 
@@ -197,6 +197,21 @@ def media_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             with open(os.path.join(work, f"m{i}_bmp.bmp"), "wb") as f:
                 f.write(make_bmp(px))
+            # r11: 8-bit BI_RLE8 paletted BMP - same "bmp" magic, a
+            # different on-disk encoding the dispatcher must route
+            # through the same bmp_meta dims contract
+            with open(os.path.join(work, f"m{i}_rbmp.bmp"), "wb") as f:
+                f.write(
+                    make_bmp_indexed(
+                        np.array(
+                            _lcg_indices(9 + i, 7 + i, 5 + i, 3 * i),
+                            dtype=np.uint8,
+                        ),
+                        [tuple(int(v) for v in c)
+                         for c in _lcg_palette(5 + i, 7 * i)],
+                        rle=True,
+                    )
+                )
             with open(os.path.join(work, f"m{i}_wav.wav"), "wb") as f:
                 f.write(
                     make_wav(
@@ -233,7 +248,7 @@ def _media_dispatch_oracle() -> str:
 
     from .audio import make_wav
     from .gif import _lcg_indices, _lcg_palette, make_gif
-    from .images import make_bmp, make_png
+    from .images import make_bmp, make_bmp_indexed, make_png
     from .jpeg import make_jpeg
     from .mp4 import make_mp4
 
@@ -251,6 +266,19 @@ def _media_dispatch_oracle() -> str:
             ("mp4", make_mp4(320 + 2 * i, 180 + i, 1500 + 100 * i), (320 + 2 * i, 180 + i)),
             ("gif", gif_payload, (12 + i, 7 + i)),
             ("bmp", make_bmp(px), (6 + i, 10 + i)),
+            (
+                "bmp",
+                make_bmp_indexed(
+                    np.array(
+                        _lcg_indices(9 + i, 7 + i, 5 + i, 3 * i),
+                        dtype=np.uint8,
+                    ),
+                    [tuple(int(v) for v in c)
+                     for c in _lcg_palette(5 + i, 7 * i)],
+                    rle=True,
+                ),
+                (7 + i, 9 + i),
+            ),
             (
                 "wav",
                 make_wav(

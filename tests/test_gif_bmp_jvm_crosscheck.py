@@ -17,6 +17,7 @@ from data_pipeline_capstone_project_spark.operators.gif import (
 from data_pipeline_capstone_project_spark.operators.images import (
     bmp_pixels,
     make_bmp,
+    make_bmp_indexed,
 )
 
 
@@ -79,3 +80,94 @@ def test_bmp_decoder_matches_jvm_imageio(spark, tmp_path):
     assert set(theirs) == set(ours)
     for name, rgb in ours.items():
         assert np.array_equal(theirs[name], rgb), name
+
+
+def test_bmp_paletted_and_rle8_match_jvm_imageio(spark, tmp_path):
+    """r11: 8-bit paletted BI_RGB and BI_RLE8 (encoded runs, absolute
+    mode, EOL/EOF escapes) decode pixel-identically to JVM ImageIO —
+    the external cross-check the H.264 VLC subsets cannot have."""
+    from data_pipeline_capstone_project_spark.operators.gif import (
+        _lcg_indices,
+        _lcg_palette,
+    )
+
+    store = tmp_path / "bmps8"
+    store.mkdir()
+    ours = {}
+    for i in range(4):
+        h, w = 6 + 2 * i, 9 + 3 * i
+        n = (4, 8, 256, 3)[i]
+        pal = [tuple(int(v) for v in c) for c in _lcg_palette(n, i)]
+        idx = np.array(_lcg_indices(h, w, n, 13 * i), dtype=np.uint8)
+        idx[0, :] = idx[0, 0]  # a run-heavy row next to noisy rows
+        for rle in (False, True):
+            name = f"b{i}_{'rle' if rle else 'pal'}.bmp"
+            payload = make_bmp_indexed(idx, pal, rle=rle)
+            (store / name).write_bytes(payload)
+            ours[name] = bmp_pixels(payload)
+            assert np.array_equal(
+                ours[name], np.array(pal, dtype=np.uint8)[idx]
+            ), name
+    theirs = _jvm_decode(spark, str(store))
+    assert set(theirs) == set(ours)
+    for name, rgb in ours.items():
+        assert np.array_equal(theirs[name], rgb), name
+
+
+def test_bmp_rle8_delta_escape_matches_jvm(spark, tmp_path):
+    """The delta escape (0,2,dx,dy) leaves skipped pixels at palette
+    index 0 — the zero-initialised-raster convention; a hand-built
+    stream must decode identically here and in ImageIO."""
+    import struct
+
+    pal = [(10, 20, 30), (200, 100, 50), (5, 5, 5)]
+    quads = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    body = bytes((2, 1, 0, 2, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0, 0, 1))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, len(body), 0, 0, len(pal), 0
+    )
+    off = 14 + 40 + len(quads)
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + info + quads + body
+    )
+    got = bmp_pixels(payload)
+    want = np.zeros((4, 4, 3), np.uint8)
+    want[:] = pal[0]
+    want[3, 0] = want[3, 1] = pal[1]  # bottom-row run of 2
+    want[2, 3] = pal[2]  # one pixel after the (1,1) delta jump
+    assert np.array_equal(got, want)
+    store = tmp_path / "bmpd"
+    store.mkdir()
+    (store / "delta.bmp").write_bytes(payload)
+    theirs = _jvm_decode(spark, str(store))
+    assert np.array_equal(theirs["delta.bmp"], want)
+
+
+def test_bmp_rle8_hostile_streams_raise():
+    """Corrupt RLE streams fail loudly, never write out of bounds:
+    run overflowing the row, truncated stream, delta past the image,
+    index beyond the color table."""
+    import struct
+
+    import pytest
+
+    def bmp(body, w=4, h=4, npal=2, comp=1):
+        quads = b"\0\0\0\0\xff\xff\xff\0" * (npal // 2)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 0, 0, npal, 0
+        )
+        off = 14 + 40 + len(quads)
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + info + quads + bytes(body)
+        )
+
+    with pytest.raises(ValueError, match="overflows"):
+        bmp_pixels(bmp((6, 1, 0, 1)))  # run of 6 into a 4-wide row
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_pixels(bmp((2, 1, 0)))  # stream ends mid-escape
+    with pytest.raises(ValueError, match="out of bounds"):
+        bmp_pixels(bmp((0, 2, 9, 9, 0, 1)))  # delta past the image
+    with pytest.raises(ValueError, match="color table"):
+        bmp_pixels(bmp((1, 7, 0, 1)))  # index 7 with a 2-color table
