@@ -278,6 +278,25 @@ def _webm_meta_impl(payload: bytes) -> dict:
 # --- fixture writer ----------------------------------------------------------
 
 
+def _lace_sizes(block_size: int, n_frames: int) -> "list[int]":
+    """Deterministic per-frame byte sizes for a laced SimpleBlock -
+    construction arithmetic shared by the writer and the fixtures'
+    expected-row derivation (never by the parser). The variation
+    produces both positive and negative EBML lace deltas."""
+    return [
+        max(1, block_size + ((k * 3) % 7) - 3) for k in range(n_frames)
+    ]
+
+
+def _write_vint_lace_delta(delta: int) -> bytes:
+    """Matroska EBML-lacing SIGNED size delta: value stored as
+    delta + (2^(7*len-1) - 1) in an ordinary marked VINT."""
+    length = 1
+    while abs(delta) > (1 << (7 * length - 1)) - 1:
+        length += 1
+    return _write_vint_size(delta + (1 << (7 * length - 1)) - 1, length)
+
+
 def make_webm(
     doctype: str = "webm",
     video_codec: str | None = "V_VP9",
@@ -296,6 +315,8 @@ def make_webm(
     seed: int = 1,
     keyframe_every: int = 1,
     cycle_tracks: bool = False,
+    lacing: str | None = None,
+    frames_per_block: int = 1,
 ) -> bytes:
     """Deterministic WebM/Matroska writer covering the parser's
     branches: float32 vs float64 Duration, live-stream layout
@@ -306,7 +327,15 @@ def make_webm(
     within a cluster (1 = all keyframes, the old behavior);
     ``cycle_tracks`` alternates SimpleBlock track numbers across the
     written tracks - both vary VALUES only, never framing sizes, so
-    the webm_meta byte census is unaffected."""
+    the webm_meta byte census is unaffected.
+
+    ``lacing`` (r11): None, or "xiph" / "ebml" / "fixed" - each
+    SimpleBlock then carries ``frames_per_block`` frames behind the
+    matching lace header (Matroska §6.2.4.1: frame-count byte, then
+    255-spill byte sums for Xiph, an unsigned first size + SIGNED
+    VINT deltas for EBML, nothing for fixed-size). Frame sizes come
+    from `_lace_sizes` (fixed lacing uses ``block_size`` for every
+    frame, as the mode requires)."""
     ebml = _element(
         _EBML,
         _element(_EBML_VERSION, _uint(1))
@@ -369,11 +398,43 @@ def make_webm(
         blocks = b""
         for bi in range(blocks_per_cluster):
             x = (x * 1103515245 + 12345) & 0x7FFFFFFF
-            body = bytes(
-                ((x >> (k % 16)) + 7 * bi + k) & 0xFF for k in range(block_size)
-            )
             track = 1 + (bi % n_tracks if cycle_tracks and n_tracks else 0)
             flags = 0x80 if bi % keyframe_every == 0 else 0x00
+            if lacing is None:
+                body = bytes(
+                    ((x >> (k % 16)) + 7 * bi + k) & 0xFF
+                    for k in range(block_size)
+                )
+            else:
+                sizes = (
+                    [block_size] * frames_per_block
+                    if lacing == "fixed"
+                    else _lace_sizes(block_size, frames_per_block)
+                )
+                head = bytes((frames_per_block - 1,))
+                if lacing == "xiph":
+                    flags |= 0x02
+                    for s in sizes[:-1]:
+                        head += b"\xff" * (s // 255) + bytes((s % 255,))
+                elif lacing == "ebml":
+                    flags |= 0x06
+                    head += _write_vint_size(sizes[0])
+                    for i in range(1, len(sizes) - 1):
+                        head += _write_vint_lace_delta(
+                            sizes[i] - sizes[i - 1]
+                        )
+                elif lacing == "fixed":
+                    flags |= 0x04
+                else:
+                    raise EBMLError(f"unknown lacing {lacing!r}")
+                frames = b"".join(
+                    bytes(
+                        ((x >> (k % 16)) + 7 * bi + 13 * fi + k) & 0xFF
+                        for k in range(s)
+                    )
+                    for fi, s in enumerate(sizes)
+                )
+                body = head + frames
             # SimpleBlock framing (Matroska §6.2.4): track VINT,
             # 16-bit relative timestamp, flags byte, then data.
             blocks += _element(
@@ -573,13 +634,72 @@ WEBM_META_ORACLE_SQL = _webm_oracle()
 # 0-exchange binaryFile -> Arrow mapInPandas scan as every media entry.
 
 
+def _parse_lacing(
+    payload: bytes, flags: int, data0: int, d: int
+) -> tuple[int, int]:
+    """(n_frames, frame_bytes) for one SimpleBlock whose codec data
+    spans [data0, d). Matroska §6.2.4.1 lacing: flag bits 0x06 select
+    none/Xiph/fixed/EBML; a laced block leads with a frame-count byte
+    and codes every frame size but the last - Xiph as 255-spill byte
+    sums, EBML as an unsigned first size then SIGNED VINT deltas
+    (value - (2^(7*len-1) - 1)), fixed-size as nothing (the payload
+    must divide evenly). frame_bytes excludes the lace header."""
+    mode = (flags >> 1) & 3
+    if mode == 0:
+        return 1, d - data0
+    i = data0
+    if i >= d:
+        raise EBMLError("laced SimpleBlock missing frame count")
+    nf = payload[i] + 1
+    i += 1
+    sizes: list[int] = []
+    if mode == 1:  # Xiph
+        for _ in range(nf - 1):
+            s = 0
+            while True:
+                if i >= d:
+                    raise EBMLError("truncated Xiph lace sizes")
+                b = payload[i]
+                i += 1
+                s += b
+                if b != 255:
+                    break
+            sizes.append(s)
+    elif mode == 3:  # EBML
+        if nf > 1:
+            v, i2, unknown = _read_vint(payload, i, keep_marker=False)
+            if unknown or i2 > d:
+                raise EBMLError("corrupt EBML lace first size")
+            sizes.append(v)
+            i = i2
+            for _ in range(nf - 2):
+                v, i2, unknown = _read_vint(payload, i, keep_marker=False)
+                if unknown or i2 > d:
+                    raise EBMLError("corrupt EBML lace delta")
+                delta = v - ((1 << (7 * (i2 - i) - 1)) - 1)
+                sizes.append(sizes[-1] + delta)
+                i = i2
+    else:  # mode == 2: fixed-size
+        rem = d - i
+        if nf == 0 or rem % nf:
+            raise EBMLError("fixed lacing payload does not divide")
+        sizes = [rem // nf] * (nf - 1)
+    last = (d - i) - sum(sizes)
+    if last < 0 or any(s < 0 for s in sizes):
+        raise EBMLError("lace sizes overrun the SimpleBlock")
+    return nf, sum(sizes) + last
+
+
 def webm_block_census(payload: bytes) -> list[dict]:
     """One dict per Cluster: (cluster_idx, cluster_ts, n_blocks,
-    n_keyframes, n_tracks, payload_bytes, block_bytes, min_rel_ts,
-    max_rel_ts). SimpleBlock framing per Matroska §6.2.4: track VINT
-    (size-style encoding), 16-bit signed BE relative timestamp, flags
-    byte (bit 0x80 = keyframe), then codec data - parsed here without
-    decoding the data."""
+    n_keyframes, n_frames, n_laced, n_tracks, payload_bytes,
+    block_bytes, min_rel_ts, max_rel_ts). SimpleBlock framing per
+    Matroska §6.2.4: track VINT (size-style encoding), 16-bit signed
+    BE relative timestamp, flags byte (bit 0x80 = keyframe, bits
+    0x06 = lacing), then codec data - parsed here without decoding
+    the data. r11: laced blocks report their true frame count and
+    ``payload_bytes`` counts FRAME bytes (lace headers excluded), so
+    the census matches what a demuxer would hand the codec."""
     top = list(_walk(payload, 0, len(payload)))
     if not top or top[0][0] != _EBML:
         raise EBMLError("not an EBML stream (no EBML header)")
@@ -592,7 +712,8 @@ def webm_block_census(payload: bytes) -> list[dict]:
         if eid != _CLUSTER:
             continue
         ts = 0
-        n_blocks = n_key = payload_bytes = block_bytes = 0
+        n_blocks = n_key = n_frames = n_laced = 0
+        payload_bytes = block_bytes = 0
         tracks: set[int] = set()
         min_rel: int | None = None
         max_rel: int | None = None
@@ -608,11 +729,14 @@ def webm_block_census(payload: bytes) -> list[dict]:
                     raise EBMLError("corrupt SimpleBlock framing")
                 (rel,) = struct.unpack(">h", payload[pos : pos + 2])
                 flags = payload[pos + 2]
+                nf, frame_bytes = _parse_lacing(payload, flags, pos + 3, d)
                 n_blocks += 1
                 n_key += (flags & 0x80) != 0
+                n_frames += nf
+                n_laced += (flags & 0x06) != 0
                 tracks.add(track)
                 block_bytes += d - c
-                payload_bytes += d - (pos + 3)
+                payload_bytes += frame_bytes
                 min_rel = rel if min_rel is None else min(min_rel, rel)
                 max_rel = rel if max_rel is None else max(max_rel, rel)
         out.append(
@@ -621,6 +745,8 @@ def webm_block_census(payload: bytes) -> list[dict]:
                 "cluster_ts": ts,
                 "n_blocks": n_blocks,
                 "n_keyframes": n_key,
+                "n_frames": n_frames,
+                "n_laced": n_laced,
                 "n_tracks": len(tracks),
                 "payload_bytes": payload_bytes,
                 "block_bytes": block_bytes,
@@ -653,17 +779,37 @@ _CENSUS_FIXTURES: list[tuple[str, dict]] = [
                      "blocks_per_cluster": 5, "block_size": 9,
                      "keyframe_every": 5, "cycle_tracks": True,
                      "seed": 23}),
+    # r11 lacing family: Xiph (incl. a 255-spill size), EBML with
+    # positive AND negative signed deltas, and fixed-size
+    ("c_xiph_lace.webm", {"lacing": "xiph", "frames_per_block": 3,
+                          "n_clusters": 2, "blocks_per_cluster": 2,
+                          "block_size": 21, "keyframe_every": 2,
+                          "seed": 29}),
+    ("c_xiph_spill.webm", {"lacing": "xiph", "frames_per_block": 2,
+                           "n_clusters": 1, "blocks_per_cluster": 2,
+                           "block_size": 300, "seed": 31,
+                           "duration_units": 2000}),
+    ("c_ebml_lace.webm", {"lacing": "ebml", "frames_per_block": 5,
+                          "n_clusters": 2, "blocks_per_cluster": 3,
+                          "block_size": 40, "cycle_tracks": True,
+                          "seed": 37}),
+    ("c_fixed_lace.webm", {"lacing": "fixed", "frames_per_block": 4,
+                           "n_clusters": 2, "blocks_per_cluster": 2,
+                           "block_size": 17, "keyframe_every": 2,
+                           "seed": 41}),
 ]
 
 _CENSUS_COLS = [
     "file_name", "cluster_idx", "cluster_ts", "n_blocks", "n_keyframes",
-    "n_tracks", "payload_bytes", "block_bytes", "min_rel_ts", "max_rel_ts",
+    "n_frames", "n_laced", "n_tracks", "payload_bytes", "block_bytes",
+    "min_rel_ts", "max_rel_ts",
 ]
 
 _CENSUS_SCHEMA = (
     "file_name string, cluster_idx int, cluster_ts bigint, n_blocks int, "
-    "n_keyframes int, n_tracks int, payload_bytes bigint, "
-    "block_bytes bigint, min_rel_ts int, max_rel_ts int"
+    "n_keyframes int, n_frames int, n_laced int, n_tracks int, "
+    "payload_bytes bigint, block_bytes bigint, min_rel_ts int, "
+    "max_rel_ts int"
 )
 
 
@@ -673,7 +819,8 @@ def _census_expected() -> list[dict]:
         args = dict(
             video_codec="V_VP9", audio_codec="A_OPUS", n_clusters=2,
             blocks_per_cluster=3, block_size=25, keyframe_every=1,
-            cycle_tracks=False, duration_units=4000,
+            cycle_tracks=False, duration_units=4000, lacing=None,
+            frames_per_block=1,
         )
         args.update({k: v for k, v in kw.items() if k in args})
         bpc = args["blocks_per_cluster"]
@@ -691,6 +838,37 @@ def _census_expected() -> list[dict]:
             args["duration_units"] if args["duration_units"] is not None
             else 4000
         ) // max(args["n_clusters"], 1)
+        # spec arithmetic for the laced layouts (construction args
+        # only - the writer's size rules re-derived by hand): frame
+        # bytes per block, lace header bytes per block
+        lac, fpb, bs = args["lacing"], args["frames_per_block"], args["block_size"]
+        if lac is None:
+            frames_per_blk, frame_bytes, head_bytes = 1, bs, 0
+        else:
+            sizes = [bs] * fpb if lac == "fixed" else _lace_sizes(bs, fpb)
+            frames_per_blk = fpb
+            frame_bytes = sum(sizes)
+            if lac == "xiph":
+                head_bytes = 1 + sum(s // 255 + 1 for s in sizes[:-1])
+            elif lac == "ebml":
+                def _ulen(v):  # minimal marked-VINT width
+                    n = 1
+                    while v > (1 << (7 * n)) - 2:
+                        n += 1
+                    return n
+
+                def _dlen(dv):  # minimal signed lace-delta width
+                    n = 1
+                    while abs(dv) > (1 << (7 * n - 1)) - 1:
+                        n += 1
+                    return n
+
+                head_bytes = 1 + _ulen(sizes[0]) + sum(
+                    _dlen(sizes[i] - sizes[i - 1])
+                    for i in range(1, len(sizes) - 1)
+                )
+            else:  # fixed
+                head_bytes = 1
         for ci in range(args["n_clusters"]):
             rows.append(
                 {
@@ -699,11 +877,13 @@ def _census_expected() -> list[dict]:
                     "cluster_ts": ci * span,
                     "n_blocks": bpc,
                     "n_keyframes": n_key,
+                    "n_frames": bpc * frames_per_blk,
+                    "n_laced": bpc if lac is not None else 0,
                     "n_tracks": distinct_tracks,
-                    "payload_bytes": bpc * args["block_size"],
-                    # element size = payload + 1 track VINT + 2 rel-ts
-                    # + 1 flags
-                    "block_bytes": bpc * (args["block_size"] + 4),
+                    "payload_bytes": bpc * frame_bytes,
+                    # element size = frame bytes + lace header + 1
+                    # track VINT + 2 rel-ts + 1 flags
+                    "block_bytes": bpc * (frame_bytes + head_bytes + 4),
                     "min_rel_ts": 0,
                     "max_rel_ts": 7 * (bpc - 1),
                 }

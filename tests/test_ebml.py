@@ -218,7 +218,8 @@ def test_block_census_empty_cluster_and_corrupt_block():
     assert rows == [
         {
             "cluster_idx": 0, "cluster_ts": 5, "n_blocks": 0,
-            "n_keyframes": 0, "n_tracks": 0, "payload_bytes": 0,
+            "n_keyframes": 0, "n_frames": 0, "n_laced": 0,
+            "n_tracks": 0, "payload_bytes": 0,
             "block_bytes": 0, "min_rel_ts": 0, "max_rel_ts": 0,
         }
     ]
@@ -238,3 +239,101 @@ def test_block_census_empty_cluster_and_corrupt_block():
     )
     rows = webm_block_census(ebml + _element(_SEGMENT, neg_cluster))
     assert rows[0]["min_rel_ts"] == -12 and rows[0]["max_rel_ts"] == -12
+
+
+def test_lacing_hand_built_streams():
+    """Lace parsing pinned against hand-built SimpleBlock bodies:
+    Xiph with a 255-spill size, EBML with a negative signed delta,
+    fixed-size division - counted and byte-accounted exactly."""
+    import struct as _s
+
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        _CLUSTER,
+        _CLUSTER_TIMESTAMP,
+        _DOCTYPE,
+        _EBML,
+        _SEGMENT,
+        _SIMPLE_BLOCK,
+        _element,
+        _uint,
+        webm_block_census,
+    )
+
+    def file_with(body: bytes) -> bytes:
+        ebml = _element(_EBML, _element(_DOCTYPE, b"webm"))
+        cluster = _element(
+            _CLUSTER,
+            _element(_CLUSTER_TIMESTAMP, _uint(0))
+            + _element(_SIMPLE_BLOCK, body),
+        )
+        return ebml + _element(_SEGMENT, cluster)
+
+    frame = bytes(range(10))
+    # Xiph, 3 frames: sizes 300 (255-spill), 2, last = remainder 5
+    body = (
+        b"\x81" + _s.pack(">hB", 0, 0x80 | 0x02)
+        + bytes((2,)) + b"\xff" + bytes((45,)) + bytes((2,))
+        + bytes(300) + frame[:2] + frame[:5]
+    )
+    (row,) = webm_block_census(file_with(body))
+    assert (row["n_frames"], row["n_laced"]) == (3, 1)
+    assert row["payload_bytes"] == 300 + 2 + 5
+
+    # EBML, 3 frames: first 9, delta -4 -> 5, last = remainder 3.
+    # signed delta -4 at 1 byte: raw = -4 + 63 = 59 -> VINT 0x80|59
+    body = (
+        b"\x81" + _s.pack(">hB", 0, 0x80 | 0x06)
+        + bytes((2,)) + bytes((0x80 | 9,)) + bytes((0x80 | 59,))
+        + bytes(9) + bytes(5) + bytes(3)
+    )
+    (row,) = webm_block_census(file_with(body))
+    assert (row["n_frames"], row["n_laced"]) == (3, 1)
+    assert row["payload_bytes"] == 9 + 5 + 3
+
+    # fixed, 4 frames of 6
+    body = b"\x81" + _s.pack(">hB", 0, 0x04) + bytes((3,)) + bytes(24)
+    (row,) = webm_block_census(file_with(body))
+    assert (row["n_frames"], row["n_laced"], row["payload_bytes"]) == (4, 1, 24)
+
+
+def test_lacing_hostile_streams_raise():
+    """Corrupt lace headers fail loudly: sizes overrunning the block,
+    a fixed-size payload that does not divide, truncated Xiph sizes."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        _CLUSTER,
+        _CLUSTER_TIMESTAMP,
+        _DOCTYPE,
+        _EBML,
+        _SEGMENT,
+        _SIMPLE_BLOCK,
+        _element,
+        _uint,
+        EBMLError,
+        webm_block_census,
+    )
+
+    def file_with(body: bytes) -> bytes:
+        ebml = _element(_EBML, _element(_DOCTYPE, b"webm"))
+        cluster = _element(
+            _CLUSTER,
+            _element(_CLUSTER_TIMESTAMP, _uint(0))
+            + _element(_SIMPLE_BLOCK, body),
+        )
+        return ebml + _element(_SEGMENT, cluster)
+
+    # Xiph size 200 but only 3 payload bytes left
+    body = b"\x81" + _s.pack(">hB", 0, 0x02) + bytes((1, 200)) + bytes(3)
+    with _pytest.raises(EBMLError, match="overrun"):
+        webm_block_census(file_with(body))
+    # fixed lacing: 5 payload bytes across 2 frames
+    body = b"\x81" + _s.pack(">hB", 0, 0x04) + bytes((1,)) + bytes(5)
+    with _pytest.raises(EBMLError, match="divide"):
+        webm_block_census(file_with(body))
+    # Xiph 255-spill runs off the end of the block
+    body = b"\x81" + _s.pack(">hB", 0, 0x02) + bytes((1,)) + b"\xff\xff"
+    with _pytest.raises(EBMLError, match="truncated Xiph"):
+        webm_block_census(file_with(body))
