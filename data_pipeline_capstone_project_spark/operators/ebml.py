@@ -76,6 +76,9 @@ _CHANNELS = 0x9F
 _CLUSTER = 0x1F43B675
 _CLUSTER_TIMESTAMP = 0xE7
 _SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
 
 #: IDs whose unknown-size form this walk accepts (RFC 8794 §6.2 allows
 #: it on any master element; Matroska profiles it to these in
@@ -317,6 +320,7 @@ def make_webm(
     cycle_tracks: bool = False,
     lacing: str | None = None,
     frames_per_block: int = 1,
+    block_groups: bool = False,
 ) -> bytes:
     """Deterministic WebM/Matroska writer covering the parser's
     branches: float32 vs float64 Duration, live-stream layout
@@ -335,7 +339,12 @@ def make_webm(
     255-spill byte sums for Xiph, an unsigned first size + SIGNED
     VINT deltas for EBML, nothing for fixed-size). Frame sizes come
     from `_lace_sizes` (fixed lacing uses ``block_size`` for every
-    frame, as the mode requires)."""
+    frame, as the mode requires).
+
+    ``block_groups`` (r11): emit each block as a BlockGroup holding a
+    Block element (keyframe-ness signalled the spec's way: a
+    ReferenceBlock child marks a non-keyframe; Block carries no 0x80
+    flag bit), instead of SimpleBlocks."""
     ebml = _element(
         _EBML,
         _element(_EBML_VERSION, _uint(1))
@@ -399,7 +408,9 @@ def make_webm(
         for bi in range(blocks_per_cluster):
             x = (x * 1103515245 + 12345) & 0x7FFFFFFF
             track = 1 + (bi % n_tracks if cycle_tracks and n_tracks else 0)
-            flags = 0x80 if bi % keyframe_every == 0 else 0x00
+            is_key = bi % keyframe_every == 0
+            # Block (inside a BlockGroup) has no keyframe flag bit
+            flags = 0x80 if is_key and not block_groups else 0x00
             if lacing is None:
                 body = bytes(
                     ((x >> (k % 16)) + 7 * bi + k) & 0xFF
@@ -435,14 +446,23 @@ def make_webm(
                     for fi, s in enumerate(sizes)
                 )
                 body = head + frames
-            # SimpleBlock framing (Matroska §6.2.4): track VINT,
+            # Block/SimpleBlock framing (Matroska §6.2.4): track VINT,
             # 16-bit relative timestamp, flags byte, then data.
-            blocks += _element(
-                _SIMPLE_BLOCK,
+            framing = (
                 _write_vint_size(track)
                 + struct.pack(">hB", bi * 7, flags)
-                + body,
+                + body
             )
+            if block_groups:
+                group = _element(_BLOCK, framing)
+                if not is_key:
+                    # signed relative timestamp of the reference
+                    group += _element(
+                        _REFERENCE_BLOCK, (-7).to_bytes(1, "big", signed=True)
+                    )
+                blocks += _element(_BLOCK_GROUP, group)
+            else:
+                blocks += _element(_SIMPLE_BLOCK, framing)
         clusters += _element(
             _CLUSTER,
             _element(_CLUSTER_TIMESTAMP, _uint(ci * cluster_span)) + blocks,
@@ -690,6 +710,25 @@ def _parse_lacing(
     return nf, sum(sizes) + last
 
 
+def _block_stats(
+    payload: bytes, c: int, d: int
+) -> tuple[int, int, int, int, int]:
+    """(track, rel_ts, flags, n_frames, frame_bytes) for one
+    Block/SimpleBlock payload spanning [c, d) - the shared §6.2.4
+    framing: track VINT (size-style encoding), 16-bit signed BE
+    relative timestamp, flags byte, lace header, codec data."""
+    track, pos, unknown = _read_vint(payload, c, keep_marker=False)
+    # the track VINT must end inside the element body with
+    # >= 3 bytes left for rel-ts + flags; `pos + 3 > d`
+    # also rejects a VINT that itself crossed d (pos > d)
+    if unknown or pos + 3 > d:
+        raise EBMLError("corrupt SimpleBlock framing")
+    (rel,) = struct.unpack(">h", payload[pos : pos + 2])
+    flags = payload[pos + 2]
+    nf, frame_bytes = _parse_lacing(payload, flags, pos + 3, d)
+    return track, rel, flags, nf, frame_bytes
+
+
 def webm_block_census(payload: bytes) -> list[dict]:
     """One dict per Cluster: (cluster_idx, cluster_ts, n_blocks,
     n_keyframes, n_frames, n_laced, n_tracks, payload_bytes,
@@ -699,7 +738,12 @@ def webm_block_census(payload: bytes) -> list[dict]:
     0x06 = lacing), then codec data - parsed here without decoding
     the data. r11: laced blocks report their true frame count and
     ``payload_bytes`` counts FRAME bytes (lace headers excluded), so
-    the census matches what a demuxer would hand the codec."""
+    the census matches what a demuxer would hand the codec; Blocks
+    inside BlockGroups (the layout real muxers use when frames carry
+    references) census identically, with keyframe-ness derived the
+    spec's way - a group with NO ReferenceBlock is a keyframe - and
+    ``block_bytes`` counting the Block element's payload (the group
+    wrapper and its non-Block children are structure, not media)."""
     top = list(_walk(payload, 0, len(payload)))
     if not top or top[0][0] != _EBML:
         raise EBMLError("not an EBML stream (no EBML header)")
@@ -720,22 +764,36 @@ def webm_block_census(payload: bytes) -> list[dict]:
         for e2, c, d in _walk(payload, a, b):
             if e2 == _CLUSTER_TIMESTAMP:
                 ts = _as_uint(payload, c, d)
-            elif e2 == _SIMPLE_BLOCK:
-                track, pos, unknown = _read_vint(payload, c, keep_marker=False)
-                # the track VINT must end inside the element body with
-                # >= 3 bytes left for rel-ts + flags; `pos + 3 > d`
-                # also rejects a VINT that itself crossed d (pos > d)
-                if unknown or pos + 3 > d:
-                    raise EBMLError("corrupt SimpleBlock framing")
-                (rel,) = struct.unpack(">h", payload[pos : pos + 2])
-                flags = payload[pos + 2]
-                nf, frame_bytes = _parse_lacing(payload, flags, pos + 3, d)
+            elif e2 in (_SIMPLE_BLOCK, _BLOCK_GROUP):
+                if e2 == _BLOCK_GROUP:
+                    blk_span = None
+                    has_ref = False
+                    for e3, g, hh in _walk(payload, c, d):
+                        if e3 == _BLOCK:
+                            blk_span = (g, hh)
+                        elif e3 == _REFERENCE_BLOCK:
+                            has_ref = True
+                    if blk_span is None:
+                        raise EBMLError("BlockGroup without a Block")
+                    bc, bd = blk_span
+                    track, rel, flags, nf, frame_bytes = _block_stats(
+                        payload, bc, bd
+                    )
+                    # §6.2.3: keyframe iff the group has no
+                    # ReferenceBlock (Block has no keyframe flag bit)
+                    is_key = not has_ref
+                else:
+                    bc, bd = c, d
+                    track, rel, flags, nf, frame_bytes = _block_stats(
+                        payload, c, d
+                    )
+                    is_key = (flags & 0x80) != 0
                 n_blocks += 1
-                n_key += (flags & 0x80) != 0
+                n_key += is_key
                 n_frames += nf
                 n_laced += (flags & 0x06) != 0
                 tracks.add(track)
-                block_bytes += d - c
+                block_bytes += bd - bc
                 payload_bytes += frame_bytes
                 min_rel = rel if min_rel is None else min(min_rel, rel)
                 max_rel = rel if max_rel is None else max(max_rel, rel)
@@ -797,6 +855,16 @@ _CENSUS_FIXTURES: list[tuple[str, dict]] = [
                            "n_clusters": 2, "blocks_per_cluster": 2,
                            "block_size": 17, "keyframe_every": 2,
                            "seed": 41}),
+    # r11 BlockGroup family: keyframes via ReferenceBlock ABSENCE
+    # (no 0x80 bit on Block), alone and combined with EBML lacing
+    ("c_blockgroups.webm", {"block_groups": True, "keyframe_every": 3,
+                            "blocks_per_cluster": 4, "block_size": 23,
+                            "n_clusters": 2, "seed": 43}),
+    ("c_group_lace.webm", {"block_groups": True, "lacing": "ebml",
+                           "frames_per_block": 3,
+                           "blocks_per_cluster": 2, "block_size": 30,
+                           "n_clusters": 2, "keyframe_every": 2,
+                           "cycle_tracks": True, "seed": 47}),
 ]
 
 _CENSUS_COLS = [

@@ -337,3 +337,46 @@ def test_lacing_hostile_streams_raise():
     body = b"\x81" + _s.pack(">hB", 0, 0x02) + bytes((1,)) + b"\xff\xff"
     with _pytest.raises(EBMLError, match="truncated Xiph"):
         webm_block_census(file_with(body))
+
+
+def test_blockgroup_keyframe_by_reference_absence():
+    """Blocks in BlockGroups carry no keyframe flag; the census must
+    derive keyframe-ness from the ReferenceBlock's ABSENCE, and a
+    BlockGroup without any Block is corrupt."""
+    import pytest as _pytest
+
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        _BLOCK_GROUP,
+        _CLUSTER,
+        _CLUSTER_TIMESTAMP,
+        _DOCTYPE,
+        _EBML,
+        _REFERENCE_BLOCK,
+        _SEGMENT,
+        _element,
+        _uint,
+        EBMLError,
+        make_webm,
+        webm_block_census,
+    )
+
+    rows = webm_block_census(
+        make_webm(block_groups=True, n_clusters=1, blocks_per_cluster=6,
+                  block_size=12, keyframe_every=3, seed=5)
+    )
+    assert rows[0]["n_blocks"] == 6
+    assert rows[0]["n_keyframes"] == 2  # bi 0 and 3
+    assert rows[0]["payload_bytes"] == 6 * 12
+
+    # group with a ReferenceBlock but NO Block
+    ebml = _element(_EBML, _element(_DOCTYPE, b"webm"))
+    bad = _element(
+        _CLUSTER,
+        _element(_CLUSTER_TIMESTAMP, _uint(0))
+        + _element(
+            _BLOCK_GROUP,
+            _element(_REFERENCE_BLOCK, (-1).to_bytes(1, "big", signed=True)),
+        ),
+    )
+    with _pytest.raises(EBMLError, match="without a Block"):
+        webm_block_census(ebml + _element(_SEGMENT, bad))
