@@ -1656,9 +1656,12 @@ def decode_i_slice(
     }
 
 
-def decode_first_i_frame(payload: bytes) -> dict:
-    """ISO BMFF bytes -> decode the first I/IDR frame of the first AVC
-    track; returns the cropped display-size luma plane and census
+def decode_i_frames(payload: bytes) -> "list[dict]":
+    """ISO BMFF bytes -> decode EVERY I/IDR access unit of the first
+    AVC track, in sample-table order (r11: the multi-frame path -
+    each all-intra frame decodes independently, and non-IDR I slices
+    exercise the nal_type-1 slice-header branch). Returns one dict
+    per frame with the cropped display-size YCbCr planes and census
     fields."""
     fourcc, entry = _find_stsd_entry(payload)
     if fourcc not in (b"avc1", b"avc3"):
@@ -1673,6 +1676,7 @@ def decode_first_i_frame(payload: bytes) -> dict:
     cfg = parse_avcc(avcc)
     sps = parse_sps(cfg["sps"][0])
     _, table = mp4_sample_table(payload)
+    frames: list[dict] = []
     for off, size in table:
         sample = payload[off : off + size]
         for nal in split_sample_nals(sample, cfg["nal_length_size"]):
@@ -1683,15 +1687,30 @@ def decode_first_i_frame(payload: bytes) -> dict:
                 luma = np.ascontiguousarray(plane[y0 : y0 + h, x0 : x0 + w])
                 cw, ch = w // 2, h // 2  # 4:2:0 chroma crop
                 cx, cy = x0 // 2, y0 // 2
-                return {
-                    "width": w,
-                    "height": h,
-                    "luma": luma,
-                    "cb": np.ascontiguousarray(cb[cy : cy + ch, cx : cx + cw]),
-                    "cr": np.ascontiguousarray(cr[cy : cy + ch, cx : cx + cw]),
-                    **stats,
-                }
-    raise H264Error("no coded slice in any sample")
+                frames.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "luma": luma,
+                        "cb": np.ascontiguousarray(
+                            cb[cy : cy + ch, cx : cx + cw]
+                        ),
+                        "cr": np.ascontiguousarray(
+                            cr[cy : cy + ch, cx : cx + cw]
+                        ),
+                        **stats,
+                    }
+                )
+                break  # one coded picture per access unit
+    if not frames:
+        raise H264Error("no coded slice in any sample")
+    return frames
+
+
+def decode_first_i_frame(payload: bytes) -> dict:
+    """ISO BMFF bytes -> the first decoded I/IDR frame (see
+    `decode_i_frames`)."""
+    return decode_i_frames(payload)[0]
 
 
 # --- the independent expected-plane simulator ---------------------------------
@@ -2407,11 +2426,33 @@ def h264_frame_fixtures() -> list[dict]:
     ]
     fixtures.append({"name": "i4_residual.mp4", "w": 32, "h": 32, "mbs": mbs})
 
+    # --- multi-frame stream with DISTINCT pictures (r11): frames 2-3
+    # are non-IDR I slices (nal_type 1, own frame_num) mixing the
+    # residual families; every frame's plane feeds frames_luma_crc32
+    f2 = [[
+        ("i16", 2, 0, dc((1, -1)), 4, {0: [2] + [0] * 14}),
+        ("i16", 1, 0, [0] * 16, 0, None, (1, [1, 0, 0, 0], [0, 0, -1, 0])),
+    ]]
+    f3 = [[
+        ("i4", [2] * 16, 0, {0: [2] + [0] * 15}, -2),
+        ("pcm", "rampy", 5),
+    ]]
+    fixtures.append(
+        {
+            "name": "multi_iframe.mp4", "w": 32, "h": 16,
+            "mbs": [[("i16", 2, 0, dc((0, 2))), ("i16", 1, 0)]],
+            "extra_frames": [f2, f3],
+        }
+    )
+
     return fixtures
 
 
 def build_fixture_mp4(spec: dict) -> bytes:
-    """Encode one fixture spec into a complete MP4 payload."""
+    """Encode one fixture spec into a complete MP4 payload.
+    ``n_frames`` repeats the same access unit; ``extra_frames`` (r11)
+    appends DISTINCT pictures, each coded as a non-IDR I slice with
+    its own frame_num - the multi-frame decode path."""
     mbs = spec["mbs"]
     mb_w, mb_h = len(mbs[0]), len(mbs)
     sps = make_sps(spec["w"], spec["h"])
@@ -2420,6 +2461,10 @@ def build_fixture_mp4(spec: dict) -> bytes:
     if spec.get("lead_nals"):
         au = [make_aud_nal(), make_sei_nal(6), slice_nal]
     samples = [au for _ in range(spec.get("n_frames", 1))]
+    for j, fm in enumerate(spec.get("extra_frames", [])):
+        samples.append(
+            [make_i_slice_nal(fm, idr=False, frame_num=j + 1)]
+        )
     return make_avc_stream_mp4(
         sps,
         samples,
@@ -2441,7 +2486,8 @@ _SCHEMA = (
     "video_name string, width int, height int, n_mbs int, n_pcm int, "
     "n_i16 int, n_i4 int, luma_sum bigint, luma_crc32 bigint, "
     "cb_crc32 bigint, cr_crc32 bigint, "
-    "px_tl int, px_tr int, px_bl int, px_br int"
+    "px_tl int, px_tr int, px_bl int, px_br int, "
+    "n_frames int, frames_luma_crc32 bigint"
 )
 
 
@@ -2468,6 +2514,20 @@ def _plane_row(
     }
 
 
+def _video_row(name: str, frames: "list[dict]") -> dict:
+    """One census row per VIDEO (r11): frame 1's plane statistics
+    plus the whole-stream frame count and the CRC over every decoded
+    frame's luma bytes in sample order (equal to frame 1's luma CRC
+    when the stream has one frame)."""
+    f0 = frames[0]
+    row = _plane_row(name, f0["luma"], f0["cb"], f0["cr"], f0)
+    row["n_frames"] = len(frames)
+    row["frames_luma_crc32"] = int(
+        zlib.crc32(b"".join(f["luma"].tobytes() for f in frames))
+    )
+    return row
+
+
 def h264_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: staged AVC store -> binaryFile -> mapInPandas
     -> real bit-level I-frame YCbCr decode -> one census row per
@@ -2486,10 +2546,7 @@ def h264_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 out: list[dict] = []
                 for name, p in zip(pdf["video_name"], pdf["payload"]):
-                    d = decode_first_i_frame(bytes(p))
-                    out.append(
-                        _plane_row(name, d["luma"], d["cb"], d["cr"], d)
-                    )
+                    out.append(_video_row(name, decode_i_frames(bytes(p))))
                 yield pd.DataFrame(out)
 
         out = bin_df.mapInPandas(decode_batches, _SCHEMA)
@@ -2518,8 +2575,21 @@ def _frames_oracle() -> str:
             {"n_mbs": mb_count, "n_pcm": n_pcm, "n_i4": n_i4,
              "n_i16": mb_count - n_pcm - n_i4},
         )
-        got = decode_first_i_frame(build_fixture_mp4(spec))
-        got_row = _plane_row(spec["name"], got["luma"], got["cb"], got["cr"], got)
+        # whole-stream expectation (r11): n_frames repeats frame 1,
+        # extra_frames are independent all-intra pictures the
+        # simulator renders from their own mbs grids
+        frame_bytes = sim.tobytes() * spec.get("n_frames", 1)
+        n_total = spec.get("n_frames", 1)
+        for fm in spec.get("extra_frames", []):
+            frame_bytes += _simulate_luma(
+                {"w": spec["w"], "h": spec["h"], "mbs": fm}
+            ).tobytes()
+            n_total += 1
+        want["n_frames"] = n_total
+        want["frames_luma_crc32"] = int(zlib.crc32(frame_bytes))
+        got_row = _video_row(
+            spec["name"], decode_i_frames(build_fixture_mp4(spec))
+        )
         if got_row != want:
             # Decoder/simulator disagreement must surface as THIS
             # entry's hash-mismatch, not an import-time crash that
@@ -2527,7 +2597,8 @@ def _frames_oracle() -> str:
             # sentinel row that cannot match any decoder output.
             rows.append(
                 f"('{spec['name']}:DECODER_SIMULATOR_DISAGREE', "
-                "-1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1)"
+                "-1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, "
+                "-1, -1, -1)"
             )
             continue
         rows.append(
@@ -2541,7 +2612,7 @@ def _frames_oracle() -> str:
         + ", ".join(rows)
         + ") AS t(video_name, width, height, n_mbs, n_pcm, n_i16, n_i4, "
         "luma_sum, luma_crc32, cb_crc32, cr_crc32, "
-        "px_tl, px_tr, px_bl, px_br)"
+        "px_tl, px_tr, px_bl, px_br, n_frames, frames_luma_crc32)"
     )
 
 

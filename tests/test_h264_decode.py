@@ -894,6 +894,30 @@ def test_i4_residual_fixture_roundtrip():
     assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
 
 
+def test_multi_frame_distinct_pictures():
+    """decode_i_frames returns every access unit's picture: the
+    multi_iframe fixture's three frames (IDR + two non-IDR I slices
+    with their own frame_num) decode to three DIFFERENT planes, each
+    equal to its own simulator render."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        decode_i_frames,
+    )
+
+    spec = next(
+        s for s in h264_frame_fixtures() if s["name"] == "multi_iframe.mp4"
+    )
+    frames = decode_i_frames(build_fixture_mp4(spec))
+    assert len(frames) == 3
+    sims = [_simulate_luma(spec)] + [
+        _simulate_luma({"w": spec["w"], "h": spec["h"], "mbs": fm})
+        for fm in spec["extra_frames"]
+    ]
+    for f, sim in zip(frames, sims):
+        assert np.array_equal(f["luma"], sim)
+    assert not np.array_equal(sims[0], sims[1])
+    assert not np.array_equal(sims[1], sims[2])
+
+
 def test_cavlc_seams_raise():
     """Codes outside the transcribed subset raise the honest seam, and
     never mis-decode: (a) TotalCoeff=4 via the nC>=8 FLC hits the
