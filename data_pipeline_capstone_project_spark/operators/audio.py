@@ -247,8 +247,8 @@ def make_wav(
     ``g711="alaw"/"ulaw"`` writes 8-bit G.711 telephony audio (tags
     6/7) whose data bytes come straight from the LCG - the decode
     side expands them through the exact integer tables."""
-    if float_fmt and bits != 32:
-        raise ValueError("float WAV is 32-bit")
+    if float_fmt and bits not in (32, 64):
+        raise ValueError("float WAV is 32- or 64-bit")
     if g711 is not None and bits != 8:
         raise ValueError("G.711 WAV is 8-bit")
     if (ima_adpcm or ms_adpcm) and bits != 4:
@@ -339,7 +339,10 @@ def make_wav(
     if g711 is not None:
         data = (out + 128).astype(np.uint8).tobytes()  # raw companded bytes
     elif float_fmt:
-        data = (out / (1 << 23)).astype("<f4").tobytes()
+        # Q8.23 dyadics: exactly representable in BOTH float widths
+        data = (out / (1 << 23)).astype(
+            "<f4" if bits == 32 else "<f8"
+        ).tobytes()
     elif bits == 16:
         data = out.astype("<i2").tobytes()
     elif bits == 8:  # WAV 8-bit is unsigned
@@ -348,8 +351,10 @@ def make_wav(
         u = (out & 0xFFFFFF).astype("<u4")
         b = u.view(np.uint8).reshape(-1, 4)[:, :3]  # drop the high byte
         data = np.ascontiguousarray(b).tobytes()
+    elif bits == 32:  # full-scale int32 PCM (r11)
+        data = out.astype("<i4").tobytes()
     else:
-        raise ValueError("fixture writer supports 8/16/24-bit PCM")
+        raise ValueError("fixture writer supports 8/16/24/32-bit PCM")
     tag = {"alaw": 6, "ulaw": 7}[g711] if g711 else (3 if float_fmt else 1)
     fmt = struct.pack(
         "<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits
@@ -507,9 +512,12 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
     if tag == 2:
         return _ms_adpcm_blocks(raw, fmt_body, channels, fact_frames)
     if tag == 3:
-        if bits != 32:
-            raise NotImplementedError("IEEE-float WAV is 32-bit only")
-        samples = np.frombuffer(raw, dtype="<f4")
+        if bits == 32:
+            samples = np.frombuffer(raw, dtype="<f4")
+        elif bits == 64:  # r11: double-precision IEEE-float WAV
+            samples = np.frombuffer(raw, dtype="<f8")
+        else:
+            raise NotImplementedError("IEEE-float WAV is 32/64-bit only")
     elif tag in (6, 7):
         # G.711 a-law (6) / mu-law (7): 8-bit log-companded telephony
         # audio - the decode is exact integer arithmetic (ITU-T G.711
@@ -538,14 +546,16 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         samples -= (samples >> 23) << 24
+    elif bits == 32:  # r11: full-scale int32 PCM (widened: |min| = 2^31)
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
     else:
-        raise NotImplementedError("only 8/16/24-bit integer PCM")
+        raise NotImplementedError("only 8/16/24/32-bit integer PCM")
     return samples.reshape(-1, channels)
 
 
 # --- registry query ----------------------------------------------------------
 
-N_CLIPS = 24
+N_CLIPS = 28
 
 
 def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
@@ -559,16 +569,13 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
     out = []
     for i in range(N_CLIPS):
         rate = (8000, 16000, 44100)[i % 3]
-        out.append(
-            (
-                f"a{i:02d}.wav",
-                200 + 37 * i,
-                rate,
-                1 + (i % 2),
-                (16, 24, 32, 8, "ulaw", "alaw", "ima", "ms")[i % 8],
-                i,
-            )
+        # clips 24..27 (r11): float64 and int32 PCM
+        spec = (
+            ("f64", "i32", "f64", "i32")[i - 24]
+            if i >= 24
+            else (16, 24, 32, 8, "ulaw", "alaw", "ima", "ms")[i % 8]
         )
+        out.append((f"a{i:02d}.wav", 200 + 37 * i, rate, 1 + (i % 2), spec, i))
     return out
 
 
@@ -583,6 +590,13 @@ def _make_fixture(ns: int, rate: int, ch: int, spec, seed: int) -> bytes:
             ns, sample_rate=rate, channels=ch, bits=4, seed=seed,
             ms_adpcm=True,
         )
+    if spec == "f64":
+        return make_wav(
+            ns, sample_rate=rate, channels=ch, bits=64, seed=seed,
+            float_fmt=True,
+        )
+    if spec == "i32":
+        return make_wav(ns, sample_rate=rate, channels=ch, bits=32, seed=seed)
     if isinstance(spec, str):
         return make_wav(
             ns, sample_rate=rate, channels=ch, bits=8, seed=seed, g711=spec

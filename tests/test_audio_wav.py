@@ -165,7 +165,7 @@ def test_g711_wav_roundtrip():
 
 def test_wav_stats_query_spark(spark, sf_dir):
     rows = {r["clip_name"]: r for r in wav_stats_query(spark, sf_dir).collect()}
-    assert len(rows) == 24
+    assert len(rows) == 28
     r0 = rows["a00.wav"]
     assert (r0["channels"], r0["sample_rate"], r0["bits"]) == (1, 8000, 16)
     by_codec = {}
@@ -180,11 +180,16 @@ def test_wav_stats_query_spark(spark, sf_dir):
     w24 = [r for r in by_codec["pcm"] if r["bits"] == 24]
     assert len(w24) == 3
     assert max(r["peak"] for r in w24) > (1 << 15)
-    # 32-bit IEEE float clips: Q23 integer probes on the same lattice
-    f32 = by_codec["float"]
-    assert len(f32) == 3
-    assert all(r["bits"] == 32 for r in f32)
-    assert all(0 < r["peak"] < (1 << 23) for r in f32)
+    # IEEE float clips: Q23 integer probes on the same lattice.
+    # r11 adds two float64 clips next to the three float32.
+    fl = by_codec["float"]
+    assert len(fl) == 5
+    assert sorted(r["bits"] for r in fl) == [32, 32, 32, 64, 64]
+    assert all(0 < r["peak"] < (1 << 23) for r in fl)
+    # r11: full-scale int32 PCM - peaks beyond the 24-bit range
+    w32 = [r for r in by_codec["pcm"] if r["bits"] == 32]
+    assert len(w32) == 2
+    assert all(r["peak"] > (1 << 24) for r in w32)
     # G.711: 8-bit container, expanded 13/14-bit sample range
     for law, lim in (("ulaw", 32124), ("alaw", 32256)):
         clips = by_codec[law]
