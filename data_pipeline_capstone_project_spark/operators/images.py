@@ -122,65 +122,104 @@ def make_bmp(img: "np.ndarray") -> bytes:
     return head + info + bytes(body)
 
 
-def make_bmp_indexed(
-    idx: "np.ndarray", palette: "list[tuple[int, int, int]]", rle: bool = False
-) -> bytes:
-    """8-bit paletted BITMAPINFOHEADER BMP: BI_RGB (raw indices,
-    4-byte row stride) or BI_RLE8 (``rle=True``). The RLE encoder
-    walks each bottom-up row emitting encoded runs for >= 2 repeats,
-    absolute mode (escape 0, count 3..255, word-aligned) for literal
+def _pack_rows(idx: "np.ndarray", bpp: int) -> bytearray:
+    """Bottom-up BI_RGB index rows at 1/4/8 bits per pixel, high
+    bits first within a byte, each row padded to a 4-byte stride."""
+    h, w = idx.shape
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        if bpp == 8:
+            row = bytearray(idx[y].astype(np.uint8).tobytes())
+        elif bpp == 4:
+            row = bytearray()
+            for x in range(0, w, 2):
+                hi = int(idx[y, x]) << 4
+                lo = int(idx[y, x + 1]) if x + 1 < w else 0
+                row.append(hi | lo)
+        else:  # 1-bit, MSB first
+            row = bytearray()
+            for x in range(0, w, 8):
+                b = 0
+                for k in range(min(8, w - x)):
+                    b |= int(idx[y, x + k]) << (7 - k)
+                row.append(b)
+        row += b"\0" * ((-len(row)) % 4)
+        body += row
+    return body
+
+
+def _rle_rows(idx: "np.ndarray", bpp: int) -> bytearray:
+    """BI_RLE8 (bpp 8) / BI_RLE4 (bpp 4) pixel data: encoded runs for
+    >= 2 repeats (RLE4 runs alternate the byte's two nibbles, so a
+    same-value run uses value in both), absolute mode (escape 0,
+    count 3..255, nibble-packed for RLE4, word-aligned) for literal
     stretches of >= 3, single-pixel runs otherwise, an end-of-line
-    escape per row and the end-of-bitmap escape - so every
-    (non-delta) construct of the format is on the wire."""
+    escape per row and the end-of-bitmap escape."""
+    h, w = idx.shape
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2:
+                v = int(row[x])
+                body += bytes((run, (v << 4) | v if bpp == 4 else v))
+                x += run
+                continue
+            # literal stretch until a >=3 run starts (or 255 cap)
+            j = x
+            while j < w and (j - x) < 255:
+                if j + 2 < w and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            n = j - x
+            if n >= 3:
+                body += bytes((0, n))
+                if bpp == 8:
+                    chunk = bytearray(row[x:j].astype(np.uint8).tobytes())
+                else:
+                    chunk = bytearray()
+                    for k in range(x, j, 2):
+                        hi = int(row[k]) << 4
+                        lo = int(row[k + 1]) if k + 1 < j else 0
+                        chunk.append(hi | lo)
+                chunk += b"\0" * ((-len(chunk)) % 2)  # word alignment
+                body += chunk
+            else:
+                for k in range(n):
+                    v = int(row[x + k])
+                    body += bytes((1, v << 4 if bpp == 4 else v))
+            x = j
+        body += bytes((0, 0))  # end of line
+    body += bytes((0, 1))  # end of bitmap
+    return body
+
+
+def make_bmp_indexed(
+    idx: "np.ndarray",
+    palette: "list[tuple[int, int, int]]",
+    rle: bool = False,
+    bpp: int = 8,
+) -> bytes:
+    """Paletted BITMAPINFOHEADER BMP at 1/4/8 bits per pixel: BI_RGB
+    (packed index rows, 4-byte stride) or - for 4/8 bpp - BI_RLE4 /
+    BI_RLE8 (``rle=True``), covering every non-delta construct of
+    the RLE formats."""
     import struct as _s
 
     h, w = idx.shape
-    if idx.max(initial=0) >= len(palette):
+    if bpp not in (1, 4, 8) or (rle and bpp == 1):
+        raise ValueError("paletted BMP is 1/4/8 bpp (RLE: 4/8)")
+    if idx.max(initial=0) >= min(len(palette), 1 << bpp):
         raise ValueError("index out of palette range")
     quads = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
-    if not rle:
-        pad = (-w) % 4
-        body = bytearray()
-        for y in range(h - 1, -1, -1):
-            body += idx[y].astype(np.uint8).tobytes() + b"\0" * pad
-        comp = 0
-    else:
-        body = bytearray()
-        for y in range(h - 1, -1, -1):
-            row = idx[y]
-            x = 0
-            while x < w:
-                run = 1
-                while x + run < w and row[x + run] == row[x] and run < 255:
-                    run += 1
-                if run >= 2:
-                    body += bytes((run, int(row[x])))
-                    x += run
-                    continue
-                # literal stretch until a >=3 run starts (or 255 cap)
-                j = x
-                while j < w and (j - x) < 255:
-                    if (
-                        j + 2 < w
-                        and row[j] == row[j + 1] == row[j + 2]
-                    ):
-                        break
-                    j += 1
-                n = j - x
-                if n >= 3:
-                    body += bytes((0, n))
-                    body += row[x:j].astype(np.uint8).tobytes()
-                    if n % 2:
-                        body += b"\0"  # absolute runs are word-aligned
-                else:
-                    for k in range(n):
-                        body += bytes((1, int(row[x + k])))
-                x = j
-            body += bytes((0, 0))  # end of line
-        body += bytes((0, 1))  # end of bitmap
-        comp = 1
+    body = _rle_rows(idx, bpp) if rle else _pack_rows(idx, bpp)
+    comp = 0 if not rle else (1 if bpp == 8 else 2)
     info = _s.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 2835, 2835,
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835,
         len(palette), 0,
     )
     off = 14 + 40 + len(quads)
@@ -231,11 +270,17 @@ def bmp_pixels(payload: bytes) -> "np.ndarray":
         if rawh > 0:  # bottom-up
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR -> RGB
-    if bpp != 8 or comp not in (0, 1):
+    if (
+        bpp not in (1, 4, 8)
+        or comp not in (0, 1, 2)
+        or (comp == 1 and bpp != 8)
+        or (comp == 2 and bpp != 4)
+    ):
         raise NotImplementedError(
-            "only 24-bit BI_RGB and 8-bit BI_RGB/BI_RLE8 BMP"
+            "only 24-bit BI_RGB, 1/4/8-bit paletted BI_RGB, BI_RLE8 "
+            "and BI_RLE4 BMP"
         )
-    n_pal = clr_used or 256
+    n_pal = clr_used or (1 << bpp)
     pal_off = 14 + _sz
     quads = payload[pal_off : pal_off + 4 * n_pal]
     if len(quads) < 4 * n_pal:
@@ -244,57 +289,79 @@ def bmp_pixels(payload: bytes) -> "np.ndarray":
         :, [2, 1, 0]
     ]  # BGRx -> RGB
     if comp == 0:
-        stride = w + ((-w) % 4)
+        row_bytes = (w * bpp + 7) // 8
+        stride = row_bytes + ((-row_bytes) % 4)
         if len(payload) < off + stride * h:
             raise ValueError("truncated BMP pixel data")
-        idx = np.frombuffer(
+        packed = np.frombuffer(
             payload[off : off + stride * h], dtype=np.uint8
-        ).reshape(h, stride)[:, :w]
+        ).reshape(h, stride)[:, :row_bytes]
+        if bpp == 8:
+            idx = packed[:, :w]
+        elif bpp == 4:  # high nibble first
+            idx = np.empty((h, row_bytes * 2), dtype=np.uint8)
+            idx[:, 0::2] = packed >> 4
+            idx[:, 1::2] = packed & 15
+            idx = idx[:, :w]
+        else:  # 1-bit, MSB first
+            idx = np.unpackbits(packed, axis=1)[:, :w]
         if rawh > 0:
             idx = idx[::-1]
-    else:  # BI_RLE8 (§ of the BITMAPINFOHEADER spec: bottom-up only)
+    else:  # BI_RLE8 / BI_RLE4 (bottom-up only per the spec)
         if rawh < 0:
-            raise ValueError("top-down BI_RLE8 is invalid")
+            raise ValueError("top-down BI_RLE BMP is invalid")
         idx = np.zeros((h, w), dtype=np.uint8)
         x = y = 0  # y counts rows from the BOTTOM
         i = off
         end = len(payload)
         while True:
             if i + 2 > end:
-                raise ValueError("truncated BI_RLE8 stream")
+                raise ValueError("truncated BI_RLE stream")
             b0, b1 = payload[i], payload[i + 1]
             i += 2
             if b0:  # encoded run
                 if y >= h or x + b0 > w:
-                    raise ValueError("BI_RLE8 run overflows the row")
-                idx[h - 1 - y, x : x + b0] = b1
+                    raise ValueError("BI_RLE run overflows the row")
+                if comp == 1:
+                    idx[h - 1 - y, x : x + b0] = b1
+                else:  # RLE4: the byte's two nibbles alternate
+                    pair = np.array((b1 >> 4, b1 & 15), dtype=np.uint8)
+                    idx[h - 1 - y, x : x + b0] = np.resize(pair, b0)
                 x += b0
             elif b1 == 0:  # end of line
                 x, y = 0, y + 1
                 if y > h:
-                    raise ValueError("BI_RLE8 ran past the last row")
+                    raise ValueError("BI_RLE ran past the last row")
             elif b1 == 1:  # end of bitmap
                 break
             elif b1 == 2:  # delta: skipped pixels stay index 0
                 if i + 2 > end:
-                    raise ValueError("truncated BI_RLE8 delta")
+                    raise ValueError("truncated BI_RLE delta")
                 x += payload[i]
                 y += payload[i + 1]
                 i += 2
                 if x > w or y >= h:
-                    raise ValueError("BI_RLE8 delta out of bounds")
+                    raise ValueError("BI_RLE delta out of bounds")
             else:  # absolute mode, word-aligned
                 n = b1
-                pad = n % 2
-                if i + n + pad > end:
-                    raise ValueError("truncated BI_RLE8 absolute run")
+                used = n if comp == 1 else (n + 1) // 2
+                pad = used % 2
+                if i + used + pad > end:
+                    raise ValueError("truncated BI_RLE absolute run")
                 if y >= h or x + n > w:
-                    raise ValueError("BI_RLE8 absolute run overflows")
-                idx[h - 1 - y, x : x + n] = np.frombuffer(
-                    payload[i : i + n], dtype=np.uint8
+                    raise ValueError("BI_RLE absolute run overflows")
+                chunk = np.frombuffer(
+                    payload[i : i + used], dtype=np.uint8
                 )
+                if comp == 1:
+                    idx[h - 1 - y, x : x + n] = chunk
+                else:
+                    nib = np.empty(used * 2, dtype=np.uint8)
+                    nib[0::2] = chunk >> 4
+                    nib[1::2] = chunk & 15
+                    idx[h - 1 - y, x : x + n] = nib[:n]
                 x += n
-                i += n + pad
+                i += used + pad
     if int(idx.max(initial=0)) >= n_pal:
         raise ValueError("BMP index outside the color table")
     return palette[idx].copy()

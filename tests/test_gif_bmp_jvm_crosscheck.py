@@ -144,6 +144,56 @@ def test_bmp_rle8_delta_escape_matches_jvm(spark, tmp_path):
     assert np.array_equal(theirs["delta.bmp"], want)
 
 
+def test_bmp_low_depth_and_rle4_match_jvm_imageio(spark, tmp_path):
+    """r11: 1-bit and 4-bit paletted BI_RGB plus BI_RLE4 (nibble
+    runs/absolute mode, word alignment) decode pixel-identically to
+    JVM ImageIO."""
+    store = tmp_path / "bmps_low"
+    store.mkdir()
+    rng = np.random.RandomState(5)
+    ours = {}
+    for i in range(3):
+        h, w = 5 + 3 * i, 7 + 5 * i
+        for bpp, rle_opts in ((1, (False,)), (4, (False, True))):
+            n = 1 << bpp
+            pal = [tuple(int(v) for v in rng.randint(0, 256, 3))
+                   for _ in range(n)]
+            idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+            idx[0, :] = idx[0, 0]  # a run-heavy row
+            for rle in rle_opts:
+                name = f"b{i}_{bpp}{'r' if rle else ''}.bmp"
+                payload = make_bmp_indexed(idx, pal, rle=rle, bpp=bpp)
+                (store / name).write_bytes(payload)
+                ours[name] = bmp_pixels(payload)
+                assert np.array_equal(
+                    ours[name], np.array(pal, dtype=np.uint8)[idx]
+                ), name
+    theirs = _jvm_decode(spark, str(store))
+    assert set(theirs) == set(ours)
+    for name, rgb in ours.items():
+        assert np.array_equal(theirs[name], rgb), name
+
+
+def test_bmp_rle4_alternating_run_nibbles():
+    """An RLE4 encoded run alternates the count byte's two nibbles:
+    count 5 of 0xAB decodes to A,B,A,B,A (hand-built stream)."""
+    import struct
+
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    quads = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    body = bytes((5, 0xAB, 0, 0, 0, 1))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 5, 1, 1, 4, 2, len(body), 0, 0, 16, 0
+    )
+    off = 14 + 40 + len(quads)
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + info + quads + body
+    )
+    want = np.array(pal, np.uint8)[np.array([[10, 11, 10, 11, 10]])]
+    assert np.array_equal(bmp_pixels(payload), want)
+
+
 def test_bmp_rle8_hostile_streams_raise():
     """Corrupt RLE streams fail loudly, never write out of bounds:
     run overflowing the row, truncated stream, delta past the image,
