@@ -236,7 +236,7 @@ def make_wav(
     n_samples: int, sample_rate: int = 44100, channels: int = 2,
     bits: int = 16, seed: int = 0, float_fmt: bool = False,
     g711: str | None = None, ima_adpcm: bool = False,
-    ms_adpcm: bool = False,
+    ms_adpcm: bool = False, extensible: bool = False,
 ) -> bytes:
     """Canonical RIFF/WAVE: deterministic full-scale-bounded samples
     (a seeded integer LCG, library-free and platform-exact).
@@ -356,11 +356,23 @@ def make_wav(
     else:
         raise ValueError("fixture writer supports 8/16/24/32-bit PCM")
     tag = {"alaw": 6, "ulaw": 7}[g711] if g711 else (3 if float_fmt else 1)
-    fmt = struct.pack(
-        "<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits
-    )
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE (r11): outer tag 0xFFFE, the real
+        # tag in the KSDATAFORMAT SubFormat GUID; wValidBitsPerSample
+        # = container bits, a front-stereo/mono channel mask
+        if g711 or ima_adpcm or ms_adpcm:
+            raise ValueError("extensible fixture supports PCM/float")
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, channels, sample_rate, byte_rate,
+            block_align, bits, 22, bits, 0x3 if channels == 2 else 0x4,
+        ) + struct.pack("<H", tag) + _EXT_GUID_SUFFIX
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, sample_rate, byte_rate,
+            block_align, bits,
+        )
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    if tag != 1:
+    if tag != 1 or extensible:
         # non-PCM formats carry a fact chunk (samples per channel)
         chunks += b"fact" + struct.pack("<II", 4, n_samples)
     chunks += b"data" + struct.pack("<I", len(data)) + data
@@ -402,16 +414,44 @@ def _wav_meta_impl(payload: bytes) -> tuple[int, int, int, int]:
     return channels, rate, bits, duration_ms
 
 
+#: KSDATAFORMAT_SUBTYPE GUID tail (bytes 2..15): the SubFormat GUIDs
+#: of WAVE_FORMAT_EXTENSIBLE are the effective format tag as a
+#: little-endian u16 followed by this fixed suffix.
+_EXT_GUID_SUFFIX = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
+def _resolve_extensible(fmt_body: bytes) -> int:
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE, r11) -> the effective format
+    tag from the SubFormat GUID (fmt extension: cbSize,
+    wValidBitsPerSample, dwChannelMask, 16-byte GUID)."""
+    if len(fmt_body) < 40:
+        raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+    guid = fmt_body[24:40]
+    if guid[2:] != _EXT_GUID_SUFFIX:
+        raise NotImplementedError(
+            "non-KSDATAFORMAT SubFormat GUID in extensible WAV"
+        )
+    return struct.unpack("<H", guid[:2])[0]
+
+
 def wav_fmt_tag(payload: bytes) -> int:
     """The fmt chunk's format tag (1 PCM, 3 IEEE float, 6 a-law,
     7 mu-law, ...) - the codec discriminator next to wav_meta's
-    layout fields."""
+    layout fields. WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves to its
+    SubFormat GUID's effective tag (r11)."""
     off = 12
     while off + 8 <= len(payload):
         kind = payload[off : off + 4]
         (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
         if kind == b"fmt ":
-            return struct.unpack("<H", payload[off + 8 : off + 10])[0]
+            tag = struct.unpack("<H", payload[off + 8 : off + 10])[0]
+            if tag == 0xFFFE:
+                return _resolve_extensible(
+                    payload[off + 8 : off + 8 + size]
+                )
+            return tag
         off += 8 + size + (size & 1)
     raise ValueError("no fmt chunk")
 
@@ -500,6 +540,8 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
         if kind == b"fmt ":
             fmt_body = payload[off + 8 : off + 8 + size]
             (tag,) = struct.unpack("<H", fmt_body[:2])
+            if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE (r11)
+                tag = _resolve_extensible(fmt_body)
         elif kind == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack("<I", payload[off + 8 : off + 12])
         elif kind == b"data":
@@ -555,7 +597,7 @@ def _wav_pcm_impl(payload: bytes, channels: int, bits: int) -> np.ndarray:
 
 # --- registry query ----------------------------------------------------------
 
-N_CLIPS = 28
+N_CLIPS = 30
 
 
 def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
@@ -569,9 +611,10 @@ def _audio_fixtures() -> list[tuple[str, int, int, int, object, int]]:
     out = []
     for i in range(N_CLIPS):
         rate = (8000, 16000, 44100)[i % 3]
-        # clips 24..27 (r11): float64 and int32 PCM
+        # clips 24..29 (r11): float64, int32 PCM, and the
+        # WAVE_FORMAT_EXTENSIBLE wrappers around int16 / float32
         spec = (
-            ("f64", "i32", "f64", "i32")[i - 24]
+            ("f64", "i32", "f64", "i32", "x16", "xf32")[i - 24]
             if i >= 24
             else (16, 24, 32, 8, "ulaw", "alaw", "ima", "ms")[i % 8]
         )
@@ -597,6 +640,16 @@ def _make_fixture(ns: int, rate: int, ch: int, spec, seed: int) -> bytes:
         )
     if spec == "i32":
         return make_wav(ns, sample_rate=rate, channels=ch, bits=32, seed=seed)
+    if spec == "x16":
+        return make_wav(
+            ns, sample_rate=rate, channels=ch, bits=16, seed=seed,
+            extensible=True,
+        )
+    if spec == "xf32":
+        return make_wav(
+            ns, sample_rate=rate, channels=ch, bits=32, seed=seed,
+            float_fmt=True, extensible=True,
+        )
     if isinstance(spec, str):
         return make_wav(
             ns, sample_rate=rate, channels=ch, bits=8, seed=seed, g711=spec

@@ -165,7 +165,7 @@ def test_g711_wav_roundtrip():
 
 def test_wav_stats_query_spark(spark, sf_dir):
     rows = {r["clip_name"]: r for r in wav_stats_query(spark, sf_dir).collect()}
-    assert len(rows) == 28
+    assert len(rows) == 30
     r0 = rows["a00.wav"]
     assert (r0["channels"], r0["sample_rate"], r0["bits"]) == (1, 8000, 16)
     by_codec = {}
@@ -181,10 +181,12 @@ def test_wav_stats_query_spark(spark, sf_dir):
     assert len(w24) == 3
     assert max(r["peak"] for r in w24) > (1 << 15)
     # IEEE float clips: Q23 integer probes on the same lattice.
-    # r11 adds two float64 clips next to the three float32.
+    # r11 adds two float64 clips and an EXTENSIBLE-wrapped float32
+    # (its codec resolves through the SubFormat GUID) next to the
+    # three plain float32.
     fl = by_codec["float"]
-    assert len(fl) == 5
-    assert sorted(r["bits"] for r in fl) == [32, 32, 32, 64, 64]
+    assert len(fl) == 6
+    assert sorted(r["bits"] for r in fl) == [32, 32, 32, 32, 64, 64]
     assert all(0 < r["peak"] < (1 << 23) for r in fl)
     # r11: full-scale int32 PCM - peaks beyond the 24-bit range
     w32 = [r for r in by_codec["pcm"] if r["bits"] == 32]
