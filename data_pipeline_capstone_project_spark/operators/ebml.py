@@ -429,11 +429,14 @@ def make_webm(
                         head += b"\xff" * (s // 255) + bytes((s % 255,))
                 elif lacing == "ebml":
                     flags |= 0x06
-                    head += _write_vint_size(sizes[0])
-                    for i in range(1, len(sizes) - 1):
-                        head += _write_vint_lace_delta(
-                            sizes[i] - sizes[i - 1]
-                        )
+                    # sizes code for all but the LAST frame - a
+                    # single-frame lace has no size fields at all
+                    if len(sizes) > 1:
+                        head += _write_vint_size(sizes[0])
+                        for i in range(1, len(sizes) - 1):
+                            head += _write_vint_lace_delta(
+                                sizes[i] - sizes[i - 1]
+                            )
                 elif lacing == "fixed":
                     flags |= 0x04
                 else:
@@ -931,9 +934,11 @@ def _census_expected() -> list[dict]:
                         n += 1
                     return n
 
-                head_bytes = 1 + _ulen(sizes[0]) + sum(
-                    _dlen(sizes[i] - sizes[i - 1])
-                    for i in range(1, len(sizes) - 1)
+                head_bytes = 1 if len(sizes) == 1 else (
+                    1 + _ulen(sizes[0]) + sum(
+                        _dlen(sizes[i] - sizes[i - 1])
+                        for i in range(1, len(sizes) - 1)
+                    )
                 )
             else:  # fixed
                 head_bytes = 1

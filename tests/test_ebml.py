@@ -380,3 +380,44 @@ def test_blockgroup_keyframe_by_reference_absence():
     )
     with _pytest.raises(EBMLError, match="without a Block"):
         webm_block_census(ebml + _element(_SEGMENT, bad))
+
+
+def test_lacing_roundtrip_property():
+    """Hypothesis sweep over make_webm lacing configurations: the
+    census frame counts and frame-byte accounting must equal the
+    construction arithmetic for every mode/shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_capstone_project_spark.operators.ebml import (
+        _lace_sizes,
+        make_webm,
+        webm_block_census,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.sampled_from(["xiph", "ebml", "fixed"]),
+        st.integers(1, 9),
+        st.integers(1, 4),
+        st.integers(1, 3),
+        st.integers(2, 320),
+        st.booleans(),
+        st.integers(0, 99),
+    )
+    def run(lacing, fpb, bpc, ncl, bs, groups, seed):
+        payload = make_webm(
+            lacing=lacing, frames_per_block=fpb, blocks_per_cluster=bpc,
+            n_clusters=ncl, block_size=bs, seed=seed,
+            block_groups=groups,
+        )
+        sizes = (
+            [bs] * fpb if lacing == "fixed" else _lace_sizes(bs, fpb)
+        )
+        for row in webm_block_census(payload):
+            assert row["n_blocks"] == bpc
+            assert row["n_frames"] == bpc * fpb
+            assert row["n_laced"] == bpc
+            assert row["payload_bytes"] == bpc * sum(sizes)
+
+    run()

@@ -221,3 +221,38 @@ def test_bmp_rle8_hostile_streams_raise():
         bmp_pixels(bmp((0, 2, 9, 9, 0, 1)))  # delta past the image
     with pytest.raises(ValueError, match="color table"):
         bmp_pixels(bmp((1, 7, 0, 1)))  # index 7 with a 2-color table
+
+
+def test_bmp_indexed_roundtrip_property():
+    """Hypothesis sweep: any index image at any supported depth
+    round-trips through the indexed writer and bmp_pixels (BI_RGB
+    everywhere; RLE4/RLE8 where the format defines them)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 21),
+        st.sampled_from([1, 4, 8]),
+        st.data(),
+    )
+    def run(h, w, bpp, data):
+        n = min(1 << bpp, 2 + data.draw(st.integers(0, 14)))
+        pal = [
+            tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+            for _ in range(n)
+        ]
+        idx = np.array(
+            [
+                [data.draw(st.integers(0, n - 1)) for _ in range(w)]
+                for _ in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        want = np.array(pal, dtype=np.uint8)[idx]
+        for rle in ((False,) if bpp == 1 else (False, True)):
+            got = bmp_pixels(make_bmp_indexed(idx, pal, rle=rle, bpp=bpp))
+            assert np.array_equal(got, want), (h, w, bpp, rle)
+
+    run()
