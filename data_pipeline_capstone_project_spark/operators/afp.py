@@ -1,0 +1,424 @@
+"""Acoustic-fingerprint near-duplicate audio detection (AFP + Hamming LSH).
+
+The reference pipeline treats media attachments as opaque S3 objects
+(s3Posts-to-ES-lambda/s3-to-es_aws.py:101-122) and never looks inside
+audio at all. A training-data curation pass over an audio store needs
+the operation the reference lacks: find *near*-duplicate clips - the
+same master re-exported at a different gain, bit depth, or container -
+so one representative survives curation. This module adds that
+operator, Spark-first, as the audio twin of ``image_phash_dedup``:
+
+- **AFP64 (lag-energy difference fingerprint)**: decode -> mono
+  integer samples -> 17 frames x 64 samples -> per frame, 4 "band"
+  features ``feat[k] = sum |s[i] - s[i-k]|`` at lags k in (1,2,4,8)
+  (within-frame; short lags track high-frequency energy, long lags
+  low) -> 64 bits, bit = "feature rose from frame f to frame f+1"
+  (frame-pair-major, lag-minor, MSB first). Multiplying every sample
+  by a positive gain g scales every feature by exactly g, so the
+  *comparisons* - hence the fingerprint - are gain-invariant: a x2
+  volume re-export, a 16->24-bit remaster (values shift left 8), and
+  a container swap all land at Hamming 0. All arithmetic is exact
+  integer, so the hash is bit-reproducible across implementations.
+- **Banded Hamming LSH**: 4 x 16-bit bands = 4 consecutive
+  frame-pairs x 4 lags each; clips sharing ANY band become a
+  candidate pair (an equi-join on ``(band_idx, band_val)``), exactly
+  the ``image_phash_dedup`` contract: pairs whose edits are confined
+  in *time* keep their untouched bands byte-identical and are always
+  caught; the operator's output is band-sharing pairs only.
+- **Verify**: JVM-side ``bit_count(afp_a XOR afp_b) <= 10`` - no
+  Python in the pairwise stage.
+
+Spark shape / 100 TB: identical to the phash entry - the only Python
+is the per-file decode+fingerprint (``binaryFile`` -> Arrow
+``mapInPandas``, zero exchanges; audio bytes never leave the
+executors), everything pairwise runs on an 8-byte hash per clip
+(band explode -> one shuffle on ``(band_idx, band_val)`` ->
+``bit_count``/``XOR`` inside whole-stage codegen). The degenerate-band
+skew cap documented on the phash entry applies unchanged.
+
+Correctness gate: the DuckDB oracle is a closed-form VALUES literal
+produced by an INDEPENDENT pure-Python scalar twin that computes
+every fingerprint straight from each fixture's *sample formula* - it
+never sees RIFF bytes or numpy. The a-law fixture's twin even expands
+the companded bytes through its own from-the-spec G.711 segment
+arithmetic rather than the production table. A container-walk bug, an
+extensible-GUID, 24-bit sign-extension or G.711 expansion error, a
+frame/lag/bit-order drift in the Spark path all change at least one
+fingerprint and fail the value-multiset compare. Fixture families
+deliver every verdict class (asserted at oracle build): gain/bit-
+depth/container dups at Hamming 0, a one-frame splice inside the
+budget, a heavy edit whose clean band makes it a *rejected* candidate,
+and unrelated signals.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import tempfile
+from collections.abc import Callable, Iterator
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .audio import _EXT_GUID_SUFFIX, wav_pcm
+
+#: fingerprint geometry: 17 frames x 64 samples, 4 lag features ->
+#: 16 frame-pairs x 4 lags = 64 bits
+FRAMES = 17
+FRAME_LEN = 64
+N_SAMPLES = FRAMES * FRAME_LEN
+LAGS = (1, 2, 4, 8)
+N_BANDS = 4
+BAND_BITS = 16
+HAMMING_T = 10
+RATE = 16000
+
+SampleFn = Callable[[int], int]
+
+
+# --- fixture sample formulas (shared SPEC; the two fingerprint twins
+# never share code past this point) ------------------------------------
+
+
+def _sig_a(t: int) -> int:
+    """Quadratic-mod texture: mod wraps create non-monotone
+    frame-to-frame energy so every lag feature is informative."""
+    return (37 * t * t + 11 * t) % 16001 - 8000
+
+
+def _sig_b(t: int) -> int:
+    return (53 * t * t + 7 * t + 3) % 15991 - 7995
+
+
+def _sig_c(t: int) -> int:
+    return (29 * t * t + 131 * t) % 15889 - 7944
+
+
+def _sig_d(t: int) -> int:
+    return (41 * t * t + 97 * t + 17) % 15901 - 7950
+
+
+def _alaw_bytes_e(t: int) -> int:
+    """Raw a-law companded byte stream for the G.711 fixture - the
+    *signal* is the table expansion of these bytes."""
+    return (113 * t * t + 31 * t + 5) % 256
+
+
+def _gain(fn: SampleFn, g: int) -> SampleFn:
+    """Exact integer gain: every lag feature scales by g, fingerprint
+    unchanged. Base formulas stay within +/-8000 so g<=3 never
+    leaves int16 and g<<8 never leaves 24-bit."""
+    return lambda t: g * fn(t)
+
+
+def _splice(fn: SampleFn) -> SampleFn:
+    """Replace frame 3 only (samples 192..255): features change for
+    frame 3 alone, touching frame-pairs 2 and 3 - at most 8 bits, all
+    inside band 0, so the variant lands within the Hamming budget
+    while bands 1-3 stay byte-identical."""
+    return lambda t: _sig_d(t) if 192 <= t < 256 else fn(t)
+
+
+def _heavy(fn: SampleFn) -> SampleFn:
+    """Replace frames 0..8 (samples 0..575): frame-pairs 0..8 span
+    bands 0-2 and flip far more than HAMMING_T bits, but band 3
+    (frame-pairs 12..15) stays byte-identical - so the pair IS a
+    band-sharing candidate and the verify stage must reject it."""
+    return lambda t: _sig_c(t) if t < 576 else fn(t)
+
+
+def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
+    """(file name, sample formula, encoder key). Encoders span the
+    WAV decode surface - plain 16-bit PCM, 24-bit PCM,
+    WAVE_FORMAT_EXTENSIBLE, IEEE float32, G.711 a-law - so the entry
+    re-verifies five decode paths end-to-end through the
+    fingerprint."""
+    return [
+        ("s1_base.wav", _sig_a, "pcm16"),
+        ("s2_gain2.wav", _gain(_sig_a, 2), "pcm16"),
+        ("s3_hires.wav", _sig_a, "pcm24"),  # 16->24-bit remaster: <<8
+        ("s4_ext.wav", _sig_a, "ext16"),
+        ("s5_splice.wav", _splice(_sig_a), "pcm16"),
+        ("s6_heavy.wav", _heavy(_sig_a), "pcm16"),
+        ("t1_base.wav", _sig_b, "pcm16"),
+        ("t2_loud_hires.wav", _gain(_sig_b, 3), "pcm24"),
+        ("u1_float.wav", _sig_c, "f32"),
+        ("u2_quad.wav", _sig_d, "pcm16"),
+        ("w1_alaw.wav", _alaw_bytes_e, "alaw"),
+    ]
+
+
+# --- fixture encoders (canonical RIFF; decode side is audio.wav_pcm) --
+
+
+def _riff(fmt: bytes, data: bytes, with_fact: bool, n: int) -> bytes:
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if with_fact:
+        chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _encode(fn: SampleFn, enc: str) -> bytes:
+    vals = [fn(t) for t in range(N_SAMPLES)]
+    if enc == "pcm16":
+        fmt = struct.pack("<HHIIHH", 1, 1, RATE, RATE * 2, 2, 16)
+        return _riff(fmt, struct.pack(f"<{N_SAMPLES}h", *vals), False, N_SAMPLES)
+    if enc == "ext16":
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, 1, RATE, RATE * 2, 2, 16, 22, 16, 0x4
+        ) + struct.pack("<H", 1) + _EXT_GUID_SUFFIX
+        return _riff(fmt, struct.pack(f"<{N_SAMPLES}h", *vals), True, N_SAMPLES)
+    if enc == "pcm24":
+        # the natural 24-bit export of a 16-bit master: value << 8
+        data = b"".join(
+            ((v << 8) & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, RATE, RATE * 3, 3, 24)
+        return _riff(fmt, data, False, N_SAMPLES)
+    if enc == "f32":
+        # integer-valued float32: every sample exactly representable
+        fmt = struct.pack("<HHIIHH", 3, 1, RATE, RATE * 4, 4, 32)
+        return _riff(fmt, struct.pack(f"<{N_SAMPLES}f", *vals), True, N_SAMPLES)
+    if enc == "alaw":
+        fmt = struct.pack("<HHIIHH", 6, 1, RATE, RATE, 1, 8)
+        return _riff(fmt, bytes(vals), True, N_SAMPLES)
+    raise ValueError(f"unknown encoder {enc}")
+
+
+def _stage_afp_store(root: str) -> None:
+    for name, fn, enc in _fixture_specs():
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(_encode(fn, enc))
+
+
+# --- Spark-side fingerprint (numpy, from DECODED BYTES) ----------------
+
+
+def afp64(pcm: np.ndarray) -> int:
+    """64-bit AFP of a mono sample vector (int or integer-valued
+    float): per frame, sum-of-|lag-k-difference| features at lags
+    (1,2,4,8); bit(pair f, lag j) = feature rose from frame f to
+    f+1; frame-pair-major, lag-minor, MSB first; returned as the
+    SIGNED 64-bit value Spark's LongType carries."""
+    s = np.asarray(pcm).reshape(-1).astype(np.int64)
+    if s.shape[0] != N_SAMPLES:
+        raise ValueError(f"afp fixture must be {N_SAMPLES} samples, got {s.shape}")
+    frames = s.reshape(FRAMES, FRAME_LEN)
+    feats = np.stack(
+        [
+            np.abs(frames[:, k:] - frames[:, :-k]).sum(axis=1)
+            for k in LAGS
+        ],
+        axis=1,
+    )  # (FRAMES, len(LAGS))
+    bits = (feats[1:] > feats[:-1]).ravel()  # pair-major, lag-minor
+    h = 0
+    for bit in bits:
+        h = (h << 1) | int(bit)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# --- oracle-side fingerprint (pure Python, from the FORMULA) -----------
+
+
+def _alaw_expand(b: int) -> int:
+    """Independent from-the-spec G.711 a-law expansion (ITU-T G.711
+    table 1a segment/mantissa arithmetic) - deliberately NOT the
+    production table in audio._g711_tables."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 0x7
+    mant = a & 0x0F
+    if seg == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
+def _afp_scalar(fn: SampleFn, alaw: bool = False) -> int:
+    """Independent twin of :func:`afp64`: pure-Python ints straight
+    from the sample formula - never decodes bytes, never touches
+    numpy. Returns the UNSIGNED 64-bit value."""
+    if alaw:
+        s = [_alaw_expand(fn(t)) for t in range(N_SAMPLES)]
+    else:
+        s = [fn(t) for t in range(N_SAMPLES)]
+    feats = []
+    for f in range(FRAMES):
+        base = f * FRAME_LEN
+        row = []
+        for k in LAGS:
+            acc = 0
+            for i in range(base + k, base + FRAME_LEN):
+                acc += abs(s[i] - s[i - k])
+            row.append(acc)
+        feats.append(row)
+    h = 0
+    for f in range(FRAMES - 1):
+        for j in range(len(LAGS)):
+            h = (h << 1) | (1 if feats[f + 1][j] > feats[f][j] else 0)
+    return h
+
+
+def _bands_of(uh: int) -> list[int]:
+    return [
+        (uh >> (64 - BAND_BITS * (i + 1))) & ((1 << BAND_BITS) - 1)
+        for i in range(N_BANDS)
+    ]
+
+
+# --- the registry query ------------------------------------------------
+
+
+def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode the staged WAV store with the repo's own
+    RIFF decoders, AFP-fingerprint each clip in one Arrow
+    ``mapInPandas`` pass, then find near-duplicates with a banded
+    Hamming LSH join and a JVM-side ``bit_count`` verify. Output: one
+    row per band-sharing candidate pair - ``clip_a < clip_b``, the
+    exact Hamming distance, and the ``dup`` verdict at threshold 10."""
+    work = tempfile.mkdtemp(prefix="afp_store_")
+    try:
+        _stage_afp_store(work)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("clip_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                names, fps = [], []
+                for name, payload in zip(pdf["clip_name"], pdf["payload"]):
+                    pcm = wav_pcm(bytes(payload))[:, 0]
+                    names.append(name)
+                    fps.append(afp64(pcm))
+                yield pd.DataFrame(
+                    {"clip_name": names, "afp": pd.array(fps, dtype="int64")}
+                )
+
+        fps = bin_df.mapInPandas(
+            fp_batches, "clip_name string, afp long"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    bands = fps.select(
+        "clip_name",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col("afp"), 64 - BAND_BITS * (i + 1)
+                        )
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("clip_name", "afp", "b.band_idx", "b.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.clip_name") < F.col("b.clip_name")),
+        )
+        .select(
+            F.col("a.clip_name").alias("clip_a"),
+            F.col("b.clip_name").alias("clip_b"),
+            F.col("a.afp").alias("ha"),
+            F.col("b.afp").alias("hb"),
+        )
+        .distinct()  # pairs sharing >1 band collapse to one row
+    )
+    return cand.select(
+        "clip_a",
+        "clip_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).withColumn("dup", F.col("hamming") <= F.lit(HAMMING_T))
+
+
+def _family(name: str) -> str:
+    return name[0]  # s/t/u/w prefix groups the fixture families
+
+
+def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
+    """The oracle fingerprint for one fixture, applying the encoder's
+    *documented* value transform at the formula level: pcm24 is the
+    <<8 remaster (a pure gain - the twin verifies invariance by
+    fingerprinting the SHIFTED values), a-law expands through the
+    independent spec arithmetic, everything else carries the formula
+    values verbatim."""
+    if enc == "alaw":
+        return _afp_scalar(fn, alaw=True)
+    if enc == "pcm24":
+        return _afp_scalar(lambda t: fn(t) << 8)
+    return _afp_scalar(fn)
+
+
+def audio_fingerprint_oracle() -> str:
+    """Build the VALUES oracle from the scalar twin, asserting the
+    fixture design delivers every verdict class it promises."""
+    specs = _fixture_specs()
+    uhash = {name: _scalar_fp(name, fn, enc) for name, fn, enc in specs}
+    names = sorted(uhash)
+
+    rows = []
+    seen_h0 = seen_near = seen_nondup_cand = 0
+    for na, nb in combinations(names, 2):
+        ha, hb = uhash[na], uhash[nb]
+        if not any(x == y for x, y in zip(_bands_of(ha), _bands_of(hb))):
+            continue
+        ham = bin(ha ^ hb).count("1")
+        dup = ham <= HAMMING_T
+        if dup and _family(na) != _family(nb):
+            raise AssertionError(
+                f"fixture drift: cross-family dup {na}/{nb} at Hamming {ham}"
+            )
+        if ham == 0:
+            seen_h0 += 1
+        elif dup:
+            seen_near += 1
+        else:
+            seen_nondup_cand += 1
+        rows.append((na, nb, ham, dup))
+
+    assert seen_h0 >= 4, "need gain/bit-depth/container dup pairs at Hamming 0"
+    assert seen_near >= 1, "need a 1..T near-dup pair (the splice variant)"
+    assert seen_nondup_cand >= 1, (
+        "need a band-sharing pair the verify stage rejects (heavy edit)"
+    )
+    # no degenerate all-clips band (the documented production skew risk)
+    from collections import Counter
+
+    band_freq = Counter(
+        (i, bv) for h in uhash.values() for i, bv in enumerate(_bands_of(h))
+    )
+    assert band_freq.most_common(1)[0][1] < len(names), (
+        "a single band value covers the whole corpus - fixtures degenerate"
+    )
+
+    literals = ", ".join(
+        f"('{a_}', '{b_}', {ham}, {'true' if dup else 'false'})"
+        for a_, b_, ham, dup in rows
+    )
+    return (
+        "SELECT clip_a, clip_b, CAST(hamming AS INTEGER) AS hamming, dup "
+        f"FROM (VALUES {literals}) AS t(clip_a, clip_b, hamming, dup)"
+    )

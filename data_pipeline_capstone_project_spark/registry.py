@@ -504,6 +504,8 @@ from .operators.ebml import (
     webm_block_census_query,
     webm_meta_query,
 )
+from .operators.afp import audio_fingerprint_dedup_query, audio_fingerprint_oracle
+from .operators.phash import image_phash_dedup_query, image_phash_oracle
 from .operators.exif import EXIF_META_ORACLE_SQL, exif_meta_query
 from .operators.ogg import OGG_META_ORACLE_SQL, ogg_meta_query
 from .operators.search import (
@@ -845,6 +847,9 @@ QUERIES = {
     # positional-filter rewrite) swapped in for pagerank,
     # scd2_history, streaming_dedup, streaming_upsert (each with
     # multiple green driver rows, newest r9).
+    # r11 additions lead the gate window (never driver-checked yet):
+    "image_phash_dedup": image_phash_dedup_query,
+    "audio_fingerprint_dedup": audio_fingerprint_dedup_query,
     "h264_meta": h264_meta_query,
     "h264_nal_census": h264_nal_census_query,
     "webm_meta": webm_meta_query,
@@ -1049,6 +1054,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "image_phash_dedup": image_phash_oracle,
+    "audio_fingerprint_dedup": audio_fingerprint_oracle,
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
     "audio_resample": AUDIO_RESAMPLE_ORACLE_SQL,
     "flac_decode": FLAC_DECODE_ORACLE_SQL,
