@@ -66,12 +66,24 @@ SUPPORTED (decoded bit-exactly):
   (maxNumCoeff 16, no DC substitution), the cbp>0 mb_qp_delta, and
   the per-block predict-then-reconstruct ordering §8.3.1 requires
   (each block's residual lands BEFORE the next block predicts from
-  its samples).
+  its samples);
+* P slices (r11 eighth pass, `operators.h264_inter`): P_Skip
+  (§7.3.4 mb_skip_run + the §8.4.1.1 MV derivation), P_L0_16x16
+  with the §8.4.1.3 median MV prediction and mvd coding, FULL
+  §8.4.2.2.1 quarter-sample luma interpolation (6-tap half-pel,
+  Table 8-12 quarter averages, clamped out-of-picture fetches),
+  §8.4.2.2.2 eighth-sample bilinear chroma, single-reference
+  RefPicList0 (the previous decoded picture), inter residuals
+  through the LumaLevel4x4/chroma path with the transcribed
+  Table 9-4 INTER subset cbp {0,15,16,31,32,47} (the chroma-only
+  patterns intra cannot code), and intra-refresh MBs inside P
+  pictures (Table 7-10's +5 mb_type offset).
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
-wrong pixels: P/B slices, I_8x8 (needs transform_size_8x8_flag PPS
-plumbing), the 44 partial-luma Table 9-4 intra codeNums,
+wrong pixels: B slices, P 16x8/8x16/8x8 partitions, multiple or
+modified reference lists, I_8x8 (needs transform_size_8x8_flag PPS
+plumbing), the remaining Table 9-4 intra/inter codeNums,
 coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
 columns beyond TotalCoeff 3 (the untranscribed VLC rows CANNOT be
 externally cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so
@@ -130,6 +142,18 @@ from .h264 import (
     parse_avcc,
     parse_sps,
     split_sample_nals,
+)
+from .h264_inter import (
+    CBP_INTER_CODENUM,
+    CBP_INTER_DECODE,
+    check_mv_bounds,
+    mc_chroma_8x8,
+    mc_luma_16x16,
+    mv_pred_16x16,
+    p_skip_mv,
+    sim_mc_chroma,
+    sim_mc_luma,
+    sim_quarter_luma,
 )
 from .mp4 import _children_at, mp4_sample_table
 
@@ -701,6 +725,124 @@ I16_MODE_NAMES = ("V", "H", "DC", "Plane")
 CHROMA_MODE_NAMES = ("DC", "H", "V", "Plane")
 
 
+def _encode_intra_mb(
+    w: "_BitWriter",
+    desc: tuple,
+    mb_x: int,
+    mb_y: int,
+    kind_at,
+    i4modes: dict,
+    tc_map: np.ndarray,
+    ctc: list,
+    type_off: int = 0,
+) -> None:
+    """Encode one intra macroblock (the `make_i_slice_nal` desc
+    grammar) into the slice bit stream; ``type_off`` is Table 7-10's
+    mb_type offset for intra MBs inside P slices (5)."""
+    if desc[0] == "pcm":
+        w.ue(25 + type_off)  # mb_type I_PCM
+        w.byte_align_zero()
+        tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
+        for t in ctc:
+            t[mb_y * 2 : mb_y * 2 + 2, mb_x * 2 : mb_x * 2 + 2] = 16
+        seed = desc[2] if len(desc) > 2 else 0
+        tile = pcm_luma(desc[1], seed)
+        for v in tile.reshape(-1):
+            w.u(int(v), 8)
+        # §7.4.5 sample order: all Cb, then all Cr (4:2:0 8x8)
+        for plane in (0, 1):
+            for v in pcm_chroma(desc[1], seed, plane).reshape(-1):
+                w.u(int(v), 8)
+    elif desc[0] == "i4":
+        modes = desc[1]
+        chroma_mode = desc[2] if len(desc) > 2 else 0
+        lres = desc[3] if len(desc) > 3 else None
+        qp_delta = desc[4] if len(desc) > 4 else 0
+        cres = desc[5] if len(desc) > 5 else None
+        if len(modes) != 16:
+            raise H264Error("I_4x4 needs 16 block modes")
+        if not 0 <= chroma_mode <= 3:
+            raise H264Error(f"chroma mode {chroma_mode}")
+        if cres is not None and lres is None:
+            raise H264Error(
+                "I_4x4 chroma residual needs the luma residual"
+                " too (Table 9-4 subset: cbp 16/32 codeNums"
+                " untranscribed)"
+            )
+        cbp = (15 if lres is not None else 0) + 16 * (
+            cres[0] if cres is not None else 0
+        )
+        if cbp == 0 and qp_delta:
+            raise H264Error("I_4x4 CBP 0 carries no mb_qp_delta")
+        w.ue(type_off)  # mb_type I_NxN (transform_8x8 off -> I_4x4)
+        for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
+            bx, by = mb_x * 4 + sx, mb_y * 4 + sy
+            mode = modes[scan_idx]
+            _i4_mode_needs(mode, by > 0, bx > 0)
+            pred = _i4_pred_mode(bx, by, kind_at, i4modes)
+            if mode == pred:
+                w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+            else:
+                w.u(0, 1)
+                w.u(mode if mode < pred else mode - 1, 3)
+            i4modes[(bx, by)] = mode
+        w.ue(chroma_mode)  # intra_chroma_pred_mode
+        # coded_block_pattern me(v), Table 9-4 intra subset
+        w.ue(_CBP_INTRA_CODENUM[cbp])
+        if cbp:
+            w.se(qp_delta)  # mb_qp_delta (§7.3.5: cbp > 0)
+        if lres is not None:
+            if not all(0 <= k <= 15 for k in lres):
+                raise H264Error("lres keys must be 0..15")
+            for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                coeffs = list(lres.get(blk_idx, [0] * 16))
+                _write_residual_block(
+                    w, _nc_at(tc_map, gx, gy), coeffs, 16
+                )
+                tc_map[gy, gx] = sum(1 for v in coeffs if v)
+        if cres is not None:
+            _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
+    else:
+        mode = desc[1]
+        chroma_mode = desc[2] if len(desc) > 2 else 0
+        dc16 = desc[3] if len(desc) > 3 else [0] * 16
+        qp_delta = desc[4] if len(desc) > 4 else 0
+        ac = desc[5] if len(desc) > 5 else None
+        cres = desc[6] if len(desc) > 6 else None
+        if not 0 <= mode <= 3:
+            raise H264Error(f"I_16x16 mode {mode}")
+        if not 0 <= chroma_mode <= 3:
+            raise H264Error(f"chroma mode {chroma_mode}")
+        if len(dc16) != 16:
+            raise H264Error("dc16 needs 16 zig-zag levels")
+        if not -26 <= qp_delta <= 25:
+            raise H264Error(f"mb_qp_delta {qp_delta} out of range")
+        cbp_c = cres[0] if cres is not None else 0
+        if cbp_c not in (0, 1, 2):
+            raise H264Error(f"CBP chroma {cbp_c} invalid")
+        # mb_type (Table 7-11): 1 + predMode + 4*cbp_chroma
+        # + 12 when CodedBlockPatternLuma is 15
+        w.ue(1 + mode + 4 * cbp_c + (12 if ac is not None else 0) + type_off)
+        w.ue(chroma_mode)  # intra_chroma_pred_mode
+        w.se(qp_delta)  # mb_qp_delta (present for I_16x16)
+        _write_residual_block(
+            w, _nc_at(tc_map, mb_x * 4, mb_y * 4), list(dc16), 16
+        )
+        if ac is not None:
+            if not all(0 <= k <= 15 for k in ac):
+                raise H264Error("ac keys must be luma4x4BlkIdx 0..15")
+            for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                coeffs = list(ac.get(blk_idx, [0] * 15))
+                _write_residual_block(
+                    w, _nc_at(tc_map, gx, gy), coeffs, 15
+                )
+                tc_map[gy, gx] = sum(1 for v in coeffs if v)
+        if cbp_c:
+            _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
+
+
 def make_i_slice_nal(
     mbs: list[list[tuple]], idr: bool = True, frame_num: int = 0
 ) -> bytes:
@@ -775,110 +917,117 @@ def make_i_slice_nal(
 
     for mb_y, row in enumerate(mbs):
         for mb_x, desc in enumerate(row):
-            if desc[0] == "pcm":
-                w.ue(25)  # mb_type I_PCM
-                w.byte_align_zero()
-                tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
-                for t in ctc:
-                    t[mb_y * 2 : mb_y * 2 + 2, mb_x * 2 : mb_x * 2 + 2] = 16
-                seed = desc[2] if len(desc) > 2 else 0
-                tile = pcm_luma(desc[1], seed)
-                for v in tile.reshape(-1):
-                    w.u(int(v), 8)
-                # §7.4.5 sample order: all Cb, then all Cr (4:2:0 8x8)
-                for plane in (0, 1):
-                    for v in pcm_chroma(desc[1], seed, plane).reshape(-1):
-                        w.u(int(v), 8)
-            elif desc[0] == "i4":
-                modes = desc[1]
-                chroma_mode = desc[2] if len(desc) > 2 else 0
-                lres = desc[3] if len(desc) > 3 else None
-                qp_delta = desc[4] if len(desc) > 4 else 0
-                cres = desc[5] if len(desc) > 5 else None
-                if len(modes) != 16:
-                    raise H264Error("I_4x4 needs 16 block modes")
-                if not 0 <= chroma_mode <= 3:
-                    raise H264Error(f"chroma mode {chroma_mode}")
-                if cres is not None and lres is None:
-                    raise H264Error(
-                        "I_4x4 chroma residual needs the luma residual"
-                        " too (Table 9-4 subset: cbp 16/32 codeNums"
-                        " untranscribed)"
-                    )
-                cbp = (15 if lres is not None else 0) + 16 * (
-                    cres[0] if cres is not None else 0
-                )
-                if cbp == 0 and qp_delta:
-                    raise H264Error("I_4x4 CBP 0 carries no mb_qp_delta")
-                w.ue(0)  # mb_type I_NxN (transform_8x8 off -> I_4x4)
-                for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
-                    bx, by = mb_x * 4 + sx, mb_y * 4 + sy
-                    mode = modes[scan_idx]
-                    _i4_mode_needs(mode, by > 0, bx > 0)
-                    pred = _i4_pred_mode(bx, by, kind_at, i4modes)
-                    if mode == pred:
-                        w.u(1, 1)  # prev_intra4x4_pred_mode_flag
-                    else:
-                        w.u(0, 1)
-                        w.u(mode if mode < pred else mode - 1, 3)
-                    i4modes[(bx, by)] = mode
-                w.ue(chroma_mode)  # intra_chroma_pred_mode
-                # coded_block_pattern me(v), Table 9-4 intra subset
-                w.ue(_CBP_INTRA_CODENUM[cbp])
-                if cbp:
-                    w.se(qp_delta)  # mb_qp_delta (§7.3.5: cbp > 0)
-                if lres is not None:
-                    if not all(0 <= k <= 15 for k in lres):
-                        raise H264Error("lres keys must be 0..15")
-                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
-                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
-                        coeffs = list(lres.get(blk_idx, [0] * 16))
-                        _write_residual_block(
-                            w, _nc_at(tc_map, gx, gy), coeffs, 16
-                        )
-                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
-                if cres is not None:
-                    _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
-            else:
-                mode = desc[1]
-                chroma_mode = desc[2] if len(desc) > 2 else 0
-                dc16 = desc[3] if len(desc) > 3 else [0] * 16
-                qp_delta = desc[4] if len(desc) > 4 else 0
-                ac = desc[5] if len(desc) > 5 else None
-                cres = desc[6] if len(desc) > 6 else None
-                if not 0 <= mode <= 3:
-                    raise H264Error(f"I_16x16 mode {mode}")
-                if not 0 <= chroma_mode <= 3:
-                    raise H264Error(f"chroma mode {chroma_mode}")
-                if len(dc16) != 16:
-                    raise H264Error("dc16 needs 16 zig-zag levels")
-                if not -26 <= qp_delta <= 25:
-                    raise H264Error(f"mb_qp_delta {qp_delta} out of range")
-                cbp_c = cres[0] if cres is not None else 0
-                if cbp_c not in (0, 1, 2):
-                    raise H264Error(f"CBP chroma {cbp_c} invalid")
-                # mb_type (Table 7-11): 1 + predMode + 4*cbp_chroma
-                # + 12 when CodedBlockPatternLuma is 15
-                w.ue(1 + mode + 4 * cbp_c + (12 if ac is not None else 0))
-                w.ue(chroma_mode)  # intra_chroma_pred_mode
-                w.se(qp_delta)  # mb_qp_delta (present for I_16x16)
-                _write_residual_block(
-                    w, _nc_at(tc_map, mb_x * 4, mb_y * 4), list(dc16), 16
-                )
-                if ac is not None:
-                    if not all(0 <= k <= 15 for k in ac):
-                        raise H264Error("ac keys must be luma4x4BlkIdx 0..15")
-                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
-                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
-                        coeffs = list(ac.get(blk_idx, [0] * 15))
-                        _write_residual_block(
-                            w, _nc_at(tc_map, gx, gy), coeffs, 15
-                        )
-                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
-                if cbp_c:
-                    _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
+            _encode_intra_mb(
+                w, desc, mb_x, mb_y, kind_at, i4modes, tc_map, ctc
+            )
     nal_type = 5 if idr else 1
     return bytes([0x60 | nal_type]) + _ebsp(w.rbsp())
+
+
+def make_p_slice_nal(
+    mbs: list[list[tuple]], frame_num: int = 1
+) -> bytes:
+    """One complete coded P slice covering the whole picture (r11
+    eighth pass). ``mbs[row][col]`` adds two inter desc forms to the
+    `make_i_slice_nal` grammar (whose intra descs also encode here,
+    with Table 7-10's +5 mb_type offset - intra refresh inside a P
+    picture):
+
+    - ``("skip", (mvx, mvy))`` - a P_Skip macroblock. The MV tuple is
+      the fixture author's HAND-DERIVED §8.4.1.1 expectation: nothing
+      is coded for a skipped MB, so the encoder cannot invert a wrong
+      derivation - it instead ASSERTS its own derivation equals the
+      spec value (catching either side's drift at fixture-build time)
+      and the independent simulator motion-compensates with the spec
+      value directly.
+    - ``("p16", (mvx, mvy)[, lres[, mb_qp_delta[, cres]]])`` - a
+      P_L0_16x16 macroblock: quarter-pel MV (coded as mvd against the
+      §8.4.1.3 median prediction), ``lres`` None or the I_4x4-style
+      {luma4x4BlkIdx: 16 LumaLevel4x4 levels} dict (CBP luma 15), and
+      ``cres`` the chroma-residual tuple - including the CHROMA-ONLY
+      patterns (CBP 16/32) the transcribed inter Table 9-4 subset
+      makes encodable, which intra MBs cannot code.
+
+    Slice header per §7.3.3: non-IDR (nal_type 1, nal_ref_idc 2),
+    slice_type 5 (all-P form), one L0 reference (no override, no list
+    modification, sliding-window marking), CAVLC mb_skip_run slice
+    data."""
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(5)  # slice_type: P (all-slices-same form)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(frame_num & 0xFF, 8)
+    w.u((2 * frame_num) & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+    w.se(0)  # slice_qp_delta
+    mb_w = len(mbs[0])
+    kinds = [[d[0] for d in row] for row in mbs]
+    i4modes: dict[tuple[int, int], int] = {}
+    tc_map = np.zeros((len(mbs) * 4, mb_w * 4), dtype=np.int16)
+    ctc = [
+        np.zeros((len(mbs) * 2, mb_w * 2), dtype=np.int16),
+        np.zeros((len(mbs) * 2, mb_w * 2), dtype=np.int16),
+    ]
+    mvs: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def kind_at(mx: int, my: int) -> str:
+        return kinds[my][mx]
+
+    skip_run = 0
+    for mb_y, row in enumerate(mbs):
+        for mb_x, desc in enumerate(row):
+            if desc[0] == "skip":
+                derived = p_skip_mv(mvs, mb_x, mb_y, mb_w)
+                if tuple(desc[1]) != derived:
+                    raise H264Error(
+                        f"fixture skip MV {desc[1]} at ({mb_x},{mb_y})"
+                        f" != §8.4.1.1 derivation {derived}"
+                    )
+                mvs[(mb_x, mb_y)] = derived
+                skip_run += 1
+                continue
+            w.ue(skip_run)  # mb_skip_run before every coded MB
+            skip_run = 0
+            if desc[0] != "p16":
+                _encode_intra_mb(
+                    w, desc, mb_x, mb_y, kind_at, i4modes, tc_map, ctc,
+                    type_off=5,
+                )
+                continue
+            mv = tuple(desc[1])
+            lres = desc[2] if len(desc) > 2 else None
+            qp_delta = desc[3] if len(desc) > 3 else 0
+            cres = desc[4] if len(desc) > 4 else None
+            cbp = (15 if lres is not None else 0) + 16 * (
+                cres[0] if cres is not None else 0
+            )
+            if cbp == 0 and qp_delta:
+                raise H264Error("P_L0_16x16 CBP 0 carries no mb_qp_delta")
+            w.ue(0)  # mb_type P_L0_16x16
+            mvp = mv_pred_16x16(mvs, mb_x, mb_y, mb_w)
+            w.se(mv[0] - mvp[0])  # mvd_l0[0][0][0]
+            w.se(mv[1] - mvp[1])  # mvd_l0[0][0][1]
+            mvs[(mb_x, mb_y)] = mv
+            w.ue(CBP_INTER_CODENUM[cbp])  # Table 9-4 inter subset
+            if cbp:
+                w.se(qp_delta)  # mb_qp_delta
+            if lres is not None:
+                if not all(0 <= k <= 15 for k in lres):
+                    raise H264Error("lres keys must be 0..15")
+                for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                    gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                    coeffs = list(lres.get(blk_idx, [0] * 16))
+                    _write_residual_block(
+                        w, _nc_at(tc_map, gx, gy), coeffs, 16
+                    )
+                    tc_map[gy, gx] = sum(1 for v in coeffs if v)
+            if cres is not None:
+                _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
+    if skip_run:  # §7.3.4: a trailing run closes the slice
+        w.ue(skip_run)
+    return bytes([0x41]) + _ebsp(w.rbsp())
 
 
 # --- decoder ------------------------------------------------------------------
@@ -1447,12 +1596,49 @@ def _predict_chroma(
         raise H264DecodeError("chroma plane prediction not supported")
 
 
+def _mc_predict_mb(
+    plane: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    ref_l: np.ndarray,
+    ref_cb: np.ndarray,
+    ref_cr: np.ndarray,
+    mb_x: int,
+    mb_y: int,
+    mv: tuple[int, int],
+) -> None:
+    """§8.4.2 motion-compensated prediction for one 16x16 inter MB:
+    quarter-pel luma + eighth-pel bilinear chroma blocks sampled from
+    the reference picture's uncropped planes, written into the
+    current picture (interpolation outputs are already in 0..255)."""
+    plane[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = (
+        mc_luma_16x16(ref_l, mb_x * 16, mb_y * 16, mv[0], mv[1]).astype(
+            np.uint8
+        )
+    )
+    for refc, cplane in ((ref_cb, cb), (ref_cr, cr)):
+        cplane[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = (
+            mc_chroma_8x8(refc, mb_x * 8, mb_y * 8, mv[0], mv[1]).astype(
+                np.uint8
+            )
+        )
+
+
 def decode_i_slice(
     nal: bytes, sps: dict
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
-    """Decode one IDR/I coded-slice NAL against a parsed SPS and this
-    package's PPS values -> (luma, cb, cr coded-size uint8 planes,
-    stats). Raises H264DecodeError on the documented seams."""
+    """Decode one IDR/I coded-slice NAL (see `_decode_slice`)."""
+    return _decode_slice(nal, sps)
+
+
+def _decode_slice(
+    nal: bytes, sps: dict, ref: "tuple | None" = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Decode one coded-slice NAL (I/IDR, or P against ``ref`` - the
+    previous decoded picture's UNCROPPED (luma, cb, cr) planes, r11
+    eighth pass) against a parsed SPS and this package's PPS values
+    -> (luma, cb, cr coded-size uint8 planes, stats). Raises
+    H264DecodeError on the documented seams."""
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise H264Error(f"not a coded slice NAL (type {nal_type})")
@@ -1465,8 +1651,11 @@ def decode_i_slice(
     if r.ue() != 0:
         raise H264DecodeError("multi-slice pictures not supported")
     slice_type = r.ue()
-    if slice_type % 5 != 2:
-        raise H264DecodeError(f"non-I slice_type {slice_type}")
+    is_p = slice_type % 5 == 0
+    if slice_type % 5 != 2 and not is_p:
+        raise H264DecodeError(f"B/SP/SI slice_type {slice_type}")
+    if is_p and ref is None:
+        raise H264DecodeError("P slice without a decoded reference")
     if r.ue() != 0:
         raise H264Error("pic_parameter_set_id != 0")
     r.u(sps["log2_max_frame_num"])  # frame_num
@@ -1474,6 +1663,14 @@ def decode_i_slice(
         r.ue()  # idr_pic_id
     if sps["pic_order_cnt_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    if is_p:
+        # §7.3.3: num_ref_idx_active_override_flag (+ the override
+        # count); single-reference streams only (RefPicList0 = the
+        # previous decoded reference picture)
+        if r.u(1) and r.ue() != 0:
+            raise H264DecodeError("multiple L0 reference pictures")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise H264DecodeError("ref pic list modification")
     # dec_ref_pic_marking (nal_ref_idc > 0 on all our fixtures)
     if nal[0] & 0x60:
         if idr:
@@ -1505,164 +1702,241 @@ def decode_i_slice(
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
 
-    n_pcm = n_i16 = n_i4 = 0
-    for mb_y in range(mb_h):
-        for mb_x in range(mb_w):
-            mb_type = r.ue()
-            if mb_type == 25:  # I_PCM
-                r.byte_align()
-                tile = np.empty((16, 16), dtype=np.uint8)
-                for y in range(16):
-                    for x in range(16):
-                        tile[y, x] = r.u(8)
-                plane[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = tile
-                # §7.4.5: all Cb samples, then all Cr
-                for cplane in (cb, cr):
-                    ctile = np.empty((8, 8), dtype=np.uint8)
-                    for y in range(8):
-                        for x in range(8):
-                            ctile[y, x] = r.u(8)
-                    cplane[
-                        mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
-                    ] = ctile
-                kinds[mb_y][mb_x] = "pcm"
-                tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
-                for t in ctc:
-                    t[mb_y * 2 : mb_y * 2 + 2, mb_x * 2 : mb_x * 2 + 2] = 16
-                n_pcm += 1
-            elif mb_type == 0:  # I_NxN -> I_4x4 (no 8x8 transform)
-                # mark the MB kind BEFORE reading block modes: the
-                # §8.3.1.1 mode predictor must see THIS MB as I_4x4
-                # for left/top blocks inside it
-                kinds[mb_y][mb_x] = "i4"
-                modes: list[int] = []
-                for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
-                    bx, by = mb_x * 4 + sx, mb_y * 4 + sy
-                    pred = _i4_pred_mode(bx, by, kind_at, i4modes)
-                    if r.u(1):  # prev_intra4x4_pred_mode_flag
-                        mode = pred
-                    else:
-                        rem = r.u(3)
-                        mode = rem if rem < pred else rem + 1
-                    i4modes[(bx, by)] = mode
-                    modes.append(mode)
-                chroma_mode = r.ue()  # intra_chroma_pred_mode
-                # coded_block_pattern me(v), Table 9-4 intra subset:
-                # luma all-or-nothing with any chroma CBP; the 44
-                # partial-luma codeNums stay the honest seam
+    n_pcm = n_i16 = n_i4 = n_p16 = n_skip = 0
+    n_mbs_total = mb_w * mb_h
+    # inter state (P slices, r11): decoded MVs per inter MB feed the
+    # §8.4.1.3 prediction of later MBs; intra MBs stay absent (refIdx -1)
+    mvs: dict[tuple[int, int], tuple[int, int]] = {}
+    if is_p:
+        ref_l, ref_cb, ref_cr = ref
+    addr = 0
+    while addr < n_mbs_total:
+        if is_p:
+            # §7.3.4 CAVLC slice data: mb_skip_run precedes every coded
+            # macroblock (and trails the slice when it ends in skips);
+            # each skipped MB is P_Skip - §8.4.1.1 derived MV, motion
+            # compensation, no residual, TotalCoeff 0 in the nC maps
+            run = r.ue()
+            if addr + run > n_mbs_total:
+                raise H264DecodeError("mb_skip_run past slice end")
+            for _ in range(run):
+                mb_y, mb_x = divmod(addr, mb_w)
+                mv = p_skip_mv(mvs, mb_x, mb_y, mb_w)
+                mvs[(mb_x, mb_y)] = mv
+                _mc_predict_mb(
+                    plane, cb, cr, ref_l, ref_cb, ref_cr, mb_x, mb_y, mv
+                )
+                kinds[mb_y][mb_x] = "skip"
+                n_skip += 1
+                addr += 1
+            if addr >= n_mbs_total:
+                break
+        mb_y, mb_x = divmod(addr, mb_w)
+        addr += 1
+        mb_type = r.ue()
+        if is_p:
+            if mb_type == 0:  # P_L0_16x16 (ref_idx absent: 1 L0 ref)
+                mvp = mv_pred_16x16(mvs, mb_x, mb_y, mb_w)
+                mvd = (r.se(), r.se())
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                mvs[(mb_x, mb_y)] = mv
+                kinds[mb_y][mb_x] = "p16"
+                _mc_predict_mb(
+                    plane, cb, cr, ref_l, ref_cb, ref_cr, mb_x, mb_y, mv
+                )
                 code = r.ue()
-                cbp = _CBP_INTRA_DECODE.get(code)
+                cbp = CBP_INTER_DECODE.get(code)
                 if cbp is None:
                     raise H264DecodeError(
-                        f"coded_block_pattern codeNum {code} not in"
-                        " the transcribed Table 9-4 subset"
+                        f"inter coded_block_pattern codeNum {code} not"
+                        " in the transcribed Table 9-4 subset"
                     )
-                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
                 if cbp:
                     qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
-                lres_blocks: list[list[int]] = []
-                if cbp_luma:
-                    # LumaLevel4x4 in §6.4.3 scan order (maxNumCoeff
-                    # 16, position 0 is a regular coefficient)
+                if cbp & 15:
+                    # LumaLevel4x4 over the MC prediction: §8.5.12
+                    # with no DC substitution - the I_4x4 residual path
                     for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
                         gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
                         coeffs = _read_residual_block(
                             r, _nc_at(tc_map, gx, gy), 16
                         )
                         tc_map[gy, gx] = sum(1 for v in coeffs if v)
-                        lres_blocks.append(coeffs)
-                i4_cdc: list[list[int]] = []
-                i4_cac: list = [None, None]
-                if cbp_chroma:
-                    i4_cdc, i4_cac = _read_chroma_residual(
-                        r, ctc, mb_x, mb_y, cbp_chroma
+                        _add_i4_residual(plane, gx, gy, coeffs, qp_y)
+                if cbp >> 4:
+                    p_cdc, p_cac = _read_chroma_residual(
+                        r, ctc, mb_x, mb_y, cbp >> 4
                     )
-                for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
-                    bx, by = mb_x * 4 + sx, mb_y * 4 + sy
-                    _predict_i4(
-                        plane, bx, by, modes[scan_idx],
-                        _i4_topright_avail(bx, by, scan_idx, mb_w),
-                    )
-                    if cbp_luma:
-                        # residual BEFORE the next block predicts:
-                        # §8.3.1 reads reconstructed neighbours
-                        _add_i4_residual(
-                            plane, bx, by, lres_blocks[scan_idx], qp_y
-                        )
-                _predict_chroma(cb, mb_x, mb_y, chroma_mode)
-                _predict_chroma(cr, mb_x, mb_y, chroma_mode)
-                if cbp_chroma:
                     qpc = _chroma_qp(qp_y)
                     for comp, cplane in ((0, cb), (1, cr)):
                         _add_chroma_residual(
                             cplane, mb_x, mb_y,
-                            _chroma_dc_dequant(i4_cdc[comp], qpc),
-                            i4_cac[comp], qpc,
+                            _chroma_dc_dequant(p_cdc[comp], qpc),
+                            p_cac[comp], qpc,
                         )
-                n_i4 += 1
-            elif 1 <= mb_type <= 24:
-                pred_mode = (mb_type - 1) % 4
-                cbp_chroma = ((mb_type - 1) // 4) % 3
-                cbp_luma = 15 if mb_type > 12 else 0
-                chroma_mode = r.ue()  # intra_chroma_pred_mode
-                qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
-                kinds[mb_y][mb_x] = "i16"
-                dc_levels = _read_residual_block(
-                    r, _nc_at(tc_map, mb_x * 4, mb_y * 4), 16
+                n_p16 += 1
+                continue
+            if mb_type < 5:
+                raise H264DecodeError(
+                    f"P mb_type {mb_type} (16x8/8x16/8x8 partitions"
+                    " not supported)"
                 )
-                ac_blocks: list[list[int]] = []
+            mb_type -= 5  # intra-in-P: Table 7-10's I_* offset
+        if mb_type == 25:  # I_PCM
+            r.byte_align()
+            tile = np.empty((16, 16), dtype=np.uint8)
+            for y in range(16):
+                for x in range(16):
+                    tile[y, x] = r.u(8)
+            plane[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = tile
+            # §7.4.5: all Cb samples, then all Cr
+            for cplane in (cb, cr):
+                ctile = np.empty((8, 8), dtype=np.uint8)
+                for y in range(8):
+                    for x in range(8):
+                        ctile[y, x] = r.u(8)
+                cplane[
+                    mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
+                ] = ctile
+            kinds[mb_y][mb_x] = "pcm"
+            tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
+            for t in ctc:
+                t[mb_y * 2 : mb_y * 2 + 2, mb_x * 2 : mb_x * 2 + 2] = 16
+            n_pcm += 1
+        elif mb_type == 0:  # I_NxN -> I_4x4 (no 8x8 transform)
+            # mark the MB kind BEFORE reading block modes: the
+            # §8.3.1.1 mode predictor must see THIS MB as I_4x4
+            # for left/top blocks inside it
+            kinds[mb_y][mb_x] = "i4"
+            modes: list[int] = []
+            for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
+                bx, by = mb_x * 4 + sx, mb_y * 4 + sy
+                pred = _i4_pred_mode(bx, by, kind_at, i4modes)
+                if r.u(1):  # prev_intra4x4_pred_mode_flag
+                    mode = pred
+                else:
+                    rem = r.u(3)
+                    mode = rem if rem < pred else rem + 1
+                i4modes[(bx, by)] = mode
+                modes.append(mode)
+            chroma_mode = r.ue()  # intra_chroma_pred_mode
+            # coded_block_pattern me(v), Table 9-4 intra subset:
+            # luma all-or-nothing with any chroma CBP; the 44
+            # partial-luma codeNums stay the honest seam
+            code = r.ue()
+            cbp = _CBP_INTRA_DECODE.get(code)
+            if cbp is None:
+                raise H264DecodeError(
+                    f"coded_block_pattern codeNum {code} not in"
+                    " the transcribed Table 9-4 subset"
+                )
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
+            lres_blocks: list[list[int]] = []
+            if cbp_luma:
+                # LumaLevel4x4 in §6.4.3 scan order (maxNumCoeff
+                # 16, position 0 is a regular coefficient)
+                for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                    gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                    coeffs = _read_residual_block(
+                        r, _nc_at(tc_map, gx, gy), 16
+                    )
+                    tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                    lres_blocks.append(coeffs)
+            i4_cdc: list[list[int]] = []
+            i4_cac: list = [None, None]
+            if cbp_chroma:
+                i4_cdc, i4_cac = _read_chroma_residual(
+                    r, ctc, mb_x, mb_y, cbp_chroma
+                )
+            for scan_idx, (sx, sy) in enumerate(_I4_SCAN):
+                bx, by = mb_x * 4 + sx, mb_y * 4 + sy
+                _predict_i4(
+                    plane, bx, by, modes[scan_idx],
+                    _i4_topright_avail(bx, by, scan_idx, mb_w),
+                )
                 if cbp_luma:
-                    # §7.3.5.3.3: all 16 Intra16x16ACLevel blocks, in
-                    # §6.4.3 scan order, each with maxNumCoeff 15
-                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
-                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
-                        coeffs = _read_residual_block(
-                            r, _nc_at(tc_map, gx, gy), 15
-                        )
-                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
-                        ac_blocks.append(coeffs)
-                cdc: list[list[int]] = []
-                cac: list[list[list[int]] | None] = [None, None]
-                if cbp_chroma:
-                    cdc, cac = _read_chroma_residual(
-                        r, ctc, mb_x, mb_y, cbp_chroma
+                    # residual BEFORE the next block predicts:
+                    # §8.3.1 reads reconstructed neighbours
+                    _add_i4_residual(
+                        plane, bx, by, lres_blocks[scan_idx], qp_y
                     )
-                _predict_i16(plane, mb_x, mb_y, pred_mode)
-                if cbp_luma:
-                    _add_i16_residual(
-                        plane, mb_x, mb_y,
-                        _luma_dc_dequant(dc_levels, qp_y), ac_blocks, qp_y,
+            _predict_chroma(cb, mb_x, mb_y, chroma_mode)
+            _predict_chroma(cr, mb_x, mb_y, chroma_mode)
+            if cbp_chroma:
+                qpc = _chroma_qp(qp_y)
+                for comp, cplane in ((0, cb), (1, cr)):
+                    _add_chroma_residual(
+                        cplane, mb_x, mb_y,
+                        _chroma_dc_dequant(i4_cdc[comp], qpc),
+                        i4_cac[comp], qpc,
                     )
-                elif any(dc_levels):
-                    _add_dc_residual(
-                        plane, mb_x, mb_y, _luma_dc_dequant(dc_levels, qp_y)
+            n_i4 += 1
+        elif 1 <= mb_type <= 24:
+            pred_mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma = 15 if mb_type > 12 else 0
+            chroma_mode = r.ue()  # intra_chroma_pred_mode
+            qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
+            kinds[mb_y][mb_x] = "i16"
+            dc_levels = _read_residual_block(
+                r, _nc_at(tc_map, mb_x * 4, mb_y * 4), 16
+            )
+            ac_blocks: list[list[int]] = []
+            if cbp_luma:
+                # §7.3.5.3.3: all 16 Intra16x16ACLevel blocks, in
+                # §6.4.3 scan order, each with maxNumCoeff 15
+                for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                    gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                    coeffs = _read_residual_block(
+                        r, _nc_at(tc_map, gx, gy), 15
                     )
-                _predict_chroma(cb, mb_x, mb_y, chroma_mode)
-                _predict_chroma(cr, mb_x, mb_y, chroma_mode)
-                if cbp_chroma:
-                    qpc = _chroma_qp(qp_y)
-                    for comp, cplane in ((0, cb), (1, cr)):
-                        _add_chroma_residual(
-                            cplane, mb_x, mb_y,
-                            _chroma_dc_dequant(cdc[comp], qpc),
-                            cac[comp], qpc,
-                        )
-                n_i16 += 1
-            else:
-                raise H264Error(f"I-slice mb_type {mb_type} > 25")
+                    tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                    ac_blocks.append(coeffs)
+            cdc: list[list[int]] = []
+            cac: list[list[list[int]] | None] = [None, None]
+            if cbp_chroma:
+                cdc, cac = _read_chroma_residual(
+                    r, ctc, mb_x, mb_y, cbp_chroma
+                )
+            _predict_i16(plane, mb_x, mb_y, pred_mode)
+            if cbp_luma:
+                _add_i16_residual(
+                    plane, mb_x, mb_y,
+                    _luma_dc_dequant(dc_levels, qp_y), ac_blocks, qp_y,
+                )
+            elif any(dc_levels):
+                _add_dc_residual(
+                    plane, mb_x, mb_y, _luma_dc_dequant(dc_levels, qp_y)
+                )
+            _predict_chroma(cb, mb_x, mb_y, chroma_mode)
+            _predict_chroma(cr, mb_x, mb_y, chroma_mode)
+            if cbp_chroma:
+                qpc = _chroma_qp(qp_y)
+                for comp, cplane in ((0, cb), (1, cr)):
+                    _add_chroma_residual(
+                        cplane, mb_x, mb_y,
+                        _chroma_dc_dequant(cdc[comp], qpc),
+                        cac[comp], qpc,
+                    )
+            n_i16 += 1
+        else:
+            raise H264Error(f"I-slice mb_type {mb_type} > 25")
     return plane, cb, cr, {
         "n_pcm": n_pcm, "n_i16": n_i16, "n_i4": n_i4,
-        "n_mbs": mb_w * mb_h,
+        "n_p16": n_p16, "n_skip": n_skip, "n_mbs": mb_w * mb_h,
     }
 
 
-def decode_i_frames(payload: bytes) -> "list[dict]":
-    """ISO BMFF bytes -> decode EVERY I/IDR access unit of the first
-    AVC track, in sample-table order (r11: the multi-frame path -
-    each all-intra frame decodes independently, and non-IDR I slices
-    exercise the nal_type-1 slice-header branch). Returns one dict
-    per frame with the cropped display-size YCbCr planes and census
-    fields."""
+def decode_frames(payload: bytes) -> "list[dict]":
+    """ISO BMFF bytes -> decode EVERY access unit of the first AVC
+    track, in sample-table order: I/IDR pictures decode independently
+    and P pictures (r11 eighth pass) motion-compensate against the
+    previous decoded picture (every fixture NAL carries nal_ref_idc >
+    0, so the single-entry reference list is always the last decoded
+    frame). Returns one dict per frame with the cropped display-size
+    YCbCr planes and census fields."""
     fourcc, entry = _find_stsd_entry(payload)
     if fourcc not in (b"avc1", b"avc3"):
         raise H264Error(f"not an AVC sample entry: {fourcc!r}")
@@ -1677,11 +1951,13 @@ def decode_i_frames(payload: bytes) -> "list[dict]":
     sps = parse_sps(cfg["sps"][0])
     _, table = mp4_sample_table(payload)
     frames: list[dict] = []
+    prev: "tuple | None" = None
     for off, size in table:
         sample = payload[off : off + size]
         for nal in split_sample_nals(sample, cfg["nal_length_size"]):
             if nal[0] & 0x1F in (1, 5):
-                plane, cb, cr, stats = decode_i_slice(nal, sps)
+                plane, cb, cr, stats = _decode_slice(nal, sps, ref=prev)
+                prev = (plane, cb, cr)
                 w, h = sps["width"], sps["height"]
                 x0, y0 = sps["crop_left_px"], sps["crop_top_px"]
                 luma = np.ascontiguousarray(plane[y0 : y0 + h, x0 : x0 + w])
@@ -1707,10 +1983,14 @@ def decode_i_frames(payload: bytes) -> "list[dict]":
     return frames
 
 
+#: back-compat alias (pre-P-slice name)
+decode_i_frames = decode_frames
+
+
 def decode_first_i_frame(payload: bytes) -> dict:
     """ISO BMFF bytes -> the first decoded I/IDR frame (see
-    `decode_i_frames`)."""
-    return decode_i_frames(payload)[0]
+    `decode_frames`)."""
+    return decode_frames(payload)[0]
 
 
 # --- the independent expected-plane simulator ---------------------------------
@@ -1878,14 +2158,35 @@ def _sim_i16_residual(dc16: "list[int]", ac: dict, qp: int) -> np.ndarray:
     return out
 
 
-def _simulate_luma(spec: dict) -> np.ndarray:
-    """Vectorized numpy twin of §8.3.3 over the fixture's macroblock
-    SPEC (never reads the bitstream): builds the expected cropped luma
-    plane the decoder must reproduce bit-exactly."""
+def _sim_mv_pad(mbs: list) -> int:
+    """Simulator pad for a P-frame grid: covers the largest fixture
+    MV excursion plus full 6-tap support."""
+    mvmax = 0
+    for row in mbs:
+        for d in row:
+            if d[0] in ("skip", "p16"):
+                mvmax = max(mvmax, abs(d[1][0]), abs(d[1][1]))
+    return mvmax // 4 + 4
+
+
+def _simulate_luma(
+    spec: dict, ref: "np.ndarray | None" = None, crop: bool = True
+) -> np.ndarray:
+    """Vectorized numpy twin of §8.3.3 (+ §8.4.2 motion compensation,
+    r11) over the fixture's macroblock SPEC (never reads the
+    bitstream): builds the expected luma plane the decoder must
+    reproduce bit-exactly. Inter descs sample a whole-plane
+    quarter-resolution grid built from ``ref`` (the previous frame's
+    UNCROPPED simulated luma); ``crop=False`` returns the full
+    coded-size plane for reference chaining."""
     mbs = spec["mbs"]
     mb_h, mb_w = len(mbs), len(mbs[0])
     sim_qp = 26  # slice QP: pic_init 26 + deltas, tracked in raster order
     plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int64)
+    quarter = None
+    if ref is not None:
+        pad = _sim_mv_pad(mbs)
+        quarter = sim_quarter_luma(ref, pad)
     # decoded-4x4-block mask: the simulator's OWN availability
     # derivation (an incremental invariant, vs the decoder's index
     # arithmetic) for §8.3.1.2 top-right substitution
@@ -1894,6 +2195,32 @@ def _simulate_luma(spec: dict) -> np.ndarray:
         for mx, desc in enumerate(row):
             y0, x0 = my * 16, mx * 16
             blk = plane[y0 : y0 + 16, x0 : x0 + 16]
+            if desc[0] in ("skip", "p16"):
+                q, pad = quarter
+                check_mv_bounds(desc[1], pad)
+                blk[:] = sim_mc_luma(
+                    q, pad, x0, y0, desc[1][0], desc[1][1]
+                )
+                if desc[0] == "p16":
+                    lres = desc[2] if len(desc) > 2 else None
+                    if lres is not None or (len(desc) > 4 and desc[4]):
+                        sim_qp = (
+                            sim_qp + (desc[3] if len(desc) > 3 else 0)
+                            + 52
+                        ) % 52
+                    if lres is not None:
+                        for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                            py, px = y0 + 4 * sy, x0 + 4 * sx
+                            plane[py : py + 4, px : px + 4] = np.clip(
+                                plane[py : py + 4, px : px + 4]
+                                + _sim_4x4_residual(
+                                    list(lres.get(blk_idx, [0] * 16)),
+                                    sim_qp,
+                                ),
+                                0, 255,
+                            )
+                done[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+                continue
             if desc[0] == "pcm":
                 blk[:] = pcm_luma(desc[1], desc[2] if len(desc) > 2 else 0)
                 done[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
@@ -1989,6 +2316,8 @@ def _simulate_luma(spec: dict) -> np.ndarray:
                     blk + _sim_dc_residual(list(dc16), sim_qp), 0, 255
                 )
             done[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+    if not crop:
+        return plane.astype(np.uint8)
     h, w = spec["h"], spec["w"]
     return plane[:h, :w].astype(np.uint8)
 
@@ -2018,20 +2347,53 @@ def _sim_chroma_residual(dc4: "list[int]", ac, qpc: int) -> np.ndarray:
     return out
 
 
-def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
+def _simulate_chroma(
+    spec: dict,
+    plane_idx: int,
+    ref: "np.ndarray | None" = None,
+    crop: bool = True,
+) -> np.ndarray:
     """Vectorized numpy twin of §8.3.4 (DC per 4x4 sub-block with
     corner-source preferences, H/V copies) over the fixture SPEC -
     one 8x8-per-MB chroma plane (0 = Cb, 1 = Cr), cropped. r11:
     tracks the running QP chain and adds the §8.5.11/§8.5.12 chroma
-    residual for descs carrying a ``cres`` slot."""
+    residual for descs carrying a ``cres`` slot; inter descs (r11
+    eighth pass) bilinear-sample ``ref``, the previous frame's
+    UNCROPPED simulated plane of the same component."""
     mbs = spec["mbs"]
     mb_h, mb_w = len(mbs), len(mbs[0])
     sim_qp = 26
+    pad = _sim_mv_pad(mbs) if ref is not None else 0
     plane = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64)
     for my, row in enumerate(mbs):
         for mx, desc in enumerate(row):
             y0, x0 = my * 8, mx * 8
             blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+            if desc[0] in ("skip", "p16"):
+                blk[:] = sim_mc_chroma(
+                    ref, pad, x0, y0, desc[1][0], desc[1][1]
+                )
+                if desc[0] == "p16":
+                    lres = desc[2] if len(desc) > 2 else None
+                    cres = desc[4] if len(desc) > 4 else None
+                    if lres is not None or cres is not None:
+                        sim_qp = (
+                            sim_qp + (desc[3] if len(desc) > 3 else 0)
+                            + 52
+                        ) % 52
+                    if cres is not None:
+                        qpc = _chroma_qp(sim_qp)
+                        dc4 = cres[1] if plane_idx == 0 else cres[2]
+                        cacd = None
+                        if cres[0] == 2:
+                            cacd = cres[3] if plane_idx == 0 else cres[4]
+                        blk[:] = np.clip(
+                            blk + _sim_chroma_residual(
+                                list(dc4), cacd, qpc
+                            ),
+                            0, 255,
+                        )
+                continue
             if desc[0] == "pcm":
                 blk[:] = pcm_chroma(
                     desc[1], desc[2] if len(desc) > 2 else 0, plane_idx
@@ -2102,11 +2464,50 @@ def _simulate_chroma(spec: dict, plane_idx: int) -> np.ndarray:
                     blk + _sim_chroma_residual(list(dc4), cacd, qpc),
                     0, 255,
                 )
+    if not crop:
+        return plane.astype(np.uint8)
     h, w = spec["h"] // 2, spec["w"] // 2
     return plane[:h, :w].astype(np.uint8)
 
 
 # --- fixtures ------------------------------------------------------------------
+
+
+def _fixture_grids(spec: dict) -> "list[tuple[str, list]]":
+    """The fixture's access units in coded order: ('I'|'P', mb grid).
+    ``n_frames`` repeats the IDR AU, ``extra_frames`` append non-IDR
+    all-intra pictures, ``p_frames`` (r11 eighth pass) append P
+    pictures - each motion-compensating against the frame decoded
+    just before it."""
+    grids = [("I", spec["mbs"])] * spec.get("n_frames", 1)
+    grids += [("I", fm) for fm in spec.get("extra_frames", [])]
+    grids += [("P", fm) for fm in spec.get("p_frames", [])]
+    return grids
+
+
+def simulate_stream(spec: dict) -> "list[tuple]":
+    """Run the expected-plane simulator over every access unit of a
+    fixture, chaining P frames on the previous frame's UNCROPPED
+    planes exactly as the decoder's reference list does. Returns one
+    (luma, cb, cr) uncropped uint8 triple per frame."""
+    frames: list[tuple] = []
+    prev: "tuple | None" = None
+    for kind, grid in _fixture_grids(spec):
+        sub = {"w": spec["w"], "h": spec["h"], "mbs": grid}
+        if kind == "I":
+            prev = (
+                _simulate_luma(sub, crop=False),
+                _simulate_chroma(sub, 0, crop=False),
+                _simulate_chroma(sub, 1, crop=False),
+            )
+        else:
+            prev = (
+                _simulate_luma(sub, ref=prev[0], crop=False),
+                _simulate_chroma(sub, 0, ref=prev[1], crop=False),
+                _simulate_chroma(sub, 1, ref=prev[2], crop=False),
+            )
+        frames.append(prev)
+    return frames
 
 
 def _grid(mb_w: int, mb_h: int, fill: tuple) -> list[list[tuple]]:
@@ -2445,6 +2846,126 @@ def h264_frame_fixtures() -> list[dict]:
         }
     )
 
+    # --- P-slice family (r11 eighth pass): P_Skip, P_L0_16x16,
+    # quarter-pel MC, inter residuals, intra refresh inside P --------
+
+    # static scene: one all-skip P picture - every §8.4.1.1 derivation
+    # resolves to (0,0) (first row/column from unavailability, the
+    # rest from the zero-MV neighbour rule), the slice data is a
+    # single trailing mb_skip_run, and frame 2 must equal frame 1
+    mbs = [
+        [("pcm", "grad", 11), ("pcm", "rampx")],
+        [("pcm", "rampy"), ("i16", 2, 1, dc((0, 2)))],
+    ]
+    fixtures.append(
+        {
+            "name": "p_static.mp4", "w": 32, "h": 32, "mbs": mbs,
+            "p_frames": [[
+                [("skip", (0, 0)), ("skip", (0, 0))],
+                [("skip", (0, 0)), ("skip", (0, 0))],
+            ]],
+        }
+    )
+
+    # camera pan: every MB P_L0_16x16 with the same integer MV (frame
+    # 2, including edge MBs whose windows clamp outside the picture),
+    # then a chained half-pel P frame referencing the P frame before
+    # it (the 6-tap interpolation across a full picture)
+    mbs = [
+        [("pcm", "grad", 20), ("pcm", "grad", 21), ("pcm", "rampx")],
+        [("pcm", "rampy"), ("pcm", "grad", 22), ("pcm", "grad", 23)],
+    ]
+    pan1 = [[("p16", (-8, -4))] * 3 for _ in range(2)]
+    pan2 = [[("p16", (2, 2))] * 3 for _ in range(2)]
+    fixtures.append(
+        {
+            "name": "p_pan.mp4", "w": 48, "h": 32, "mbs": mbs,
+            "p_frames": [pan1, pan2],
+        }
+    )
+
+    # the full Table 8-12 fraction grid: 4x3 PCM-textured picture, one
+    # P picture assigning 12 of the 16 (xFrac, yFrac) combinations,
+    # a second chained P picture covering the remaining 4 plus edge
+    # clamps (negative MVs at the top-left corner, beyond-right at
+    # the last column)
+    mbs = [
+        [("pcm", "grad", 30 + 4 * r + c) for c in range(4)]
+        for r in range(3)
+    ]
+    fracs = [(xf, yf) for yf in range(4) for xf in range(4)]
+    sub1 = [
+        [
+            ("p16", (4 * ((c + r) % 3 - 1) + fracs[4 * r + c][0],
+                     4 * ((c * r) % 3 - 1) + fracs[4 * r + c][1]))
+            for c in range(4)
+        ]
+        for r in range(3)
+    ]
+    sub2 = [
+        [("p16", (-9, -6)), ("p16", (-5, 3)), ("p16", (7, -2)),
+         ("p16", (4, 7))],
+        [("p16", (4 * 3 + 3, 4 * 3 + 2)), ("p16", (0, 0)),
+         ("p16", (1, 1)), ("p16", (-1, -1))],
+        [("p16", (2, 3)), ("p16", (3, 2)), ("p16", (-3, -3)),
+         ("p16", (5, 11))],
+    ]
+    fixtures.append(
+        {
+            "name": "p_subpel.mp4", "w": 64, "h": 48, "mbs": mbs,
+            "p_frames": [sub1, sub2],
+        }
+    )
+
+    # inter residuals + intra refresh: a zero-MV MB with full luma +
+    # chroma residual (inter CBP 47 and the running-QP chain), a
+    # centre-j MB with the CHROMA-ONLY CBP 16 the inter Table 9-4
+    # subset adds, an I_16x16 refresh MB predicting from inter
+    # neighbours' reconstructed samples, and a trailing P_Skip whose
+    # §8.4.1.1 derivation walks the median path (intra A -> refIdx -1,
+    # D substituting the out-of-picture C)
+    pres = [
+        [
+            ("p16", (0, 0),
+             {0: [3, -1] + [0] * 14, 7: [0, 2, 0, -1] + [0] * 12},
+             4,
+             (2, [1, 0, 0, -1], [0, 2, 0, 0], {0: [2] + [0] * 14}, {})),
+            ("p16", (6, 2), None, -6, (1, [1, -1, 0, 0], [0, 0, 0, 2])),
+        ],
+        [
+            ("i16", 2, 0, dc((0, 3), (2, -1))),
+            ("skip", (0, 0)),
+        ],
+    ]
+    mbs = [
+        [("pcm", "grad", 40), ("pcm", "grad", 41)],
+        [("pcm", "rampx"), ("pcm", "grad", 42)],
+    ]
+    fixtures.append(
+        {
+            "name": "p_residual.mp4", "w": 32, "h": 32, "mbs": mbs,
+            "p_frames": [pres],
+        }
+    )
+
+    # a three-P chain: integer pan with bottom-edge clamp, then an
+    # I_4x4 refresh beside a skip whose left neighbour is intra (the
+    # refresh resets drift exactly as a real encoder's intra columns
+    # do), then an all-skip picture whose slice data is one ue() run
+    mbs = [[("pcm", "grad", 50), ("pcm", "grad", 51)]]
+    chain = [
+        [[("p16", (-4, 6)), ("p16", (0, 14))]],
+        [[("i4", [2] * 16, 0, {0: [1, -1] + [0] * 14}, 2),
+          ("skip", (0, 0))]],
+        [[("skip", (0, 0)), ("skip", (0, 0))]],
+    ]
+    fixtures.append(
+        {
+            "name": "p_chain_refresh.mp4", "w": 32, "h": 16,
+            "mbs": mbs, "p_frames": chain,
+        }
+    )
+
     return fixtures
 
 
@@ -2465,6 +2986,9 @@ def build_fixture_mp4(spec: dict) -> bytes:
         samples.append(
             [make_i_slice_nal(fm, idr=False, frame_num=j + 1)]
         )
+    base = len(spec.get("extra_frames", [])) + 1
+    for j, fm in enumerate(spec.get("p_frames", [])):
+        samples.append([make_p_slice_nal(fm, frame_num=base + j)])
     return make_avc_stream_mp4(
         sps,
         samples,
@@ -2484,10 +3008,11 @@ def _stage_frame_store(root: str) -> None:
 
 _SCHEMA = (
     "video_name string, width int, height int, n_mbs int, n_pcm int, "
-    "n_i16 int, n_i4 int, luma_sum bigint, luma_crc32 bigint, "
+    "n_i16 int, n_i4 int, n_p16 int, n_skip int, "
+    "luma_sum bigint, luma_crc32 bigint, "
     "cb_crc32 bigint, cr_crc32 bigint, "
     "px_tl int, px_tr int, px_bl int, px_br int, "
-    "n_frames int, frames_luma_crc32 bigint"
+    "n_frames int, frames_luma_crc32 bigint, frames_chroma_crc32 bigint"
 )
 
 
@@ -2503,6 +3028,8 @@ def _plane_row(
         "n_pcm": stats["n_pcm"],
         "n_i16": stats["n_i16"],
         "n_i4": stats["n_i4"],
+        "n_p16": stats.get("n_p16", 0),
+        "n_skip": stats.get("n_skip", 0),
         "luma_sum": int(luma.astype(np.int64).sum()),
         "luma_crc32": int(zlib.crc32(luma.tobytes())),
         "cb_crc32": int(zlib.crc32(cb.tobytes())),
@@ -2515,15 +3042,23 @@ def _plane_row(
 
 
 def _video_row(name: str, frames: "list[dict]") -> dict:
-    """One census row per VIDEO (r11): frame 1's plane statistics
-    plus the whole-stream frame count and the CRC over every decoded
-    frame's luma bytes in sample order (equal to frame 1's luma CRC
-    when the stream has one frame)."""
+    """One census row per VIDEO (r11): frame 1's plane statistics,
+    the whole-stream frame count, STREAM-level inter-MB counts
+    (n_p16/n_skip summed over every frame - frame 1 is always intra),
+    and CRCs over every decoded frame's luma / chroma bytes in sample
+    order (equal to frame 1's CRCs when the stream has one frame)."""
     f0 = frames[0]
     row = _plane_row(name, f0["luma"], f0["cb"], f0["cr"], f0)
+    row["n_p16"] = sum(f.get("n_p16", 0) for f in frames)
+    row["n_skip"] = sum(f.get("n_skip", 0) for f in frames)
     row["n_frames"] = len(frames)
     row["frames_luma_crc32"] = int(
         zlib.crc32(b"".join(f["luma"].tobytes() for f in frames))
+    )
+    row["frames_chroma_crc32"] = int(
+        zlib.crc32(
+            b"".join(f["cb"].tobytes() + f["cr"].tobytes() for f in frames)
+        )
     )
     return row
 
@@ -2561,34 +3096,48 @@ def _frames_oracle() -> str:
     the exact fixture bytes at oracle-build time."""
     rows = []
     for spec in h264_frame_fixtures():
-        sim = _simulate_luma(spec)
-        sim_cb = _simulate_chroma(spec, 0)
-        sim_cr = _simulate_chroma(spec, 1)
+        # whole-stream expectation: the simulator renders every access
+        # unit (I pictures from their own grids, P pictures chained on
+        # the previous UNCROPPED simulated frame) and the census crops
+        # each frame exactly as the decoder's display-size output does
+        sim_frames = simulate_stream(spec)
+        w, h = spec["w"], spec["h"]
+        cw, ch = w // 2, h // 2
+        cropped = [
+            (lu[:h, :w], cbp[:ch, :cw], crp[:ch, :cw])
+            for lu, cbp, crp in sim_frames
+        ]
+        grids = _fixture_grids(spec)
         mb_count = len(spec["mbs"]) * len(spec["mbs"][0])
         n_pcm = sum(1 for row in spec["mbs"] for d in row if d[0] == "pcm")
         n_i4 = sum(1 for row in spec["mbs"] for d in row if d[0] == "i4")
         want = _plane_row(
             spec["name"],
-            sim,
-            sim_cb,
-            sim_cr,
+            *cropped[0],
             {"n_mbs": mb_count, "n_pcm": n_pcm, "n_i4": n_i4,
              "n_i16": mb_count - n_pcm - n_i4},
         )
-        # whole-stream expectation (r11): n_frames repeats frame 1,
-        # extra_frames are independent all-intra pictures the
-        # simulator renders from their own mbs grids
-        frame_bytes = sim.tobytes() * spec.get("n_frames", 1)
-        n_total = spec.get("n_frames", 1)
-        for fm in spec.get("extra_frames", []):
-            frame_bytes += _simulate_luma(
-                {"w": spec["w"], "h": spec["h"], "mbs": fm}
-            ).tobytes()
-            n_total += 1
-        want["n_frames"] = n_total
-        want["frames_luma_crc32"] = int(zlib.crc32(frame_bytes))
+        want["n_p16"] = sum(
+            1 for kind, g in grids if kind == "P"
+            for row in g for d in row if d[0] == "p16"
+        )
+        want["n_skip"] = sum(
+            1 for kind, g in grids if kind == "P"
+            for row in g for d in row if d[0] == "skip"
+        )
+        want["n_frames"] = len(sim_frames)
+        want["frames_luma_crc32"] = int(
+            zlib.crc32(b"".join(lu.tobytes() for lu, _, _ in cropped))
+        )
+        want["frames_chroma_crc32"] = int(
+            zlib.crc32(
+                b"".join(
+                    cbp.tobytes() + crp.tobytes() for _, cbp, crp in cropped
+                )
+            )
+        )
         got_row = _video_row(
-            spec["name"], decode_i_frames(build_fixture_mp4(spec))
+            spec["name"], decode_frames(build_fixture_mp4(spec))
         )
         if got_row != want:
             # Decoder/simulator disagreement must surface as THIS
@@ -2597,8 +3146,7 @@ def _frames_oracle() -> str:
             # sentinel row that cannot match any decoder output.
             rows.append(
                 f"('{spec['name']}:DECODER_SIMULATOR_DISAGREE', "
-                "-1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, "
-                "-1, -1, -1)"
+                + ", ".join(["-1"] * 19) + ")"
             )
             continue
         rows.append(
@@ -2611,8 +3159,9 @@ def _frames_oracle() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(video_name, width, height, n_mbs, n_pcm, n_i16, n_i4, "
-        "luma_sum, luma_crc32, cb_crc32, cr_crc32, "
-        "px_tl, px_tr, px_bl, px_br, n_frames, frames_luma_crc32)"
+        "n_p16, n_skip, luma_sum, luma_crc32, cb_crc32, cr_crc32, "
+        "px_tl, px_tr, px_bl, px_br, n_frames, frames_luma_crc32, "
+        "frames_chroma_crc32)"
     )
 
 

@@ -169,12 +169,21 @@ def test_unsupported_seams_raise_decode_error():
     with pytest.raises(H264DecodeError, match="Table 9-4"):
         decode_first_i_frame(payload)
 
-    # P slice
+    # P slice as the FIRST access unit: decodes for real since the
+    # r11 eighth pass, but only against a previously decoded picture
     w = _BitWriter()
     w.ue(0); w.ue(5); w.ue(0)  # slice_type 5 = P (all-P form)
     nal = bytes([0x41]) + _ebsp(w.rbsp())
     payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
-    with pytest.raises(H264DecodeError, match="non-I"):
+    with pytest.raises(H264DecodeError, match="reference"):
+        decode_first_i_frame(payload)
+
+    # B slice: a true remaining seam
+    w = _BitWriter()
+    w.ue(0); w.ue(6); w.ue(0)  # slice_type 6 = B
+    nal = bytes([0x41]) + _ebsp(w.rbsp())
+    payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
+    with pytest.raises(H264DecodeError, match="B/SP/SI"):
         decode_first_i_frame(payload)
 
     # chroma PLANE prediction (intra_chroma_pred_mode 3) - the one

@@ -1,0 +1,240 @@
+"""P-slice machinery: interpolation twins, MV prediction, round-trips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_capstone_project_spark.operators.h264 import H264Error
+from data_pipeline_capstone_project_spark.operators.h264_decode import (
+    build_fixture_mp4,
+    decode_frames,
+    make_i_slice_nal,
+    make_p_slice_nal,
+    simulate_stream,
+)
+from data_pipeline_capstone_project_spark.operators.h264_inter import (
+    CBP_INTER_CODENUM,
+    CBP_INTER_DECODE,
+    check_mv_bounds,
+    mc_chroma_8x8,
+    mc_luma_16x16,
+    mv_pred_16x16,
+    p_skip_mv,
+    sim_mc_chroma,
+    sim_mc_luma,
+    sim_quarter_luma,
+)
+
+
+# --- hand-pinned spec arithmetic (guards a SHARED misreading of
+# §8.4.2.2 in both interpolation transcriptions) -------------------------
+
+
+def test_halfpel_six_tap_hand_computed():
+    """b = Clip1(((E -5F +20G +20H -5I +J) + 16) >> 5) for the row
+    (10, 250, 30, 90, 200, 5): 10-1250+600+1800-1000+5 = 165,
+    (165+16)>>5 = 5 - worked by hand from §8.4.2.2.1."""
+    row = np.array([10, 250, 30, 90, 200, 5], dtype=np.uint8)
+    # place the window so the (2,0)-fraction output at x0=2 reads it:
+    # the 6-tap span for output col 0 is integer cols x0-2 .. x0+3
+    ref = np.zeros((16, 24), dtype=np.uint8)
+    ref[:, 0:6] = row
+    out = mc_luma_16x16(ref, 2, 0, 2, 0)  # xInt=2 -> window cols 0..5
+    assert int(out[0, 0]) == 5
+
+
+def test_quarter_is_average_of_pinned_halves():
+    """a = (G + b + 1) >> 1 at the hand-pinned window: G = 30 (the
+    integer sample left of the half), b = 5 -> a = 18."""
+    row = np.array([10, 250, 30, 90, 200, 5], dtype=np.uint8)
+    ref = np.zeros((16, 24), dtype=np.uint8)
+    ref[:, 0:6] = row
+    out = mc_luma_16x16(ref, 2, 0, 1, 0)
+    assert int(out[0, 0]) == (30 + 5 + 1) >> 1
+
+
+def test_chroma_bilinear_hand_computed():
+    """predC = ((8-xF)(8-yF)A + xF(8-yF)B + (8-xF)yF C + xF yF D + 32)
+    >> 6 with (A,B,C,D) = (100,200,50,10) and (xF,yF) = (3,5):
+    (1500 + 1800 + 1250 + 150 + 32) >> 6 = 73 - worked by hand from
+    §8.4.2.2.2."""
+    refc = np.zeros((8, 8), dtype=np.uint8)
+    refc[2, 3], refc[2, 4], refc[3, 3], refc[3, 4] = 100, 200, 50, 10
+    out = mc_chroma_8x8(refc, 3, 2, 3, 5)
+    assert int(out[0, 0]) == 73
+
+
+# --- the two transcriptions agree everywhere ----------------------------
+
+
+def test_interpolation_twins_full_fraction_grid():
+    rng = np.random.default_rng(17)
+    ref = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+    q, pad = sim_quarter_luma(ref, 10)
+    for yf in range(4):
+        for xf in range(4):
+            for x0, y0, ix, iy in ((16, 16, 0, 0), (0, 0, -3, -2),
+                                   (48, 32, 5, 3)):
+                mv = (4 * ix + xf, 4 * iy + yf)
+                a = mc_luma_16x16(ref, x0, y0, *mv)
+                b = sim_mc_luma(q, pad, x0, y0, *mv)
+                assert np.array_equal(a, b), (xf, yf, x0, y0)
+
+
+def test_chroma_twins_random():
+    rng = np.random.default_rng(19)
+    for _ in range(50):
+        refc = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+        cx0, cy0 = int(rng.integers(0, 16)), int(rng.integers(0, 8))
+        mv = (int(rng.integers(-20, 21)), int(rng.integers(-20, 21)))
+        assert np.array_equal(
+            mc_chroma_8x8(refc, cx0, cy0, *mv),
+            sim_mc_chroma(refc, 8, cx0, cy0, *mv),
+        )
+
+
+def test_edge_clamp_matches_edge_pad():
+    """A MV pointing entirely outside the picture: clamped-index
+    fetch (decoder) == edge padding (simulator), and the prediction
+    is the replicated corner."""
+    ref = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    out = mc_luma_16x16(ref, 0, 0, -400, -400)
+    assert (out == ref[0, 0]).all()
+
+
+# --- §8.4.1.3 / §8.4.1.1 rules ------------------------------------------
+
+
+def test_mv_pred_median_and_special_cases():
+    # first MB: nothing available -> (0,0)
+    assert mv_pred_16x16({}, 0, 0, 4) == (0, 0)
+    # top row, only A available (B/C/D out of picture) -> mvA
+    assert mv_pred_16x16({(0, 0): (12, -4)}, 1, 0, 4) == (12, -4)
+    # exactly one inter neighbour -> its MV (A intra, C inter)
+    mvs = {(2, 0): (8, 8)}  # C of MB (1,1)
+    assert mv_pred_16x16(mvs, 1, 1, 4) == (8, 8)
+    # three inter neighbours -> component-wise median
+    mvs = {(0, 1): (-4, 0), (1, 0): (8, 4), (2, 0): (2, -8)}
+    assert mv_pred_16x16(mvs, 1, 1, 4) == (2, 0)
+    # C outside the picture -> D substitutes
+    mvs = {(2, 1): (-4, 0), (3, 0): (8, 4), (2, 0): (2, -8)}
+    assert mv_pred_16x16(mvs, 3, 1, 4) == (2, 0)
+
+
+def test_skip_mv_rules():
+    # left/top edge -> zero
+    assert p_skip_mv({(0, 0): (4, 4)}, 0, 1, 4) == (0, 0)
+    assert p_skip_mv({(0, 0): (4, 4)}, 1, 0, 4) == (0, 0)
+    # zero-MV refIdx-0 neighbour -> zero
+    mvs = {(0, 1): (0, 0), (1, 0): (8, 4), (2, 0): (8, 4)}
+    assert p_skip_mv(mvs, 1, 1, 4) == (0, 0)
+    # intra A (refIdx -1, not a zero trigger) -> median path
+    mvs = {(1, 0): (8, 4), (2, 0): (8, 4)}
+    assert p_skip_mv(mvs, 1, 1, 4) == (8, 4)
+
+
+def test_cbp_inter_tables_are_inverse():
+    assert CBP_INTER_CODENUM == {v: k for k, v in CBP_INTER_DECODE.items()}
+    assert set(CBP_INTER_DECODE.values()) == {0, 15, 16, 31, 32, 47}
+
+
+def test_mv_bounds_guard():
+    with pytest.raises(H264Error, match="simulator pad"):
+        check_mv_bounds((400, 0), 8)
+
+
+# --- encoder guards ------------------------------------------------------
+
+
+def test_encoder_rejects_wrong_skip_derivation():
+    """The fixture author's hand-derived P_Skip MV is asserted against
+    the implementation's §8.4.1.1 at build time."""
+    with pytest.raises(H264Error, match="8.4.1.1"):
+        make_p_slice_nal([[("skip", (4, 0)), ("skip", (0, 0))]])
+
+
+def test_encoder_rejects_qp_delta_without_cbp():
+    with pytest.raises(H264Error, match="no mb_qp_delta"):
+        make_p_slice_nal([[("p16", (0, 0), None, 4)]])
+
+
+# --- property fuzz: random P streams round-trip through the decoder ------
+
+
+def _rand_residual(rng) -> dict:
+    blocks = {}
+    for blk in rng.choice(16, size=rng.integers(1, 4), replace=False):
+        levels = [0] * 16
+        for pos in rng.choice(16, size=rng.integers(1, 3), replace=False):
+            levels[int(pos)] = int(rng.integers(1, 4)) * (
+                1 if rng.integers(2) else -1
+            )
+        blocks[int(blk)] = levels
+    return blocks
+
+
+def test_fuzz_random_p_streams_match_simulator():
+    """Random I+P+P streams over random MVs (all fractions, edge
+    excursions), random skips, and sparse inter residuals: the
+    bit-level decode must equal the independent simulator on every
+    frame, luma and chroma."""
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        mb_w, mb_h = int(rng.integers(2, 4)), int(rng.integers(1, 3))
+        idr = [
+            [("pcm", "grad", int(rng.integers(0, 50)))
+             for _ in range(mb_w)]
+            for _ in range(mb_h)
+        ]
+        p_frames = []
+        for _ in range(2):
+            grid = []
+            mvs_so_far: dict = {}
+            for my in range(mb_h):
+                row = []
+                for mx in range(mb_w):
+                    if rng.integers(4) == 0:
+                        mv = p_skip_mv(mvs_so_far, mx, my, mb_w)
+                        mvs_so_far[(mx, my)] = mv
+                        row.append(("skip", mv))
+                        continue
+                    mv = (int(rng.integers(-24, 25)),
+                          int(rng.integers(-24, 25)))
+                    mvs_so_far[(mx, my)] = mv
+                    if rng.integers(3) == 0:
+                        row.append(
+                            ("p16", mv, _rand_residual(rng),
+                             int(rng.integers(-6, 7)))
+                        )
+                    else:
+                        row.append(("p16", mv))
+                grid.append(row)
+            p_frames.append(grid)
+        spec = {
+            "name": f"fuzz{trial}.mp4", "w": mb_w * 16, "h": mb_h * 16,
+            "mbs": idr, "p_frames": p_frames,
+        }
+        frames = decode_frames(build_fixture_mp4(spec))
+        sims = simulate_stream(spec)
+        assert len(frames) == len(sims)
+        for i, (f, (lu, cbp, crp)) in enumerate(zip(frames, sims)):
+            assert np.array_equal(f["luma"], lu), (trial, i)
+            assert np.array_equal(f["cb"], cbp), (trial, i)
+            assert np.array_equal(f["cr"], crp), (trial, i)
+
+
+def test_p_after_nonidr_i_uses_latest_reference():
+    """P frames reference the most recent decoded picture - here a
+    non-IDR I frame that differs from the IDR, so a wrong (IDR)
+    reference would show in the skip-copied plane."""
+    spec = {
+        "name": "chain.mp4", "w": 16, "h": 16,
+        "mbs": [[("pcm", "grad", 1)]],
+        "extra_frames": [[[("pcm", "rampx")]]],
+        "p_frames": [[[("skip", (0, 0))]]],
+    }
+    frames = decode_frames(build_fixture_mp4(spec))
+    assert len(frames) == 3
+    assert np.array_equal(frames[2]["luma"], frames[1]["luma"])
+    assert not np.array_equal(frames[2]["luma"], frames[0]["luma"])
