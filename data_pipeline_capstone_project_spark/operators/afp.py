@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .audio import _EXT_GUID_SUFFIX, wav_pcm
+from .phash import hamming_lsh_pairs
 
 #: fingerprint geometry: 17 frames x 64 samples, 4 lag features ->
 #: 16 frame-pairs x 4 lags = 64 bits
@@ -311,47 +312,9 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    bands = fps.select(
-        "clip_name",
-        "afp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(
-                            F.col("afp"), 64 - BAND_BITS * (i + 1)
-                        )
-                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
-                        .alias("band_val"),
-                    )
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("clip_name", "afp", "b.band_idx", "b.band_val")
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.clip_name") < F.col("b.clip_name")),
-        )
-        .select(
-            F.col("a.clip_name").alias("clip_a"),
-            F.col("b.clip_name").alias("clip_b"),
-            F.col("a.afp").alias("ha"),
-            F.col("b.afp").alias("hb"),
-        )
-        .distinct()  # pairs sharing >1 band collapse to one row
+    return hamming_lsh_pairs(
+        fps, "clip_name", "afp", "clip_a", "clip_b", HAMMING_T
     )
-    return cand.select(
-        "clip_a",
-        "clip_b",
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
-    ).withColumn("dup", F.col("hamming") <= F.lit(HAMMING_T))
 
 
 def _family(name: str) -> str:

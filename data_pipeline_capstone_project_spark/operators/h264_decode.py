@@ -680,7 +680,7 @@ def _i4_mode_needs(mode: int, has_top: bool, has_left: bool) -> None:
 
 # --- fixture pixel patterns (shared INPUT data, not a twin) -------------------
 
-PCM_PATTERNS = ("grad", "zeros", "rampx", "rampy")
+PCM_PATTERNS = ("grad", "zeros", "rampx", "rampy", "midgrad")
 
 
 def pcm_luma(kind: str, seed: int = 0) -> np.ndarray:
@@ -688,6 +688,11 @@ def pcm_luma(kind: str, seed: int = 0) -> np.ndarray:
     y, x = np.mgrid[0:16, 0:16]
     if kind == "grad":
         return ((x * 7 + y * 13 + seed * 31) % 256).astype(np.uint8)
+    if kind == "midgrad":
+        # range-bounded texture (40..219): residual shifts up to +/-36
+        # never clip, so exact-arithmetic invariances (the vphash
+        # brightness story) hold over I_PCM content
+        return (40 + (x * 7 + y * 13 + seed * 31) % 180).astype(np.uint8)
     if kind == "zeros":
         return np.zeros((16, 16), dtype=np.uint8)
     if kind == "rampx":
@@ -706,6 +711,10 @@ def pcm_chroma(kind: str, seed: int, plane: int) -> np.ndarray:
         return ((x * 11 + y * 5 + seed * 17 + plane * 71) % 256).astype(
             np.uint8
         )
+    if kind == "midgrad":
+        return (
+            40 + (x * 11 + y * 5 + seed * 17 + plane * 71) % 180
+        ).astype(np.uint8)
     if kind == "zeros":
         return np.zeros((8, 8), dtype=np.uint8)
     if kind == "rampx":

@@ -250,6 +250,67 @@ def _bands_of(uh: int) -> list[int]:
     ]
 
 
+# --- the generic banded-Hamming pair join (shared with vphash/afp) -----
+
+
+def hamming_lsh_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    out_a: str,
+    out_b: str,
+    threshold: int,
+) -> DataFrame:
+    """Banded Hamming LSH self-join over an (id, 64-bit hash)
+    relation: explode 4 x 16-bit bands, equi-join on (band_idx,
+    band_val) for candidates, verify JVM-side with
+    ``bit_count(a XOR b) <= threshold``. One row per band-sharing
+    pair (id_a < id_b) with the exact Hamming distance and the
+    ``dup`` verdict - all pairwise work runs on 8 bytes per item
+    inside whole-stage codegen."""
+    bands = hashes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), 64 - BAND_BITS * (i + 1)
+                        )
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, hash_col, "b.band_idx", "b.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
+        )
+        .distinct()  # pairs sharing >1 band collapse to one row
+    )
+    return cand.select(
+        out_a,
+        out_b,
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).withColumn("dup", F.col("hamming") <= F.lit(threshold))
+
+
 # --- the registry query ------------------------------------------------
 
 
@@ -286,49 +347,12 @@ def image_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    # 4 x 16-bit bands per hash; shiftrightunsigned keeps the top
-    # band correct for negative (sign-bit-set) hashes
-    bands = hashes.select(
-        "img_name",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(
-                            F.col("phash"), 64 - BAND_BITS * (i + 1)
-                        )
-                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
-                        .alias("band_val"),
-                    )
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("img_name", "phash", "b.band_idx", "b.band_val")
-
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.img_name") < F.col("b.img_name")),
-        )
-        .select(
-            F.col("a.img_name").alias("img_a"),
-            F.col("b.img_name").alias("img_b"),
-            F.col("a.phash").alias("ha"),
-            F.col("b.phash").alias("hb"),
-        )
-        .distinct()  # pairs sharing >1 band collapse to one row
+    # 4 x 16-bit bands per hash; shiftrightunsigned (inside
+    # hamming_lsh_pairs) keeps the top band correct for negative
+    # (sign-bit-set) hashes
+    return hamming_lsh_pairs(
+        hashes, "img_name", "phash", "img_a", "img_b", HAMMING_T
     )
-    return cand.select(
-        "img_a",
-        "img_b",
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
-    ).withColumn("dup", F.col("hamming") <= F.lit(HAMMING_T))
 
 
 def _family(name: str) -> str:

@@ -1,0 +1,262 @@
+"""Perceptual near-duplicate VIDEO detection over real H.264 decode.
+
+The reference pipeline stores Instagram ``.mp4`` originals as opaque
+S3 objects (s3Posts-to-ES-lambda/s3-to-es_aws.py:101-122). Curating a
+video training set needs the operation no reference job provides:
+find re-uploads of the same clip - re-muxed containers, brightness-
+graded re-exports, lightly edited copies - so one representative
+survives. This module composes two layers the repo already verifies
+independently:
+
+- the H.264 decoder (`operators.h264_decode`, incl. the r11 P-slice
+  pass): every fixture is a REAL coded AVC stream; the fingerprint
+  frame is the LAST decoded picture (the "current poster frame"), so
+  P-frame motion compensation and inter residuals sit on the decode
+  path of most fixtures;
+- the dHash + banded-Hamming-LSH machinery (`operators.phash`): the
+  9x8 cell-difference hash over the display-size luma (the SPS crops
+  the coded 48x32 pictures to exactly 36x32, so the hash needs no
+  resampling), then the shared `hamming_lsh_pairs` band join and
+  JVM-side ``bit_count`` verify.
+
+The brightness-duplicate class is produced by the CODEC, not by pixel
+editing: a P frame with zero motion and a uniform +8 luma residual
+(QP 28, one level-2 DC coefficient per LumaLevel4x4 block: the
+§8.5.12 inverse transform of a lone DC level is a constant block,
+(2*256 + 32) >> 6 = 8 per pixel, and the `midgrad` I_PCM texture is
+range-bounded so nothing clips). dHash's difference structure is
+invariant under that shift, so the re-graded export lands at Hamming
+0 through the full encode -> bit-decode -> hash pipeline.
+
+Spark shape / 100 TB: identical to the image entry - the only Python
+is the per-file decode+hash (``binaryFile`` -> Arrow ``mapInPandas``,
+zero exchanges; video bytes and pixel planes never leave the
+executors), and everything pairwise runs on an 8-byte hash per video.
+
+Correctness gate: the DuckDB oracle is a closed-form VALUES literal
+whose fingerprints come from the INDEPENDENT expected-plane simulator
+(`simulate_stream` - it never reads the bitstream) hashed by the
+INDEPENDENT pure-Python scalar dHash twin (`phash._dhash_scalar` - it
+never touches numpy); the Spark path runs the real bit-level decode
+and the numpy hash. A motion-compensation, residual, reference-
+chaining, crop, or hash drift on either side changes at least one
+fingerprint and fails the value-multiset compare. Verdict classes
+asserted at oracle build: container re-mux and codec-level brightness
+dups at Hamming 0, a one-block P-residual spot edit inside the
+budget, a top-half intra-refresh edit that stays a candidate but
+fails verify, and unrelated clips.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .h264_decode import (
+    build_fixture_mp4,
+    decode_frames,
+    simulate_stream,
+)
+from .phash import (
+    HAMMING_T,
+    PH_H,
+    PH_W,
+    _bands_of,
+    _dhash_scalar,
+    dhash64,
+    hamming_lsh_pairs,
+)
+
+#: coded 48x32 pictures, SPS-cropped to the dHash geometry (36x32)
+CODED_W, CODED_H = 48, 32
+
+
+def _uniform_lres(level: int = 2) -> dict:
+    """One DC level per LumaLevel4x4 block: the §8.5.12 inverse
+    transform of a lone DC coefficient is a constant block, so at
+    QP 28 (levelScale 16*16 = 256, shift e-4 = 0) every pixel gains
+    exactly (level*256 + 32) >> 6 - level 2 -> +8, well inside the
+    `midgrad` headroom (max 219 + 8, no clipping)."""
+    return {blk: [level] + [0] * 15 for blk in range(16)}
+
+
+def _idr_grid(seed0: int) -> list:
+    """3x2 range-bounded I_PCM textures (48x32 coded picture)."""
+    return [
+        [("pcm", "midgrad", seed0 + 3 * r + c) for c in range(3)]
+        for r in range(2)
+    ]
+
+
+def _skip_row() -> list:
+    """A row of P_Skip MBs whose §8.4.1.1 derivation is (0,0) - valid
+    whenever every earlier inter MB in the picture also carries MV
+    (0,0) (left/top-edge unavailability or the zero-MV rule)."""
+    return [("skip", (0, 0))] * 3
+
+
+def video_fixture_specs() -> list[dict]:
+    """`build_fixture_mp4` specs, display size 36x32 (the dHash
+    grid). Families: a* share a master (re-mux / codec-brightness /
+    spot / heavy-edit variants), b* a second master with its own
+    brightness twin, u* unrelated content."""
+    a, b, u = _idr_grid(60), _idr_grid(70), _idr_grid(81)
+    # mb_qp_delta 2 on the FIRST MB only: §7.4.5's running-QP chain
+    # keeps every later MB at QP 28, so the +8 shift is frame-uniform
+    bright = [
+        [("p16", (0, 0), _uniform_lres(), 2 if c == 0 else 0)
+         for c in range(3)],
+        [("p16", (0, 0), _uniform_lres(), 0)] * 3,
+    ]
+    # one 4x4 block (+36 at QP 28: level 9 -> (2336)>>6) = exactly one
+    # dHash cell (grid cell 3 of row 0, whose cell mean then crosses
+    # its right neighbour's) -> at most 2 bits flip, bands 1..3
+    # untouched
+    spot = [
+        [("p16", (0, 0), {5: [9] + [0] * 15}, 2), ("p16", (0, 0)),
+         ("skip", (0, 0))],
+        _skip_row(),
+    ]
+    # top MB row re-rendered as flat intra DC -> grid rows 0..3
+    # (bands 0..1) churn, rows 4..7 (bands 2..3) stay byte-identical
+    heavy = [
+        [("i16", 2, 0), ("i16", 2, 0), ("i16", 2, 0)],
+        _skip_row(),
+    ]
+    return [
+        {"name": "a1_base.mp4", "mbs": a},
+        {"name": "a2_remux.mp4", "mbs": a, "fragmented": True,
+         "n_frames": 2},
+        {"name": "a3_bright.mp4", "mbs": a, "p_frames": [bright]},
+        {"name": "a4_spot.mp4", "mbs": a, "p_frames": [spot]},
+        {"name": "a5_heavy.mp4", "mbs": a, "p_frames": [heavy]},
+        {"name": "b1_base.mp4", "mbs": b},
+        {"name": "b2_bright.mp4", "mbs": b, "p_frames": [bright]},
+        {"name": "u1_other.mp4", "mbs": u},
+        {"name": "u2_ramps.mp4", "mbs": [
+            [("pcm", "rampx"), ("pcm", "rampy"), ("pcm", "rampx")],
+            [("pcm", "rampy"), ("pcm", "rampx"), ("pcm", "rampy")],
+        ]},
+    ]
+
+
+def _full_spec(spec: dict) -> dict:
+    return {**spec, "w": PH_W, "h": PH_H}
+
+
+def _stage_video_store(root: str) -> None:
+    for spec in video_fixture_specs():
+        with open(os.path.join(root, spec["name"]), "wb") as f:
+            f.write(build_fixture_mp4(_full_spec(spec)))
+
+
+def video_dhash(luma: np.ndarray) -> int:
+    """dHash of a display-size (32x36) luma plane: gray-stacked into
+    the RGB hash (integer Rec.601 luma of (v,v,v) is exactly v, so
+    the luma plane passes through unchanged)."""
+    return dhash64(np.repeat(luma[..., None], 3, axis=2))
+
+
+# --- the registry query ------------------------------------------------
+
+
+def video_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode the staged AVC store with the repo's own
+    bit-level H.264 decoder (I+P streams), dHash each video's LAST
+    decoded frame in one Arrow ``mapInPandas`` pass, then find
+    near-duplicate videos with the shared banded Hamming LSH join.
+    Output: one row per band-sharing candidate pair - ``vid_a <
+    vid_b``, the exact Hamming distance, the ``dup`` verdict at
+    threshold 6."""
+    work = tempfile.mkdtemp(prefix="vphash_store_")
+    try:
+        _stage_video_store(work)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("vid_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                names, hashes = [], []
+                for name, payload in zip(pdf["vid_name"], pdf["payload"]):
+                    frames = decode_frames(bytes(payload))
+                    names.append(name)
+                    hashes.append(video_dhash(frames[-1]["luma"]))
+                yield pd.DataFrame(
+                    {"vid_name": names, "vhash": pd.array(hashes, dtype="int64")}
+                )
+
+        hashes = bin_df.mapInPandas(
+            hash_batches, "vid_name string, vhash long"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    return hamming_lsh_pairs(
+        hashes, "vid_name", "vhash", "vid_a", "vid_b", HAMMING_T
+    )
+
+
+def _family(name: str) -> str:
+    return name[0]
+
+
+def _sim_fingerprint(spec: dict) -> int:
+    """Oracle fingerprint: the expected-plane simulator's LAST frame,
+    display-cropped, hashed by the pure-Python scalar dHash twin.
+    Returns the UNSIGNED 64-bit value."""
+    luma = simulate_stream(_full_spec(spec))[-1][0][:PH_H, :PH_W]
+    return _dhash_scalar(lambda x, y: (int(luma[y, x]),) * 3)
+
+
+def video_phash_oracle() -> str:
+    """Build the VALUES oracle from the simulator+scalar twins,
+    asserting the fixture design delivers every verdict class."""
+    specs = video_fixture_specs()
+    uhash = {spec["name"]: _sim_fingerprint(spec) for spec in specs}
+    names = sorted(uhash)
+
+    rows = []
+    seen_h0 = seen_near = seen_nondup_cand = 0
+    for na, nb in combinations(names, 2):
+        ha, hb = uhash[na], uhash[nb]
+        if not any(x == y for x, y in zip(_bands_of(ha), _bands_of(hb))):
+            continue
+        ham = bin(ha ^ hb).count("1")
+        dup = ham <= HAMMING_T
+        if dup and _family(na) != _family(nb):
+            raise AssertionError(
+                f"fixture drift: cross-family dup {na}/{nb} at Hamming {ham}"
+            )
+        if ham == 0:
+            seen_h0 += 1
+        elif dup:
+            seen_near += 1
+        else:
+            seen_nondup_cand += 1
+        rows.append((na, nb, ham, dup))
+
+    assert seen_h0 >= 3, "need remux + two codec-brightness dups at H=0"
+    assert seen_near >= 1, "need the one-block P-residual spot near-dup"
+    assert seen_nondup_cand >= 1, (
+        "need a band-sharing pair the verify stage rejects (heavy edit)"
+    )
+
+    literals = ", ".join(
+        f"('{a_}', '{b_}', {ham}, {'true' if dup else 'false'})"
+        for a_, b_, ham, dup in rows
+    )
+    return (
+        "SELECT vid_a, vid_b, CAST(hamming AS INTEGER) AS hamming, dup "
+        f"FROM (VALUES {literals}) AS t(vid_a, vid_b, hamming, dup)"
+    )
