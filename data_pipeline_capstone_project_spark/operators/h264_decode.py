@@ -90,10 +90,13 @@ externally cross-checked in this sandbox - no ffmpeg/cv2/PyAV - so
 each lands only with structural prefix-free/Kraft validation plus
 fixture round-trips, and the residual grammar grows a verified
 subset at a time rather than gambling whole tables), level_prefix
->= 16, CABAC, chroma plane prediction, deblocking (moot: the
-supported intra frames hit the filter's skip conditions only at
-quant edges we never produce; the fixtures assert bit-exactness
-without it).
+>= 16, CABAC, chroma plane prediction. In-loop deblocking (§8.7) is
+a SILENT limitation rather than an error seam: encoder, decoder,
+simulator and fixtures all operate as if the filter were disabled,
+so this closed system stays bit-exact - but a conformant decoder
+WOULD filter the residual-bearing fixtures (nonzero coefficients
+put bS >= 2 on block edges), and this decoder diverges on real
+filtered streams the same way.
 
 Correctness gate: every fixture's expected luma plane is computed by
 an INDEPENDENT numpy simulator (`_simulate_luma`) straight from the
