@@ -69,7 +69,10 @@ SUPPORTED (decoded bit-exactly):
   its samples);
 * P slices (r11 eighth pass, `operators.h264_inter`): P_Skip
   (§7.3.4 mb_skip_run + the §8.4.1.1 MV derivation), P_L0_16x16
-  with the §8.4.1.3 median MV prediction and mvd coding, FULL
+  AND the two-partition P_L0_L0_16x8 / P_L0_L0_8x16 macroblocks
+  with §8.4.1.3 MV prediction at 4x4-block granularity (median
+  process, Table-direction shortcuts - upper 16x8 from B, lower
+  from A, left 8x16 from A, right from C - and mvd coding), FULL
   §8.4.2.2.1 quarter-sample luma interpolation (6-tap half-pel,
   Table 8-12 quarter averages, clamped out-of-picture fetches),
   §8.4.2.2.2 eighth-sample bilinear chroma, single-reference
@@ -81,7 +84,7 @@ SUPPORTED (decoded bit-exactly):
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
-wrong pixels: B slices, P 16x8/8x16/8x8 partitions, multiple or
+wrong pixels: B slices, P_8x8 sub-partitions, multiple or
 modified reference lists, I_8x8 (needs transform_size_8x8_flag PPS
 plumbing), the remaining Table 9-4 intra/inter codeNums,
 coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
@@ -149,11 +152,15 @@ from .h264 import (
 from .h264_inter import (
     CBP_INTER_CODENUM,
     CBP_INTER_DECODE,
+    P_MB_TYPE,
+    P_PARTITIONS,
     check_mv_bounds,
-    mc_chroma_8x8,
-    mc_luma_16x16,
-    mv_pred_16x16,
+    mark_decoded,
+    mc_chroma,
+    mc_luma,
+    mv_pred_part,
     p_skip_mv,
+    set_part_mv,
     sim_mc_chroma,
     sim_mc_luma,
     sim_quarter_luma,
@@ -959,6 +966,13 @@ def make_p_slice_nal(
       ``cres`` the chroma-residual tuple - including the CHROMA-ONLY
       patterns (CBP 16/32) the transcribed inter Table 9-4 subset
       makes encodable, which intra MBs cannot code.
+    - ``("p16x8", ((mvx, mvy), (mvx, mvy))[, lres[, mb_qp_delta[,
+      cres]]])`` / ``("p8x16", ...)`` - two-partition inter MBs
+      (mb_type 1/2): one MV per partition in partition order, each
+      coded against the §8.4.1.3 prediction WITH the Table-direction
+      shortcut (upper 16x8 from B, lower from A; left 8x16 from A,
+      right from C) at 4x4-block granularity; residual fields are
+      MB-level exactly as for p16.
 
     Slice header per §7.3.3: non-IDR (nal_type 1, nal_ref_idc 2),
     slice_type 5 (all-P form), one L0 reference (no override, no list
@@ -982,7 +996,8 @@ def make_p_slice_nal(
         np.zeros((len(mbs) * 2, mb_w * 2), dtype=np.int16),
         np.zeros((len(mbs) * 2, mb_w * 2), dtype=np.int16),
     ]
-    mvs: dict[tuple[int, int], tuple[int, int]] = {}
+    mvb: dict[tuple[int, int], tuple[int, int]] = {}
+    decided = np.zeros((len(mbs) * 4, mb_w * 4), dtype=bool)
 
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
@@ -990,25 +1005,35 @@ def make_p_slice_nal(
     skip_run = 0
     for mb_y, row in enumerate(mbs):
         for mb_x, desc in enumerate(row):
+            px0, py0 = mb_x * 4, mb_y * 4
             if desc[0] == "skip":
-                derived = p_skip_mv(mvs, mb_x, mb_y, mb_w)
+                derived = p_skip_mv(mvb, decided, px0, py0)
                 if tuple(desc[1]) != derived:
                     raise H264Error(
                         f"fixture skip MV {desc[1]} at ({mb_x},{mb_y})"
                         f" != §8.4.1.1 derivation {derived}"
                     )
-                mvs[(mb_x, mb_y)] = derived
+                set_part_mv(mvb, px0, py0, 4, 4, derived)
+                mark_decoded(decided, px0, py0, 4, 4)
                 skip_run += 1
                 continue
             w.ue(skip_run)  # mb_skip_run before every coded MB
             skip_run = 0
-            if desc[0] != "p16":
+            if desc[0] not in P_MB_TYPE:
                 _encode_intra_mb(
                     w, desc, mb_x, mb_y, kind_at, i4modes, tc_map, ctc,
                     type_off=5,
                 )
+                mark_decoded(decided, px0, py0, 4, 4)
                 continue
-            mv = tuple(desc[1])
+            parts = P_PARTITIONS[desc[0]]
+            mvs_in = [tuple(desc[1])] if desc[0] == "p16" else [
+                tuple(m) for m in desc[1]
+            ]
+            if len(mvs_in) != len(parts):
+                raise H264Error(
+                    f"{desc[0]} needs {len(parts)} MV(s), got {len(mvs_in)}"
+                )
             lres = desc[2] if len(desc) > 2 else None
             qp_delta = desc[3] if len(desc) > 3 else 0
             cres = desc[4] if len(desc) > 4 else None
@@ -1016,12 +1041,17 @@ def make_p_slice_nal(
                 cres[0] if cres is not None else 0
             )
             if cbp == 0 and qp_delta:
-                raise H264Error("P_L0_16x16 CBP 0 carries no mb_qp_delta")
-            w.ue(0)  # mb_type P_L0_16x16
-            mvp = mv_pred_16x16(mvs, mb_x, mb_y, mb_w)
-            w.se(mv[0] - mvp[0])  # mvd_l0[0][0][0]
-            w.se(mv[1] - mvp[1])  # mvd_l0[0][0][1]
-            mvs[(mb_x, mb_y)] = mv
+                raise H264Error("inter MB with CBP 0 carries no mb_qp_delta")
+            w.ue(P_MB_TYPE[desc[0]])  # mb_type
+            # §7.3.5.1: every partition's mvd in partition order, each
+            # predicted against the state including earlier partitions
+            for mv, (dx4, dy4, pw4, ph4, hint) in zip(mvs_in, parts):
+                px, py = px0 + dx4, py0 + dy4
+                mvp = mv_pred_part(mvb, decided, px, py, pw4, hint)
+                w.se(mv[0] - mvp[0])  # mvd_l0
+                w.se(mv[1] - mvp[1])
+                set_part_mv(mvb, px, py, pw4, ph4, mv)
+                mark_decoded(decided, px, py, pw4, ph4)
             w.ue(CBP_INTER_CODENUM[cbp])  # Table 9-4 inter subset
             if cbp:
                 w.se(qp_delta)  # mb_qp_delta
@@ -1608,32 +1638,31 @@ def _predict_chroma(
         raise H264DecodeError("chroma plane prediction not supported")
 
 
-def _mc_predict_mb(
+def _mc_predict_rect(
     plane: np.ndarray,
     cb: np.ndarray,
     cr: np.ndarray,
-    ref_l: np.ndarray,
-    ref_cb: np.ndarray,
-    ref_cr: np.ndarray,
-    mb_x: int,
-    mb_y: int,
+    ref: tuple,
+    x0: int,
+    y0: int,
+    w: int,
+    h: int,
     mv: tuple[int, int],
 ) -> None:
-    """§8.4.2 motion-compensated prediction for one 16x16 inter MB:
-    quarter-pel luma + eighth-pel bilinear chroma blocks sampled from
-    the reference picture's uncropped planes, written into the
-    current picture (interpolation outputs are already in 0..255)."""
-    plane[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = (
-        mc_luma_16x16(ref_l, mb_x * 16, mb_y * 16, mv[0], mv[1]).astype(
-            np.uint8
-        )
-    )
+    """§8.4.2 motion-compensated prediction for one luma rectangle
+    (x0, y0, w, h) and its 4:2:0 chroma twin: quarter-pel luma +
+    eighth-pel bilinear chroma sampled from the reference picture's
+    uncropped planes, written into the current picture (interpolation
+    outputs are already in 0..255)."""
+    ref_l, ref_cb, ref_cr = ref
+    plane[y0 : y0 + h, x0 : x0 + w] = mc_luma(
+        ref_l, x0, y0, mv[0], mv[1], w, h
+    ).astype(np.uint8)
+    cx0, cy0, cw, ch = x0 // 2, y0 // 2, w // 2, h // 2
     for refc, cplane in ((ref_cb, cb), (ref_cr, cr)):
-        cplane[mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8] = (
-            mc_chroma_8x8(refc, mb_x * 8, mb_y * 8, mv[0], mv[1]).astype(
-                np.uint8
-            )
-        )
+        cplane[cy0 : cy0 + ch, cx0 : cx0 + cw] = mc_chroma(
+            refc, cx0, cy0, mv[0], mv[1], cw, ch
+        ).astype(np.uint8)
 
 
 def decode_i_slice(
@@ -1716,11 +1745,11 @@ def _decode_slice(
 
     n_pcm = n_i16 = n_i4 = n_p16 = n_skip = 0
     n_mbs_total = mb_w * mb_h
-    # inter state (P slices, r11): decoded MVs per inter MB feed the
-    # §8.4.1.3 prediction of later MBs; intra MBs stay absent (refIdx -1)
-    mvs: dict[tuple[int, int], tuple[int, int]] = {}
-    if is_p:
-        ref_l, ref_cb, ref_cr = ref
+    # inter state (P slices, r11): 4x4-block-granular decoded MVs feed
+    # the §8.4.1.3 prediction of later partitions; intra blocks stay
+    # absent from the map (refIdx -1); `decided` tracks decode order
+    mvb: dict[tuple[int, int], tuple[int, int]] = {}
+    decided = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
     addr = 0
     while addr < n_mbs_total:
         if is_p:
@@ -1733,10 +1762,12 @@ def _decode_slice(
                 raise H264DecodeError("mb_skip_run past slice end")
             for _ in range(run):
                 mb_y, mb_x = divmod(addr, mb_w)
-                mv = p_skip_mv(mvs, mb_x, mb_y, mb_w)
-                mvs[(mb_x, mb_y)] = mv
-                _mc_predict_mb(
-                    plane, cb, cr, ref_l, ref_cb, ref_cr, mb_x, mb_y, mv
+                px, py = mb_x * 4, mb_y * 4
+                mv = p_skip_mv(mvb, decided, px, py)
+                set_part_mv(mvb, px, py, 4, 4, mv)
+                mark_decoded(decided, px, py, 4, 4)
+                _mc_predict_rect(
+                    plane, cb, cr, ref, mb_x * 16, mb_y * 16, 16, 16, mv
                 )
                 kinds[mb_y][mb_x] = "skip"
                 n_skip += 1
@@ -1747,15 +1778,24 @@ def _decode_slice(
         addr += 1
         mb_type = r.ue()
         if is_p:
-            if mb_type == 0:  # P_L0_16x16 (ref_idx absent: 1 L0 ref)
-                mvp = mv_pred_16x16(mvs, mb_x, mb_y, mb_w)
-                mvd = (r.se(), r.se())
-                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-                mvs[(mb_x, mb_y)] = mv
-                kinds[mb_y][mb_x] = "p16"
-                _mc_predict_mb(
-                    plane, cb, cr, ref_l, ref_cb, ref_cr, mb_x, mb_y, mv
-                )
+            if mb_type <= 2:  # P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16
+                kind = ("p16", "p16x8", "p8x16")[mb_type]
+                kinds[mb_y][mb_x] = kind
+                # one L0 reference -> no ref_idx fields; §7.3.5.1 reads
+                # every partition's mvd in partition order, and the
+                # §8.4.1.3 prediction of a later partition may read an
+                # earlier one's just-decoded MV
+                for dx4, dy4, pw4, ph4, hint in P_PARTITIONS[kind]:
+                    px, py = mb_x * 4 + dx4, mb_y * 4 + dy4
+                    mvp = mv_pred_part(mvb, decided, px, py, pw4, hint)
+                    mvd = (r.se(), r.se())
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    set_part_mv(mvb, px, py, pw4, ph4, mv)
+                    mark_decoded(decided, px, py, pw4, ph4)
+                    _mc_predict_rect(
+                        plane, cb, cr, ref,
+                        px * 4, py * 4, pw4 * 4, ph4 * 4, mv,
+                    )
                 code = r.ue()
                 cbp = CBP_INTER_DECODE.get(code)
                 if cbp is None:
@@ -1790,10 +1830,11 @@ def _decode_slice(
                 continue
             if mb_type < 5:
                 raise H264DecodeError(
-                    f"P mb_type {mb_type} (16x8/8x16/8x8 partitions"
-                    " not supported)"
+                    f"P mb_type {mb_type} (8x8 sub-partitions not"
+                    " supported)"
                 )
             mb_type -= 5  # intra-in-P: Table 7-10's I_* offset
+            mark_decoded(decided, mb_x * 4, mb_y * 4, 4, 4)
         if mb_type == 25:  # I_PCM
             r.byte_align()
             tile = np.empty((16, 16), dtype=np.uint8)
@@ -2178,6 +2219,9 @@ def _sim_mv_pad(mbs: list) -> int:
         for d in row:
             if d[0] in ("skip", "p16"):
                 mvmax = max(mvmax, abs(d[1][0]), abs(d[1][1]))
+            elif d[0] in ("p16x8", "p8x16"):
+                for mv in d[1]:
+                    mvmax = max(mvmax, abs(mv[0]), abs(mv[1]))
     return mvmax // 4 + 4
 
 
@@ -2207,13 +2251,25 @@ def _simulate_luma(
         for mx, desc in enumerate(row):
             y0, x0 = my * 16, mx * 16
             blk = plane[y0 : y0 + 16, x0 : x0 + 16]
-            if desc[0] in ("skip", "p16"):
+            if desc[0] in ("skip", "p16", "p16x8", "p8x16"):
                 q, pad = quarter
-                check_mv_bounds(desc[1], pad)
-                blk[:] = sim_mc_luma(
-                    q, pad, x0, y0, desc[1][0], desc[1][1]
+                parts = P_PARTITIONS[
+                    "p16" if desc[0] == "skip" else desc[0]
+                ]
+                mv_list = (
+                    [desc[1]] if desc[0] in ("skip", "p16")
+                    else list(desc[1])
                 )
-                if desc[0] == "p16":
+                for mv, (dx4, dy4, pw4, ph4, _hint) in zip(mv_list, parts):
+                    check_mv_bounds(mv, pad)
+                    plane[
+                        y0 + dy4 * 4 : y0 + (dy4 + ph4) * 4,
+                        x0 + dx4 * 4 : x0 + (dx4 + pw4) * 4,
+                    ] = sim_mc_luma(
+                        q, pad, x0 + dx4 * 4, y0 + dy4 * 4,
+                        mv[0], mv[1], pw4 * 4, ph4 * 4,
+                    )
+                if desc[0] != "skip":
                     lres = desc[2] if len(desc) > 2 else None
                     if lres is not None or (len(desc) > 4 and desc[4]):
                         sim_qp = (
@@ -2381,11 +2437,23 @@ def _simulate_chroma(
         for mx, desc in enumerate(row):
             y0, x0 = my * 8, mx * 8
             blk = plane[y0 : y0 + 8, x0 : x0 + 8]
-            if desc[0] in ("skip", "p16"):
-                blk[:] = sim_mc_chroma(
-                    ref, pad, x0, y0, desc[1][0], desc[1][1]
+            if desc[0] in ("skip", "p16", "p16x8", "p8x16"):
+                parts = P_PARTITIONS[
+                    "p16" if desc[0] == "skip" else desc[0]
+                ]
+                mv_list = (
+                    [desc[1]] if desc[0] in ("skip", "p16")
+                    else list(desc[1])
                 )
-                if desc[0] == "p16":
+                for mv, (dx4, dy4, pw4, ph4, _hint) in zip(mv_list, parts):
+                    blk[
+                        dy4 * 2 : (dy4 + ph4) * 2,
+                        dx4 * 2 : (dx4 + pw4) * 2,
+                    ] = sim_mc_chroma(
+                        ref, pad, x0 + dx4 * 2, y0 + dy4 * 2,
+                        mv[0], mv[1], pw4 * 2, ph4 * 2,
+                    )
+                if desc[0] != "skip":
                     lres = desc[2] if len(desc) > 2 else None
                     cres = desc[4] if len(desc) > 4 else None
                     if lres is not None or cres is not None:
@@ -2978,6 +3046,36 @@ def h264_frame_fixtures() -> list[dict]:
         }
     )
 
+    # 16x8 / 8x16 partitions (r11): per-partition MVs with the
+    # Table-direction MVP shortcuts at 4x4-block granularity, a
+    # partitioned MB carrying the chroma-only inter CBP, sub-pel
+    # partition MVs, and skips beside partitioned neighbours (the
+    # second skip's zero rule reads the TOP partition of its left
+    # 16x8 neighbour)
+    mbs = [
+        [("pcm", "grad", 90 + 3 * r + c) for c in range(3)]
+        for r in range(2)
+    ]
+    pparts = [
+        [
+            ("p16x8", ((-4, 0), (4, 4))),
+            ("p8x16", ((0, -4), (2, 2))),
+            ("p16", (1, 1), {0: [2, -1] + [0] * 14}, 2),
+        ],
+        [
+            ("skip", (0, 0)),
+            ("p16x8", ((0, 0), (-2, 6)), None, 0,
+             (1, [1, 0, 0, -1], [0, 2, 0, 0])),
+            ("skip", (0, 0)),
+        ],
+    ]
+    fixtures.append(
+        {
+            "name": "p_partitions.mp4", "w": 48, "h": 32,
+            "mbs": mbs, "p_frames": [pparts],
+        }
+    )
+
     return fixtures
 
 
@@ -3131,7 +3229,8 @@ def _frames_oracle() -> str:
         )
         want["n_p16"] = sum(
             1 for kind, g in grids if kind == "P"
-            for row in g for d in row if d[0] == "p16"
+            for row in g for d in row
+            if d[0] in ("p16", "p16x8", "p8x16")
         )
         want["n_skip"] = sum(
             1 for kind, g in grids if kind == "P"

@@ -48,50 +48,62 @@ CBP_INTER_CODENUM = {v: k for k, v in CBP_INTER_DECODE.items()}
 
 
 # --- §8.4.1.3 motion-vector prediction ---------------------------------
+#
+# State is 4x4-BLOCK-granular (the spec's native granularity), carried
+# as two structures the encoder and decoder maintain identically:
+# ``mvb`` maps a 4x4 block (bx, by) to its (mvx, mvy) when the block
+# is inter-coded; ``decoded`` is the boolean plane of blocks already
+# reconstructed in raster-MB + partition order. A block that is
+# decoded but absent from ``mvb`` is intra (refIdx -1, mv (0,0)).
 
 
-def _neighbour(
-    mvs: "dict[tuple[int, int], tuple[int, int]]",
-    mx: int,
-    my: int,
-    mb_w: int,
+def _blk_neighbour(
+    mvb: dict, decoded, bx: int, by: int
 ) -> tuple[bool, tuple[int, int], int]:
-    """(macroblock available, mvLXN, refIdxLXN) for the MB at (mx, my)
-    under single-slice raster decode: available = inside the picture
-    and already decoded; an intra or unavailable neighbour carries
-    mv (0,0) and refIdx -1 (§8.4.1.3 derivation inputs). ``mvs``
-    holds (mv) for INTER macroblocks only."""
-    if mx < 0 or my < 0 or mx >= mb_w:
+    """(available, mvLXN, refIdxLXN) for the 4x4 block (bx, by):
+    available = inside the picture and already decoded; an intra
+    block carries mv (0,0) and refIdx -1 (§8.4.1.3 derivation
+    inputs)."""
+    h4, w4 = decoded.shape
+    if bx < 0 or by < 0 or bx >= w4 or by >= h4 or not decoded[by, bx]:
         return False, (0, 0), -1
-    mv = mvs.get((mx, my))
+    mv = mvb.get((bx, by))
     if mv is None:
-        return True, (0, 0), -1  # intra (or P_Skip-pending) neighbour
+        return True, (0, 0), -1
     return True, mv, 0
 
 
-def mv_pred_16x16(
-    mvs: "dict[tuple[int, int], tuple[int, int]]",
-    mx: int,
-    my: int,
-    mb_w: int,
+def mv_pred_part(
+    mvb: dict,
+    decoded,
+    px: int,
+    py: int,
+    pw4: int,
+    hint: "str | None" = None,
 ) -> tuple[int, int]:
-    """§8.4.1.3 / §8.4.1.3.2 luma MV prediction for a 16x16 partition
-    with refIdxL0 0 (this package's single-reference streams):
-    neighbours A (left), B (above), C (above-right, falling back to D
-    above-left when C is outside the decoded region); if B, C and D
-    are all unavailable the prediction is mvA; if exactly one
-    neighbour references the current picture's refIdx the prediction
-    is that neighbour's MV; otherwise the component-wise median of
-    A, B, C."""
-    avail_a, mv_a, ref_a = _neighbour(mvs, mx - 1, my, mb_w)
-    avail_b, mv_b, ref_b = _neighbour(mvs, mx, my - 1, mb_w)
-    avail_c, mv_c, ref_c = _neighbour(mvs, mx + 1, my - 1, mb_w)
-    avail_d = mx > 0 and my > 0
+    """§8.4.1.3 luma MV prediction for the partition whose top-left
+    4x4 block is (px, py) and whose width is ``pw4`` blocks, refIdxL0
+    0 (single-reference streams): neighbours A (left of the corner),
+    B (above), C (above the right end, D above-left substituting an
+    unavailable C). ``hint`` carries the 16x8/8x16 directional rule -
+    'B' (upper 16x8), 'A' (lower 16x8 / left 8x16), 'C' (right 8x16)
+    - which short-circuits to that neighbour's MV when it references
+    the current picture's refIdx; otherwise the §8.4.1.3.2 process:
+    mvA when B, C and D are all unavailable; the single
+    same-refIdx neighbour's MV when exactly one matches; else the
+    component-wise median of A, B, C."""
+    avail_a, mv_a, ref_a = _blk_neighbour(mvb, decoded, px - 1, py)
+    avail_b, mv_b, ref_b = _blk_neighbour(mvb, decoded, px, py - 1)
+    avail_c, mv_c, ref_c = _blk_neighbour(mvb, decoded, px + pw4, py - 1)
+    avail_d, mv_d, ref_d = _blk_neighbour(mvb, decoded, px - 1, py - 1)
     if not avail_c:  # §8.4.1.3.1: D substitutes an unavailable C
-        avail_c, mv_c, ref_c = _neighbour(mvs, mx - 1, my - 1, mb_w)
-        avail_c = avail_d
-        if not avail_d:
-            mv_c, ref_c = (0, 0), -1
+        avail_c, mv_c, ref_c = avail_d, mv_d, ref_d
+    if hint == "A" and ref_a == 0:
+        return mv_a
+    if hint == "B" and ref_b == 0:
+        return mv_b
+    if hint == "C" and ref_c == 0:
+        return mv_c
     if not avail_b and not avail_c and not avail_d and avail_a:
         return mv_a
     matches = [
@@ -106,24 +118,45 @@ def mv_pred_16x16(
 
 
 def p_skip_mv(
-    mvs: "dict[tuple[int, int], tuple[int, int]]",
-    mx: int,
-    my: int,
-    mb_w: int,
+    mvb: dict, decoded, px: int, py: int
 ) -> tuple[int, int]:
-    """§8.4.1.1 P_Skip luma MV: zero when either the left or above
-    macroblock is outside the picture, or when either of them is an
-    inter MB referencing index 0 with a zero MV; otherwise the
-    §8.4.1.3 median prediction."""
-    avail_a, mv_a, ref_a = _neighbour(mvs, mx - 1, my, mb_w)
-    avail_b, mv_b, ref_b = _neighbour(mvs, mx, my - 1, mb_w)
+    """§8.4.1.1 P_Skip luma MV for the MB whose top-left 4x4 block is
+    (px, py): zero when either the left or above neighbour partition
+    is outside the picture, or when either is an inter partition
+    referencing index 0 with a zero MV; otherwise the §8.4.1.3
+    median prediction for the full 16x16 partition."""
+    avail_a, mv_a, ref_a = _blk_neighbour(mvb, decoded, px - 1, py)
+    avail_b, mv_b, ref_b = _blk_neighbour(mvb, decoded, px, py - 1)
     if not avail_a or not avail_b:
         return 0, 0
     if ref_a == 0 and mv_a == (0, 0):
         return 0, 0
     if ref_b == 0 and mv_b == (0, 0):
         return 0, 0
-    return mv_pred_16x16(mvs, mx, my, mb_w)
+    return mv_pred_part(mvb, decoded, px, py, 4)
+
+
+#: (partition rects, mvp hints) per inter mb_type: list of
+#: (dx4, dy4, pw4, ph4, hint) in partition order, offsets in 4x4
+#: blocks from the MB corner
+P_PARTITIONS = {
+    "p16": [(0, 0, 4, 4, None)],
+    "p16x8": [(0, 0, 4, 2, "B"), (0, 2, 4, 2, "A")],
+    "p8x16": [(0, 0, 2, 4, "A"), (2, 0, 2, 4, "C")],
+}
+P_MB_TYPE = {"p16": 0, "p16x8": 1, "p8x16": 2}
+
+
+def mark_decoded(decoded, px: int, py: int, pw4: int, ph4: int) -> None:
+    decoded[py : py + ph4, px : px + pw4] = True
+
+
+def set_part_mv(
+    mvb: dict, px: int, py: int, pw4: int, ph4: int, mv: tuple[int, int]
+) -> None:
+    for by in range(py, py + ph4):
+        for bx in range(px, px + pw4):
+            mvb[(bx, by)] = mv
 
 
 # --- §8.4.2.2 decoder-form interpolation (windowed, clamped) -----------
@@ -138,38 +171,44 @@ def _filt6_h(e: np.ndarray) -> np.ndarray:
     )
 
 
-def mc_luma_16x16(
-    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+def mc_luma(
+    ref: np.ndarray,
+    x0: int,
+    y0: int,
+    mvx: int,
+    mvy: int,
+    w: int = 16,
+    h: int = 16,
 ) -> np.ndarray:
-    """§8.4.2.2.1 quarter-sample luma prediction for the 16x16 block
+    """§8.4.2.2.1 quarter-sample luma prediction for the (w, h) block
     at picture position (x0, y0) with MV (mvx, mvy) in quarter-pel
     units against the uncropped reference plane: integer samples are
     fetched with coordinates clamped to the picture (the spec's
     Clip3), half samples run the 6-tap filter ((v+16)>>5 single-pass,
     (v+512)>>10 for the centre j via raw intermediates), quarter
-    samples average per Table 8-12. Returns the (16, 16) int64
+    samples average per Table 8-12. Returns the (h, w) int64
     predicted block."""
     h_pix, w_pix = ref.shape
     xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
     xf, yf = mvx & 3, mvy & 3
-    iy = np.clip(np.arange(yi - 2, yi + 19), 0, h_pix - 1)
-    ix = np.clip(np.arange(xi - 2, xi + 19), 0, w_pix - 1)
-    e = ref[np.ix_(iy, ix)].astype(np.int64)  # 21 x 21 clamped window
-    g = e[2:18, 2:18]
+    iy = np.clip(np.arange(yi - 2, yi + h + 3), 0, h_pix - 1)
+    ix = np.clip(np.arange(xi - 2, xi + w + 3), 0, w_pix - 1)
+    e = ref[np.ix_(iy, ix)].astype(np.int64)  # (h+5, w+5) clamped
+    g = e[2 : 2 + h, 2 : 2 + w]
     if xf == 0 and yf == 0:
         return g
-    b1 = _filt6_h(e)  # (21, 16): raw half between cols c+2 / c+3
-    h1 = _filt6_h(np.swapaxes(e, 0, 1))  # (21, 16) cols x half-rows
+    b1 = _filt6_h(e)  # (h+5, w): raw half between cols c+2 / c+3
+    h1 = _filt6_h(np.swapaxes(e, 0, 1))  # (w+5, h): [col, half-row]
     bq = np.clip((b1 + 16) >> 5, 0, 255)
     hq_t = np.clip((h1 + 16) >> 5, 0, 255)  # transposed: [col, row]
-    j1 = _filt6_h(np.swapaxes(b1, 0, 1))  # (16, 16) [col, row-half]
+    j1 = _filt6_h(np.swapaxes(b1, 0, 1))  # (w, h) [col-half, row-half]
     jq = np.clip((j1 + 512) >> 10, 0, 255).T
-    b_s = bq[2:18, :]  # b at the output grid
-    s_s = bq[3:19, :]  # the half-row below (Table 8-12's s)
-    h_s = hq_t[2:18, :].T  # h at the output grid
-    m_s = hq_t[3:19, :].T  # the half-col to the right (m)
-    right = e[2:18, 3:19]  # integer H
-    down = e[3:19, 2:18]  # integer M
+    b_s = bq[2 : 2 + h, :]  # b at the output grid
+    s_s = bq[3 : 3 + h, :]  # the half-row below (Table 8-12's s)
+    h_s = hq_t[2 : 2 + w, :].T  # h at the output grid
+    m_s = hq_t[3 : 3 + w, :].T  # the half-col to the right (m)
+    right = e[2 : 2 + h, 3 : 3 + w]  # integer H
+    down = e[3 : 3 + h, 2 : 2 + w]  # integer M
     table = {
         (1, 0): (g, b_s), (3, 0): (right, b_s),
         (0, 1): (g, h_s), (0, 3): (down, h_s),
@@ -188,21 +227,34 @@ def mc_luma_16x16(
     return (u + v + 1) >> 1
 
 
-def mc_chroma_8x8(
-    refc: np.ndarray, cx0: int, cy0: int, mvx: int, mvy: int
+def mc_luma_16x16(
+    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    """Full-MB convenience wrapper over :func:`mc_luma`."""
+    return mc_luma(ref, x0, y0, mvx, mvy, 16, 16)
+
+
+def mc_chroma(
+    refc: np.ndarray,
+    cx0: int,
+    cy0: int,
+    mvx: int,
+    mvy: int,
+    w: int = 8,
+    h: int = 8,
 ) -> np.ndarray:
     """§8.4.2.2.2 eighth-sample bilinear chroma prediction for the
-    8x8 block at chroma position (cx0, cy0): the luma quarter-pel MV
-    reads directly as a chroma eighth-pel MV in 4:2:0 frames;
-    corner samples fetch with clamped coordinates. Returns (8, 8)
+    (w, h) block at chroma position (cx0, cy0): the luma quarter-pel
+    MV reads directly as a chroma eighth-pel MV in 4:2:0 frames;
+    corner samples fetch with clamped coordinates. Returns (h, w)
     int64."""
     h_pix, w_pix = refc.shape
     xi, yi = cx0 + (mvx >> 3), cy0 + (mvy >> 3)
     xf, yf = mvx & 7, mvy & 7
-    iy0 = np.clip(np.arange(yi, yi + 8), 0, h_pix - 1)
-    iy1 = np.clip(np.arange(yi + 1, yi + 9), 0, h_pix - 1)
-    ix0 = np.clip(np.arange(xi, xi + 8), 0, w_pix - 1)
-    ix1 = np.clip(np.arange(xi + 1, xi + 9), 0, w_pix - 1)
+    iy0 = np.clip(np.arange(yi, yi + h), 0, h_pix - 1)
+    iy1 = np.clip(np.arange(yi + 1, yi + h + 1), 0, h_pix - 1)
+    ix0 = np.clip(np.arange(xi, xi + w), 0, w_pix - 1)
+    ix1 = np.clip(np.arange(xi + 1, xi + w + 1), 0, w_pix - 1)
     a = refc[np.ix_(iy0, ix0)].astype(np.int64)
     b = refc[np.ix_(iy0, ix1)].astype(np.int64)
     c = refc[np.ix_(iy1, ix0)].astype(np.int64)
@@ -211,6 +263,13 @@ def mc_chroma_8x8(
         (8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
         + (8 - xf) * yf * c + xf * yf * d + 32
     ) >> 6
+
+
+def mc_chroma_8x8(
+    refc: np.ndarray, cx0: int, cy0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    """Full-MB convenience wrapper over :func:`mc_chroma`."""
+    return mc_chroma(refc, cx0, cy0, mvx, mvy, 8, 8)
 
 
 # --- simulator-form interpolation (whole-plane, edge-padded) ------------
@@ -261,27 +320,41 @@ def sim_quarter_luma(ref: np.ndarray, pad: int) -> tuple[np.ndarray, int]:
 
 
 def sim_mc_luma(
-    q: np.ndarray, pad: int, x0: int, y0: int, mvx: int, mvy: int
+    q: np.ndarray,
+    pad: int,
+    x0: int,
+    y0: int,
+    mvx: int,
+    mvy: int,
+    w: int = 16,
+    h: int = 16,
 ) -> np.ndarray:
-    """Sample a 16x16 predicted block out of a `sim_quarter_luma`
+    """Sample a (w, h) predicted block out of a `sim_quarter_luma`
     grid."""
     r0 = 4 * (y0 + pad) + mvy
     c0 = 4 * (x0 + pad) + mvx
-    return q[r0 : r0 + 64 : 4, c0 : c0 + 64 : 4]
+    return q[r0 : r0 + 4 * h : 4, c0 : c0 + 4 * w : 4]
 
 
 def sim_mc_chroma(
-    refc: np.ndarray, pad: int, cx0: int, cy0: int, mvx: int, mvy: int
+    refc: np.ndarray,
+    pad: int,
+    cx0: int,
+    cy0: int,
+    mvx: int,
+    mvy: int,
+    w: int = 8,
+    h: int = 8,
 ) -> np.ndarray:
     """Simulator twin of `mc_chroma_8x8`: whole-plane edge padding
     instead of clamped index fetches, same §8.4.2.2.2 bilinear."""
     p = np.pad(refc.astype(np.int64), pad, mode="edge")
     xi, yi = cx0 + pad + (mvx >> 3), cy0 + pad + (mvy >> 3)
     xf, yf = mvx & 7, mvy & 7
-    a = p[yi : yi + 8, xi : xi + 8]
-    b = p[yi : yi + 8, xi + 1 : xi + 9]
-    c = p[yi + 1 : yi + 9, xi : xi + 8]
-    d = p[yi + 1 : yi + 9, xi + 1 : xi + 9]
+    a = p[yi : yi + h, xi : xi + w]
+    b = p[yi : yi + h, xi + 1 : xi + w + 1]
+    c = p[yi + 1 : yi + h + 1, xi : xi + w]
+    d = p[yi + 1 : yi + h + 1, xi + 1 : xi + w + 1]
     return (
         (8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
         + (8 - xf) * yf * c + xf * yf * d + 32

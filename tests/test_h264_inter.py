@@ -17,10 +17,13 @@ from data_pipeline_capstone_project_spark.operators.h264_inter import (
     CBP_INTER_CODENUM,
     CBP_INTER_DECODE,
     check_mv_bounds,
+    mark_decoded,
     mc_chroma_8x8,
+    mc_luma,
     mc_luma_16x16,
-    mv_pred_16x16,
+    mv_pred_part,
     p_skip_mv,
+    set_part_mv,
     sim_mc_chroma,
     sim_mc_luma,
     sim_quarter_luma,
@@ -106,32 +109,76 @@ def test_edge_clamp_matches_edge_pad():
 # --- §8.4.1.3 / §8.4.1.1 rules ------------------------------------------
 
 
+def _state(mb_w: int, mb_h: int, mb_mvs: dict, intra: set = frozenset()):
+    """Build block-granular (mvb, decoded) from MB-granular fixtures:
+    every listed MB (inter or intra) is decoded."""
+    import numpy as np
+
+    mvb: dict = {}
+    decoded = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
+    for (mx, my), mv in mb_mvs.items():
+        set_part_mv(mvb, mx * 4, my * 4, 4, 4, mv)
+        mark_decoded(decoded, mx * 4, my * 4, 4, 4)
+    for mx, my in intra:
+        mark_decoded(decoded, mx * 4, my * 4, 4, 4)
+    return mvb, decoded
+
+
 def test_mv_pred_median_and_special_cases():
     # first MB: nothing available -> (0,0)
-    assert mv_pred_16x16({}, 0, 0, 4) == (0, 0)
+    mvb, dec = _state(4, 4, {})
+    assert mv_pred_part(mvb, dec, 0, 0, 4) == (0, 0)
     # top row, only A available (B/C/D out of picture) -> mvA
-    assert mv_pred_16x16({(0, 0): (12, -4)}, 1, 0, 4) == (12, -4)
-    # exactly one inter neighbour -> its MV (A intra, C inter)
-    mvs = {(2, 0): (8, 8)}  # C of MB (1,1)
-    assert mv_pred_16x16(mvs, 1, 1, 4) == (8, 8)
+    mvb, dec = _state(4, 4, {(0, 0): (12, -4)})
+    assert mv_pred_part(mvb, dec, 4, 0, 4) == (12, -4)
+    # exactly one inter neighbour -> its MV (A intra/undecoded, C inter)
+    mvb, dec = _state(4, 4, {(2, 0): (8, 8)}, intra={(0, 1), (1, 0)})
+    assert mv_pred_part(mvb, dec, 4, 4, 4) == (8, 8)
     # three inter neighbours -> component-wise median
-    mvs = {(0, 1): (-4, 0), (1, 0): (8, 4), (2, 0): (2, -8)}
-    assert mv_pred_16x16(mvs, 1, 1, 4) == (2, 0)
+    mvb, dec = _state(4, 4, {(0, 1): (-4, 0), (1, 0): (8, 4), (2, 0): (2, -8)})
+    assert mv_pred_part(mvb, dec, 4, 4, 4) == (2, 0)
     # C outside the picture -> D substitutes
-    mvs = {(2, 1): (-4, 0), (3, 0): (8, 4), (2, 0): (2, -8)}
-    assert mv_pred_16x16(mvs, 3, 1, 4) == (2, 0)
+    mvb, dec = _state(
+        4, 4, {(2, 1): (-4, 0), (3, 0): (8, 4), (2, 0): (2, -8)}
+    )
+    assert mv_pred_part(mvb, dec, 12, 4, 4) == (2, 0)
+
+
+def test_mv_pred_directional_hints():
+    """Table-direction rules for 16x8/8x16 partitions: the hinted
+    neighbour wins when it references refIdx 0, else the general
+    process runs."""
+    # upper 16x8 takes B even when A/C disagree
+    mvb, dec = _state(
+        4, 4, {(0, 1): (-4, 0), (1, 0): (8, 4), (2, 0): (2, -8)}
+    )
+    assert mv_pred_part(mvb, dec, 4, 4, 4, hint="B") == (8, 4)
+    # lower 16x8 takes A (here: the left MB's bottom half)
+    assert mv_pred_part(mvb, dec, 4, 6, 4, hint="A") == (-4, 0)
+    # right 8x16 takes C (above-right)
+    assert mv_pred_part(mvb, dec, 6, 4, 2, hint="C") == (2, -8)
+    # hinted neighbour intra -> falls back to the general process
+    mvb, dec = _state(
+        4, 4, {(0, 1): (-4, 0), (2, 0): (2, -8)}, intra={(1, 0)}
+    )
+    assert mv_pred_part(mvb, dec, 4, 4, 4, hint="B") == (0, 0)
 
 
 def test_skip_mv_rules():
     # left/top edge -> zero
-    assert p_skip_mv({(0, 0): (4, 4)}, 0, 1, 4) == (0, 0)
-    assert p_skip_mv({(0, 0): (4, 4)}, 1, 0, 4) == (0, 0)
+    mvb, dec = _state(4, 4, {(0, 0): (4, 4)})
+    assert p_skip_mv(mvb, dec, 0, 4) == (0, 0)
+    assert p_skip_mv(mvb, dec, 4, 0) == (0, 0)
     # zero-MV refIdx-0 neighbour -> zero
-    mvs = {(0, 1): (0, 0), (1, 0): (8, 4), (2, 0): (8, 4)}
-    assert p_skip_mv(mvs, 1, 1, 4) == (0, 0)
+    mvb, dec = _state(
+        4, 4, {(0, 1): (0, 0), (1, 0): (8, 4), (2, 0): (8, 4)}
+    )
+    assert p_skip_mv(mvb, dec, 4, 4) == (0, 0)
     # intra A (refIdx -1, not a zero trigger) -> median path
-    mvs = {(1, 0): (8, 4), (2, 0): (8, 4)}
-    assert p_skip_mv(mvs, 1, 1, 4) == (8, 4)
+    mvb, dec = _state(
+        4, 4, {(1, 0): (8, 4), (2, 0): (8, 4)}, intra={(0, 1)}
+    )
+    assert p_skip_mv(mvb, dec, 4, 4) == (8, 4)
 
 
 def test_cbp_inter_tables_are_inverse():
@@ -176,9 +223,11 @@ def _rand_residual(rng) -> dict:
 
 def test_fuzz_random_p_streams_match_simulator():
     """Random I+P+P streams over random MVs (all fractions, edge
-    excursions), random skips, and sparse inter residuals: the
-    bit-level decode must equal the independent simulator on every
-    frame, luma and chroma."""
+    excursions), random 16x16/16x8/8x16 partitions, random skips, and
+    sparse inter residuals: the bit-level decode must equal the
+    independent simulator on every frame, luma and chroma."""
+    import numpy as np
+
     rng = np.random.default_rng(23)
     for trial in range(6):
         mb_w, mb_h = int(rng.integers(2, 4)), int(rng.integers(1, 3))
@@ -190,25 +239,43 @@ def test_fuzz_random_p_streams_match_simulator():
         p_frames = []
         for _ in range(2):
             grid = []
-            mvs_so_far: dict = {}
+            mvb: dict = {}
+            dec = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
             for my in range(mb_h):
                 row = []
                 for mx in range(mb_w):
-                    if rng.integers(4) == 0:
-                        mv = p_skip_mv(mvs_so_far, mx, my, mb_w)
-                        mvs_so_far[(mx, my)] = mv
+                    px, py = mx * 4, my * 4
+                    pick = int(rng.integers(5))
+                    if pick == 0:
+                        mv = p_skip_mv(mvb, dec, px, py)
+                        set_part_mv(mvb, px, py, 4, 4, mv)
+                        mark_decoded(dec, px, py, 4, 4)
                         row.append(("skip", mv))
                         continue
-                    mv = (int(rng.integers(-24, 25)),
-                          int(rng.integers(-24, 25)))
-                    mvs_so_far[(mx, my)] = mv
+                    if pick == 1:
+                        kind, nmv = "p16x8", 2
+                        rects = ((0, 0, 4, 2), (0, 2, 4, 2))
+                    elif pick == 2:
+                        kind, nmv = "p8x16", 2
+                        rects = ((0, 0, 2, 4), (2, 0, 2, 4))
+                    else:
+                        kind, nmv = "p16", 1
+                        rects = ((0, 0, 4, 4),)
+                    mvs = []
+                    for dx4, dy4, pw4, ph4 in rects:
+                        mv = (int(rng.integers(-24, 25)),
+                              int(rng.integers(-24, 25)))
+                        mvs.append(mv)
+                        set_part_mv(mvb, px + dx4, py + dy4, pw4, ph4, mv)
+                        mark_decoded(dec, px + dx4, py + dy4, pw4, ph4)
+                    mv_field = mvs[0] if nmv == 1 else tuple(mvs)
                     if rng.integers(3) == 0:
                         row.append(
-                            ("p16", mv, _rand_residual(rng),
+                            (kind, mv_field, _rand_residual(rng),
                              int(rng.integers(-6, 7)))
                         )
                     else:
-                        row.append(("p16", mv))
+                        row.append((kind, mv_field))
                 grid.append(row)
             p_frames.append(grid)
         spec = {
