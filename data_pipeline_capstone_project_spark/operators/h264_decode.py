@@ -70,6 +70,8 @@ SUPPORTED (decoded bit-exactly):
 * P slices (r11 eighth pass, `operators.h264_inter`): P_Skip
   (§7.3.4 mb_skip_run + the §8.4.1.1 MV derivation), P_L0_16x16
   AND the two-partition P_L0_L0_16x8 / P_L0_L0_8x16 macroblocks
+  AND P_8x8/P_8x8ref0 sub-macroblock partitions (§7.3.5.2: all four
+  sub_mb_types 8x8/8x4/4x8/4x4, up to 16 MVs per MB)
   with §8.4.1.3 MV prediction at 4x4-block granularity (median
   process, Table-direction shortcuts - upper 16x8 from B, lower
   from A, left 8x16 from A, right from C - and mvd coding), FULL
@@ -84,7 +86,7 @@ SUPPORTED (decoded bit-exactly):
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
-wrong pixels: B slices, P_8x8 sub-partitions, multiple or
+wrong pixels: B slices, multiple or
 modified reference lists, I_8x8 (needs transform_size_8x8_flag PPS
 plumbing), the remaining Table 9-4 intra/inter codeNums,
 coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
@@ -154,6 +156,9 @@ from .h264_inter import (
     CBP_INTER_DECODE,
     P_MB_TYPE,
     P_PARTITIONS,
+    SUB_MB_KIND,
+    SUB_MB_TYPE,
+    SUB_PARTITIONS,
     check_mv_bounds,
     mark_decoded,
     mc_chroma,
@@ -1019,21 +1024,45 @@ def make_p_slice_nal(
                 continue
             w.ue(skip_run)  # mb_skip_run before every coded MB
             skip_run = 0
-            if desc[0] not in P_MB_TYPE:
+            if desc[0] not in P_MB_TYPE and desc[0] != "p8x8":
                 _encode_intra_mb(
                     w, desc, mb_x, mb_y, kind_at, i4modes, tc_map, ctc,
                     type_off=5,
                 )
                 mark_decoded(decided, px0, py0, 4, 4)
                 continue
-            parts = P_PARTITIONS[desc[0]]
-            mvs_in = [tuple(desc[1])] if desc[0] == "p16" else [
-                tuple(m) for m in desc[1]
-            ]
-            if len(mvs_in) != len(parts):
-                raise H264Error(
-                    f"{desc[0]} needs {len(parts)} MV(s), got {len(mvs_in)}"
-                )
+            if desc[0] == "p8x8":
+                # desc[1] = four (sub_kind, mv-or-mv-tuple) entries in
+                # 8x8 raster order; sub_mb_types code right after
+                # mb_type, every sub-partition's mvd follows in order
+                if len(desc[1]) != 4:
+                    raise H264Error("p8x8 needs four sub-partition specs")
+                parts, mvs_in = [], []
+                for i, (sk, sub_mvs) in enumerate(desc[1]):
+                    rects = SUB_PARTITIONS[sk]
+                    got = [tuple(sub_mvs)] if len(rects) == 1 else [
+                        tuple(m) for m in sub_mvs
+                    ]
+                    if len(got) != len(rects):
+                        raise H264Error(
+                            f"sub {sk} needs {len(rects)} MV(s)"
+                        )
+                    mvs_in += got
+                    parts += [
+                        (2 * (i % 2) + dx4, 2 * (i // 2) + dy4,
+                         pw4, ph4, None)
+                        for dx4, dy4, pw4, ph4 in rects
+                    ]
+            else:
+                parts = P_PARTITIONS[desc[0]]
+                mvs_in = [tuple(desc[1])] if desc[0] == "p16" else [
+                    tuple(m) for m in desc[1]
+                ]
+                if len(mvs_in) != len(parts):
+                    raise H264Error(
+                        f"{desc[0]} needs {len(parts)} MV(s), got"
+                        f" {len(mvs_in)}"
+                    )
             lres = desc[2] if len(desc) > 2 else None
             qp_delta = desc[3] if len(desc) > 3 else 0
             cres = desc[4] if len(desc) > 4 else None
@@ -1042,7 +1071,12 @@ def make_p_slice_nal(
             )
             if cbp == 0 and qp_delta:
                 raise H264Error("inter MB with CBP 0 carries no mb_qp_delta")
-            w.ue(P_MB_TYPE[desc[0]])  # mb_type
+            if desc[0] == "p8x8":
+                w.ue(3)  # mb_type P_8x8
+                for sk, _sub_mvs in desc[1]:
+                    w.ue(SUB_MB_TYPE[sk])  # sub_mb_type
+            else:
+                w.ue(P_MB_TYPE[desc[0]])  # mb_type
             # §7.3.5.1: every partition's mvd in partition order, each
             # predicted against the state including earlier partitions
             for mv, (dx4, dy4, pw4, ph4, hint) in zip(mvs_in, parts):
@@ -1778,14 +1812,34 @@ def _decode_slice(
         addr += 1
         mb_type = r.ue()
         if is_p:
-            if mb_type <= 2:  # P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16
-                kind = ("p16", "p16x8", "p8x16")[mb_type]
+            if mb_type <= 4:  # P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0)
+                if mb_type <= 2:
+                    kind = ("p16", "p16x8", "p8x16")[mb_type]
+                    parts = P_PARTITIONS[kind]
+                else:
+                    # P_8x8 / P_8x8ref0 (§7.3.5.2): four sub_mb_types,
+                    # then every sub-partition's mvd in order; ref0
+                    # inference changes nothing single-reference
+                    kind = "p8x8"
+                    subs = [r.ue() for _ in range(4)]
+                    if any(s > 3 for s in subs):
+                        raise H264DecodeError(
+                            f"B sub_mb_type {max(subs)} in a P slice"
+                        )
+                    parts = [
+                        (2 * (i % 2) + dx4, 2 * (i // 2) + dy4,
+                         pw4, ph4, None)
+                        for i, s in enumerate(subs)
+                        for dx4, dy4, pw4, ph4 in SUB_PARTITIONS[
+                            SUB_MB_KIND[s]
+                        ]
+                    ]
                 kinds[mb_y][mb_x] = kind
                 # one L0 reference -> no ref_idx fields; §7.3.5.1 reads
                 # every partition's mvd in partition order, and the
                 # §8.4.1.3 prediction of a later partition may read an
                 # earlier one's just-decoded MV
-                for dx4, dy4, pw4, ph4, hint in P_PARTITIONS[kind]:
+                for dx4, dy4, pw4, ph4, hint in parts:
                     px, py = mb_x * 4 + dx4, mb_y * 4 + dy4
                     mvp = mv_pred_part(mvb, decided, px, py, pw4, hint)
                     mvd = (r.se(), r.se())
@@ -1828,11 +1882,6 @@ def _decode_slice(
                         )
                 n_p16 += 1
                 continue
-            if mb_type < 5:
-                raise H264DecodeError(
-                    f"P mb_type {mb_type} (8x8 sub-partitions not"
-                    " supported)"
-                )
             mb_type -= 5  # intra-in-P: Table 7-10's I_* offset
             mark_decoded(decided, mb_x * 4, mb_y * 4, 4, 4)
         if mb_type == 25:  # I_PCM
@@ -2211,16 +2260,38 @@ def _sim_i16_residual(dc16: "list[int]", ac: dict, qp: int) -> np.ndarray:
     return out
 
 
+def _spec_parts(desc: tuple) -> "tuple[list, list]":
+    """(partition rects, MVs) for an inter fixture desc - rects as
+    (dx4, dy4, pw4, ph4) from the MB corner, in coding order."""
+    if desc[0] == "skip":
+        return [(0, 0, 4, 4)], [tuple(desc[1])]
+    if desc[0] == "p8x8":
+        parts, mvs = [], []
+        for i, (sk, sub_mvs) in enumerate(desc[1]):
+            rects = SUB_PARTITIONS[sk]
+            mvs += [tuple(sub_mvs)] if len(rects) == 1 else [
+                tuple(m) for m in sub_mvs
+            ]
+            parts += [
+                (2 * (i % 2) + dx4, 2 * (i // 2) + dy4, pw4, ph4)
+                for dx4, dy4, pw4, ph4 in rects
+            ]
+        return parts, mvs
+    rects = [p[:4] for p in P_PARTITIONS[desc[0]]]
+    mvs = [tuple(desc[1])] if desc[0] == "p16" else [
+        tuple(m) for m in desc[1]
+    ]
+    return rects, mvs
+
+
 def _sim_mv_pad(mbs: list) -> int:
     """Simulator pad for a P-frame grid: covers the largest fixture
     MV excursion plus full 6-tap support."""
     mvmax = 0
     for row in mbs:
         for d in row:
-            if d[0] in ("skip", "p16"):
-                mvmax = max(mvmax, abs(d[1][0]), abs(d[1][1]))
-            elif d[0] in ("p16x8", "p8x16"):
-                for mv in d[1]:
+            if d[0] in ("skip", "p16", "p16x8", "p8x16", "p8x8"):
+                for mv in _spec_parts(d)[1]:
                     mvmax = max(mvmax, abs(mv[0]), abs(mv[1]))
     return mvmax // 4 + 4
 
@@ -2251,16 +2322,10 @@ def _simulate_luma(
         for mx, desc in enumerate(row):
             y0, x0 = my * 16, mx * 16
             blk = plane[y0 : y0 + 16, x0 : x0 + 16]
-            if desc[0] in ("skip", "p16", "p16x8", "p8x16"):
+            if desc[0] in ("skip", "p16", "p16x8", "p8x16", "p8x8"):
                 q, pad = quarter
-                parts = P_PARTITIONS[
-                    "p16" if desc[0] == "skip" else desc[0]
-                ]
-                mv_list = (
-                    [desc[1]] if desc[0] in ("skip", "p16")
-                    else list(desc[1])
-                )
-                for mv, (dx4, dy4, pw4, ph4, _hint) in zip(mv_list, parts):
+                parts, mv_list = _spec_parts(desc)
+                for mv, (dx4, dy4, pw4, ph4) in zip(mv_list, parts):
                     check_mv_bounds(mv, pad)
                     plane[
                         y0 + dy4 * 4 : y0 + (dy4 + ph4) * 4,
@@ -2437,15 +2502,9 @@ def _simulate_chroma(
         for mx, desc in enumerate(row):
             y0, x0 = my * 8, mx * 8
             blk = plane[y0 : y0 + 8, x0 : x0 + 8]
-            if desc[0] in ("skip", "p16", "p16x8", "p8x16"):
-                parts = P_PARTITIONS[
-                    "p16" if desc[0] == "skip" else desc[0]
-                ]
-                mv_list = (
-                    [desc[1]] if desc[0] in ("skip", "p16")
-                    else list(desc[1])
-                )
-                for mv, (dx4, dy4, pw4, ph4, _hint) in zip(mv_list, parts):
+            if desc[0] in ("skip", "p16", "p16x8", "p8x16", "p8x8"):
+                parts, mv_list = _spec_parts(desc)
+                for mv, (dx4, dy4, pw4, ph4) in zip(mv_list, parts):
                     blk[
                         dy4 * 2 : (dy4 + ph4) * 2,
                         dx4 * 2 : (dx4 + pw4) * 2,
@@ -3076,6 +3135,53 @@ def h264_frame_fixtures() -> list[dict]:
         }
     )
 
+    # P_8x8 sub-partitions (r11): every sub_mb_type in one picture -
+    # a full 4x4 sub-split (16 MVs in an MB), mixed 8x4/4x8 splits
+    # whose later sub-partitions predict from just-decoded earlier
+    # ones, an 8x8-per-quadrant MB with a luma residual, and a skip
+    # whose left neighbour's relevant partition is a sub-partition MV
+    mbs = [
+        [("pcm", "grad", 96 + 3 * r + c) for c in range(3)]
+        for r in range(2)
+    ]
+    p8 = [
+        [
+            ("p8x8", (
+                ("4x4", ((0, 0), (1, 1), (-1, 2), (2, -1))),
+                ("8x4", ((4, 0), (0, 4))),
+                ("4x8", ((-2, 2), (2, -2))),
+                ("8x8", (3, 3)),
+            )),
+            ("p8x8", (
+                ("8x8", (0, 0)),
+                ("8x8", (-4, 4)),
+                ("8x8", (8, 0)),
+                ("4x4", ((0, 0), (0, 0), (1, 0), (0, 1))),
+            ), {0: [1, -1] + [0] * 14, 15: [0, 0, 2] + [0] * 13}, 4),
+            ("p16", (2, 2)),
+        ],
+        [
+            ("skip", (0, 0)),
+            ("p8x8", (
+                ("4x8", ((6, 1), (1, 6))),
+                ("8x4", ((-3, 0), (0, -3))),
+                ("8x8", (1, 2)),
+                ("8x4", ((2, 1), (5, 5))),
+            ), None, 0, (1, [0, 1, 0, 0], [2, 0, 0, -1])),
+            # A = left MB's top-right 8x4 (-3,0), B = p16 above (2,2),
+            # C out of picture -> D = above-left MB's BR 4x4 sub-block
+            # (0,1); no zero trigger -> median (x: med(-3,2,0), y:
+            # med(0,2,1)) = (0,1)
+            ("skip", (0, 1)),
+        ],
+    ]
+    fixtures.append(
+        {
+            "name": "p_subparts.mp4", "w": 48, "h": 32,
+            "mbs": mbs, "p_frames": [p8],
+        }
+    )
+
     return fixtures
 
 
@@ -3230,7 +3336,7 @@ def _frames_oracle() -> str:
         want["n_p16"] = sum(
             1 for kind, g in grids if kind == "P"
             for row in g for d in row
-            if d[0] in ("p16", "p16x8", "p8x16")
+            if d[0] in ("p16", "p16x8", "p8x16", "p8x8")
         )
         want["n_skip"] = sum(
             1 for kind, g in grids if kind == "P"

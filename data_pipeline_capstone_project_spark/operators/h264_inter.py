@@ -146,6 +146,19 @@ P_PARTITIONS = {
 }
 P_MB_TYPE = {"p16": 0, "p16x8": 1, "p8x16": 2}
 
+#: §7.3.5.2 sub-macroblock partitions (P_8x8, mb_type 3): rects in
+#: 4x4 blocks relative to the 8x8's corner, in sub-partition order.
+#: No Table-direction shortcuts apply below the MB level - every
+#: sub-partition predicts through the general §8.4.1.3.2 process.
+SUB_PARTITIONS = {
+    "8x8": [(0, 0, 2, 2)],
+    "8x4": [(0, 0, 2, 1), (0, 1, 2, 1)],
+    "4x8": [(0, 0, 1, 2), (1, 0, 1, 2)],
+    "4x4": [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
+SUB_MB_TYPE = {"8x8": 0, "8x4": 1, "4x8": 2, "4x4": 3}
+SUB_MB_KIND = {v: k for k, v in SUB_MB_TYPE.items()}
+
 
 def mark_decoded(decoded, px: int, py: int, pw4: int, ph4: int) -> None:
     decoded[py : py + ph4, px : px + pw4] = True
