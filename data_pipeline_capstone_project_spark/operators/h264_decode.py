@@ -2621,6 +2621,9 @@ def _fixture_grids(spec: dict) -> "list[tuple[str, list]]":
     grids = [("I", spec["mbs"])] * spec.get("n_frames", 1)
     grids += [("I", fm) for fm in spec.get("extra_frames", [])]
     grids += [("P", fm) for fm in spec.get("p_frames", [])]
+    # ``seq`` (r11): explicit ('I'|'P', grid) tail for streams that
+    # INTERLEAVE intra refreshes with P runs (scene-cut fixtures)
+    grids += [(k, g) for k, g in spec.get("seq", [])]
     return grids
 
 
@@ -3205,6 +3208,14 @@ def build_fixture_mp4(spec: dict) -> bytes:
     base = len(spec.get("extra_frames", [])) + 1
     for j, fm in enumerate(spec.get("p_frames", [])):
         samples.append([make_p_slice_nal(fm, frame_num=base + j)])
+    base += len(spec.get("p_frames", []))
+    for j, (kind, fm) in enumerate(spec.get("seq", [])):
+        if kind == "I":
+            samples.append(
+                [make_i_slice_nal(fm, idr=False, frame_num=base + j)]
+            )
+        else:
+            samples.append([make_p_slice_nal(fm, frame_num=base + j)])
     return make_avc_stream_mp4(
         sps,
         samples,

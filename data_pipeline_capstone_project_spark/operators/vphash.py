@@ -104,34 +104,48 @@ def _skip_row() -> list:
     return [("skip", (0, 0))] * 3
 
 
+def _bright_grid() -> list:
+    """A frame-uniform +8 P picture: mb_qp_delta 2 on the FIRST MB
+    only - §7.4.5's running-QP chain keeps every later MB at QP 28."""
+    return [
+        [("p16", (0, 0), _uniform_lres(), 2 if c == 0 else 0)
+         for c in range(3)],
+        [("p16", (0, 0), _uniform_lres(), 0)] * 3,
+    ]
+
+
+def _spot_grid() -> list:
+    """One 4x4 block (+36 at QP 28: level 9 -> (2336)>>6) = exactly
+    one dHash cell (grid cell 3 of row 0, whose cell mean then
+    crosses its right neighbour's) -> at most 2 bits flip, bands
+    1..3 untouched."""
+    return [
+        [("p16", (0, 0), {5: [9] + [0] * 15}, 2), ("p16", (0, 0)),
+         ("skip", (0, 0))],
+        _skip_row(),
+    ]
+
+
+def _heavy_grid() -> list:
+    """Top MB row re-rendered as flat intra DC -> grid rows 0..3
+    (bands 0..1) churn, rows 4..7 (bands 2..3) stay byte-identical."""
+    return [
+        [("i16", 2, 0), ("i16", 2, 0), ("i16", 2, 0)],
+        _skip_row(),
+    ]
+
+
+def _all_skip_grid() -> list:
+    return [_skip_row(), _skip_row()]
+
+
 def video_fixture_specs() -> list[dict]:
     """`build_fixture_mp4` specs, display size 36x32 (the dHash
     grid). Families: a* share a master (re-mux / codec-brightness /
     spot / heavy-edit variants), b* a second master with its own
     brightness twin, u* unrelated content."""
     a, b, u = _idr_grid(60), _idr_grid(70), _idr_grid(81)
-    # mb_qp_delta 2 on the FIRST MB only: §7.4.5's running-QP chain
-    # keeps every later MB at QP 28, so the +8 shift is frame-uniform
-    bright = [
-        [("p16", (0, 0), _uniform_lres(), 2 if c == 0 else 0)
-         for c in range(3)],
-        [("p16", (0, 0), _uniform_lres(), 0)] * 3,
-    ]
-    # one 4x4 block (+36 at QP 28: level 9 -> (2336)>>6) = exactly one
-    # dHash cell (grid cell 3 of row 0, whose cell mean then crosses
-    # its right neighbour's) -> at most 2 bits flip, bands 1..3
-    # untouched
-    spot = [
-        [("p16", (0, 0), {5: [9] + [0] * 15}, 2), ("p16", (0, 0)),
-         ("skip", (0, 0))],
-        _skip_row(),
-    ]
-    # top MB row re-rendered as flat intra DC -> grid rows 0..3
-    # (bands 0..1) churn, rows 4..7 (bands 2..3) stay byte-identical
-    heavy = [
-        [("i16", 2, 0), ("i16", 2, 0), ("i16", 2, 0)],
-        _skip_row(),
-    ]
+    bright, spot, heavy = _bright_grid(), _spot_grid(), _heavy_grid()
     return [
         {"name": "a1_base.mp4", "mbs": a},
         {"name": "a2_remux.mp4", "mbs": a, "fragmented": True,
@@ -259,4 +273,130 @@ def video_phash_oracle() -> str:
     return (
         "SELECT vid_a, vid_b, CAST(hamming AS INTEGER) AS hamming, dup "
         f"FROM (VALUES {literals}) AS t(vid_a, vid_b, hamming, dup)"
+    )
+
+
+# --- video scene-cut census (temporal twin of the dedup entry) ---------
+
+#: consecutive-frame Hamming distance above which a shot boundary is
+#: declared - same budget as the dedup verdict (codec-level
+#: re-grades/skips land at 0-2, true content changes at 15+)
+SCENE_T = HAMMING_T
+
+
+def scene_fixture_specs() -> list[dict]:
+    """I+P streams with known shot structure: a clean cut to a new
+    master mid-stream, a static clip, an in-P jump cut (heavy edit),
+    and an alternating A/B/A slideshow."""
+    a, b, c = _idr_grid(60), _idr_grid(70), _idr_grid(81)
+    return [
+        {"name": "m1_shotchange.mp4", "mbs": a, "seq": [
+            ("P", _all_skip_grid()), ("P", _bright_grid()),
+            ("I", b), ("P", _all_skip_grid()),
+        ]},
+        {"name": "m2_static.mp4", "mbs": a},
+        {"name": "m3_jumpcut.mp4", "mbs": a, "seq": [
+            ("P", _heavy_grid()),
+        ]},
+        {"name": "m4_slideshow.mp4", "mbs": a, "seq": [
+            ("I", c), ("I", a), ("I", c),
+        ]},
+        # the spot grid's one-cell +36 is tuned to master `a` (cell 3
+        # crosses its right neighbour there), giving the promised
+        # small-but-nonzero within-shot distance
+        {"name": "m5_graded.mp4", "mbs": a, "seq": [
+            ("P", _bright_grid()), ("P", _spot_grid()),
+        ]},
+    ]
+
+
+def _stage_scene_store(root: str) -> None:
+    for spec in scene_fixture_specs():
+        with open(os.path.join(root, spec["name"]), "wb") as f:
+            f.write(build_fixture_mp4(_full_spec(spec)))
+
+
+def _cut_stats(hashes: "list[int]") -> tuple[int, int]:
+    """(n_cuts, max_hamming) over consecutive frame fingerprints."""
+    hams = [
+        bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        for ha, hb in zip(hashes, hashes[1:])
+    ]
+    return sum(1 for h in hams if h > SCENE_T), max(hams, default=0)
+
+
+def video_scene_cuts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decode EVERY frame of each staged AVC stream
+    (I+P interleaved), dHash each display-cropped luma plane, and
+    census the temporal structure - shot-boundary count at the
+    Hamming budget and the largest consecutive-frame distance. The
+    codec-level invariances make this robust exactly where naive
+    byte/CRC diffing is not: skip runs, uniform re-grades and
+    one-cell edits stay below the budget, true content changes jump
+    over it."""
+    work = tempfile.mkdtemp(prefix="vscene_store_")
+    try:
+        _stage_scene_store(work)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("vid_name"),
+            F.col("content").alias("payload"),
+        )
+
+        def cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for name, payload in zip(pdf["vid_name"], pdf["payload"]):
+                    frames = decode_frames(bytes(payload))
+                    hashes = [video_dhash(f["luma"]) for f in frames]
+                    n_cuts, max_ham = _cut_stats(hashes)
+                    out.append({
+                        "vid_name": name,
+                        "n_frames": len(frames),
+                        "n_cuts": n_cuts,
+                        "max_hamming": max_ham,
+                    })
+                yield pd.DataFrame(out)
+
+        out = bin_df.mapInPandas(
+            cut_batches,
+            "vid_name string, n_frames int, n_cuts int, max_hamming int",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def video_scene_cuts_oracle() -> str:
+    """VALUES oracle from the simulator + scalar-dHash twins,
+    asserting the shot structure each fixture promises."""
+    rows = []
+    for spec in scene_fixture_specs():
+        frames = simulate_stream(_full_spec(spec))
+        hashes = []
+        for lu, _cb, _cr in frames:
+            plane = lu[:PH_H, :PH_W]
+            hashes.append(
+                _dhash_scalar(lambda x, y: (int(plane[y, x]),) * 3)
+            )
+        n_cuts, max_ham = _cut_stats(hashes)
+        rows.append((spec["name"], len(frames), n_cuts, max_ham))
+    by_name = {r[0]: r for r in rows}
+    assert by_name["m1_shotchange.mp4"][2] == 1, "one clean cut"
+    assert by_name["m2_static.mp4"] == ("m2_static.mp4", 1, 0, 0)
+    assert by_name["m3_jumpcut.mp4"][2] == 1, "heavy P edit is a cut"
+    assert by_name["m4_slideshow.mp4"][2] == 3, "A/B/A/B = 3 cuts"
+    assert by_name["m5_graded.mp4"][2] == 0, (
+        "codec-level grade + spot stay below the budget"
+    )
+    assert 0 < by_name["m5_graded.mp4"][3] <= SCENE_T
+
+    literals = ", ".join(
+        f"('{n}', {nf}, {nc}, {mh})" for n, nf, nc, mh in rows
+    )
+    return (
+        "SELECT vid_name, CAST(n_frames AS INTEGER) AS n_frames, "
+        "CAST(n_cuts AS INTEGER) AS n_cuts, "
+        "CAST(max_hamming AS INTEGER) AS max_hamming "
+        f"FROM (VALUES {literals}) AS t(vid_name, n_frames, n_cuts, "
+        "max_hamming)"
     )

@@ -506,7 +506,12 @@ from .operators.ebml import (
 )
 from .operators.afp import audio_fingerprint_dedup_query, audio_fingerprint_oracle
 from .operators.phash import image_phash_dedup_query, image_phash_oracle
-from .operators.vphash import video_phash_dedup_query, video_phash_oracle
+from .operators.vphash import (
+    video_phash_dedup_query,
+    video_phash_oracle,
+    video_scene_cuts_query,
+    video_scene_cuts_oracle,
+)
 from .operators.exif import EXIF_META_ORACLE_SQL, exif_meta_query
 from .operators.ogg import OGG_META_ORACLE_SQL, ogg_meta_query
 from .operators.search import (
@@ -852,6 +857,7 @@ QUERIES = {
     "image_phash_dedup": image_phash_dedup_query,
     "audio_fingerprint_dedup": audio_fingerprint_dedup_query,
     "video_phash_dedup": video_phash_dedup_query,
+    "video_scene_cuts": video_scene_cuts_query,
     "h264_meta": h264_meta_query,
     "h264_nal_census": h264_nal_census_query,
     "webm_meta": webm_meta_query,
@@ -1059,6 +1065,7 @@ ORACLES = {
     "image_phash_dedup": image_phash_oracle,
     "audio_fingerprint_dedup": audio_fingerprint_oracle,
     "video_phash_dedup": video_phash_oracle,
+    "video_scene_cuts": video_scene_cuts_oracle,
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
     "audio_resample": AUDIO_RESAMPLE_ORACLE_SQL,
     "flac_decode": FLAC_DECODE_ORACLE_SQL,

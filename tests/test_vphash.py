@@ -89,3 +89,54 @@ def test_end_to_end_matches_oracle(spark, sf_dir):
     )
     assert key(out) == key(exp)
     assert (out["dup"] == (out["hamming"] <= HAMMING_T)).all()
+
+
+# --- video_scene_cuts ----------------------------------------------------
+
+
+def test_scene_cut_twins_agree():
+    """Per-frame fingerprints from bit-decode+numpy == simulator+
+    scalar, on every scene fixture."""
+    from data_pipeline_capstone_project_spark.operators.vphash import (
+        _cut_stats,
+        scene_fixture_specs,
+    )
+
+    for spec in scene_fixture_specs():
+        frames = decode_frames(build_fixture_mp4(_full_spec(spec)))
+        sims = simulate_stream(_full_spec(spec))
+        got = [video_dhash(f["luma"]) for f in frames]
+        want = []
+        for lu, _cb, _cr in sims:
+            plane = lu[:PH_H, :PH_W]
+            want.append(
+                _signed(_dhash_scalar(lambda x, y: (int(plane[y, x]),) * 3))
+            )
+        assert got == want, spec["name"]
+        assert _cut_stats(got) == _cut_stats(want)
+
+
+def test_scene_cut_shot_structure():
+    from data_pipeline_capstone_project_spark.operators.vphash import (
+        video_scene_cuts_oracle,
+    )
+    import duckdb
+
+    df = duckdb.sql(video_scene_cuts_oracle()).df().set_index("vid_name")
+    assert df.loc["m1_shotchange.mp4", "n_cuts"] == 1
+    assert df.loc["m4_slideshow.mp4", "n_cuts"] == 3
+    assert df.loc["m5_graded.mp4", "n_cuts"] == 0
+    assert df.loc["m5_graded.mp4", "max_hamming"] == 1
+
+
+def test_scene_cuts_end_to_end(spark, sf_dir):
+    from data_pipeline_capstone_project_spark.operators.vphash import (
+        video_scene_cuts_oracle,
+        video_scene_cuts_query,
+    )
+    import duckdb
+
+    out = video_scene_cuts_query(spark, sf_dir).toPandas()
+    exp = duckdb.sql(video_scene_cuts_oracle()).df()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))  # noqa: E731
+    assert key(out) == key(exp)
