@@ -82,11 +82,21 @@ SUPPORTED (decoded bit-exactly):
   through the LumaLevel4x4/chroma path with the transcribed
   Table 9-4 INTER subset cbp {0,15,16,31,32,47} (the chroma-only
   patterns intra cannot code), and intra-refresh MBs inside P
-  pictures (Table 7-10's +5 mb_type offset).
+  pictures (Table 7-10's +5 mb_type offset);
+* B slices (r11 ninth pass): non-reference B pictures with the
+  default POC-ordered single-entry lists (RefPicList0[0] = nearest
+  decoded reference below the current POC, RefPicList1[0] = nearest
+  above, over a two-deep sliding DPB that non-reference pictures
+  never enter), B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14)
+  with per-list §8.4.1.3 MV prediction, §8.4.2.3 default rounded-
+  mean bi-prediction, inter residuals over the averaged prediction,
+  and intra-refresh MBs (+23 offset) - decode order differing from
+  display order throughout.
 
 NOT supported - honest seams, each a NotImplementedError that the
 Spark entry surfaces as a decode error row rather than silently
-wrong pixels: B slices, multiple or
+wrong pixels: B_Skip/B_Direct (direct-mode MV derivation) and
+partitioned B MBs, SP/SI slices, weighted prediction, multiple or
 modified reference lists, I_8x8 (needs transform_size_8x8_flag PPS
 plumbing), the remaining Table 9-4 intra/inter codeNums,
 coeff_token columns 2<=nC<8 beyond TotalCoeff 0 and total_zeros
@@ -868,7 +878,8 @@ def _encode_intra_mb(
 
 
 def make_i_slice_nal(
-    mbs: list[list[tuple]], idr: bool = True, frame_num: int = 0
+    mbs: list[list[tuple]], idr: bool = True, frame_num: int = 0,
+    poc: int = 0,
 ) -> bytes:
     """One complete coded I slice covering the whole picture.
     ``mbs[row][col]`` is ``("pcm", pattern, seed)``,
@@ -920,7 +931,7 @@ def make_i_slice_nal(
     w.u(frame_num & 0xFF, 8)
     if idr:
         w.ue(0)  # idr_pic_id
-    w.u(0, 8)  # pic_order_cnt_lsb (poc_type 0)
+    w.u(poc & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
     # dec_ref_pic_marking (nal_ref_idc > 0)
     if idr:
         w.u(0, 2)  # no_output_of_prior_pics, long_term_reference
@@ -949,7 +960,7 @@ def make_i_slice_nal(
 
 
 def make_p_slice_nal(
-    mbs: list[list[tuple]], frame_num: int = 1
+    mbs: list[list[tuple]], frame_num: int = 1, poc: "int | None" = None
 ) -> bytes:
     """One complete coded P slice covering the whole picture (r11
     eighth pass). ``mbs[row][col]`` adds two inter desc forms to the
@@ -988,7 +999,7 @@ def make_p_slice_nal(
     w.ue(5)  # slice_type: P (all-slices-same form)
     w.ue(0)  # pic_parameter_set_id
     w.u(frame_num & 0xFF, 8)
-    w.u((2 * frame_num) & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
+    w.u((2 * frame_num if poc is None else poc) & 0xFF, 8)  # poc lsb
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
@@ -1104,6 +1115,107 @@ def make_p_slice_nal(
     if skip_run:  # §7.3.4: a trailing run closes the slice
         w.ue(skip_run)
     return bytes([0x41]) + _ebsp(w.rbsp())
+
+
+def make_b_slice_nal(
+    mbs: list[list[tuple]], frame_num: int, poc: int
+) -> bytes:
+    """One complete coded B slice covering the whole picture (r11
+    ninth pass). Non-reference (nal_ref_idc 0), slice_type 6 (all-B
+    form), one reference per list - RefPicList0[0]/RefPicList1[0]
+    resolve by POC to the nearest decoded reference below/above
+    ``poc``. Desc grammar:
+
+    - ``("b16", "L0"|"L1"|"BI", mv-or-(mv0, mv1)[, lres[,
+      mb_qp_delta[, cres]]])`` - B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+      (Table 7-14 mb_types 1..3): one quarter-pel MV per used list,
+      each coded against the §8.4.1.3 prediction over THAT list's
+      neighbour MV field; BI averages the two predictions with the
+      §8.4.2.3 rounded mean; residual fields exactly as for p16.
+    - intra descs encode with Table 7-14's +23 mb_type offset.
+
+    B_Skip/B_Direct and partitioned B MBs stay decoder seams, so the
+    encoder writes an explicit zero mb_skip_run before every MB and
+    offers no skip desc."""
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(6)  # slice_type: B (all-slices-same form)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(frame_num & 0xFF, 8)
+    w.u(poc & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
+    w.u(1, 1)  # direct_spatial_mv_pred_flag (no direct MBs coded)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc 0 -> no dec_ref_pic_marking
+    w.se(0)  # slice_qp_delta
+    mb_w = len(mbs[0])
+    kinds = [[d[0] for d in row] for row in mbs]
+    i4modes: dict[tuple[int, int], int] = {}
+    tc_map = np.zeros((len(mbs) * 4, mb_w * 4), dtype=np.int16)
+    ctc = [
+        np.zeros((len(mbs) * 2, mb_w * 2), dtype=np.int16),
+        np.zeros((len(mbs) * 2, mb_w * 2), dtype=np.int16),
+    ]
+    mvb0: dict[tuple[int, int], tuple[int, int]] = {}
+    mvb1: dict[tuple[int, int], tuple[int, int]] = {}
+    decided = np.zeros((len(mbs) * 4, mb_w * 4), dtype=bool)
+
+    def kind_at(mx: int, my: int) -> str:
+        return kinds[my][mx]
+
+    for mb_y, row in enumerate(mbs):
+        for mb_x, desc in enumerate(row):
+            w.ue(0)  # mb_skip_run (no B_Skip in the encodable subset)
+            px0, py0 = mb_x * 4, mb_y * 4
+            if desc[0] != "b16":
+                _encode_intra_mb(
+                    w, desc, mb_x, mb_y, kind_at, i4modes, tc_map, ctc,
+                    type_off=23,
+                )
+                mark_decoded(decided, px0, py0, 4, 4)
+                continue
+            sel = desc[1]
+            if sel not in ("L0", "L1", "BI"):
+                raise H264Error(f"b16 list selector {sel!r}")
+            used = {"L0": ("L0",), "L1": ("L1",), "BI": ("L0", "L1")}[sel]
+            mv_in = [tuple(desc[2])] if sel != "BI" else [
+                tuple(m) for m in desc[2]
+            ]
+            if len(mv_in) != len(used):
+                raise H264Error(f"b16 {sel} needs {len(used)} MV(s)")
+            lres = desc[3] if len(desc) > 3 else None
+            qp_delta = desc[4] if len(desc) > 4 else 0
+            cres = desc[5] if len(desc) > 5 else None
+            cbp = (15 if lres is not None else 0) + 16 * (
+                cres[0] if cres is not None else 0
+            )
+            if cbp == 0 and qp_delta:
+                raise H264Error("inter MB with CBP 0 carries no mb_qp_delta")
+            w.ue({"L0": 1, "L1": 2, "BI": 3}[sel])  # mb_type
+            for lst, mv in zip(used, mv_in):
+                lmap = mvb0 if lst == "L0" else mvb1
+                mvp = mv_pred_part(lmap, decided, px0, py0, 4)
+                w.se(mv[0] - mvp[0])  # mvd_lX
+                w.se(mv[1] - mvp[1])
+                set_part_mv(lmap, px0, py0, 4, 4, mv)
+            mark_decoded(decided, px0, py0, 4, 4)
+            w.ue(CBP_INTER_CODENUM[cbp])  # Table 9-4 inter subset
+            if cbp:
+                w.se(qp_delta)  # mb_qp_delta
+            if lres is not None:
+                if not all(0 <= k <= 15 for k in lres):
+                    raise H264Error("lres keys must be 0..15")
+                for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                    gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                    coeffs = list(lres.get(blk_idx, [0] * 16))
+                    _write_residual_block(
+                        w, _nc_at(tc_map, gx, gy), coeffs, 16
+                    )
+                    tc_map[gy, gx] = sum(1 for v in coeffs if v)
+            if cres is not None:
+                _write_chroma_residual(w, ctc, mb_x, mb_y, cres)
+    return bytes([0x01]) + _ebsp(w.rbsp())
 
 
 # --- decoder ------------------------------------------------------------------
@@ -1707,13 +1819,19 @@ def decode_i_slice(
 
 
 def _decode_slice(
-    nal: bytes, sps: dict, ref: "tuple | None" = None
+    nal: bytes, sps: dict, dpb: "list | None" = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
-    """Decode one coded-slice NAL (I/IDR, or P against ``ref`` - the
-    previous decoded picture's UNCROPPED (luma, cb, cr) planes, r11
-    eighth pass) against a parsed SPS and this package's PPS values
-    -> (luma, cb, cr coded-size uint8 planes, stats). Raises
-    H264DecodeError on the documented seams."""
+    """Decode one coded-slice NAL against a parsed SPS, this
+    package's PPS values, and ``dpb`` - the sliding-window decoded
+    picture buffer as (poc, (luma, cb, cr uncropped)) pairs in decode
+    order. P slices (r11 eighth pass) reference the most recent DPB
+    entry; B slices (r11 ninth pass) build their default single-entry
+    lists by picture order count - RefPicList0[0] = the reference
+    with the largest POC below the current picture, RefPicList1[0] =
+    the smallest above (§8.2.4.2.3 collapsed to the two-reference
+    window these streams carry). Returns (luma, cb, cr coded-size
+    uint8 planes, stats incl. the parsed POC). Raises H264DecodeError
+    on the documented seams."""
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise H264Error(f"not a coded slice NAL (type {nal_type})")
@@ -1727,25 +1845,43 @@ def _decode_slice(
         raise H264DecodeError("multi-slice pictures not supported")
     slice_type = r.ue()
     is_p = slice_type % 5 == 0
-    if slice_type % 5 != 2 and not is_p:
-        raise H264DecodeError(f"B/SP/SI slice_type {slice_type}")
-    if is_p and ref is None:
+    is_b = slice_type % 5 == 1
+    if slice_type % 5 not in (0, 1, 2):
+        raise H264DecodeError(f"SP/SI slice_type {slice_type}")
+    if is_p and not dpb:
         raise H264DecodeError("P slice without a decoded reference")
     if r.ue() != 0:
         raise H264Error("pic_parameter_set_id != 0")
     r.u(sps["log2_max_frame_num"])  # frame_num
     if idr:
         r.ue()  # idr_pic_id
+    poc = 0
     if sps["pic_order_cnt_type"] == 0:
-        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    if is_p:
+        poc = r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    if is_b:
+        r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs decode)
+    if is_p or is_b:
         # §7.3.3: num_ref_idx_active_override_flag (+ the override
-        # count); single-reference streams only (RefPicList0 = the
-        # previous decoded reference picture)
-        if r.u(1) and r.ue() != 0:
-            raise H264DecodeError("multiple L0 reference pictures")
+        # counts); one reference per list only
+        if r.u(1):
+            if r.ue() != 0 or (is_b and r.ue() != 0):
+                raise H264DecodeError("multiple references in a list")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise H264DecodeError("ref pic list modification")
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
+            raise H264DecodeError("ref pic list modification")
+    ref = ref_past = ref_future = None
+    if is_p:
+        ref = dpb[-1][1]  # most recently decoded reference picture
+    if is_b:
+        below = [e for e in (dpb or []) if e[0] < poc]
+        above = [e for e in (dpb or []) if e[0] > poc]
+        if not below or not above:
+            raise H264DecodeError(
+                f"B slice POC {poc} lacks a past+future reference pair"
+            )
+        ref_past = max(below, key=lambda e: e[0])[1]
+        ref_future = min(above, key=lambda e: e[0])[1]
     # dec_ref_pic_marking (nal_ref_idc > 0 on all our fixtures)
     if nal[0] & 0x60:
         if idr:
@@ -1777,15 +1913,21 @@ def _decode_slice(
     def kind_at(mx: int, my: int) -> str:
         return kinds[my][mx]
 
-    n_pcm = n_i16 = n_i4 = n_p16 = n_skip = 0
+    n_pcm = n_i16 = n_i4 = n_p16 = n_skip = n_b16 = 0
     n_mbs_total = mb_w * mb_h
     # inter state (P slices, r11): 4x4-block-granular decoded MVs feed
     # the §8.4.1.3 prediction of later partitions; intra blocks stay
     # absent from the map (refIdx -1); `decided` tracks decode order
     mvb: dict[tuple[int, int], tuple[int, int]] = {}
+    mvb1: dict[tuple[int, int], tuple[int, int]] = {}  # B list 1
     decided = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
     addr = 0
     while addr < n_mbs_total:
+        if is_b:
+            # mb_skip_run is B syntax too, but a skipped B MB is
+            # B_Skip = direct-mode prediction - an honest seam
+            if r.ue() != 0:
+                raise H264DecodeError("B_Skip (direct mode) MBs")
         if is_p:
             # §7.3.4 CAVLC slice data: mb_skip_run precedes every coded
             # macroblock (and trails the slice when it ends in skips);
@@ -1811,7 +1953,82 @@ def _decode_slice(
         mb_y, mb_x = divmod(addr, mb_w)
         addr += 1
         mb_type = r.ue()
-        if is_p:
+        if is_b:
+            if 1 <= mb_type <= 3:  # B_L0/B_L1/B_Bi 16x16
+                kinds[mb_y][mb_x] = "b16"
+                px, py = mb_x * 4, mb_y * 4
+                # one mvd per used list, L0 first (§7.3.5.1); each
+                # list predicts from ITS OWN neighbour MV field
+                used = (("L0",), ("L1",), ("L0", "L1"))[mb_type - 1]
+                preds = []
+                for lst in used:
+                    lmap = mvb if lst == "L0" else mvb1
+                    mvp = mv_pred_part(lmap, decided, px, py, 4)
+                    mvd = (r.se(), r.se())
+                    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    set_part_mv(lmap, px, py, 4, 4, mv)
+                    refp = ref_past if lst == "L0" else ref_future
+                    preds.append(
+                        (
+                            mc_luma(refp[0], px * 4, py * 4, *mv),
+                            mc_chroma(refp[1], px * 2, py * 2, *mv),
+                            mc_chroma(refp[2], px * 2, py * 2, *mv),
+                        )
+                    )
+                mark_decoded(decided, px, py, 4, 4)
+                if len(preds) == 1:
+                    pl, pcb, pcr = preds[0]
+                else:  # §8.4.2.3 default bi-prediction: rounded mean
+                    pl = (preds[0][0] + preds[1][0] + 1) >> 1
+                    pcb = (preds[0][1] + preds[1][1] + 1) >> 1
+                    pcr = (preds[0][2] + preds[1][2] + 1) >> 1
+                plane[
+                    py * 4 : py * 4 + 16, px * 4 : px * 4 + 16
+                ] = pl.astype(np.uint8)
+                cb[py * 2 : py * 2 + 8, px * 2 : px * 2 + 8] = (
+                    pcb.astype(np.uint8)
+                )
+                cr[py * 2 : py * 2 + 8, px * 2 : px * 2 + 8] = (
+                    pcr.astype(np.uint8)
+                )
+                code = r.ue()
+                cbp = CBP_INTER_DECODE.get(code)
+                if cbp is None:
+                    raise H264DecodeError(
+                        f"inter coded_block_pattern codeNum {code} not"
+                        " in the transcribed Table 9-4 subset"
+                    )
+                if cbp:
+                    qp_y = (qp_y + r.se() + 52) % 52  # mb_qp_delta
+                if cbp & 15:
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        gx, gy = mb_x * 4 + sx, mb_y * 4 + sy
+                        coeffs = _read_residual_block(
+                            r, _nc_at(tc_map, gx, gy), 16
+                        )
+                        tc_map[gy, gx] = sum(1 for v in coeffs if v)
+                        _add_i4_residual(plane, gx, gy, coeffs, qp_y)
+                if cbp >> 4:
+                    b_cdc, b_cac = _read_chroma_residual(
+                        r, ctc, mb_x, mb_y, cbp >> 4
+                    )
+                    qpc = _chroma_qp(qp_y)
+                    for comp, cplane in ((0, cb), (1, cr)):
+                        _add_chroma_residual(
+                            cplane, mb_x, mb_y,
+                            _chroma_dc_dequant(b_cdc[comp], qpc),
+                            b_cac[comp], qpc,
+                        )
+                n_b16 += 1
+                continue
+            if mb_type < 23:
+                raise H264DecodeError(
+                    f"B mb_type {mb_type} (direct / partitioned B MBs"
+                    " not supported)"
+                )
+            mb_type -= 23  # intra-in-B: Table 7-14's I_* offset
+            mark_decoded(decided, mb_x * 4, mb_y * 4, 4, 4)
+        elif is_p:
             if mb_type <= 4:  # P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0)
                 if mb_type <= 2:
                     kind = ("p16", "p16x8", "p8x16")[mb_type]
@@ -2027,7 +2244,8 @@ def _decode_slice(
             raise H264Error(f"I-slice mb_type {mb_type} > 25")
     return plane, cb, cr, {
         "n_pcm": n_pcm, "n_i16": n_i16, "n_i4": n_i4,
-        "n_p16": n_p16, "n_skip": n_skip, "n_mbs": mb_w * mb_h,
+        "n_p16": n_p16, "n_skip": n_skip, "n_b16": n_b16,
+        "n_mbs": mb_w * mb_h, "poc": poc,
     }
 
 
@@ -2053,13 +2271,19 @@ def decode_frames(payload: bytes) -> "list[dict]":
     sps = parse_sps(cfg["sps"][0])
     _, table = mp4_sample_table(payload)
     frames: list[dict] = []
-    prev: "tuple | None" = None
+    # sliding-window DPB: (poc, planes) of the last two REFERENCE
+    # pictures (nal_ref_idc > 0); non-reference B pictures never enter
+    dpb: list = []
     for off, size in table:
         sample = payload[off : off + size]
         for nal in split_sample_nals(sample, cfg["nal_length_size"]):
             if nal[0] & 0x1F in (1, 5):
-                plane, cb, cr, stats = _decode_slice(nal, sps, ref=prev)
-                prev = (plane, cb, cr)
+                plane, cb, cr, stats = _decode_slice(nal, sps, dpb=dpb)
+                if nal[0] & 0x60:
+                    if nal[0] & 0x1F == 5:
+                        dpb.clear()  # IDR resets the reference window
+                    dpb.append((stats["poc"], (plane, cb, cr)))
+                    del dpb[:-2]
                 w, h = sps["width"], sps["height"]
                 x0, y0 = sps["crop_left_px"], sps["crop_top_px"]
                 luma = np.ascontiguousarray(plane[y0 : y0 + h, x0 : x0 + w])
@@ -2293,6 +2517,10 @@ def _sim_mv_pad(mbs: list) -> int:
             if d[0] in ("skip", "p16", "p16x8", "p8x16", "p8x8"):
                 for mv in _spec_parts(d)[1]:
                     mvmax = max(mvmax, abs(mv[0]), abs(mv[1]))
+            elif d[0] == "b16":
+                bmvs = [d[2]] if d[1] != "BI" else list(d[2])
+                for mv in bmvs:
+                    mvmax = max(mvmax, abs(mv[0]), abs(mv[1]))
     return mvmax // 4 + 4
 
 
@@ -2310,10 +2538,10 @@ def _simulate_luma(
     mb_h, mb_w = len(mbs), len(mbs[0])
     sim_qp = 26  # slice QP: pic_init 26 + deltas, tracked in raster order
     plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int64)
-    quarter = None
+    quarters = None
     if ref is not None:
         pad = _sim_mv_pad(mbs)
-        quarter = sim_quarter_luma(ref, pad)
+        quarters = [sim_quarter_luma(p, pad) for p in ref]
     # decoded-4x4-block mask: the simulator's OWN availability
     # derivation (an incremental invariant, vs the decoder's index
     # arithmetic) for §8.3.1.2 top-right substitution
@@ -2322,8 +2550,46 @@ def _simulate_luma(
         for mx, desc in enumerate(row):
             y0, x0 = my * 16, mx * 16
             blk = plane[y0 : y0 + 16, x0 : x0 + 16]
+            if desc[0] == "b16":
+                sel, bmvs = desc[1], desc[2]
+                mv_list = [tuple(bmvs)] if sel != "BI" else [
+                    tuple(m) for m in bmvs
+                ]
+                grids_used = (
+                    [quarters[0]] if sel == "L0"
+                    else [quarters[1]] if sel == "L1"
+                    else quarters
+                )
+                preds = []
+                for (q, pad), mv in zip(grids_used, mv_list):
+                    check_mv_bounds(mv, pad)
+                    preds.append(
+                        sim_mc_luma(q, pad, x0, y0, mv[0], mv[1])
+                    )
+                blk[:] = (
+                    preds[0] if len(preds) == 1
+                    else (preds[0] + preds[1] + 1) >> 1
+                )
+                lres = desc[3] if len(desc) > 3 else None
+                if lres is not None or (len(desc) > 5 and desc[5]):
+                    sim_qp = (
+                        sim_qp + (desc[4] if len(desc) > 4 else 0) + 52
+                    ) % 52
+                if lres is not None:
+                    for blk_idx, (sx, sy) in enumerate(_I4_SCAN):
+                        py, px = y0 + 4 * sy, x0 + 4 * sx
+                        plane[py : py + 4, px : px + 4] = np.clip(
+                            plane[py : py + 4, px : px + 4]
+                            + _sim_4x4_residual(
+                                list(lres.get(blk_idx, [0] * 16)),
+                                sim_qp,
+                            ),
+                            0, 255,
+                        )
+                done[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = True
+                continue
             if desc[0] in ("skip", "p16", "p16x8", "p8x16", "p8x8"):
-                q, pad = quarter
+                q, pad = quarters[0]
                 parts, mv_list = _spec_parts(desc)
                 for mv, (dx4, dy4, pw4, ph4) in zip(mv_list, parts):
                     check_mv_bounds(mv, pad)
@@ -2502,6 +2768,41 @@ def _simulate_chroma(
         for mx, desc in enumerate(row):
             y0, x0 = my * 8, mx * 8
             blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+            if desc[0] == "b16":
+                sel, bmvs = desc[1], desc[2]
+                mv_list = [tuple(bmvs)] if sel != "BI" else [
+                    tuple(m) for m in bmvs
+                ]
+                planes_used = (
+                    [ref[0]] if sel == "L0"
+                    else [ref[1]] if sel == "L1"
+                    else list(ref)
+                )
+                preds = [
+                    sim_mc_chroma(p, pad, x0, y0, mv[0], mv[1])
+                    for p, mv in zip(planes_used, mv_list)
+                ]
+                blk[:] = (
+                    preds[0] if len(preds) == 1
+                    else (preds[0] + preds[1] + 1) >> 1
+                )
+                lres = desc[3] if len(desc) > 3 else None
+                cres = desc[5] if len(desc) > 5 else None
+                if lres is not None or cres is not None:
+                    sim_qp = (
+                        sim_qp + (desc[4] if len(desc) > 4 else 0) + 52
+                    ) % 52
+                if cres is not None:
+                    qpc = _chroma_qp(sim_qp)
+                    dc4 = cres[1] if plane_idx == 0 else cres[2]
+                    cacd = None
+                    if cres[0] == 2:
+                        cacd = cres[3] if plane_idx == 0 else cres[4]
+                    blk[:] = np.clip(
+                        blk + _sim_chroma_residual(list(dc4), cacd, qpc),
+                        0, 255,
+                    )
+                continue
             if desc[0] in ("skip", "p16", "p16x8", "p8x16", "p8x8"):
                 parts, mv_list = _spec_parts(desc)
                 for mv, (dx4, dy4, pw4, ph4) in zip(mv_list, parts):
@@ -2509,7 +2810,7 @@ def _simulate_chroma(
                         dy4 * 2 : (dy4 + ph4) * 2,
                         dx4 * 2 : (dx4 + pw4) * 2,
                     ] = sim_mc_chroma(
-                        ref, pad, x0 + dx4 * 2, y0 + dy4 * 2,
+                        ref[0], pad, x0 + dx4 * 2, y0 + dy4 * 2,
                         mv[0], mv[1], pw4 * 2, ph4 * 2,
                     )
                 if desc[0] != "skip":
@@ -2633,22 +2934,37 @@ def simulate_stream(spec: dict) -> "list[tuple]":
     planes exactly as the decoder's reference list does. Returns one
     (luma, cb, cr) uncropped uint8 triple per frame."""
     frames: list[tuple] = []
-    prev: "tuple | None" = None
+    refs: list[tuple] = []  # the <=2 most recent I/P reference frames
     for kind, grid in _fixture_grids(spec):
         sub = {"w": spec["w"], "h": spec["h"], "mbs": grid}
         if kind == "I":
-            prev = (
+            cur = (
                 _simulate_luma(sub, crop=False),
                 _simulate_chroma(sub, 0, crop=False),
                 _simulate_chroma(sub, 1, crop=False),
             )
-        else:
-            prev = (
-                _simulate_luma(sub, ref=prev[0], crop=False),
-                _simulate_chroma(sub, 0, ref=prev[1], crop=False),
-                _simulate_chroma(sub, 1, ref=prev[2], crop=False),
+        elif kind == "P":
+            cur = (
+                _simulate_luma(sub, ref=[refs[-1][0]], crop=False),
+                _simulate_chroma(sub, 0, ref=[refs[-1][1]], crop=False),
+                _simulate_chroma(sub, 1, ref=[refs[-1][2]], crop=False),
             )
-        frames.append(prev)
+        else:  # B: past = older, future = newer of the last two refs
+            past, future = refs[-2], refs[-1]
+            cur = (
+                _simulate_luma(
+                    sub, ref=[past[0], future[0]], crop=False
+                ),
+                _simulate_chroma(
+                    sub, 0, ref=[past[1], future[1]], crop=False
+                ),
+                _simulate_chroma(
+                    sub, 1, ref=[past[2], future[2]], crop=False
+                ),
+            )
+        if kind != "B":  # B pictures are non-reference (nal_ref_idc 0)
+            refs = (refs + [cur])[-2:]
+        frames.append(cur)
     return frames
 
 
@@ -3185,6 +3501,55 @@ def h264_frame_fixtures() -> list[dict]:
         }
     )
 
+    # --- B-slice family (r11 ninth pass): bi-prediction between a
+    # past and a future reference picture ----------------------------
+
+    # IDR(poc 0) -> P(poc 4, pan) -> B(poc 2, displayed between them):
+    # L0-only copies the past, L1-only the future, BI averages (incl.
+    # sub-pel MVs in both lists), an intra refresh inside B, and a B
+    # MB carrying luma+chroma residuals over the averaged prediction
+    mbs = [
+        [("pcm", "grad", 110), ("pcm", "grad", 111), ("pcm", "rampx")],
+        [("pcm", "rampy"), ("pcm", "grad", 112), ("pcm", "grad", 113)],
+    ]
+    bframe = [
+        [
+            ("b16", "L0", (0, 0)),
+            ("b16", "L1", (0, 0)),
+            ("b16", "BI", ((0, 0), (0, 0))),
+        ],
+        [
+            ("b16", "BI", ((-5, 3), (7, -2))),
+            ("i16", 2, 0, dc((0, 2))),
+            ("b16", "L0", (2, 2), {0: [2, -1] + [0] * 14}, 2,
+             (1, [1, 0, 0, 0], [0, 0, -1, 0])),
+        ],
+    ]
+    fixtures.append(
+        {
+            "name": "b_bidir.mp4", "w": 48, "h": 32, "mbs": mbs,
+            "seq": [("P", [[("p16", (-8, -4))] * 3] * 2), ("B", bframe)],
+        }
+    )
+
+    # a longer I P B P B chain: the second B's POC window is {4, 8},
+    # so the IDR must already be evicted from the two-deep sliding
+    # DPB - decode order differs from display order throughout
+    mbs = [[("pcm", "grad", 120), ("pcm", "grad", 121)]]
+    fixtures.append(
+        {
+            "name": "b_chain.mp4", "w": 32, "h": 16, "mbs": mbs,
+            "seq": [
+                ("P", [[("p16", (4, 0)), ("p16", (4, 0))]]),
+                ("B", [[("b16", "BI", ((0, 0), (0, 0))),
+                        ("b16", "L1", (1, 1))]]),
+                ("P", [[("p16", (0, 6)), ("p16", (-2, 0))]]),
+                ("B", [[("b16", "L0", (0, 0)),
+                        ("b16", "BI", ((2, 3), (-3, -2)))]]),
+            ],
+        }
+    )
+
     return fixtures
 
 
@@ -3209,13 +3574,34 @@ def build_fixture_mp4(spec: dict) -> bytes:
     for j, fm in enumerate(spec.get("p_frames", [])):
         samples.append([make_p_slice_nal(fm, frame_num=base + j)])
     base += len(spec.get("p_frames", []))
+    # seq POC policy: the IDR is POC 0, every seq reference (I/P)
+    # advances by 4, and a B sits at the previous reference's POC - 2
+    # (between the two most recent references). B-bearing fixtures
+    # must use mbs+seq only, so earlier frames' header POCs (always 0
+    # for extra_frames) cannot confuse the decoder's list derivation.
+    if any(k == "B" for k, _ in spec.get("seq", [])) and (
+        spec.get("extra_frames") or spec.get("p_frames")
+        or spec.get("n_frames", 1) != 1
+    ):
+        raise H264Error("B seq fixtures must carry mbs + seq only")
+    ref_poc = 0
     for j, (kind, fm) in enumerate(spec.get("seq", [])):
         if kind == "I":
+            ref_poc += 4
             samples.append(
-                [make_i_slice_nal(fm, idr=False, frame_num=base + j)]
+                [make_i_slice_nal(fm, idr=False, frame_num=base + j,
+                                  poc=ref_poc)]
+            )
+        elif kind == "P":
+            ref_poc += 4
+            samples.append(
+                [make_p_slice_nal(fm, frame_num=base + j, poc=ref_poc)]
             )
         else:
-            samples.append([make_p_slice_nal(fm, frame_num=base + j)])
+            samples.append(
+                [make_b_slice_nal(fm, frame_num=base + j,
+                                  poc=ref_poc - 2)]
+            )
     return make_avc_stream_mp4(
         sps,
         samples,
@@ -3235,7 +3621,7 @@ def _stage_frame_store(root: str) -> None:
 
 _SCHEMA = (
     "video_name string, width int, height int, n_mbs int, n_pcm int, "
-    "n_i16 int, n_i4 int, n_p16 int, n_skip int, "
+    "n_i16 int, n_i4 int, n_p16 int, n_skip int, n_b16 int, "
     "luma_sum bigint, luma_crc32 bigint, "
     "cb_crc32 bigint, cr_crc32 bigint, "
     "px_tl int, px_tr int, px_bl int, px_br int, "
@@ -3257,6 +3643,7 @@ def _plane_row(
         "n_i4": stats["n_i4"],
         "n_p16": stats.get("n_p16", 0),
         "n_skip": stats.get("n_skip", 0),
+        "n_b16": stats.get("n_b16", 0),
         "luma_sum": int(luma.astype(np.int64).sum()),
         "luma_crc32": int(zlib.crc32(luma.tobytes())),
         "cb_crc32": int(zlib.crc32(cb.tobytes())),
@@ -3278,6 +3665,7 @@ def _video_row(name: str, frames: "list[dict]") -> dict:
     row = _plane_row(name, f0["luma"], f0["cb"], f0["cr"], f0)
     row["n_p16"] = sum(f.get("n_p16", 0) for f in frames)
     row["n_skip"] = sum(f.get("n_skip", 0) for f in frames)
+    row["n_b16"] = sum(f.get("n_b16", 0) for f in frames)
     row["n_frames"] = len(frames)
     row["frames_luma_crc32"] = int(
         zlib.crc32(b"".join(f["luma"].tobytes() for f in frames))
@@ -3353,6 +3741,10 @@ def _frames_oracle() -> str:
             1 for kind, g in grids if kind == "P"
             for row in g for d in row if d[0] == "skip"
         )
+        want["n_b16"] = sum(
+            1 for kind, g in grids if kind == "B"
+            for row in g for d in row if d[0] == "b16"
+        )
         want["n_frames"] = len(sim_frames)
         want["frames_luma_crc32"] = int(
             zlib.crc32(b"".join(lu.tobytes() for lu, _, _ in cropped))
@@ -3374,7 +3766,7 @@ def _frames_oracle() -> str:
             # sentinel row that cannot match any decoder output.
             rows.append(
                 f"('{spec['name']}:DECODER_SIMULATOR_DISAGREE', "
-                + ", ".join(["-1"] * 19) + ")"
+                + ", ".join(["-1"] * 20) + ")"
             )
             continue
         rows.append(
@@ -3387,7 +3779,7 @@ def _frames_oracle() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(video_name, width, height, n_mbs, n_pcm, n_i16, n_i4, "
-        "n_p16, n_skip, luma_sum, luma_crc32, cb_crc32, cr_crc32, "
+        "n_p16, n_skip, n_b16, luma_sum, luma_crc32, cb_crc32, cr_crc32, "
         "px_tl, px_tr, px_bl, px_br, n_frames, frames_luma_crc32, "
         "frames_chroma_crc32)"
     )

@@ -178,12 +178,24 @@ def test_unsupported_seams_raise_decode_error():
     with pytest.raises(H264DecodeError, match="reference"):
         decode_first_i_frame(payload)
 
-    # B slice: a true remaining seam
+    # B slice as the FIRST access unit: decodes for real since the
+    # r11 ninth pass, but needs a past AND a future reference
     w = _BitWriter()
     w.ue(0); w.ue(6); w.ue(0)  # slice_type 6 = B
+    w.u(0, 8); w.u(2, 8)  # frame_num, poc lsb
+    w.u(1, 1); w.u(0, 3)  # direct flag, override/modification flags
+    w.se(0)  # slice_qp_delta
+    nal = bytes([0x01]) + _ebsp(w.rbsp())
+    payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
+    with pytest.raises(H264DecodeError, match="reference pair"):
+        decode_first_i_frame(payload)
+
+    # SP slice: a true remaining seam
+    w = _BitWriter()
+    w.ue(0); w.ue(8); w.ue(0)  # slice_type 8 = SP
     nal = bytes([0x41]) + _ebsp(w.rbsp())
     payload = make_avc_stream_mp4(sps, [[nal]], 16, 16)
-    with pytest.raises(H264DecodeError, match="B/SP/SI"):
+    with pytest.raises(H264DecodeError, match="SP/SI"):
         decode_first_i_frame(payload)
 
     # chroma PLANE prediction (intra_chroma_pred_mode 3) - the one

@@ -343,3 +343,95 @@ def test_p_after_nonidr_i_uses_latest_reference():
     assert len(frames) == 3
     assert np.array_equal(frames[2]["luma"], frames[1]["luma"])
     assert not np.array_equal(frames[2]["luma"], frames[0]["luma"])
+
+
+# --- B slices -------------------------------------------------------------
+
+
+def test_b_fuzz_random_streams_match_simulator():
+    """Random I-P-B-P-B streams: every list selection (L0/L1/BI),
+    random sub-pel MVs in both lists, sparse residuals on B MBs - the
+    bit-level decode must equal the independent simulator, and the
+    second B must resolve its POC window against the slid DPB."""
+    rng = np.random.default_rng(31)
+    for trial in range(4):
+        mb_w, mb_h = int(rng.integers(2, 4)), int(rng.integers(1, 3))
+        idr = [
+            [("pcm", "grad", int(rng.integers(0, 50)))
+             for _ in range(mb_w)]
+            for _ in range(mb_h)
+        ]
+
+        def p_grid():
+            return [
+                [("p16", (int(rng.integers(-16, 17)),
+                          int(rng.integers(-16, 17))))
+                 for _ in range(mb_w)]
+                for _ in range(mb_h)
+            ]
+
+        def b_grid():
+            rows = []
+            for _ in range(mb_h):
+                row = []
+                for _ in range(mb_w):
+                    sel = ("L0", "L1", "BI")[int(rng.integers(3))]
+                    def mv():
+                        return (int(rng.integers(-16, 17)),
+                                int(rng.integers(-16, 17)))
+                    row.append(
+                        ("b16", sel, (mv(), mv()) if sel == "BI" else mv())
+                    )
+                rows.append(row)
+            return rows
+
+        spec = {
+            "name": f"bfuzz{trial}.mp4", "w": mb_w * 16, "h": mb_h * 16,
+            "mbs": idr,
+            "seq": [("P", p_grid()), ("B", b_grid()),
+                    ("P", p_grid()), ("B", b_grid())],
+        }
+        frames = decode_frames(build_fixture_mp4(spec))
+        sims = simulate_stream(spec)
+        assert len(frames) == 5
+        for i, (f, (lu, cbp, crp)) in enumerate(zip(frames, sims)):
+            assert np.array_equal(f["luma"], lu), (trial, i)
+            assert np.array_equal(f["cb"], cbp), (trial, i)
+            assert np.array_equal(f["cr"], crp), (trial, i)
+
+
+def test_b_frames_are_not_references():
+    """A P frame AFTER a B frame must reference the last I/P picture,
+    not the B (nal_ref_idc 0 keeps B out of the DPB)."""
+    spec = {
+        "name": "bref.mp4", "w": 16, "h": 16,
+        "mbs": [[("pcm", "grad", 7)]],
+        "seq": [
+            ("P", [[("p16", (0, 0), {0: [4] + [0] * 15}, 2)]]),
+            ("B", [[("b16", "L0", (0, 0))]]),  # copies the IDR
+            ("P", [[("p16", (0, 0))]]),  # zero-MV copy of... which?
+        ],
+    }
+    frames = decode_frames(build_fixture_mp4(spec))
+    # frame 3 copies frame 1 (the last REFERENCE), not frame 2 (the B)
+    assert np.array_equal(frames[3]["luma"], frames[1]["luma"])
+    assert not np.array_equal(frames[3]["luma"], frames[2]["luma"])
+
+
+def test_bi_average_is_rounded_mean():
+    """§8.4.2.3 default bi-prediction: a BI MB with zero MVs over two
+    constant references lands at the rounded mean."""
+    spec = {
+        "name": "bavg.mp4", "w": 16, "h": 16,
+        "mbs": [[("pcm", "zeros")]],  # luma 0
+        "seq": [
+            # future ref: +35 uniform via the lone-DC residual at QP 28
+            ("P", [[("p16", (0, 0), {k: [9] + [0] * 15
+                                     for k in range(16)}, 2)]]),
+            ("B", [[("b16", "BI", ((0, 0), (0, 0)))]]),
+        ],
+    }
+    frames = decode_frames(build_fixture_mp4(spec))
+    past = frames[0]["luma"].astype(int)
+    future = frames[1]["luma"].astype(int)
+    assert (frames[2]["luma"] == ((past + future + 1) >> 1)).all()
