@@ -80,6 +80,15 @@ Training-data-pipeline extensions (BASELINE.json north star):
                       single Window-node plan; §2.6 extension)
   multimodal          multimodal_meta (mapInPandas decode plumbing)
                       frame_sample (strided binary frame extraction)
+  perceptual dedup    image_phash_dedup (dHash over real PNG/BMP
+                      decode) audio_fingerprint_dedup (AFP64 over the
+                      WAV surface) video_phash_dedup (last-frame
+                      dHash through the bit-level H.264 I+P decoder)
+                      - one shared banded-Hamming-LSH pair join,
+                      scalar-twin oracles (r11)
+  video temporal      video_scene_cuts (shot-boundary census:
+                      consecutive-frame dHash over decoded I/P
+                      streams, r11)
   data prep           doc_chunking (overlapping token windows, pure
                       generate - no shuffle)
                       pii_redaction (URL/email/phone regexp chain,
