@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .audio import _EXT_GUID_SUFFIX, wav_pcm
+from .flac import flac_pcm, make_flac
 from .phash import hamming_lsh_pairs
 
 #: fingerprint geometry: 17 frames x 64 samples, 4 lag features ->
@@ -136,10 +137,10 @@ def _heavy(fn: SampleFn) -> SampleFn:
 
 def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
     """(file name, sample formula, encoder key). Encoders span the
-    WAV decode surface - plain 16-bit PCM, 24-bit PCM,
-    WAVE_FORMAT_EXTENSIBLE, IEEE float32, G.711 a-law - so the entry
-    re-verifies five decode paths end-to-end through the
-    fingerprint."""
+    audio decode surface - plain 16-bit PCM, 24-bit PCM,
+    WAVE_FORMAT_EXTENSIBLE, IEEE float32, G.711 a-law, and a FLAC
+    transcode - so the entry re-verifies six decode paths end-to-end
+    through the fingerprint."""
     return [
         ("s1_base.wav", _sig_a, "pcm16"),
         ("s2_gain2.wav", _gain(_sig_a, 2), "pcm16"),
@@ -147,6 +148,10 @@ def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
         ("s4_ext.wav", _sig_a, "ext16"),
         ("s5_splice.wav", _splice(_sig_a), "pcm16"),
         ("s6_heavy.wav", _heavy(_sig_a), "pcm16"),
+        # lossless transcode AND re-gain in one: the FLAC encoder/
+        # decoder pair carries the doubled samples bit-exactly, so
+        # the fingerprint matches the whole s* family at Hamming 0
+        ("s7_flac_gain.flac", _gain(_sig_a, 2), "flac"),
         ("t1_base.wav", _sig_b, "pcm16"),
         ("t2_loud_hires.wav", _gain(_sig_b, 3), "pcm24"),
         ("u1_float.wav", _sig_c, "f32"),
@@ -192,6 +197,10 @@ def _encode(fn: SampleFn, enc: str) -> bytes:
     if enc == "alaw":
         fmt = struct.pack("<HHIIHH", 6, 1, RATE, RATE, 1, 8)
         return _riff(fmt, bytes(vals), True, N_SAMPLES)
+    if enc == "flac":
+        return make_flac(
+            np.array(vals, dtype=np.int64).reshape(-1, 1), rate=RATE
+        )
     raise ValueError(f"unknown encoder {enc}")
 
 
@@ -299,7 +308,11 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
             for pdf in batches:
                 names, fps = [], []
                 for name, payload in zip(pdf["clip_name"], pdf["payload"]):
-                    pcm = wav_pcm(bytes(payload))[:, 0]
+                    raw = bytes(payload)
+                    pcm = (
+                        flac_pcm(raw) if raw[:4] == b"fLaC"
+                        else wav_pcm(raw)
+                    )[:, 0]
                     names.append(name)
                     fps.append(afp64(pcm))
                 yield pd.DataFrame(

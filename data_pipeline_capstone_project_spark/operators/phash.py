@@ -72,6 +72,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .gif import gif_frames, make_gif
 from .images import make_bmp, make_bmp_indexed, make_png, png_pixels
 from .images import bmp_pixels
 
@@ -164,6 +165,7 @@ def _fixture_specs() -> list[tuple[str, PixelFn, str]]:
         ("b2_bright.bmp", _bright(_pat_b), "bmp24"),
         ("c1_checker.png", _checker, "png_gray"),
         ("c2_checker_inv.png", _checker_inv, "png_gray"),
+        ("c3_gifcopy.gif", _checker, "gif"),  # lossless GIF re-encode
         ("r1_radial.bmp", _radial, "bmp_rle8"),
         ("r2_radial_bright.bmp", _bright(_radial), "bmp24"),
     ]
@@ -191,6 +193,11 @@ def _encode(fn: PixelFn, enc: str) -> bytes:
     if enc == "bmp_rle8":
         palette = [(i, i, i) for i in range(256)]
         return make_bmp_indexed(px[..., 0], palette, rle=True, bpp=8)
+    if enc == "gif":
+        # palette-exact: grayscale formulas index a 256-gray table,
+        # so the LZW round trip is lossless
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+        return make_gif(PH_W, PH_H, pal, [{"idx": px[..., 0]}])
     raise ValueError(f"unknown encoder {enc}")
 
 
@@ -334,7 +341,11 @@ def image_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names, hashes = [], []
                 for name, payload in zip(pdf["img_name"], pdf["payload"]):
                     raw = bytes(payload)
-                    px = bmp_pixels(raw) if raw[:2] == b"BM" else png_pixels(raw)
+                    px = (
+                        bmp_pixels(raw) if raw[:2] == b"BM"
+                        else gif_frames(raw)[0]["rgb"] if raw[:3] == b"GIF"
+                        else png_pixels(raw)
+                    )
                     names.append(name)
                     hashes.append(dhash64(px))
                 yield pd.DataFrame(

@@ -33,9 +33,13 @@ def test_twins_agree_on_every_fixture():
     """numpy-from-decoded-bytes == pure-python-from-formula, across
     all five encode paths (pcm16, pcm24, extensible, float32,
     a-law)."""
+    from data_pipeline_capstone_project_spark.operators.flac import (
+        flac_pcm,
+    )
+
     for name, fn, enc in _fixture_specs():
         raw = _encode(fn, enc)
-        pcm = wav_pcm(raw)[:, 0]
+        pcm = (flac_pcm(raw) if raw[:4] == b"fLaC" else wav_pcm(raw))[:, 0]
         assert afp64(pcm) == _signed(_scalar_fp(name, fn, enc)), name
 
 

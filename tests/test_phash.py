@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from data_pipeline_capstone_project_spark.operators.gif import gif_frames
 from data_pipeline_capstone_project_spark.operators.images import (
     bmp_pixels,
     png_pixels,
@@ -33,7 +34,11 @@ def test_twins_agree_on_every_fixture():
     RLE8 BMP)."""
     for name, fn, enc in _fixture_specs():
         raw = _encode(fn, enc)
-        px = bmp_pixels(raw) if raw[:2] == b"BM" else png_pixels(raw)
+        px = (
+            bmp_pixels(raw) if raw[:2] == b"BM"
+            else gif_frames(raw)[0]["rgb"] if raw[:3] == b"GIF"
+            else png_pixels(raw)
+        )
         assert dhash64(px) == _signed(_dhash_scalar(fn)), name
 
 
@@ -70,7 +75,10 @@ def test_oracle_has_every_verdict_class():
     assert ", 0, true)" in sql  # exact / brightness / format dups
     assert ", 3, true)" in sql  # the spot near-dup
     assert "false)" in sql  # band-sharing pair rejected by verify
-    assert "checker" not in sql  # inverse checker never a candidate
+    # the inverse checker never pairs with ANYTHING; the GIF re-encode
+    # of the same checker pairs with the original at Hamming 0
+    assert "c2_checker_inv" not in sql
+    assert "('c1_checker.png', 'c3_gifcopy.gif', 0, true)" in sql
 
 
 def test_end_to_end_matches_oracle(spark, sf_dir):
