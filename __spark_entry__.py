@@ -54,4 +54,21 @@ def oracle_sql() -> dict[str, str]:
     # A registry value may be a zero-arg callable (an oracle too
     # expensive to build at import time - e.g. h264_frames encodes and
     # bit-decodes its whole fixture family); resolve those here.
-    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
+    # ADVICE r11: contain a builder failure (fixture drift raising in
+    # its fixture_check invariants) to the ONE entry it belongs to - a
+    # never-matching sentinel row fails that entry's hash compare
+    # loudly while the other 200+ oracles still resolve.
+    out: dict[str, str] = {}
+    for k, v in ORACLES.items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception as exc:
+                msg = str(exc).replace("'", "''")[:200]
+                out[k] = (
+                    "SELECT 'ORACLE_BUILD_FAILED' AS oracle_error, "
+                    f"'{msg}' AS detail"
+                )
+        else:
+            out[k] = v
+    return out

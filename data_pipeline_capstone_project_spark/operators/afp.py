@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 
 from .audio import _EXT_GUID_SUFFIX, wav_pcm
 from .flac import flac_pcm, make_flac
-from .phash import hamming_lsh_pairs
+from .phash import fixture_check, hamming_lsh_pairs
 
 #: fingerprint geometry: 17 frames x 64 samples, 4 lag features ->
 #: 16 frame-pairs x 4 lags = 64 bits
@@ -295,7 +295,13 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
     ``mapInPandas`` pass, then find near-duplicates with a banded
     Hamming LSH join and a JVM-side ``bit_count`` verify. Output: one
     row per band-sharing candidate pair - ``clip_a < clip_b``, the
-    exact Hamming distance, and the ``dup`` verdict at threshold 10."""
+    exact Hamming distance, and the ``dup`` verdict at threshold 10.
+
+    Cluster note (ADVICE r11): the fixture store is staged in a
+    driver-local temp dir, fine on ``local[*]``/shared-FS; on a real
+    multi-node cluster the ``binaryFile`` load path must be
+    executor-visible (object store / NFS), as with all staged-store
+    entries in this repo."""
     work = tempfile.mkdtemp(prefix="afp_store_")
     try:
         _stage_afp_store(work)
@@ -375,10 +381,13 @@ def audio_fingerprint_oracle() -> str:
             seen_nondup_cand += 1
         rows.append((na, nb, ham, dup))
 
-    assert seen_h0 >= 4, "need gain/bit-depth/container dup pairs at Hamming 0"
-    assert seen_near >= 1, "need a 1..T near-dup pair (the splice variant)"
-    assert seen_nondup_cand >= 1, (
-        "need a band-sharing pair the verify stage rejects (heavy edit)"
+    fixture_check(
+        seen_h0 >= 4, "need gain/bit-depth/container dup pairs at Hamming 0"
+    )
+    fixture_check(seen_near >= 1, "need a 1..T near-dup pair (the splice variant)")
+    fixture_check(
+        seen_nondup_cand >= 1,
+        "need a band-sharing pair the verify stage rejects (heavy edit)",
     )
     # no degenerate all-clips band (the documented production skew risk)
     from collections import Counter
@@ -386,8 +395,9 @@ def audio_fingerprint_oracle() -> str:
     band_freq = Counter(
         (i, bv) for h in uhash.values() for i, bv in enumerate(_bands_of(h))
     )
-    assert band_freq.most_common(1)[0][1] < len(names), (
-        "a single band value covers the whole corpus - fixtures degenerate"
+    fixture_check(
+        band_freq.most_common(1)[0][1] < len(names),
+        "a single band value covers the whole corpus - fixtures degenerate",
     )
 
     literals = ", ".join(

@@ -30,6 +30,8 @@ re-hashing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1357,7 +1359,9 @@ FROM counts
 # --- prefix-filtered exact similarity self-join (AllPairs/PPJoin) ----------
 
 
-def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(
+    sh: DataFrame, threshold: float, check_budget: bool = False
+) -> DataFrame:
     """The bounded candidate stage of the AllPairs/PPJoin self-join:
     ``(doc_a, doc_b)`` rows (possibly duplicated - see below) that
     survive the prefix, length, and positional filters for Jaccard
@@ -1432,6 +1436,8 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
             F.transform(F.slice("ss", F.lit(1), plen), lambda st: st["s"])
         ).alias("p", "s"),
     )
+    if check_budget:
+        _check_candidate_budget(pre, threshold)
     ca = pre.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
@@ -1522,15 +1528,71 @@ def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prefix_filtered_pairs(spark, sf_dir, JACCARD_THRESHOLD)
 
 
+class CandidateBudgetError(RuntimeError):
+    """Raised when a quadratic exact-pair diagnostic would schedule a
+    candidate join larger than its budget (VERDICT r11 item 2). The
+    message carries the exact pre-filter candidate bound, the budget,
+    and the hottest prefix shingles so the operator of a 100x run
+    sees WHY the corpus saturates instead of an OOM hours later."""
+
+
+#: Hard cap on the candidate stage of the exact-pair diagnostics
+#: (``similarity_join_exact``, ``dedup_threshold_sweep*``). The
+#: measured corpus curve (tools/scale_bench_results.json r11):
+#: sf0.1 = 1.3e5 @ t=0.7, sf1 = 1.9e7, sf2 = 8.0e7, sf5 = 5.2e8 @0.7
+#: / 1.18e9 @0.3 - so the default refuses the sf5-class runs that
+#: took 429 s wall while letting every bench/gate scale through.
+#: Raise deliberately via SPARK_GRAFT_CANDIDATE_BUDGET for an audit.
+CANDIDATE_BUDGET_DEFAULT = 100_000_000
+
+
+def _check_candidate_budget(pre: DataFrame, threshold: float) -> None:
+    """Budget guard for the quadratic diagnostics: before the
+    candidate equi-join is scheduled, bound its output EXACTLY with
+    one linear, map-combinable aggregation over the prefix postings -
+    for a shingle in ``pdf`` prefixes the join emits C(pdf, 2) rows,
+    so ``sum_s C(pdf_s, 2)`` is a hard upper bound on candidates
+    (length/positional filters only shrink it). Costs one extra pass
+    over the (already shingled, checkpointed) prefix relation -
+    linear where the join it guards is quadratic. One driver-side
+    1-row pull, same bounded-pull convention as bpe/unigram."""
+    budget = int(
+        os.environ.get("SPARK_GRAFT_CANDIDATE_BUDGET", CANDIDATE_BUDGET_DEFAULT)
+    )
+    pdf = pre.groupBy("s").agg(F.count(F.lit(1)).alias("pdf"))
+    est_row = pdf.select(
+        F.sum(F.col("pdf") * (F.col("pdf") - 1) / 2).alias("est"),
+        F.max("pdf").alias("hottest_pdf"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    ).first()
+    est = int(est_row["est"] or 0)
+    if est > budget:
+        raise CandidateBudgetError(
+            f"exact-pair candidate stage at t={threshold} would emit "
+            f"up to {est:,} candidate rows (budget "
+            f"{budget:,}; hottest prefix shingle appears in "
+            f"{est_row['hottest_pdf']:,} of {est_row['n_shingles']:,} "
+            "prefix postings). This entry is a bounded-corpus "
+            "diagnostic (scale_class=diagnostic-quadratic); use the "
+            "banded-LSH family (dedup_minhash_lsh / semantic_dedup) "
+            "at this scale, or raise SPARK_GRAFT_CANDIDATE_BUDGET "
+            "deliberately for an audit run."
+        )
+
+
 def _prefix_filtered_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """All doc pairs with exact 3-gram Jaccard >= ``threshold`` via
     AllPairs/PPJoin prefix filtering - the shared bounded candidate
     path behind ``similarity_join_exact`` (t = JACCARD_THRESHOLD) and
-    ``dedup_threshold_sweep`` (t = the sweep's lowest cutoff)."""
+    ``dedup_threshold_sweep`` (t = the sweep's lowest cutoff).
+
+    Guarded: refuses to schedule a candidate join whose exact linear
+    upper bound exceeds the candidate budget (VERDICT r11 item 2) -
+    see :func:`_check_candidate_budget`."""
     sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    cands = _prefix_candidates(sh, threshold)
+    cands = _prefix_candidates(sh, threshold, check_budget=True)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     common = F.size(F.array_intersect("shs_a", "shs_b"))

@@ -396,16 +396,19 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def _minimal_pps() -> bytes:
+def _minimal_pps(entropy_coding: int = 0) -> bytes:
     """Minimal well-formed PPS NAL (§7.3.2.2): pps_id=0, sps_id=0,
-    CAVLC, one slice group, ref idx 0/0, all flags/deltas 0. The
-    I-slice decoder in :mod:`operators.h264_decode` consumes the
+    CAVLC (or CABAC with ``entropy_coding=1`` - used by the
+    entropy-mode classification fixtures; the pixel decoder rejects
+    it as a seam), one slice group, ref idx 0/0, all flags/deltas 0.
+    The I-slice decoder in :mod:`operators.h264_decode` consumes the
     values this encodes (qp offsets, deblocking/constrained-intra
     flags)."""
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
-    w.u(0, 2)  # entropy_coding_mode_flag, bottom_field_pic_order...
+    w.u(entropy_coding & 1, 1)  # entropy_coding_mode_flag (§9: CABAC)
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
@@ -419,6 +422,40 @@ def _minimal_pps() -> bytes:
     # avcC only; the r8 slice decoder parses it for real)
     w.u(0, 3)
     return bytes([0x68]) + _ebsp(w.rbsp())
+
+
+def parse_pps(nal: bytes) -> dict:
+    """PPS NAL -> the §7.3.2.2 fields up to the trailing flag triple.
+    The one consumer-critical field is ``entropy_coding_mode_flag``
+    (CAVLC=0 / CABAC=1): real-world High-profile files (the Instagram
+    ``.mp4``s the reference stores, s3-to-es_aws.py:101-122) are
+    overwhelmingly CABAC, which the pixel decoder must REJECT cleanly
+    rather than mis-parse as CAVLC bits (VERDICT r11 item 4). FMO
+    (num_slice_groups > 1) raises - no fixture nor the decoder
+    supports slice groups."""
+    if (nal[0] & 0x1F) != 8:
+        raise H264Error(f"not a PPS NAL (type {nal[0] & 0x1F})")
+    r = _BitReader(_rbsp(nal[1:]))
+    out = {
+        "pps_id": r.ue(),
+        "sps_id": r.ue(),
+        "entropy_coding_mode_flag": r.u(1),
+        "bottom_field_pic_order_present": r.u(1),
+    }
+    n_groups = r.ue() + 1
+    if n_groups != 1:
+        raise H264Error(f"FMO slice groups unsupported ({n_groups})")
+    out["num_ref_idx_l0_default"] = r.ue() + 1
+    out["num_ref_idx_l1_default"] = r.ue() + 1
+    out["weighted_pred_flag"] = r.u(1)
+    out["weighted_bipred_idc"] = r.u(2)
+    out["pic_init_qp"] = 26 + r.se()
+    out["pic_init_qs"] = 26 + r.se()
+    out["chroma_qp_index_offset"] = r.se()
+    out["deblocking_filter_control_present_flag"] = r.u(1)
+    out["constrained_intra_pred_flag"] = r.u(1)
+    out["redundant_pic_cnt_present_flag"] = r.u(1)
+    return out
 
 
 # --- avcC (AVCDecoderConfigurationRecord) ------------------------------------
@@ -492,13 +529,21 @@ def parse_avcc(buf: bytes) -> dict:
 
 
 def make_avc_mp4(sps_nal: bytes, coded_w: int, coded_h: int,
-                 fourcc: bytes = b"avc1", include_sps: bool = True) -> bytes:
+                 fourcc: bytes = b"avc1", include_sps: bool = True,
+                 pps_nal: "bytes | None" = None) -> bytes:
     """Minimal ISO BMFF with an AVC video track: ftyp + moov(mvhd,
     trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd(avc1(avcC))))))) +
     empty mdat. ``include_sps=False`` models the ``avc3`` in-band
-    parameter-set layout (empty SPS list in avcC)."""
-    avcc = make_avcc([sps_nal] if include_sps else [],
-                     pps_nals=None if include_sps else [])
+    parameter-set layout (empty SPS list in avcC); ``pps_nal``
+    overrides the default CAVLC `_minimal_pps` (the CABAC
+    classification fixture injects an entropy_coding=1 PPS)."""
+    avcc = make_avcc(
+        [sps_nal] if include_sps else [],
+        pps_nals=(
+            [pps_nal] if pps_nal is not None
+            else None if include_sps else []
+        ),
+    )
     # VisualSampleEntry fixed fields (14496-12 §12.1.3.2): 78 bytes.
     entry = (
         b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
@@ -601,6 +646,15 @@ def h264_meta(payload: bytes) -> dict:
         "nal_length_size": rec["nal_length_size"],
         "n_sps": len(rec["sps"]),
         "n_pps": len(rec["pps"]),
+        # CAVLC/CABAC classification (VERDICT r11 item 4): the meta
+        # path must tell a curation pipeline which files the pixel
+        # path can decode (CAVLC) vs which hit the CABAC seam - None
+        # for in-band (avc3) files that ship no PPS in avcC.
+        "entropy_coding": (
+            ("cabac" if parse_pps(rec["pps"][0])["entropy_coding_mode_flag"]
+             else "cavlc")
+            if rec["pps"] else None
+        ),
     }
     if not rec["sps"]:
         return {
@@ -653,16 +707,24 @@ def _h264_fixtures() -> list[tuple[str, bytes, dict]]:
     fx: list[tuple[str, bytes, dict]] = []
 
     def add(name: str, sps: bytes, w: int, h: int, expect: dict,
-            fourcc: bytes = b"avc1", include_sps: bool = True) -> None:
+            fourcc: bytes = b"avc1", include_sps: bool = True,
+            pps_nal: "bytes | None" = None) -> None:
         full = {
             "codec": fourcc.decode(), "nal_length_size": 4,
             "n_sps": 1 if include_sps else 0,
             "n_pps": 1 if include_sps else 0,
             "interlaced": False, "max_num_ref_frames": 1,
             "chroma_format_idc": 1, "bit_depth": 8, "note": "ok",
+            "entropy_coding": (
+                "cavlc" if include_sps or pps_nal is not None else None
+            ),
             **expect,
         }
-        fx.append((name, make_avc_mp4(sps, w, h, fourcc, include_sps), full))
+        fx.append((
+            name,
+            make_avc_mp4(sps, w, h, fourcc, include_sps, pps_nal=pps_nal),
+            full,
+        ))
 
     add("baseline_640x360.mp4", make_sps(640, 360, 66, 30), 640, 368,
         {"profile": "baseline", "level_idc": 30, "width": 640,
@@ -703,12 +765,23 @@ def _h264_fixtures() -> list[tuple[str, bytes, dict]]:
         make_sps(320, 240, 77, 21, pic_order_cnt_type=1,
                  poc_cycle_offsets=(16384,) * 4), 320, 240,
         {"profile": "main", "level_idc": 21, "width": 320, "height": 240})
+    # CABAC classification fixture (VERDICT r11 item 4): a High
+    # profile file with entropy_coding_mode_flag=1 - the shape of a
+    # real Instagram-style .mp4. The meta path classifies it; the
+    # pixel path (decode_frames) must REJECT it with the seam message,
+    # never mis-decode its bits as CAVLC.
+    add("cabac_high_1280x720.mp4",
+        make_sps(1280, 720, 100, 31, max_num_ref_frames=4), 1280, 720,
+        {"profile": "high", "level_idc": 31, "width": 1280,
+         "height": 720, "max_num_ref_frames": 4,
+         "entropy_coding": "cabac"},
+        pps_nal=_minimal_pps(entropy_coding=1))
     add("inband_avc3.mp4",
         make_sps(16, 16, 66, 10), 16, 16,
         {"profile": "baseline", "level_idc": 30, "width": None,
          "height": None, "chroma_format_idc": None, "bit_depth": None,
          "interlaced": None, "max_num_ref_frames": None,
-         "note": "no-sps-in-avcC"},
+         "entropy_coding": None, "note": "no-sps-in-avcC"},
         fourcc=b"avc3", include_sps=False)
     return fx
 
@@ -722,7 +795,8 @@ def _stage_h264_store(root: str) -> None:
 _SCHEMA = (
     "video_name string, codec string, profile string, level_idc int, "
     "chroma_format_idc int, bit_depth int, width int, height int, "
-    "interlaced boolean, ref_frames int, nal_length_size int, note string"
+    "interlaced boolean, ref_frames int, nal_length_size int, "
+    "entropy_coding string, note string"
 )
 
 
@@ -756,6 +830,7 @@ def h264_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "interlaced": m["interlaced"],
                             "ref_frames": m["max_num_ref_frames"],
                             "nal_length_size": m["nal_length_size"],
+                            "entropy_coding": m["entropy_coding"],
                             "note": m["note"],
                         }
                     )
@@ -797,7 +872,7 @@ def _h264_oracle() -> str:
                     m["chroma_format_idc"], m["bit_depth"], m["width"],
                     m["height"], m["interlaced"],
                     m["max_num_ref_frames"], m["nal_length_size"],
-                    m["note"],
+                    m["entropy_coding"], m["note"],
                 )
             ) + ")"
         )
@@ -806,7 +881,7 @@ def _h264_oracle() -> str:
         + ", ".join(rows)
         + ") AS t(video_name, codec, profile, level_idc, chroma_format_idc, "
         "bit_depth, width, height, interlaced, ref_frames, "
-        "nal_length_size, note)"
+        "nal_length_size, entropy_coding, note)"
     )
 
 

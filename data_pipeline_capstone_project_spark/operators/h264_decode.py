@@ -2269,6 +2269,20 @@ def decode_frames(payload: bytes) -> "list[dict]":
         raise H264Error("no avcC record")
     cfg = parse_avcc(avcc)
     sps = parse_sps(cfg["sps"][0])
+    # Entropy-mode dispatch (VERDICT r11 item 4): real-world High
+    # profile files are overwhelmingly CABAC; mis-reading a CABAC
+    # slice as CAVLC bits would "decode" garbage pixels with no
+    # signal. Classify from the PPS and refuse the seam honestly.
+    if cfg["pps"]:
+        from .h264 import parse_pps
+
+        if parse_pps(cfg["pps"][0])["entropy_coding_mode_flag"]:
+            raise NotImplementedError(
+                "CABAC entropy coding not supported: this decoder "
+                "implements CAVLC only (seam; h264_meta classifies "
+                "entropy_coding so a pipeline can route CABAC files "
+                "to an external decoder)"
+            )
     _, table = mp4_sample_table(payload)
     frames: list[dict] = []
     # sliding-window DPB: (poc, planes) of the last two REFERENCE

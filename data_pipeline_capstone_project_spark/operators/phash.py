@@ -89,6 +89,16 @@ HAMMING_T = 6
 PixelFn = Callable[[int, int], tuple[int, int, int]]
 
 
+def fixture_check(cond: bool, msg: str) -> None:
+    """Oracle-build-time fixture invariant (ADVICE r11): an explicit
+    raise, not ``assert``, so the check survives ``python -O`` and the
+    failure carries a ``fixture drift`` marker. ``oracle_sql()``
+    contains the raise to the one drifted entry via a never-matching
+    sentinel oracle instead of letting it kill registry resolution."""
+    if not cond:
+        raise ValueError(f"fixture drift: {msg}")
+
+
 # --- fixture pixel formulas (shared SPEC; the two hash twins never
 # share code past this point) -----------------------------------------
 
@@ -327,7 +337,12 @@ def image_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     then find near-duplicates with a banded Hamming LSH join and a
     JVM-side ``bit_count`` verify. Output: one row per band-sharing
     candidate pair - ``img_a < img_b``, the exact Hamming distance,
-    and the ``dup`` verdict at threshold 6."""
+    and the ``dup`` verdict at threshold 6.
+
+    Cluster note (ADVICE r11): the fixture store is staged in a
+    driver-local temp dir, fine on ``local[*]``/shared-FS; on a real
+    multi-node cluster the ``binaryFile`` load path must be
+    executor-visible (object store / NFS)."""
     work = tempfile.mkdtemp(prefix="phash_store_")
     try:
         _stage_phash_store(work)
@@ -397,23 +412,31 @@ def image_phash_oracle() -> str:
             seen_nondup_cand += 1
         rows.append((na, nb, ham, dup))
 
-    assert seen_h0 >= 3, "need exact/brightness/format dup pairs at Hamming 0"
-    assert seen_near >= 1, "need a 1..T near-dup pair (the spot variant)"
-    assert seen_nondup_cand >= 1, (
-        "need a band-sharing pair the verify stage rejects (heavy edit)"
+    fixture_check(
+        seen_h0 >= 3, "need exact/brightness/format dup pairs at Hamming 0"
+    )
+    fixture_check(seen_near >= 1, "need a 1..T near-dup pair (the spot variant)")
+    fixture_check(
+        seen_nondup_cand >= 1,
+        "need a band-sharing pair the verify stage rejects (heavy edit)",
     )
     # checker vs inverse must never even be a candidate (all bits flip)
-    assert not any(
-        {a_, b_} == {"c1_checker.png", "c2_checker_inv.png"} for a_, b_, *_ in rows
-    ), "inverted checkerboard shared a band - fixture drift"
+    fixture_check(
+        not any(
+            {a_, b_} == {"c1_checker.png", "c2_checker_inv.png"}
+            for a_, b_, *_ in rows
+        ),
+        "inverted checkerboard shared a band",
+    )
     # no degenerate all-images band (the documented production skew risk)
     from collections import Counter
 
     band_freq = Counter(
         (i, bv) for h in uhash.values() for i, bv in enumerate(_bands_of(h))
     )
-    assert band_freq.most_common(1)[0][1] < len(names), (
-        "a single band value covers the whole corpus - fixtures degenerate"
+    fixture_check(
+        band_freq.most_common(1)[0][1] < len(names),
+        "a single band value covers the whole corpus - fixtures degenerate",
     )
 
     literals = ", ".join(

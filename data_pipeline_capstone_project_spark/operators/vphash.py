@@ -73,6 +73,7 @@ from .phash import (
     _bands_of,
     _dhash_scalar,
     dhash64,
+    fixture_check,
     hamming_lsh_pairs,
 )
 
@@ -190,7 +191,12 @@ def video_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate videos with the shared banded Hamming LSH join.
     Output: one row per band-sharing candidate pair - ``vid_a <
     vid_b``, the exact Hamming distance, the ``dup`` verdict at
-    threshold 6."""
+    threshold 6.
+
+    Cluster note (ADVICE r11): the fixture store is staged in a
+    driver-local temp dir, fine on ``local[*]``/shared-FS; on a real
+    multi-node cluster the ``binaryFile`` load path must be
+    executor-visible (object store / NFS)."""
     work = tempfile.mkdtemp(prefix="vphash_store_")
     try:
         _stage_video_store(work)
@@ -260,10 +266,11 @@ def video_phash_oracle() -> str:
             seen_nondup_cand += 1
         rows.append((na, nb, ham, dup))
 
-    assert seen_h0 >= 3, "need remux + two codec-brightness dups at H=0"
-    assert seen_near >= 1, "need the one-block P-residual spot near-dup"
-    assert seen_nondup_cand >= 1, (
-        "need a band-sharing pair the verify stage rejects (heavy edit)"
+    fixture_check(seen_h0 >= 3, "need remux + two codec-brightness dups at H=0")
+    fixture_check(seen_near >= 1, "need the one-block P-residual spot near-dup")
+    fixture_check(
+        seen_nondup_cand >= 1,
+        "need a band-sharing pair the verify stage rejects (heavy edit)",
     )
 
     literals = ", ".join(
@@ -333,7 +340,10 @@ def video_scene_cuts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec-level invariances make this robust exactly where naive
     byte/CRC diffing is not: skip runs, uniform re-grades and
     one-cell edits stay below the budget, true content changes jump
-    over it."""
+    over it.
+
+    Cluster note (ADVICE r11): driver-local staged store; the load
+    path must be executor-visible on a real multi-node cluster."""
     work = tempfile.mkdtemp(prefix="vscene_store_")
     try:
         _stage_scene_store(work)
@@ -381,14 +391,21 @@ def video_scene_cuts_oracle() -> str:
         n_cuts, max_ham = _cut_stats(hashes)
         rows.append((spec["name"], len(frames), n_cuts, max_ham))
     by_name = {r[0]: r for r in rows}
-    assert by_name["m1_shotchange.mp4"][2] == 1, "one clean cut"
-    assert by_name["m2_static.mp4"] == ("m2_static.mp4", 1, 0, 0)
-    assert by_name["m3_jumpcut.mp4"][2] == 1, "heavy P edit is a cut"
-    assert by_name["m4_slideshow.mp4"][2] == 3, "A/B/A/B = 3 cuts"
-    assert by_name["m5_graded.mp4"][2] == 0, (
-        "codec-level grade + spot stay below the budget"
+    fixture_check(by_name["m1_shotchange.mp4"][2] == 1, "one clean cut")
+    fixture_check(
+        by_name["m2_static.mp4"] == ("m2_static.mp4", 1, 0, 0),
+        "static clip must census as one frame, zero cuts",
     )
-    assert 0 < by_name["m5_graded.mp4"][3] <= SCENE_T
+    fixture_check(by_name["m3_jumpcut.mp4"][2] == 1, "heavy P edit is a cut")
+    fixture_check(by_name["m4_slideshow.mp4"][2] == 3, "A/B/A/B = 3 cuts")
+    fixture_check(
+        by_name["m5_graded.mp4"][2] == 0,
+        "codec-level grade + spot stay below the budget",
+    )
+    fixture_check(
+        0 < by_name["m5_graded.mp4"][3] <= SCENE_T,
+        "graded clip max Hamming must sit in 1..SCENE_T",
+    )
 
     literals = ", ".join(
         f"('{n}', {nf}, {nc}, {mh})" for n, nf, nc, mh in rows

@@ -1291,3 +1291,82 @@ ORACLES = {
     "safe_arithmetic_suite": SAFE_ARITHMETIC_ORACLE_SQL,
     "window_navigation_suite": WINDOW_NAVIGATION_ORACLE_SQL,
 }
+
+
+# --- scale classes (VERDICT r11 item 2) -------------------------------------
+#
+# Machine-readable per-entry scaling behavior, so an orchestrator of a
+# 100x run can refuse to schedule the bounded-corpus diagnostics blind
+# (the sf5 measurement that motivated this: 1.18e9 candidates / 429 s
+# for dedup_threshold_sweep's t=0.3 candidate stage). Classes:
+#
+#   linear                one or more full passes whose shuffle keys are
+#                         bounded-fanout (aggs, equi-joins on foreign
+#                         keys, per-key windows); cost ~ input bytes.
+#                         Includes triangle_count (degree-oriented,
+#                         m^1.5 worst case but schedulable) and the
+#                         streaming entries, whose per-batch work is
+#                         bounded by batch size.
+#   lsh                   banding-bounded candidate generation; cost ~
+#                         input + sum of bucket sizes (hot-bucket bound
+#                         documented in operators/dedup.py).
+#   iterative             round-bounded fixpoint (CC, PageRank, BFS,
+#                         Lloyd); cost ~ rounds x linear pass.
+#   fixed-fixture         input is a staged codec-fixture store whose
+#                         size does not scale with sf_dir; the entry
+#                         pins decode conformance, not throughput.
+#   diagnostic-quadratic  exact-pair reporters whose candidate stage is
+#                         quadratic under vocabulary saturation; budget-
+#                         guarded (operators/dedup.py
+#                         _check_candidate_budget) so a blind large-
+#                         scale run fails fast with the measured bound
+#                         instead of OOMing. dedup_eval's exact ground
+#                         truth and the naive dedup_ngram_jaccard
+#                         reference plan share the shape.
+
+_SCALE_LSH = {
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "similarity_lsh_ann", "similarity_ivf_ann", "similarity_quantized",
+    "random_projection", "streaming_lsh_dedup", "ann_recall",
+}
+_SCALE_ITERATIVE = {
+    "pagerank", "bfs_distances", "dedup_clusters", "dedup_clusters_star",
+    "leakage_safe_split", "kmeans_lloyd", "semantic_dedup",
+}
+_SCALE_FIXED_FIXTURE = {
+    "image_phash_dedup", "audio_fingerprint_dedup", "video_phash_dedup",
+    "video_scene_cuts", "h264_meta", "h264_nal_census", "h264_frames",
+    "webm_meta", "webm_block_census", "subtitle_parse",
+    "caption_frame_align", "gif_decode", "mp4_meta", "mp4_audio_meta",
+    "video_frames", "wav_stats", "audio_features", "flac_decode",
+    "audio_resample", "mp3_meta", "ogg_meta", "exif_meta", "jpeg_decode",
+    "image_decode", "media_dispatch", "color_palette",
+    "color_palette_props", "color_palette_png", "binary_put_sink",
+    "streaming_media_ingest", "api_ingest", "streaming_api_ingest",
+}
+_SCALE_DIAGNOSTIC_QUADRATIC = {
+    "dedup_threshold_sweep", "dedup_threshold_sweep_pairs",
+    "similarity_join_exact", "dedup_ngram_jaccard", "dedup_eval",
+}
+
+SCALE_CLASS_VALUES = (
+    "linear", "lsh", "iterative", "fixed-fixture", "diagnostic-quadratic"
+)
+
+SCALE_CLASSES: dict[str, str] = {
+    name: (
+        "diagnostic-quadratic" if name in _SCALE_DIAGNOSTIC_QUADRATIC
+        else "lsh" if name in _SCALE_LSH
+        else "iterative" if name in _SCALE_ITERATIVE
+        else "fixed-fixture" if name in _SCALE_FIXED_FIXTURE
+        else "linear"
+    )
+    for name in QUERIES
+}
+
+
+def scale_class(name: str) -> str:
+    """Scaling class of a registry entry (see the taxonomy above).
+    Raises KeyError for unknown entries so an orchestrator typo fails
+    loudly rather than defaulting to schedulable."""
+    return SCALE_CLASSES[name]

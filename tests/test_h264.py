@@ -298,3 +298,49 @@ def test_census_query_matches_oracle(spark, sf_dir):
     pd.testing.assert_frame_equal(
         got.astype("object"), want.astype("object"), check_dtype=False
     )
+
+
+# --- PPS parse + CABAC dispatch (VERDICT r11 item 4) -----------------------
+
+
+def test_parse_pps_cavlc_and_cabac():
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _minimal_pps,
+        parse_pps,
+    )
+
+    cavlc = parse_pps(_minimal_pps())
+    assert cavlc["entropy_coding_mode_flag"] == 0
+    assert cavlc["pps_id"] == 0 and cavlc["sps_id"] == 0
+    assert cavlc["deblocking_filter_control_present_flag"] == 0
+    cabac = parse_pps(_minimal_pps(entropy_coding=1))
+    assert cabac["entropy_coding_mode_flag"] == 1
+
+
+def test_h264_meta_classifies_entropy_mode():
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _h264_fixtures,
+        h264_meta,
+    )
+
+    by_name = {n: h264_meta(p) for n, p, _ in _h264_fixtures()}
+    assert by_name["cabac_high_1280x720.mp4"]["entropy_coding"] == "cabac"
+    assert by_name["baseline_640x360.mp4"]["entropy_coding"] == "cavlc"
+    assert by_name["inband_avc3.mp4"]["entropy_coding"] is None
+
+
+def test_decode_frames_rejects_cabac_cleanly():
+    """The pixel path must never mis-read CABAC bits as CAVLC: the
+    seam raises BEFORE any slice parse, naming the supported mode."""
+    import pytest as _pytest
+
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _h264_fixtures,
+    )
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        decode_frames,
+    )
+
+    cabac = next(p for n, p, _ in _h264_fixtures() if n.startswith("cabac"))
+    with _pytest.raises(NotImplementedError, match="CABAC"):
+        decode_frames(cabac)
