@@ -396,7 +396,7 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def _minimal_pps(entropy_coding: int = 0) -> bytes:
+def _minimal_pps(entropy_coding: int = 0, deblock_control: int = 0) -> bytes:
     """Minimal well-formed PPS NAL (§7.3.2.2): pps_id=0, sps_id=0,
     CAVLC (or CABAC with ``entropy_coding=1`` - used by the
     entropy-mode classification fixtures; the pixel decoder rejects
@@ -416,11 +416,11 @@ def _minimal_pps(entropy_coding: int = 0) -> bytes:
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset
-    # deblocking_filter_control_present_flag, constrained_intra_pred_
-    # flag, redundant_pic_cnt_present_flag (this was 2 bits - one flag
-    # short of §7.3.2.2 - while the PPS was decoratively carried in
-    # avcC only; the r8 slice decoder parses it for real)
-    w.u(0, 3)
+    # deblocking_filter_control_present_flag (1 when slices code the
+    # §7.3.3 idc/offset fields - r12 deblocking fixtures),
+    # constrained_intra_pred_flag, redundant_pic_cnt_present_flag
+    w.u(deblock_control & 1, 1)
+    w.u(0, 2)
     return bytes([0x68]) + _ebsp(w.rbsp())
 
 
@@ -957,14 +957,18 @@ def make_avc_stream_mp4(
     fragmented: bool = False,
     nal_length_size: int = 4,
     frames_per_frag: int = 3,
+    pps_nal: "bytes | None" = None,
 ) -> bytes:
     """ISO BMFF file whose mdat carries real AVC samples: each sample
     (access unit) is the concatenation of ``nal_length_size``-prefixed
     NAL units per 14496-15 §5.3.4.2. Classic layout gets true
     stts/stsc/stsz/stco tables; fragmented gets moof/traf/trun pairs -
     both via the shared builders in :mod:`operators.mp4`."""
-    avcc = make_avcc([sps_nal], [_minimal_pps()],
-                     nal_length_size=nal_length_size)
+    avcc = make_avcc(
+        [sps_nal],
+        [pps_nal if pps_nal is not None else _minimal_pps()],
+        nal_length_size=nal_length_size,
+    )
     entry = (
         b"\x00" * 6 + struct.pack(">H", 1)
         + b"\x00" * 16

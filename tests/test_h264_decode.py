@@ -24,13 +24,34 @@ from data_pipeline_capstone_project_spark.operators.h264_decode import (
 )
 
 
+def _nodb(spec):
+    """Spec copy with deblocking explicitly disabled (idc=1): the
+    prediction/residual hand-arithmetic tests pin UNFILTERED pixels,
+    and coding the §7.3.3 idc keeps the stream conformant while
+    exercising the control-field parse path."""
+    return {**spec, "deblock": (1, 0, 0)}
+
+
+def _sim_first(spec):
+    """Simulator's first frame (deblocked per spec), display-cropped
+    - the r12 conformant expectation for fixture-store decodes."""
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        simulate_stream,
+    )
+
+    lu, cbp, crp = simulate_stream(spec)[0]
+    h, w = spec["h"], spec["w"]
+    return lu[:h, :w], cbp[: h // 2, : w // 2], crp[: h // 2, : w // 2]
+
+
 def test_every_fixture_decodes_to_simulator_plane():
     """The oracle's claim, re-proved plane-by-plane (not just CRC):
     the bit-level decode of every staged fixture equals the numpy
-    spec simulator pixel-for-pixel."""
+    spec simulator pixel-for-pixel - both sides through the §8.7
+    in-loop filter since r12."""
     for spec in h264_frame_fixtures():
         got = decode_first_i_frame(build_fixture_mp4(spec))
-        want = _simulate_luma(spec)
+        want = _sim_first(spec)[0]
         assert got["luma"].shape == want.shape, spec["name"]
         assert np.array_equal(got["luma"], want), spec["name"]
 
@@ -226,11 +247,11 @@ def test_spark_entry_matches_simulator(spark):
     )
 
     for spec in specs:
-        sim = _simulate_luma(spec)
+        sim, scb, scr = _sim_first(spec)
         r = rows[spec["name"]]
         assert r["luma_crc32"] == zlib.crc32(sim.tobytes())
-        assert r["cb_crc32"] == zlib.crc32(_simulate_chroma(spec, 0).tobytes())
-        assert r["cr_crc32"] == zlib.crc32(_simulate_chroma(spec, 1).tobytes())
+        assert r["cb_crc32"] == zlib.crc32(scb.tobytes())
+        assert r["cr_crc32"] == zlib.crc32(scr.tobytes())
         assert r["luma_sum"] == int(sim.astype(np.int64).sum())
         assert (r["width"], r["height"]) == (spec["w"], spec["h"])
 
@@ -245,8 +266,8 @@ def test_chroma_planes_match_simulator():
 
     for spec in h264_frame_fixtures():
         got = decode_first_i_frame(build_fixture_mp4(spec))
-        for idx, key in ((0, "cb"), (1, "cr")):
-            want = _simulate_chroma(spec, idx)
+        _, scb, scr = _sim_first(spec)
+        for key, want in (("cb", scb), ("cr", scr)):
             assert got[key].shape == want.shape, (spec["name"], key)
             assert np.array_equal(got[key], want), (spec["name"], key)
 
@@ -275,7 +296,7 @@ def test_chroma_hv_copy_modes():
     spec = next(
         s for s in h264_frame_fixtures() if s["name"] == "chroma_modes.mp4"
     )
-    d = decode_first_i_frame(build_fixture_mp4(spec))
+    d = decode_first_i_frame(build_fixture_mp4(_nodb(spec)))
     for key in ("cb", "cr"):
         plane = d[key]
         # MB (1,0): chroma V -> every row equals the bottom row of the
@@ -374,15 +395,26 @@ def test_random_legal_grids_roundtrip():
                         )
                     )
             rows.append(row)
-        return {"w": mb_w * 16, "h": mb_h * 16, "mbs": rows}
+        spec = {"w": mb_w * 16, "h": mb_h * 16, "mbs": rows}
+        # r12: a random subset also draws §7.3.3 filter-control fields
+        # (idc 0/1/2, alpha/beta offset_div2 over the legal -6..6
+        # range) so the fuzz sweeps the deblocking parameter space
+        if draw(st.booleans()):
+            spec["deblock"] = (
+                draw(st.sampled_from([0, 1, 2])),
+                draw(st.integers(-6, 6)),
+                draw(st.integers(-6, 6)),
+            )
+        return spec
 
     @settings(max_examples=40, deadline=None)
     @given(grids())
     def run(spec):
         got = decode_first_i_frame(build_fixture_mp4(spec))
-        assert np.array_equal(got["luma"], _simulate_luma(spec))
-        assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
-        assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+        sim, scb, scr = _sim_first(spec)
+        assert np.array_equal(got["luma"], sim)
+        assert np.array_equal(got["cb"], scb)
+        assert np.array_equal(got["cr"], scr)
 
     run()
 
@@ -559,9 +591,10 @@ def test_dc_residual_fixtures_roundtrip():
     for name in ("i16_dc_residual.mp4", "i16_dc_nc8.mp4", "i16_dc_mixed.mp4"):
         spec = next(s for s in h264_frame_fixtures() if s["name"] == name)
         got = decode_first_i_frame(build_fixture_mp4(spec))
-        assert np.array_equal(got["luma"], _simulate_luma(spec)), name
-        assert np.array_equal(got["cb"], _simulate_chroma(spec, 0)), name
-        assert np.array_equal(got["cr"], _simulate_chroma(spec, 1)), name
+        sim, scb, scr = _sim_first(spec)
+        assert np.array_equal(got["luma"], sim), name
+        assert np.array_equal(got["cb"], scb), name
+        assert np.array_equal(got["cr"], scr), name
 
 
 def test_dc_residual_changes_pixels():
@@ -684,7 +717,7 @@ def test_ac_residual_hand_arithmetic():
       -> block 0 columns = 136, 132, 124, 120; rest of MB stays 128.
     """
     ac = {0: [2] + [0] * 14}
-    spec = {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [0] * 16, 0, ac)]]}
+    spec = _nodb({"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [0] * 16, 0, ac)]]})
     got = decode_first_i_frame(build_fixture_mp4(spec))["luma"]
     assert got[0, 0] == 136 and got[3, 0] == 136
     assert got[0, 1] == 132
@@ -728,7 +761,7 @@ def test_ac_neighbour_nc_chain_roundtrip():
         [("pcm", "grad", 7), ("i16", 2, 0, [0] * 16, 0, {})],
         [("i16", 2, 0, [1] + [0] * 15, 0, ac_a), ("i16", 1, 2, [0] * 16, 0, ac_b)],
     ]
-    spec = {"w": 32, "h": 32, "mbs": mbs}
+    spec = _nodb({"w": 32, "h": 32, "mbs": mbs})
     got = decode_first_i_frame(build_fixture_mp4(spec))
     assert np.array_equal(got["luma"], _simulate_luma(spec))
 
@@ -746,7 +779,9 @@ def test_chroma_dc_hand_arithmetic():
       right half 125, left half 128.
     """
     cres = (1, [2, 0, 0, 0], [-1, 1, 0, 0])
-    spec = {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [0] * 16, 0, None, cres)]]}
+    spec = _nodb(
+        {"w": 16, "h": 16, "mbs": [[("i16", 2, 0, [0] * 16, 0, None, cres)]]}
+    )
     got = decode_first_i_frame(build_fixture_mp4(spec))
     assert (got["cb"] == 131).all()
     assert (got["cr"][:, :4] == 128).all()
@@ -827,7 +862,7 @@ def test_chroma_ac_nc_chain_roundtrip():
              (2, [0, 1, 0, 0], [1, 1, 1, 1], {}, {0: [0, 0, 3] + [0] * 12})),
         ],
     ]
-    spec = {"w": 32, "h": 32, "mbs": mbs}
+    spec = _nodb({"w": 32, "h": 32, "mbs": mbs})
     got = decode_first_i_frame(build_fixture_mp4(spec))
     assert np.array_equal(got["luma"], _simulate_luma(spec))
     assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
@@ -910,9 +945,10 @@ def test_i4_residual_fixture_roundtrip():
         s for s in h264_frame_fixtures() if s["name"] == "i4_residual.mp4"
     )
     got = decode_first_i_frame(build_fixture_mp4(spec))
-    assert np.array_equal(got["luma"], _simulate_luma(spec))
-    assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
-    assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+    sim, scb, scr = _sim_first(spec)
+    assert np.array_equal(got["luma"], sim)
+    assert np.array_equal(got["cb"], scb)
+    assert np.array_equal(got["cr"], scr)
 
 
 def test_multi_frame_distinct_pictures():
@@ -927,12 +963,14 @@ def test_multi_frame_distinct_pictures():
     spec = next(
         s for s in h264_frame_fixtures() if s["name"] == "multi_iframe.mp4"
     )
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        simulate_stream,
+    )
+
     frames = decode_i_frames(build_fixture_mp4(spec))
     assert len(frames) == 3
-    sims = [_simulate_luma(spec)] + [
-        _simulate_luma({"w": spec["w"], "h": spec["h"], "mbs": fm})
-        for fm in spec["extra_frames"]
-    ]
+    h, w = spec["h"], spec["w"]
+    sims = [lu[:h, :w] for lu, _, _ in simulate_stream(spec)]
     for f, sim in zip(frames, sims):
         assert np.array_equal(f["luma"], sim)
     assert not np.array_equal(sims[0], sims[1])
@@ -1161,14 +1199,25 @@ def test_random_residual_grids_roundtrip():
                     )
                 )
             rows.append(row)
-        return {"w": mb_w * 16, "h": mb_h * 16, "mbs": rows}
+        spec = {"w": mb_w * 16, "h": mb_h * 16, "mbs": rows}
+        # r12: a random subset also draws §7.3.3 filter-control fields
+        # (idc 0/1/2, alpha/beta offset_div2 over the legal -6..6
+        # range) so the fuzz sweeps the deblocking parameter space
+        if draw(st.booleans()):
+            spec["deblock"] = (
+                draw(st.sampled_from([0, 1, 2])),
+                draw(st.integers(-6, 6)),
+                draw(st.integers(-6, 6)),
+            )
+        return spec
 
     @settings(max_examples=40, deadline=None)
     @given(grids())
     def run(spec):
         got = decode_first_i_frame(build_fixture_mp4(spec))
-        assert np.array_equal(got["luma"], _simulate_luma(spec))
-        assert np.array_equal(got["cb"], _simulate_chroma(spec, 0))
-        assert np.array_equal(got["cr"], _simulate_chroma(spec, 1))
+        sim, scb, scr = _sim_first(spec)
+        assert np.array_equal(got["luma"], sim)
+        assert np.array_equal(got["cb"], scb)
+        assert np.array_equal(got["cr"], scr)
 
     run()
