@@ -127,6 +127,20 @@ def _splice(fn: SampleFn) -> SampleFn:
     return lambda t: _sig_d(t) if 192 <= t < 256 else fn(t)
 
 
+#: per-frame amplitude envelope for the lossy-transcode family: the
+#: onset-like x1..x4 jumps give consecutive frames' lag features the
+#: 2-4x separation that keeps their ORDERINGS stable under the MP3
+#: codec's quantization noise (a stationary texture is the
+#: adversarial case for lossy fingerprinting - real audio has
+#: exactly this envelope structure)
+_ENV_M = (1, 4, 1, 3, 1, 4, 2, 1, 4, 1, 3, 1, 4, 1, 2, 4, 1)
+
+
+def _sig_m(t: int) -> int:
+    """Amplitude-modulated master for the MP3 cross-codec pair."""
+    return _ENV_M[t // FRAME_LEN] * _sig_b(t) // 2
+
+
 def _heavy(fn: SampleFn) -> SampleFn:
     """Replace frames 0..8 (samples 0..575): frame-pairs 0..8 span
     bands 0-2 and flip far more than HAMMING_T bits, but band 3
@@ -157,6 +171,13 @@ def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
         ("u1_float.wav", _sig_c, "f32"),
         ("u2_quad.wav", _sig_d, "pcm16"),
         ("w1_alaw.wav", _alaw_bytes_e, "alaw"),
+        # cross-codec dedup through a LOSSY codec (VERDICT r11 item
+        # 5): m2 is the Layer III transcode of the m1 master; the
+        # codec's quantization noise moves a bit or two, so the pair
+        # lands in the 1..T near-dup class with clean bands to spare
+        # (pinned by tests/test_mp3_l3.py)
+        ("m1_master.wav", _sig_m, "pcm16"),
+        ("m2_transcode.mp3", _sig_m, "mp3"),
     ]
 
 
@@ -201,6 +222,13 @@ def _encode(fn: SampleFn, enc: str) -> bytes:
         return make_flac(
             np.array(vals, dtype=np.int64).reshape(-1, 1), rate=RATE
         )
+    if enc == "mp3":
+        from .mp3_l3 import encode_mp3
+
+        # the encoder's only transcribed scalefactor-band table is
+        # 44.1 kHz, so the transcode carries that header label; AFP
+        # operates on the raw sample vector and never reads the rate
+        return encode_mp3(vals)
     raise ValueError(f"unknown encoder {enc}")
 
 
@@ -315,10 +343,17 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
                 names, fps = [], []
                 for name, payload in zip(pdf["clip_name"], pdf["payload"]):
                     raw = bytes(payload)
-                    pcm = (
-                        flac_pcm(raw) if raw[:4] == b"fLaC"
-                        else wav_pcm(raw)
-                    )[:, 0]
+                    if raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
+                        from .mp3_l3 import CODEC_DELAY, decode_mp3
+
+                        pcm = decode_mp3(raw)[
+                            CODEC_DELAY : CODEC_DELAY + FRAMES * FRAME_LEN
+                        ]
+                    else:
+                        pcm = (
+                            flac_pcm(raw) if raw[:4] == b"fLaC"
+                            else wav_pcm(raw)
+                        )[:, 0]
                     names.append(name)
                     fps.append(afp64(pcm))
                 yield pd.DataFrame(
@@ -351,6 +386,21 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
         return _afp_scalar(fn, alaw=True)
     if enc == "pcm24":
         return _afp_scalar(lambda t: fn(t) << 8)
+    if enc == "mp3":
+        # Lossy codec: the fixture's "signal" IS the decoded stream.
+        # The fingerprint twin stays independent (pure-Python scalar
+        # path), but the DECODE stage is necessarily the production
+        # Layer III decoder - there is no second MP3 implementation
+        # to twin against in this sandbox; the decode internals are
+        # pinned instead by tests/test_mp3_l3.py (hand-computed
+        # tables, TDAC/roundtrip invariants, delay pin).
+        from .mp3_l3 import CODEC_DELAY, decode_mp3, encode_mp3
+
+        n = FRAMES * FRAME_LEN
+        decoded = decode_mp3(
+            encode_mp3([fn(t) for t in range(n)])
+        )[CODEC_DELAY : CODEC_DELAY + n]
+        return _afp_scalar(lambda t: int(decoded[t]))
     return _afp_scalar(fn)
 
 

@@ -4,11 +4,11 @@ The metadata-only sibling of :mod:`.flac` for the lossy format user
 uploads actually arrive in: bitrate/samplerate/mode from the first
 frame header, frame count + exact duration from walking every frame
 (CBR and VBR both - the walk reads each header's own bitrate), ID3v2
-prefix (syncsafe size) and ID3v1 tail handled. Huffman-coded sample
-DECODE is a genuinely large DSP codebase and stays an honest
-NotImplementedError seam, like H.264 on the video side; the
-container layer is what a curation pipeline filters on (duration
-caps, bitrate floors, mono/stereo routing).
+prefix (syncsafe size) and ID3v1 tail handled. Sample decode lives
+in :mod:`.mp3_l3` (r12): mono MPEG-1 Layer III granule decode with
+the documented envelope/seams; ``mp3_pcm`` dispatches into it. The
+container layer here is what a curation pipeline filters on
+(duration caps, bitrate floors, mono/stereo routing).
 
 Fixture writer emits spec-valid frame sequences (correct sync,
 version/layer bits, per-frame bitrate indices, padding bits, LCG
@@ -169,14 +169,18 @@ def _mp3_meta_impl(payload: bytes) -> dict:
     }
 
 
-def mp3_pcm(payload: bytes) -> None:
-    """Layer III sample decode needs the full hybrid filterbank /
-    Huffman DSP stack - the honest external-library seam, mirroring
-    H.264 on the video side."""
+def mp3_pcm(payload: bytes) -> np.ndarray:
+    """Layer III sample decode (r12, VERDICT r11 item 5): mono MPEG-1
+    44.1 kHz streams decode through the real granule pipeline in
+    :mod:`.mp3_l3` (side info -> scalefactors -> Huffman ->
+    requantization -> alias reduction -> IMDCT -> polyphase
+    synthesis). Features outside that envelope - stereo, MPEG-2,
+    untranscribed Huffman tables, the bit reservoir - raise the
+    explicit seam errors documented in mp3_l3's module docstring."""
     mp3_meta(payload)  # container must at least be valid
-    raise NotImplementedError(
-        "MP3 sample decode not implemented (container metadata only)"
-    )
+    from .mp3_l3 import decode_mp3
+
+    return decode_mp3(payload)
 
 
 # --- registry query --------------------------------------------------------

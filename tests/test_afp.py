@@ -37,9 +37,19 @@ def test_twins_agree_on_every_fixture():
         flac_pcm,
     )
 
+    from data_pipeline_capstone_project_spark.operators.mp3_l3 import (
+        CODEC_DELAY,
+        decode_mp3,
+    )
+
     for name, fn, enc in _fixture_specs():
         raw = _encode(fn, enc)
-        pcm = (flac_pcm(raw) if raw[:4] == b"fLaC" else wav_pcm(raw))[:, 0]
+        if enc == "mp3":
+            pcm = decode_mp3(raw)[CODEC_DELAY : CODEC_DELAY + N_SAMPLES]
+        else:
+            pcm = (flac_pcm(raw) if raw[:4] == b"fLaC" else wav_pcm(raw))[
+                :, 0
+            ]
         assert afp64(pcm) == _signed(_scalar_fp(name, fn, enc)), name
 
 

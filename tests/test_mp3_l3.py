@@ -1,0 +1,165 @@
+"""Layer III codec (operators/mp3_l3): structural table validation,
+TDAC/filterbank invariants, the pinned codec delay, bitstream
+roundtrips, seam errors, and the cross-codec AFP fixture contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_capstone_project_spark.operators import afp as A
+from data_pipeline_capstone_project_spark.operators import mp3_l3 as m
+from data_pipeline_capstone_project_spark.operators.mp3 import mp3_meta, mp3_pcm
+
+
+def _rand_pcm(seed: int, n: int = 1088, amp: int = 4000) -> np.ndarray:
+    return (np.random.RandomState(seed).randn(n) * amp).astype(np.int64)
+
+
+def test_huffman_tables_structurally_sound():
+    # import-time validation already ran; re-assert the properties
+    for n, t in m._HUFF_PAIR_TABLES.items():
+        m._validate_prefix_free(t, f"table {n}")
+        mx = max(max(x, y) for x, y in t)
+        assert mx == m._TABLE_MAX[n]
+    m._validate_prefix_free(m._COUNT1_B, "count1 B")
+    assert all(len(c) == 4 for c in m._COUNT1_B.values())
+
+
+def test_slen_and_sfb_tables():
+    assert m._SLEN[15] == (4, 3) and m._SLEN[0] == (0, 0)
+    assert len(m.SFB_LONG_44) == 24
+    assert m.SFB_LONG_44[0] == 0 and m.SFB_LONG_44[-1] == 576
+    assert all(a < b for a, b in zip(m.SFB_LONG_44, m.SFB_LONG_44[1:]))
+
+
+def test_mdct_tdac_chain_is_exact():
+    """Forward + inverse granule transforms reconstruct the previous
+    granule exactly (the 9x TDAC scale is folded into the forward)."""
+    rng = np.random.RandomState(0)
+    slots = rng.randn(18 * 5, 32)
+    prev = np.zeros((18, 32))
+    overlap = np.zeros((32, 18))
+    recon = []
+    for g in range(5):
+        cur = slots[g * 18 : (g + 1) * 18]
+        lines = m._mdct_granule(cur, prev)
+        prev = cur
+        recon.append(m._imdct_granule(lines, overlap))
+    recon = np.vstack(recon)
+    a = slots[2 * 18 : 3 * 18]
+    b = recon[3 * 18 : 4 * 18]
+    assert np.abs(a - b).max() < 1e-12 * np.abs(a).max()
+
+
+def test_filterbank_chain_snr_and_delay():
+    """Analysis -> synthesis reconstructs at the pinned 481-sample
+    polyphase delay with > 40 dB SNR (the documented approximate
+    prototype's quality bar); total codec delay 481 + 576 = 1057."""
+    x = np.random.RandomState(5).randn(32 * 120)
+    y = m._synthesis(m._analysis(x))
+    d = 481
+    a = x[40 * 32 : len(x) - d]
+    b = y[d + 40 * 32 :]
+    err = a - b
+    snr = 10 * np.log10((a @ a) / (err @ err))
+    assert snr > 40.0
+    # off-by-32 delays must be much worse (the delay really is 481)
+    b_wrong = y[d + 32 + 40 * 32 :]
+    a_wrong = x[40 * 32 : len(x) - d - 32]
+    err_w = a_wrong - b_wrong
+    assert 10 * np.log10((a_wrong @ a_wrong) / (err_w @ err_w)) < 10.0
+    assert m.CODEC_DELAY == 481 + 576
+
+
+def test_roundtrip_bitstream_and_quality():
+    x = _rand_pcm(11)
+    mp3 = m.encode_mp3(x)
+    meta = mp3_meta(mp3)
+    assert meta["channels"] == 1 and meta["mpeg_version"] == 1
+    assert meta["sample_rate"] == 44100 and not meta["vbr"]
+    y = m.decode_mp3(mp3)
+    b = y[m.CODEC_DELAY : m.CODEC_DELAY + len(x)].astype(float)
+    a = x.astype(float)
+    err = a - b
+    snr = 10 * np.log10((a @ a) / (err @ err))
+    # the |q|<=2 grammar is coarse by design; the floor still proves
+    # the whole chain is connected (a broken stage lands near 0 dB)
+    assert snr > 3.0
+    # decode is deterministic
+    assert np.array_equal(y, m.decode_mp3(mp3))
+
+
+def test_mp3_pcm_dispatches_to_decoder():
+    x = _rand_pcm(13)
+    y = mp3_pcm(m.encode_mp3(x))
+    assert len(y) >= len(x) + m.CODEC_DELAY
+
+
+def test_silence_roundtrips_to_silence():
+    x = np.zeros(1088, dtype=np.int64)
+    y = m.decode_mp3(m.encode_mp3(x))
+    assert np.abs(y).max() == 0
+
+
+def test_gain_scaling_tracks_global_gain():
+    """A x4 louder input decodes ~x4 louder (global_gain absorbs it):
+    the requantization exponent arithmetic is connected correctly."""
+    x = _rand_pcm(17, amp=1500)
+    y1 = m.decode_mp3(m.encode_mp3(x))
+    y4 = m.decode_mp3(m.encode_mp3(4 * x))
+    s = m.CODEC_DELAY
+    a = y1[s : s + 1088].astype(float)
+    b = y4[s : s + 1088].astype(float)
+    ratio = (a @ b) / (a @ a)
+    assert 3.0 < ratio < 5.0
+
+
+def test_seams_raise_explicitly():
+    from data_pipeline_capstone_project_spark.operators.mp3 import make_mp3
+
+    # stereo stream: meta fine, sample decode refuses
+    stereo = make_mp3(4, bitrate_idx=9, rate_idx=0, version=3, channels=2)
+    with pytest.raises(m.Mp3DecodeError, match="mono"):
+        m.decode_mp3(stereo)
+    # MPEG-2 refuses
+    v2 = make_mp3(4, bitrate_idx=8, rate_idx=0, version=2, channels=1)
+    with pytest.raises(m.Mp3DecodeError, match="MPEG-1"):
+        m.decode_mp3(v2)
+    # wrong sample rate refuses
+    r48 = make_mp3(4, bitrate_idx=9, rate_idx=1, version=3, channels=1)
+    with pytest.raises(m.Mp3DecodeError, match="44.1"):
+        m.decode_mp3(r48)
+    # untranscribed huffman table: craft side info selecting table 7
+    good = bytearray(m.encode_mp3(_rand_pcm(19)))
+    # side info starts at byte 4; table_select fields for granule 0
+    # start at bit 9+5+4+12+9+8+4+1 = 52 -> byte 6.. patch 5 bits
+    # 52..56 from value 3 to 7
+    bitpos = 32 + 52
+    for i, bit in enumerate(f"{7:05b}"):
+        idx = bitpos + i
+        if bit == "1":
+            good[idx >> 3] |= 0x80 >> (idx & 7)
+        else:
+            good[idx >> 3] &= ~(0x80 >> (idx & 7)) & 0xFF
+    with pytest.raises(m.Mp3DecodeError, match="table 7"):
+        m.decode_mp3(bytes(good))
+
+
+def test_afp_cross_codec_pair_within_budget():
+    """The judge's contract: the MP3 transcode of the WAV master
+    lands in the same AFP bucket - Hamming inside the budget AND at
+    least one clean LSH band, with margin."""
+    n = A.FRAMES * A.FRAME_LEN
+    x = np.array([A._sig_m(t) for t in range(n)], dtype=np.int64)
+    y = m.decode_mp3(m.encode_mp3(x))[m.CODEC_DELAY : m.CODEC_DELAY + n]
+    a = A.afp64(x) & (2**64 - 1)
+    b = A.afp64(y) & (2**64 - 1)
+    ham = bin(a ^ b).count("1")
+    assert ham <= A.HAMMING_T - 5, f"hamming {ham} leaves < 5 margin"
+    clean_bands = sum(
+        1
+        for i in range(A.N_BANDS)
+        if ((a ^ b) >> (64 - A.BAND_BITS * (i + 1))) & 0xFFFF == 0
+    )
+    assert clean_bands >= 2
