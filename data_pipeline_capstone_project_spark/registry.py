@@ -1070,6 +1070,50 @@ QUERIES = {
     "k_anonymity": k_anonymity_query,
 }
 
+# --- r12 gate-window rotation (VERDICT r11 item 8) --------------------------
+#
+# The driver's correctness gate reads the FIRST 50 entries. r12 leads
+# with every entry whose implementation or fixtures materially changed
+# this round (the §8.7 deblocking family, the entropy-mode h264_meta
+# schema, the MP3 cross-codec AFP pair, the budget-guarded exact-pair
+# diagnostics), then drains the oldest driver evidence: 39 of the 50
+# entries whose newest CORRECTNESS row was still r3. The 11 remaining
+# r3-checked entries (triangle_count, json/string_functions_suite,
+# sketch_rollup, data_quality_suite, retention_prune,
+# tpch_revenue_filter/shipmode/discounted, safe_arithmetic_suite,
+# window_navigation_suite) are queued for the r13 window. Entries
+# displaced from the r11 window retain their r11 driver rows and their
+# sweep evidence in VERIFICATION.md.
+
+_R12_WINDOW = [
+    # changed in r12
+    "h264_meta", "h264_frames", "video_frames", "video_phash_dedup",
+    "video_scene_cuts", "audio_fingerprint_dedup", "image_phash_dedup",
+    "mp3_meta", "dedup_threshold_sweep", "dedup_threshold_sweep_pairs",
+    "similarity_join_exact",
+    # oldest driver evidence (r3), alphabetical-by-age order
+    "dedup_simhash", "user_rank_suite", "streaming_lsh_dedup",
+    "dedup_clusters_star", "skew_salted_join", "pricing_grouping_sets",
+    "streaming_join", "doc_score_inference", "similarity_quantized",
+    "streaming_session", "doc_chunking", "pii_redaction",
+    "event_unpivot", "gap_fill", "global_row_ids", "time_range_window",
+    "price_histogram", "rolling_distinct", "funnel", "cohort_retention",
+    "feature_hashing", "fuzzy_match", "above_customer_avg",
+    "tpch_big_spenders", "null_semantics", "datetime_suite",
+    "incremental_agg", "random_projection", "argminmax",
+    "weighted_sample", "streaming_multi_sink", "feature_scaling",
+    "feature_binning", "asof_nearest", "time_rollup",
+    "join_types_suite", "tpch_promo_revenue", "tpch_parts_supplier",
+    "map_functions_suite",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R12_WINDOW + [n for n in QUERIES if n not in set(_R12_WINDOW)]
+}
+
+
 ORACLES = {
     "image_phash_dedup": image_phash_oracle,
     "audio_fingerprint_dedup": audio_fingerprint_oracle,
