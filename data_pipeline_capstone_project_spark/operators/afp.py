@@ -458,3 +458,162 @@ def audio_fingerprint_oracle() -> str:
         "SELECT clip_a, clip_b, CAST(hamming AS INTEGER) AS hamming, dup "
         f"FROM (VALUES {literals}) AS t(clip_a, clip_b, hamming, dup)"
     )
+
+
+# --- transcode QA: master-vs-transcode verification (r12) --------------
+#
+# The operational twin of the dedup entry above: after a transcode JOB
+# (WAV -> FLAC archival, WAV -> MP3 distribution) a pipeline must
+# VERIFY the outputs - a mislabeled or corrupted transcode poisons
+# both training data and the dedup index. One row per (master,
+# transcode) pair with exact-integer energies and a verdict:
+#
+#   lossless  - decoded transcode is sample-identical (noise 0)
+#   lossy     - correlated but not identical (0 < noise < signal):
+#               the expected shape for a lossy codec
+#   mismatch  - noise >= signal: the "transcode" is not this master
+#
+# All arithmetic is exact int64 (sum of squares over 1088 samples of
+# |x| <= 16k fits comfortably), so the verdict and both energies are
+# bit-reproducible and DuckDB-hashable with no float in the output.
+#
+# Spark shape: binaryFile scan -> ONE shuffle grouping each pair's
+# (tiny) payloads by stem -> Arrow applyInPandas decode+compare per
+# pair. At 100 TB this is the natural per-pair grouping (pairs are
+# independent; payload bytes move once, to the executor that owns the
+# stem).
+#
+# Oracle note: like the m2 fixture above, the MP3 legs share the
+# production decode (no second Layer III implementation exists here);
+# the comparison arithmetic is an independent pure-Python twin and
+# the decode internals are pinned by tests/test_mp3_l3.py.
+
+#: deliberately-mislabeled pair: x1's "transcode" carries _sig_c, not
+#: the _sig_a master - the QA must call it a mismatch
+def _qa_fixture_files() -> list[tuple[str, bytes]]:
+    from .mp3_l3 import encode_mp3
+
+    n = N_SAMPLES
+    m = [_sig_m(t) for t in range(n)]
+    a = [_sig_a(t) for t in range(n)]
+    c = [_sig_c(t) for t in range(n)]
+    return [
+        ("m1__master.wav", _encode(_sig_m, "pcm16")),
+        ("m1__t.flac", make_flac(
+            np.array(m, dtype=np.int64).reshape(-1, 1), rate=RATE)),
+        ("m1__t.mp3", encode_mp3(m)),
+        ("a1__master.wav", _encode(_sig_a, "pcm16")),
+        ("a1__t.mp3", encode_mp3(a)),
+        ("x1__master.wav", _encode(_sig_a, "pcm16")),
+        ("x1__t.mp3", encode_mp3(c)),
+    ]
+
+
+def _qa_decode(raw: bytes) -> "list[int]":
+    """First N_SAMPLES mono samples of any store member, transcode
+    delay trimmed (the shared decode stage of both twins)."""
+    from .mp3_l3 import CODEC_DELAY, decode_mp3
+
+    if raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
+        return [int(v) for v in decode_mp3(raw)[
+            CODEC_DELAY : CODEC_DELAY + N_SAMPLES]]
+    if raw[:4] == b"fLaC":
+        return [int(v) for v in flac_pcm(raw)[:N_SAMPLES, 0]]
+    return [int(v) for v in wav_pcm(raw)[:N_SAMPLES, 0]]
+
+
+def _qa_verdict(master: "list[int]", trans: "list[int]") -> tuple:
+    """(signal_energy, noise_energy, verdict) - pure-int arithmetic,
+    shared SPEC of both twins (12 lines; the heavy lifting is the
+    decode, which only the production side runs on RIFF/FLAC bytes)."""
+    s = sum(v * v for v in master)
+    nz = sum((a - b) * (a - b) for a, b in zip(master, trans))
+    verdict = (
+        "lossless" if nz == 0 else "lossy" if nz < s else "mismatch"
+    )
+    return s, nz, verdict
+
+
+def audio_transcode_qa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: verify every (master, transcode) pair in the
+    staged store. Pairs share a ``<stem>__`` filename prefix; the one
+    shuffle groups each pair's payloads on the stem, then one Arrow
+    ``applyInPandas`` decodes and compares per pair.
+
+    Cluster note: driver-local staged store; the load path must be
+    executor-visible on a real multi-node cluster."""
+    work = tempfile.mkdtemp(prefix="tqa_store_")
+    try:
+        for name, payload in _qa_fixture_files():
+            with open(os.path.join(work, name), "wb") as f:
+                f.write(payload)
+        bin_df = spark.read.format("binaryFile").load(work).select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("content").alias("payload"),
+        ).withColumn("stem", F.split("file_name", "__").getItem(0))
+
+        def qa_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_name = dict(zip(pdf["file_name"], pdf["payload"]))
+            master_name = next(n for n in by_name if "master" in n)
+            master = _qa_decode(bytes(by_name[master_name]))
+            rows = []
+            for name, payload in sorted(by_name.items()):
+                if name == master_name:
+                    continue
+                s, nz, verdict = _qa_verdict(
+                    master, _qa_decode(bytes(payload))
+                )
+                rows.append(
+                    (str(pdf["stem"].iloc[0]), name, s, nz, verdict)
+                )
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "stem", "transcode_name", "signal_energy",
+                    "noise_energy", "verdict",
+                ],
+            )
+
+        out = bin_df.groupBy("stem").applyInPandas(
+            qa_group,
+            "stem string, transcode_name string, signal_energy long, "
+            "noise_energy long, verdict string",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def audio_transcode_qa_oracle() -> str:
+    """VALUES oracle: energies computed by the pure-Python twin over
+    the fixture formulas (and the shared deterministic codec for the
+    lossy legs), asserting all three verdict classes appear."""
+    n = N_SAMPLES
+    from .mp3_l3 import encode_mp3
+
+    sig_m = [_sig_m(t) for t in range(n)]
+    sig_a = [_sig_a(t) for t in range(n)]
+    sig_c = [_sig_c(t) for t in range(n)]
+    rows = []
+    for stem, master, legs in (
+        ("m1", sig_m, [("m1__t.flac", sig_m),
+                       ("m1__t.mp3", _qa_decode(encode_mp3(sig_m)))]),
+        ("a1", sig_a, [("a1__t.mp3", _qa_decode(encode_mp3(sig_a)))]),
+        ("x1", sig_a, [("x1__t.mp3", _qa_decode(encode_mp3(sig_c)))]),
+    ):
+        for name, decoded in legs:
+            s, nz, verdict = _qa_verdict(master, decoded)
+            rows.append((stem, name, s, nz, verdict))
+    verdicts = {r[4] for r in rows}
+    fixture_check(
+        verdicts == {"lossless", "lossy", "mismatch"},
+        f"QA fixtures must deliver all three verdict classes, got {verdicts}",
+    )
+    literals = ", ".join(
+        f"('{st}', '{nm}', {s}, {nz}, '{v}')" for st, nm, s, nz, v in rows
+    )
+    return (
+        "SELECT stem, transcode_name, signal_energy, noise_energy, "
+        f"verdict FROM (VALUES {literals}) "
+        "AS t(stem, transcode_name, signal_energy, noise_energy, verdict)"
+    )

@@ -513,7 +513,12 @@ from .operators.ebml import (
     webm_block_census_query,
     webm_meta_query,
 )
-from .operators.afp import audio_fingerprint_dedup_query, audio_fingerprint_oracle
+from .operators.afp import (
+    audio_fingerprint_dedup_query,
+    audio_fingerprint_oracle,
+    audio_transcode_qa_oracle,
+    audio_transcode_qa_query,
+)
 from .operators.phash import image_phash_dedup_query, image_phash_oracle
 from .operators.vphash import (
     video_phash_dedup_query,
@@ -897,6 +902,7 @@ QUERIES = {
     "flac_decode": flac_decode_query,
     "audio_resample": audio_resample_query,
     "mp3_meta": mp3_meta_query,
+    "audio_transcode_qa": audio_transcode_qa_query,
     "streaming_media_ingest": streaming_media_ingest_query,
     "media_dispatch": media_dispatch_query,
     "approx_distinct": approx_distinct_query,
@@ -1104,7 +1110,9 @@ _R12_WINDOW = [
     "weighted_sample", "streaming_multi_sink", "feature_scaling",
     "feature_binning", "asof_nearest", "time_rollup",
     "join_types_suite", "tpch_promo_revenue", "tpch_parts_supplier",
-    "map_functions_suite",
+    # r12 addition, never driver-checked - takes the last slot;
+    # map_functions_suite (r3) joins the r13 queue
+    "audio_transcode_qa",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
@@ -1119,6 +1127,7 @@ ORACLES = {
     "audio_fingerprint_dedup": audio_fingerprint_oracle,
     "video_phash_dedup": video_phash_oracle,
     "video_scene_cuts": video_scene_cuts_oracle,
+    "audio_transcode_qa": audio_transcode_qa_oracle,
     "audio_features": AUDIO_FEATURES_ORACLE_SQL,
     "audio_resample": AUDIO_RESAMPLE_ORACLE_SQL,
     "flac_decode": FLAC_DECODE_ORACLE_SQL,
@@ -1379,7 +1388,8 @@ _SCALE_ITERATIVE = {
 }
 _SCALE_FIXED_FIXTURE = {
     "image_phash_dedup", "audio_fingerprint_dedup", "video_phash_dedup",
-    "video_scene_cuts", "h264_meta", "h264_nal_census", "h264_frames",
+    "video_scene_cuts", "audio_transcode_qa",
+    "h264_meta", "h264_nal_census", "h264_frames",
     "webm_meta", "webm_block_census", "subtitle_parse",
     "caption_frame_align", "gif_decode", "mp4_meta", "mp4_audio_meta",
     "video_frames", "wav_stats", "audio_features", "flac_decode",

@@ -163,3 +163,19 @@ def test_afp_cross_codec_pair_within_budget():
         if ((a ^ b) >> (64 - A.BAND_BITS * (i + 1))) & 0xFFFF == 0
     )
     assert clean_bands >= 2
+
+
+def test_transcode_qa_verdict_classes(spark):
+    from data_pipeline_capstone_project_spark.operators.afp import (
+        audio_transcode_qa_query,
+    )
+
+    rows = {
+        r["transcode_name"]: r
+        for r in audio_transcode_qa_query(spark, "").collect()
+    }
+    assert rows["m1__t.flac"]["verdict"] == "lossless"
+    assert rows["m1__t.flac"]["noise_energy"] == 0
+    assert rows["m1__t.mp3"]["verdict"] == "lossy"
+    assert 0 < rows["m1__t.mp3"]["noise_energy"] < rows["m1__t.mp3"]["signal_energy"]
+    assert rows["x1__t.mp3"]["verdict"] == "mismatch"
