@@ -1,6 +1,7 @@
 """Benchmark harness: runs every registered query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line per completed
+pass (best-so-far; the LAST line is authoritative).
 
 Each query is fully materialized through the ``noop`` sink (executes
 the complete physical plan including all columns - unlike ``count()``,
@@ -18,12 +19,29 @@ them keeps two clean runs in other passes. On top of that:
 
 * per-pass canary probes (the flagship, single-shot, every ~25
   queries) build a host-health timeline; a pass whose median canary
-  is >= 1.5x the best pass's median is marked degraded and excluded
-  from scoring (unless every pass is degraded),
+  is >= SPARK_GRAFT_BENCH_CANARY_RATIO (default 1.5) x the best
+  pass's median is marked degraded and excluded from scoring (unless
+  every pass is degraded),
 * /proc/stat iowait+steal deltas are recorded per pass - loadavg
   cannot see co-tenant steal or I/O stalls (observed r8/r10),
 * the r5-r11 machinery (entry quiet-gate on 1-min AND 5-min loadavg,
   whole-run retry, per-query spread retry) is retained.
+
+Delivery hardening (VERDICT r12 item 1: two consecutive rounds of
+unparseable driver artifacts - rc=124 timeout and a JSON line that
+only printed at the very end):
+
+* a best-so-far summary JSON line is flushed to stdout after EVERY
+  completed pass, so a timeout kill still leaves the driver the last
+  complete pass to parse (the driver takes the last line);
+* a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900 s)
+  degrades the run gracefully instead of overrunning: the warm pass
+  is time-boxed, later passes are skipped when the remaining budget
+  cannot fit them, and the whole-run retry / spread retries are
+  skipped when over budget. Artifacts record how much was skipped.
+* the canary ratio is split (ADVICE r12): pass rejection keeps
+  SPARK_GRAFT_BENCH_CANARY_RATIO (1.5); the whole-run-retry trigger
+  uses SPARK_GRAFT_BENCH_RETRY_RATIO (3.0, the pre-r12 sensitivity).
 """
 
 from __future__ import annotations
@@ -43,6 +61,20 @@ from data_pipeline_capstone_project_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 CANARY = "q1_history"
+
+HEADLINE = [
+    "q1_history",
+    "rolling_engagement",
+    "latest_wins",
+    "top_k_per_group",
+    "recent_n_per_user",
+    "asof_enrichment",
+    "posts_flatten",
+    "anti_join",
+    "scalar_suite",
+    "quality_gates",
+    "pricing_summary",
+]
 
 
 def read_cpu_stat() -> dict:
@@ -71,6 +103,15 @@ def cpu_delta(a: dict, b: dict) -> dict:
 
 
 def main() -> None:
+    t0_wall = time.monotonic()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+
+    def elapsed() -> float:
+        return time.monotonic() - t0_wall
+
+    def remaining() -> float:
+        return budget - elapsed()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -78,13 +119,26 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # Cross-run host reference (r12): read the PREVIOUS run's canary
+    # before this run overwrites the detail file (incremental emission
+    # writes it early now).
+    prev_canary = None
+    try:
+        with open(detail_path) as f:
+            prev_canary = json.load(f).get("canary_best")
+    except Exception:
+        pass
+
     def run_once(name: str) -> float:
         """One materialized run; caller handles exceptions."""
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        elapsed = round(time.perf_counter() - t0, 3)
+        el = round(time.perf_counter() - t0, 3)
         # Release persisted relations before the next query: the
         # iterative ops persist inside their plans, and 200 queries'
         # worth of leftover blocks otherwise bleed GC pressure into
@@ -94,18 +148,82 @@ def main() -> None:
         # iterative queries without it).
         spark.catalog.clearCache()
         gc.collect()
-        return elapsed
+        return el
+
+    def emit(timings: dict, errors: list, detail: dict) -> None:
+        """One summary JSON line to stdout (driver parses the LAST
+        line) + refresh the sidecar detail file. Called after every
+        completed pass and once at the very end."""
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        canary_best = timings.get(CANARY)
+        host_factor = None
+        if prev_canary and canary_best and canary_best > 0:
+            host_factor = round(canary_best / prev_canary, 3)
+        detail = dict(detail)
+        detail.update(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "canary_best": canary_best,
+                "host_factor_vs_prev": host_factor,
+                "sf": sf,
+                "elapsed_sec": round(elapsed(), 1),
+                "budget_sec": budget,
+            }
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        # The stdout line must stay short enough to survive the
+        # driver's bounded tail capture (round-1 BENCH recorded
+        # parsed=null on a ~3 KB line): headline + slowest only.
+        slowest = sorted(timings, key=timings.get, reverse=True)[:8]
+        keep = {
+            n: timings[n] for n in timings if n in HEADLINE or n in slowest
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": keep,
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "n_failed": len(errors),
+                    "passes_done": detail.get("passes_done"),
+                    "canary": canary_best,
+                    "host_vs_prev": host_factor,
+                    "detail": "BENCH_DETAIL.json",
+                },
+                separators=(",", ":"),
+            )
+        )
+        sys.stdout.flush()
 
     # Warm JVM/codegen/Python-worker paths: one full pass at the
     # smallest scale factor, so timings reflect steady-state execution
-    # (what a long-running cluster job sees), not first-query JIT cost.
+    # (what a long-running cluster job sees), not first-query JIT
+    # cost. Time-boxed to 25% of the budget (VERDICT r12): a timeout
+    # mid-warm-up used to leave the driver NOTHING.
     warm_dir = "/root/testdata/sf0.001"
+    warm_deadline = t0_wall + 0.25 * budget
+    warmed = 0
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name, fn in queries.items():
+            if time.monotonic() >= warm_deadline:
+                print(
+                    f"warm pass time-boxed: {warmed}/{len(queries)} warmed "
+                    f"in {elapsed():.0f}s",
+                    file=sys.stderr,
+                )
+                break
             try:
                 fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                warmed += 1
             except Exception as exc:  # pragma: no cover - defensive
                 print(f"warm {name} failed: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
@@ -114,12 +232,15 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Quiet-machine gate (VERDICT r5 item 2 / r10): recording the
     # round-over-round baseline from a contended machine manufactures
-    # phantom regressions. Wait (bounded) for BOTH the 1-minute and
-    # 5-minute loadavg to drop below their thresholds - the 5-min
-    # bound catches the "recently hammered" state (r10: 1-min 1.30
-    # but 5-min 6.52 at gate pass).
+    # phantom regressions. Wait (bounded by BOTH the quiet-wait knob
+    # and 15% of the wall budget) for the 1-minute and 5-minute
+    # loadavg to drop below their thresholds - the 5-min bound catches
+    # the "recently hammered" state (r10: 1-min 1.30, 5-min 6.52).
     quiet_load = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.5"))
-    quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+    quiet_wait = min(
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300")),
+        0.15 * budget,
+    )
     quiet_load5 = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD5", "3.0"))
     waited = 0.0
     while (
@@ -138,19 +259,78 @@ def main() -> None:
     canary_ratio = float(
         os.environ.get("SPARK_GRAFT_BENCH_CANARY_RATIO", "1.5")
     )
+    # Whole-run-retry trigger sensitivity is a SEPARATE knob (ADVICE
+    # r12: one value silently served both purposes and the retry
+    # trigger default dropped 3.0 -> 1.5). 3.0 restores the pre-r12
+    # retry behavior; pass rejection stays at 1.5.
+    retry_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_RATIO", "3.0"))
 
-    def measured_phase(phase_seed: int) -> tuple[dict, dict, list, dict]:
-        """``runs`` interleaved full passes, randomized order each
-        pass. Returns (timings, all_runs, errors, meta): timings are
-        per-query min over runs from non-degraded passes; errors are
-        queries that failed in EVERY pass."""
+    def score(
+        all_runs: dict,
+        run_pass_idx: dict,
+        passes_meta: list,
+    ) -> tuple[dict, list, list]:
+        """Per-query min over runs from non-degraded passes.
+        Returns (timings, errors, degraded_pass_indices)."""
+        medians = [
+            pm["canary_median"]
+            for pm in passes_meta
+            if pm["canary_median"] is not None
+        ]
+        degraded: list[int] = []
+        if medians:
+            best = min(medians)
+            degraded = [
+                i
+                for i, pm in enumerate(passes_meta)
+                if pm["canary_median"] is not None
+                and pm["canary_median"] >= canary_ratio * best
+            ]
+        timings: dict[str, float] = {}
+        errors: list[str] = []
+        for name in all_runs:
+            rs = all_runs[name]
+            if not rs:
+                timings[name] = -1.0
+                errors.append(name)
+                continue
+            clean = [
+                el
+                for el, p in zip(rs, run_pass_idx[name])
+                if p not in degraded
+            ]
+            timings[name] = min(clean if clean else rs)
+        return timings, errors, degraded
+
+    def measured_phase(
+        phase_seed: int, on_pass=None
+    ) -> tuple[dict, dict, list, dict]:
+        """Up to ``runs`` interleaved full passes, randomized order
+        each pass; budget-aware (a pass only starts if the remaining
+        budget fits the previous pass's wall plus margin, and at
+        least one pass always runs). ``on_pass(timings, errors,
+        meta)`` fires after each completed pass for incremental
+        emission. Returns (timings, all_runs, errors, meta)."""
         all_runs: dict[str, list[float]] = {n: [] for n in queries}
         run_pass_idx: dict[str, list[int]] = {n: [] for n in queries}
         fail_msgs: dict[str, str] = {}
         passes_meta: list[dict] = []
         names = list(queries)
         probe_every = max(10, len(names) // 8)
+        skipped_passes = 0
         for p in range(runs):
+            if p > 0:
+                # Margin: last pass's wall * 1.15 + 45 s for the
+                # final scoring/retry/emission tail.
+                need = passes_meta[-1]["wall_sec"] * 1.15 + 45
+                if remaining() < need:
+                    skipped_passes = runs - p
+                    print(
+                        f"budget: skipping passes {p}..{runs - 1} "
+                        f"(need ~{need:.0f}s, have {remaining():.0f}s)",
+                        file=sys.stderr,
+                    )
+                    break
             order = names[:]
             random.Random(phase_seed * 1000 + p).shuffle(order)
             canary_probes: list[float] = []
@@ -190,63 +370,73 @@ def main() -> None:
                 f"{passes_meta[-1]['cpu']}",
                 file=sys.stderr,
             )
-        # Canary-drift pass rejection: a pass whose median canary sits
-        # >= canary_ratio above the best pass ran on a degraded host;
-        # exclude its runs from scoring unless that would leave none.
-        medians = [
-            pm["canary_median"]
-            for pm in passes_meta
-            if pm["canary_median"] is not None
-        ]
-        degraded: list[int] = []
-        if medians:
-            best = min(medians)
-            degraded = [
-                i
-                for i, pm in enumerate(passes_meta)
-                if pm["canary_median"] is not None
-                and pm["canary_median"] >= canary_ratio * best
-            ]
+            if on_pass is not None:
+                t, e, d = score(all_runs, run_pass_idx, passes_meta)
+                for i in d:
+                    passes_meta[i]["degraded"] = True
+                on_pass(
+                    t,
+                    e,
+                    {
+                        "passes_done": p + 1,
+                        "passes_planned": runs,
+                        "phase_meta": {
+                            "passes": passes_meta,
+                            "degraded_passes": d,
+                            "fail_msgs": fail_msgs,
+                        },
+                    },
+                )
+        timings, errors, degraded = score(all_runs, run_pass_idx, passes_meta)
         for i in degraded:
             passes_meta[i]["degraded"] = True
-        timings: dict[str, float] = {}
-        errors: list[str] = []
-        for name in names:
-            rs = all_runs[name]
-            if not rs:
-                timings[name] = -1.0
-                errors.append(name)
-                continue
-            clean = [
-                el
-                for el, p in zip(rs, run_pass_idx[name])
-                if p not in degraded
-            ]
-            timings[name] = min(clean if clean else rs)
         meta = {
             "passes": passes_meta,
             "degraded_passes": degraded,
             "fail_msgs": fail_msgs,
+            "skipped_passes": skipped_passes,
         }
         return timings, all_runs, errors, meta
 
-    timings, spreads, errors, phase_meta = measured_phase(12)
+    base_detail = {
+        "runs_per_query": runs,
+        "methodology": "interleaved-randomized-passes r13 (budgeted)",
+        "loadavg_start": load_start,
+        "quiet_gate": {
+            "threshold": quiet_load,
+            "threshold_5min": quiet_load5,
+            "waited_sec": waited,
+        },
+        "canary_ratio": canary_ratio,
+        "retry_ratio": retry_ratio,
+        "warm_queries": warmed,
+    }
+
+    def on_pass_phase1(t, e, pass_info):
+        d = dict(base_detail)
+        d.update(pass_info)
+        d["partial"] = pass_info["passes_done"] < pass_info["passes_planned"]
+        emit(t, e, d)
+
+    timings, spreads, errors, phase_meta = measured_phase(12, on_pass_phase1)
+    phase1_wall = sum(pm["wall_sec"] for pm in phase_meta["passes"])
 
     # Whole-run retry (VERDICT r7 #1): if the host was contended for
     # the WHOLE phase - end loadavg above the bar after a quiesce
     # window, or every pass degraded relative to a recovered canary -
     # re-measure once and score whichever phase ended healthier.
+    # Budget-gated: only when the remaining budget fits another phase.
     retry_load = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_LOAD", "4.0"))
     quiesce = float(os.environ.get("SPARK_GRAFT_BENCH_QUIESCE", "60"))
     load_raw = os.getloadavg()
-    if load_raw[0] >= retry_load and quiesce > 0:
+    if load_raw[0] >= retry_load and quiesce > 0 and remaining() > quiesce:
         time.sleep(quiesce)
     load_end = os.getloadavg()
     # Post-phase canary: if the recovered machine now runs the
-    # flagship >= canary_ratio faster than the best the whole phase
+    # flagship >= retry_ratio faster than the best the whole phase
     # could record, the phase was measured on a degraded host.
     post_canary: list[float] = []
-    if timings.get(CANARY, 0) > 0:
+    if timings.get(CANARY, 0) > 0 and remaining() > 30:
         for _ in range(3):
             try:
                 post_canary.append(run_once(CANARY))
@@ -255,18 +445,20 @@ def main() -> None:
     phase1_degraded = bool(
         post_canary
         and timings.get(CANARY, 0) > 0
-        and min(post_canary) * canary_ratio <= timings[CANARY]
+        and min(post_canary) * retry_ratio <= timings[CANARY]
     )
+    retry_fits = remaining() > phase1_wall * 1.1 + 60
     whole_run_retry: dict = {
         "threshold": retry_load,
         "fired": False,
+        "budget_allowed": retry_fits,
         "phase1_loadavg_raw": load_raw,
         "phase1_loadavg_end": load_end,
         "post_canary": post_canary,
         "canary_phase_min": timings.get(CANARY),
         "phase1_was_degraded": phase1_degraded,
     }
-    if load_end[0] >= retry_load or phase1_degraded:
+    if (load_end[0] >= retry_load or phase1_degraded) and retry_fits:
         print(
             f"whole-run retry: end loadavg {load_end[0]:.2f} (bar "
             f"{retry_load}) / post canary {post_canary} vs phase min "
@@ -277,8 +469,25 @@ def main() -> None:
         whole_run_retry["phase1_timings"] = timings
         whole_run_retry["phase1_all_runs"] = spreads
         whole_run_retry["phase1_meta"] = phase_meta
-        timings2, spreads2, errors2, phase_meta2 = measured_phase(13)
-        if quiesce > 0:
+
+        def on_pass_phase2(t2, e2, pass_info):
+            # A kill during phase 2 must still leave a sane last
+            # line: emit whichever phase currently wins the adoption
+            # rule (fewer errors, then canary).
+            if len(e2) != len(errors):
+                use2 = len(e2) < len(errors)
+            else:
+                use2 = t2.get(CANARY, 1e9) < timings.get(CANARY, 1e9)
+            d = dict(base_detail)
+            d.update(pass_info)
+            d["partial"] = True
+            d["whole_run_retry_in_progress"] = True
+            emit(t2 if use2 else timings, e2 if use2 else errors, d)
+
+        timings2, spreads2, errors2, phase_meta2 = measured_phase(
+            13, on_pass_phase2
+        )
+        if quiesce > 0 and remaining() > quiesce:
             time.sleep(quiesce)
         load_end2 = os.getloadavg()
         whole_run_retry["phase2_loadavg_end"] = load_end2
@@ -305,14 +514,20 @@ def main() -> None:
     # Per-query spread retry (VERDICT r5 item 2): a query whose runs
     # still disagree by > spread_cap even across interleaved passes
     # was unlucky in every pass; re-run it twice now and score from
-    # the retry runs only (ADVICE r6).
+    # the retry runs only (ADVICE r6). Budget-gated per query.
     spread_cap = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD", "2.0"))
     retried: list[str] = []
     for name in list(timings):
         times = spreads.get(name) or []
-        if timings[name] <= 0.05 or len(times) < runs:
+        if timings[name] <= 0.05 or len(times) < 2:
             continue  # failed, trivial, or incomplete - nothing to rescue
         if max(times) / max(min(times), 1e-9) <= spread_cap:
+            continue
+        if remaining() < max(times) * 2 + 20:
+            print(
+                f"budget: skipping spread retry for {name}",
+                file=sys.stderr,
+            )
             continue
         retried.append(name)
         retry_times: list[float] = []
@@ -330,91 +545,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Cross-run host reference (r12): a UNIFORMLY level-shifted run
-    # (every query ~1.2x, canary included) has no in-run signal the
-    # pass-rejection can see - only a reference from a previous run
-    # can attribute it to the host. Record this run's best canary and
-    # the ratio against the previous BENCH_DETAIL's, so a judge (or
-    # the driver) reading two artifacts can separate "host was 1.3x
-    # slower" from "the code regressed": per-query values scale with
-    # the canary under a level shift, they don't under a regression.
-    canary_best = timings.get(CANARY)
-    host_factor_vs_prev = None
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    final_detail = dict(base_detail)
+    final_detail.update(
+        {
+            "all_runs": spreads,
+            "loadavg_end": os.getloadavg(),
+            "phase_meta": phase_meta,
+            "whole_run_retry": whole_run_retry,
+            "spread_retried": retried,
+            "passes_done": len(phase_meta["passes"]),
+            "passes_planned": runs,
+            "partial": bool(phase_meta.get("skipped_passes")),
+        }
     )
-    try:
-        with open(detail_path) as f:
-            prev_canary = json.load(f).get("canary_best")
-        if prev_canary and canary_best and canary_best > 0:
-            host_factor_vs_prev = round(canary_best / prev_canary, 3)
-    except Exception:
-        pass
-    # Full per-query detail goes to a sidecar file; the stdout line
-    # must stay short enough to survive the driver's bounded tail
-    # capture (round-1 BENCH recorded parsed=null on a ~3 KB line).
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                "methodology": "interleaved-randomized-passes r12",
-                "all_runs": spreads,
-                "loadavg_start": load_start,
-                "loadavg_end": os.getloadavg(),
-                "quiet_gate": {
-                    "threshold": quiet_load,
-                    "threshold_5min": quiet_load5,
-                    "waited_sec": waited,
-                },
-                "phase_meta": phase_meta,
-                "whole_run_retry": whole_run_retry,
-                "spread_retried": retried,
-                "canary_ratio": canary_ratio,
-                "canary_best": canary_best,
-                "host_factor_vs_prev": host_factor_vs_prev,
-                "sf": sf,
-            },
-            f,
-            indent=1,
-        )
-    headline = [
-        "q1_history",
-        "rolling_engagement",
-        "latest_wins",
-        "top_k_per_group",
-        "recent_n_per_user",
-        "asof_enrichment",
-        "posts_flatten",
-        "anti_join",
-        "scalar_suite",
-        "quality_gates",
-        "pricing_summary",
-    ]
-    slowest = sorted(timings, key=timings.get, reverse=True)[:8]
-    keep = {n: timings[n] for n in timings if n in headline or n in slowest}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": keep,
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failed": len(errors),
-                "canary": canary_best,
-                "host_vs_prev": host_factor_vs_prev,
-                "detail": "BENCH_DETAIL.json",
-            },
-            separators=(",", ":"),
-        )
-    )
-    sys.stdout.flush()
+    emit(timings, errors, final_detail)
     sys.stderr.flush()
     # Hard exit: after a registry full of streaming/foreachBatch runs,
     # spark.stop() has been observed to hang the process even though

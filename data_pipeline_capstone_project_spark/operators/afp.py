@@ -330,6 +330,8 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
     multi-node cluster the ``binaryFile`` load path must be
     executor-visible (object store / NFS), as with all staged-store
     entries in this repo."""
+    # driver-local staging: test scaffolding only (FIXTURES.md §6) -
+    # multi-node clusters stage fixtures to shared storage first.
     work = tempfile.mkdtemp(prefix="afp_store_")
     try:
         _stage_afp_store(work)
@@ -420,8 +422,8 @@ def audio_fingerprint_oracle() -> str:
         ham = bin(ha ^ hb).count("1")
         dup = ham <= HAMMING_T
         if dup and _family(na) != _family(nb):
-            raise AssertionError(
-                f"fixture drift: cross-family dup {na}/{nb} at Hamming {ham}"
+            fixture_check(
+                False, f"cross-family dup {na}/{nb} at Hamming {ham}"
             )
         if ham == 0:
             seen_h0 += 1

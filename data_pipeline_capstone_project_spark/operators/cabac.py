@@ -1,0 +1,318 @@
+"""CABAC arithmetic coding engine - ITU-T H.264 §9.3, from the spec.
+
+Scope (VERDICT r12 item 4). The ARITHMETIC ENGINE is complete and
+spec-exact: context-variable initialization (§9.3.1.1 formula),
+decoding-engine initialization (§9.3.1.2), DecodeDecision /
+DecodeBypass / DecodeTerminate (§9.3.3.2.1-2.4 flowcharts), and the
+encoder twins EncodeDecision / EncodeBypass / EncodeTerminate /
+EncodeFlush with PutBit outstanding-bit resolution (§9.3.4.2-4.6).
+The engine is driven by :mod:`.h264_decode` to decode real CABAC
+I slices whose macroblocks are I_PCM - the one I-slice subset whose
+context-table needs fit the transcription-confidence policy below.
+
+Table policy (the same seam discipline as the CAVLC Table 9-4
+subset): a normative table is transcribed ONLY where an independent
+published derivation can validate the transcription; everything else
+stays an explicit NotImplementedError seam, never a guess.
+
+* Table 9-44 ``rangeTabLPS`` - transcribed in full. Validated at
+  import against the generator published in Marpe, Schwarz & Wiegand,
+  "Context-Based Adaptive Binary Arithmetic Coding in the H.264/AVC
+  Video Compression Standard" (IEEE TCSVT 13(7), 2003): LPS
+  probabilities p_s = 0.5 * alpha^s with alpha = (0.01875/0.5)^(1/63)
+  and quantized-range representatives Q = (288, 352, 416, 480);
+  every entry must equal round(Q_r * p_s) to within the +-1 the
+  normative table's hand rounding is known to introduce, with the
+  documented clamp at [0][0] = 128 and terminal row {2,2,2,2}. A
+  transposed/mistyped entry fails this gate; a residual +-1 error
+  cannot corrupt decode ordering (monotonicity is asserted too) and
+  is additionally pinned by the encoder/decoder round-trip tests.
+* Table 9-45 ``transIdxLPS`` - transcribed in full. Validated at
+  import against the paper's state-update derivation (after an LPS,
+  p' = alpha*p + (1-alpha), mapped to the nearest state index) within
+  the +-1 hand-rounding tolerance plus the table's one famous
+  non-monotonic wiggle at states 28-29 (23, 22), asserted explicitly.
+  ``transIdxMPS`` is formulaic: min(s+1, 62), 63 terminal.
+* §9.3.1.1 context initialization (m, n) pairs - transcribed ONLY for
+  ctxIdx 3..5, the mb_type-in-I-slice first bin. These three pairs
+  are the whole context footprint of the I_PCM envelope (the I_PCM
+  suffix bin and end_of_slice_flag use the terminate process, which
+  is context-free). Every other syntax element's initialization
+  (mb_qp_delta, intra pred modes, CBP, significance maps, levels)
+  remains the documented seam in the slice decoder.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .h264 import H264Error
+
+
+class CabacError(H264Error):
+    """CABAC bitstream violates the decoded envelope."""
+
+
+# --- Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx] ------------------------
+
+RANGE_TAB_LPS: "tuple[tuple[int, int, int, int], ...]" = (
+    (128, 176, 208, 240), (128, 167, 197, 227), (128, 158, 187, 216),
+    (123, 150, 178, 205), (116, 142, 169, 195), (111, 135, 160, 185),
+    (105, 128, 152, 175), (100, 122, 144, 166), (95, 116, 137, 158),
+    (90, 110, 130, 150), (85, 104, 123, 142), (81, 99, 117, 135),
+    (77, 94, 111, 128), (73, 89, 105, 122), (69, 85, 100, 116),
+    (66, 80, 95, 110), (62, 76, 90, 104), (59, 72, 86, 99),
+    (56, 69, 81, 94), (53, 65, 77, 89), (51, 62, 73, 85),
+    (48, 59, 69, 80), (46, 56, 66, 76), (43, 53, 63, 72),
+    (41, 50, 59, 69), (39, 48, 56, 65), (37, 45, 54, 62),
+    (35, 43, 51, 59), (33, 41, 48, 56), (32, 39, 46, 53),
+    (30, 37, 43, 50), (29, 35, 41, 48), (27, 33, 39, 45),
+    (26, 31, 37, 43), (24, 30, 35, 41), (23, 28, 33, 39),
+    (22, 27, 32, 37), (21, 26, 30, 35), (20, 24, 29, 33),
+    (19, 23, 27, 31), (18, 22, 26, 30), (17, 21, 25, 28),
+    (16, 20, 23, 27), (15, 19, 22, 25), (14, 18, 21, 24),
+    (14, 17, 20, 23), (13, 16, 19, 22), (12, 15, 18, 21),
+    (12, 14, 17, 20), (11, 14, 16, 19), (11, 13, 15, 18),
+    (10, 12, 15, 17), (10, 12, 14, 16), (9, 11, 13, 15),
+    (9, 11, 12, 14), (8, 10, 12, 14), (8, 9, 11, 13),
+    (7, 9, 11, 12), (7, 9, 10, 12), (7, 8, 10, 11),
+    (6, 8, 9, 11), (6, 7, 9, 10), (6, 7, 8, 9), (2, 2, 2, 2),
+)
+
+# --- Table 9-45: transIdxLPS (MPS transition is formulaic) --------------------
+
+TRANS_IDX_LPS: "tuple[int, ...]" = (
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
+    16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24, 24, 25, 26, 26,
+    27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34,
+    35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
+)
+
+TRANS_IDX_MPS: "tuple[int, ...]" = tuple(
+    min(s + 1, 62) if s < 63 else 63 for s in range(64)
+)
+
+#: §9.3.1.1 (m, n) initialization pairs, I-slice column, for the ONLY
+#: context-coded bins the I_PCM envelope touches: mb_type-in-I-slice
+#: binIdx 0, ctxIdx 3 + ctxIdxInc(0..2).
+CTX_INIT_I_MB_TYPE: "dict[int, tuple[int, int]]" = {
+    3: (20, -15),
+    4: (2, 54),
+    5: (3, 74),
+}
+
+
+def _validate_tables() -> None:
+    """Import-time transcription gate (module docstring policy). A
+    failure here is 'fixture drift'-class: refuse to run rather than
+    arithmetic-decode with a corrupted table."""
+    alpha = (0.01875 / 0.5) ** (1.0 / 63.0)
+    q = (288, 352, 416, 480)
+    if len(RANGE_TAB_LPS) != 64 or RANGE_TAB_LPS[63] != (2, 2, 2, 2):
+        raise AssertionError("rangeTabLPS shape/terminal row drift")
+    for s in range(63):
+        p = 0.5 * alpha**s
+        for r in range(4):
+            got = RANGE_TAB_LPS[s][r]
+            want = round(q[r] * p)
+            if s == 0 and r == 0:
+                want = 128  # the normative clamp (codIRange >= 2^8)
+            if abs(got - want) > 1:
+                raise AssertionError(
+                    f"rangeTabLPS[{s}][{r}]={got} off generator {want}"
+                )
+        row = RANGE_TAB_LPS[s]
+        if not (row[0] < row[1] < row[2] < row[3]):
+            raise AssertionError(f"rangeTabLPS row {s} not increasing")
+        if s and any(
+            RANGE_TAB_LPS[s][r] > RANGE_TAB_LPS[s - 1][r] for r in range(4)
+        ):
+            raise AssertionError(f"rangeTabLPS row {s} not decaying")
+    if len(TRANS_IDX_LPS) != 64 or TRANS_IDX_LPS[63] != 63:
+        raise AssertionError("transIdxLPS shape/terminal drift")
+    for s in range(63):
+        p = 0.5 * alpha**s
+        pn = min(alpha * p + (1 - alpha), 0.5)
+        ideal = math.log(pn / 0.5) / math.log(alpha)
+        if abs(TRANS_IDX_LPS[s] - ideal) > 1.5:
+            raise AssertionError(
+                f"transIdxLPS[{s}]={TRANS_IDX_LPS[s]} off ideal {ideal:.2f}"
+            )
+        if TRANS_IDX_LPS[s] > s:
+            raise AssertionError(f"transIdxLPS[{s}] increases the state")
+        # non-decreasing except the table's one famous inversion 28->29
+        if s < 62 and TRANS_IDX_LPS[s + 1] < TRANS_IDX_LPS[s] and s != 28:
+            raise AssertionError(f"transIdxLPS inversion at {s}")
+    if (TRANS_IDX_LPS[28], TRANS_IDX_LPS[29]) != (23, 22):
+        raise AssertionError("transIdxLPS 28/29 wiggle drift")
+    for m, n in CTX_INIT_I_MB_TYPE.values():
+        if not (-128 <= m <= 127 and -128 <= n <= 127):
+            raise AssertionError("ctx init (m,n) out of s8 range")
+
+
+_validate_tables()
+
+
+def clip3(lo: int, hi: int, v: int) -> int:
+    return lo if v < lo else hi if v > hi else v
+
+
+def init_context(m: int, n: int, slice_qp_y: int) -> "list[int]":
+    """§9.3.1.1: (m, n, SliceQPy) -> mutable [pStateIdx, valMPS]."""
+    pre = clip3(1, 126, ((m * clip3(0, 51, slice_qp_y)) >> 4) + n)
+    if pre <= 63:
+        return [63 - pre, 0]
+    return [pre - 64, 1]
+
+
+class CabacDecoder:
+    """§9.3.3.2 arithmetic decoding engine over a bit-reader exposing
+    ``u(n)`` (the package's ``_BitReader``). The caller owns context
+    variables as mutable ``[pStateIdx, valMPS]`` pairs."""
+
+    def __init__(self, reader) -> None:
+        self._r = reader
+        self.cod_i_range = 0
+        self.cod_i_offset = 0
+        self.init_engine()
+
+    def init_engine(self) -> None:
+        """§9.3.1.2 - also re-run after I_PCM sample reads."""
+        self.cod_i_range = 510
+        self.cod_i_offset = self._r.u(9)
+        if self.cod_i_offset >= 510:
+            # 510/511 are unrepresentable offsets (§9.3.1.2 NOTE)
+            raise CabacError("initial codIOffset >= codIRange")
+
+    def decode_decision(self, ctx: "list[int]") -> int:
+        """§9.3.3.2.1 DecodeDecision + §9.3.3.2.2 renormalization."""
+        p_state, val_mps = ctx
+        q_idx = (self.cod_i_range >> 6) & 3
+        range_lps = RANGE_TAB_LPS[p_state][q_idx]
+        self.cod_i_range -= range_lps
+        if self.cod_i_offset >= self.cod_i_range:
+            bin_val = 1 - val_mps
+            self.cod_i_offset -= self.cod_i_range
+            self.cod_i_range = range_lps
+            if p_state == 0:
+                ctx[1] = 1 - val_mps
+            ctx[0] = TRANS_IDX_LPS[p_state]
+        else:
+            bin_val = val_mps
+            ctx[0] = TRANS_IDX_MPS[p_state]
+        while self.cod_i_range < 256:
+            self.cod_i_range <<= 1
+            self.cod_i_offset = (self.cod_i_offset << 1) | self._r.u(1)
+        return bin_val
+
+    def decode_bypass(self) -> int:
+        """§9.3.3.2.3 DecodeBypass."""
+        self.cod_i_offset = (self.cod_i_offset << 1) | self._r.u(1)
+        if self.cod_i_offset >= self.cod_i_range:
+            self.cod_i_offset -= self.cod_i_range
+            return 1
+        return 0
+
+    def decode_terminate(self) -> int:
+        """§9.3.3.2.4 DecodeTerminate (end_of_slice_flag, the I_PCM
+        mb_type suffix bin). On binVal 1 the raw reader is left
+        EXACTLY at the end of the encoder's flush output (the 9-bit
+        init lookahead and the 10-bit EncodeFlush emission cancel),
+        so byte alignment / PCM reads continue on the raw reader."""
+        self.cod_i_range -= 2
+        if self.cod_i_offset >= self.cod_i_range:
+            return 1
+        while self.cod_i_range < 256:
+            self.cod_i_range <<= 1
+            self.cod_i_offset = (self.cod_i_offset << 1) | self._r.u(1)
+        return 0
+
+
+class CabacEncoder:
+    """§9.3.4 arithmetic encoding engine twin (test oracle + fixture
+    writer). Emits into an internal bit list; ``bits()`` returns it
+    (the caller byte-aligns per §7.3.5 pcm alignment or NAL close)."""
+
+    def __init__(self) -> None:
+        self._bits: "list[int]" = []
+        self.cod_i_low = 0
+        self.cod_i_range = 510
+        self._first_bit = True
+        self._outstanding = 0
+
+    def init_engine(self) -> None:
+        """Re-initialization after I_PCM sample writes (§9.3.1.2
+        encoder mirror)."""
+        self.cod_i_low = 0
+        self.cod_i_range = 510
+        self._first_bit = True
+        self._outstanding = 0
+
+    def _put_bit(self, b: int) -> None:
+        if self._first_bit:
+            self._first_bit = False
+        else:
+            self._bits.append(b)
+        while self._outstanding > 0:
+            self._bits.append(1 - b)
+            self._outstanding -= 1
+
+    def _renorm(self) -> None:
+        while self.cod_i_range < 256:
+            if self.cod_i_low >= 512:
+                self.cod_i_low -= 512
+                self._put_bit(1)
+            elif self.cod_i_low < 256:
+                self._put_bit(0)
+            else:
+                self.cod_i_low -= 256
+                self._outstanding += 1
+            self.cod_i_range <<= 1
+            self.cod_i_low <<= 1
+
+    def encode_decision(self, ctx: "list[int]", bin_val: int) -> None:
+        p_state, val_mps = ctx
+        q_idx = (self.cod_i_range >> 6) & 3
+        range_lps = RANGE_TAB_LPS[p_state][q_idx]
+        self.cod_i_range -= range_lps
+        if bin_val != val_mps:
+            self.cod_i_low += self.cod_i_range
+            self.cod_i_range = range_lps
+            if p_state == 0:
+                ctx[1] = 1 - val_mps
+            ctx[0] = TRANS_IDX_LPS[p_state]
+        else:
+            ctx[0] = TRANS_IDX_MPS[p_state]
+        self._renorm()
+
+    def encode_bypass(self, bin_val: int) -> None:
+        self.cod_i_low <<= 1
+        if bin_val:
+            self.cod_i_low += self.cod_i_range
+        if self.cod_i_low >= 1024:
+            self._put_bit(1)
+            self.cod_i_low -= 1024
+        elif self.cod_i_low < 512:
+            self._put_bit(0)
+        else:
+            self.cod_i_low -= 512
+            self._outstanding += 1
+
+    def encode_terminate(self, bin_val: int) -> None:
+        """§9.3.4.5; binVal 1 flushes (§9.3.4.6) - exactly 10 bits,
+        the last of which is the rbsp stop bit."""
+        self.cod_i_range -= 2
+        if bin_val:
+            self.cod_i_low += self.cod_i_range
+            # EncodeFlush
+            self.cod_i_range = 2
+            self._renorm()
+            self._put_bit((self.cod_i_low >> 9) & 1)
+            v = ((self.cod_i_low >> 7) & 3) | 1
+            self._bits.append((v >> 1) & 1)
+            self._bits.append(v & 1)
+        else:
+            self._renorm()
+
+    def bits(self) -> "list[int]":
+        return self._bits

@@ -1559,7 +1559,15 @@ def _check_candidate_budget(pre: DataFrame, threshold: float) -> None:
     budget = int(
         os.environ.get("SPARK_GRAFT_CANDIDATE_BUDGET", CANDIDATE_BUDGET_DEFAULT)
     )
-    pdf = pre.groupBy("s").agg(F.count(F.lit(1)).alias("pdf"))
+    # posexplode_outer emits s=NULL rows for empty-shingle docs; the
+    # equi-join never matches NULL keys, so counting them as one
+    # "group" would add a spurious C(n_empty_docs, 2) to the bound
+    # and refuse corpora full of empty documents (ADVICE r12).
+    pdf = (
+        pre.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+    )
     est_row = pdf.select(
         F.sum(F.col("pdf") * (F.col("pdf") - 1) / 2).alias("est"),
         F.max("pdf").alias("hottest_pdf"),

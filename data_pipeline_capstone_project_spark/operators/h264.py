@@ -458,6 +458,21 @@ def parse_pps(nal: bytes) -> dict:
     return out
 
 
+def _classify_entropy(pps_nals: list[bytes]) -> "str | None":
+    """CAVLC/CABAC routing label from the first PPS, or None when no
+    PPS is available OR the PPS parser refuses the stream (FMO etc.):
+    the metadata path exists to ROUTE files the pixel decoder can't
+    handle, so a parse failure here must classify as unknown, not
+    propagate (ADVICE r12, h264.py:654)."""
+    if not pps_nals:
+        return None
+    try:
+        flag = parse_pps(pps_nals[0])["entropy_coding_mode_flag"]
+    except H264Error:
+        return None
+    return "cabac" if flag else "cavlc"
+
+
 # --- avcC (AVCDecoderConfigurationRecord) ------------------------------------
 
 
@@ -648,13 +663,12 @@ def h264_meta(payload: bytes) -> dict:
         "n_pps": len(rec["pps"]),
         # CAVLC/CABAC classification (VERDICT r11 item 4): the meta
         # path must tell a curation pipeline which files the pixel
-        # path can decode (CAVLC) vs which hit the CABAC seam - None
-        # for in-band (avc3) files that ship no PPS in avcC.
-        "entropy_coding": (
-            ("cabac" if parse_pps(rec["pps"][0])["entropy_coding_mode_flag"]
-             else "cavlc")
-            if rec["pps"] else None
-        ),
+        # path can decode vs which hit a seam - None for in-band
+        # (avc3) files that ship no PPS in avcC, and None for PPSes
+        # the parser itself refuses (e.g. FMO, num_slice_groups > 1):
+        # those are valid H.264, and the meta/routing path must
+        # classify them, not throw (ADVICE r12).
+        "entropy_coding": _classify_entropy(rec["pps"]),
     }
     if not rec["sps"]:
         return {
@@ -804,6 +818,8 @@ def h264_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: staged AVC store -> binaryFile -> mapInPandas
     -> one codec-configuration row per file. Same zero-shuffle shape
     as mp4_meta_query; payload bytes stay executor-side."""
+    # driver-local staging: test scaffolding only (FIXTURES.md §6) -
+    # multi-node clusters stage fixtures to shared storage first.
     work = tempfile.mkdtemp(prefix="h264_store_")
     try:
         _stage_h264_store(work)

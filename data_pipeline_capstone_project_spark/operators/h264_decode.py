@@ -1885,6 +1885,17 @@ def _decode_slice(
         r.ue()  # idr_pic_id
     poc = 0
     if sps["pic_order_cnt_type"] == 0:
+        # pic_order_cnt_lsb used DIRECTLY as the POC (ADVICE r12
+        # note): the full §8.2.1 derivation adds a PicOrderCntMsb
+        # that increments each time the lsb wraps MaxPicOrderCntLsb.
+        # This decoder orders pictures within ONE lsb cycle only - a
+        # GOP longer than MaxPicOrderCntLsb pictures between IDRs
+        # would compare wrapped lsb values. Every supported stream
+        # (and the fixture envelope, 8-bit lsb = 256 pictures) stays
+        # inside one cycle; a wrapped B-picture GOP fails loudly, not
+        # silently, because the past/future reference selection below
+        # ("B slice POC ... lacks a past+future reference pair")
+        # cannot find a past reference once the lsb restarts at 0.
         poc = r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
     if is_b:
         r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs decode)

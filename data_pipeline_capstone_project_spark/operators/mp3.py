@@ -169,18 +169,39 @@ def _mp3_meta_impl(payload: bytes) -> dict:
     }
 
 
+def strip_id3(payload: bytes) -> bytes:
+    """Return the bare frame stream: trim an ID3v2 prefix (syncsafe
+    size, same arithmetic as the meta walk) and a 128-byte ID3v1
+    'TAG' tail. decode_mp3 requires frame sync at byte 0 and walks to
+    EOF, so tagged-but-valid streams would otherwise raise a
+    misleading 'lost MP3 frame sync' (ADVICE r12, medium)."""
+    start = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("bad ID3v2 syncsafe size")
+        start = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    end = len(payload)
+    if payload[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    return payload[start:end]
+
+
 def mp3_pcm(payload: bytes) -> np.ndarray:
-    """Layer III sample decode (r12, VERDICT r11 item 5): mono MPEG-1
+    """Layer III sample decode (r12, VERDICT r11 item 5): MPEG-1
     44.1 kHz streams decode through the real granule pipeline in
     :mod:`.mp3_l3` (side info -> scalefactors -> Huffman ->
     requantization -> alias reduction -> IMDCT -> polyphase
-    synthesis). Features outside that envelope - stereo, MPEG-2,
-    untranscribed Huffman tables, the bit reservoir - raise the
+    synthesis). ID3v2/ID3v1 tags are stripped before decode (the
+    frame walker needs sync at byte 0). Features outside the decode
+    envelope - untranscribed Huffman tables, MPEG-2 - raise the
     explicit seam errors documented in mp3_l3's module docstring."""
     mp3_meta(payload)  # container must at least be valid
     from .mp3_l3 import decode_mp3
 
-    return decode_mp3(payload)
+    return decode_mp3(strip_id3(payload))
 
 
 # --- registry query --------------------------------------------------------
@@ -218,6 +239,8 @@ MP3_META_SCHEMA = (
 def mp3_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: frame-walk metadata for the MP3 store
     executor-side (binaryFile -> Arrow mapInPandas, zero exchanges)."""
+    # driver-local staging: test scaffolding only (FIXTURES.md §6) -
+    # multi-node clusters stage fixtures to shared storage first.
     work = tempfile.mkdtemp(prefix="mp3_store_")
     try:
         for name, _spec, payload in _mp3_fixtures():

@@ -662,10 +662,13 @@ def _decode_granule(r: _BitReader, side: dict) -> np.ndarray:
 
 
 def decode_mp3(payload: bytes) -> np.ndarray:
-    """MPEG-1 Layer III mono stream -> int32 PCM (full decode chain;
-    see the module docstring for the envelope and the one documented
-    window approximation). Raises ``Mp3DecodeError`` on features
-    outside the envelope and ``ValueError`` on corrupt streams."""
+    """MPEG-1 Layer III mono stream -> int64 PCM samples (full decode
+    chain; see the module docstring for the envelope and the one
+    documented window approximation). int64, not int32: exact-integer
+    arithmetic downstream (afp SNR verdicts) compares these against
+    WAV masters without any overflow edge (ADVICE r12 dtype-doc
+    alignment). Raises ``Mp3DecodeError`` on features outside the
+    envelope and ``ValueError`` on corrupt streams."""
     pos = 0
     granule_lines: list[np.ndarray] = []
     end = len(payload)

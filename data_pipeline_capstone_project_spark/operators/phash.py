@@ -343,6 +343,8 @@ def image_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-local temp dir, fine on ``local[*]``/shared-FS; on a real
     multi-node cluster the ``binaryFile`` load path must be
     executor-visible (object store / NFS)."""
+    # driver-local staging: test scaffolding only (FIXTURES.md §6) -
+    # multi-node clusters stage fixtures to shared storage first.
     work = tempfile.mkdtemp(prefix="phash_store_")
     try:
         _stage_phash_store(work)
@@ -401,8 +403,8 @@ def image_phash_oracle() -> str:
         ham = bin(ha ^ hb).count("1")
         dup = ham <= HAMMING_T
         if dup and _family(na) != _family(nb):
-            raise AssertionError(
-                f"fixture drift: cross-family dup {na}/{nb} at Hamming {ham}"
+            fixture_check(
+                False, f"cross-family dup {na}/{nb} at Hamming {ham}"
             )
         if ham == 0:
             seen_h0 += 1

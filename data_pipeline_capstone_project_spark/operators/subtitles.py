@@ -106,9 +106,12 @@ def parse_srt(text: str) -> list[tuple[int, int, str]]:
         lines = b.split("\n")
         if len(lines) < 2:
             raise SubtitleError(f"cue block too short: {b!r}")
-        if not lines[0].strip().isdigit():
+        head = lines[0].strip()
+        # str.isdigit() accepts non-ASCII digits like '¹' that int() rejects;
+        # the contract is SubtitleError on any junk, so gate on ASCII digits.
+        if not (head.isascii() and head.isdigit()):
             raise SubtitleError(f"missing cue index: {lines[0]!r}")
-        idx = int(lines[0])
+        idx = int(head)
         if idx != len(cues) + 1:
             raise SubtitleError(f"cue index {idx} out of order")
         parts = lines[1].split()

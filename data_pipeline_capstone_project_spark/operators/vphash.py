@@ -255,8 +255,8 @@ def video_phash_oracle() -> str:
         ham = bin(ha ^ hb).count("1")
         dup = ham <= HAMMING_T
         if dup and _family(na) != _family(nb):
-            raise AssertionError(
-                f"fixture drift: cross-family dup {na}/{nb} at Hamming {ham}"
+            fixture_check(
+                False, f"cross-family dup {na}/{nb} at Hamming {ham}"
             )
         if ham == 0:
             seen_h0 += 1

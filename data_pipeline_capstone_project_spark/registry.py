@@ -1078,47 +1078,46 @@ QUERIES = {
 
 # --- r12 gate-window rotation (VERDICT r11 item 8) --------------------------
 #
-# The driver's correctness gate reads the FIRST 50 entries. r12 leads
+# The driver's correctness gate reads the FIRST 50 entries. r13 leads
 # with every entry whose implementation or fixtures materially changed
-# this round (the §8.7 deblocking family, the entropy-mode h264_meta
-# schema, the MP3 cross-codec AFP pair, the budget-guarded exact-pair
-# diagnostics), then drains the oldest driver evidence: 39 of the 50
-# entries whose newest CORRECTNESS row was still r3. The 11 remaining
-# r3-checked entries (triangle_count, json/string_functions_suite,
-# sketch_rollup, data_quality_suite, retention_prune,
-# tpch_revenue_filter/shipmode/discounted, safe_arithmetic_suite,
-# window_navigation_suite) are queued for the r13 window. Entries
-# displaced from the r11 window retain their r11 driver rows and their
-# sweep evidence in VERIFICATION.md.
+# this round (the CABAC-decode h264/video family, the MP3
+# bit-reservoir + MS-stereo decode feeding the AFP/transcode entries,
+# the parse_srt Unicode-digit contract fix, the candidate-budget
+# null-group fix on the exact-pair diagnostics), then the ENTIRE
+# rotation blind spot: all 12 entries whose newest CORRECTNESS row was
+# still r3, followed by the 25 alphabetically-first of the 47
+# r4-checked entries. The remaining 22 r4 entries (quantile_rollup
+# through vocab_growth) queue for the r14 window. Entries displaced
+# from the r12 window retain their r12 driver rows and their sweep
+# evidence in VERIFICATION.md.
 
-_R12_WINDOW = [
-    # changed in r12
+_R13_WINDOW = [
+    # changed in r13
+    "subtitle_parse", "caption_frame_align",
     "h264_meta", "h264_frames", "video_frames", "video_phash_dedup",
-    "video_scene_cuts", "audio_fingerprint_dedup", "image_phash_dedup",
-    "mp3_meta", "dedup_threshold_sweep", "dedup_threshold_sweep_pairs",
-    "similarity_join_exact",
-    # oldest driver evidence (r3), alphabetical-by-age order
-    "dedup_simhash", "user_rank_suite", "streaming_lsh_dedup",
-    "dedup_clusters_star", "skew_salted_join", "pricing_grouping_sets",
-    "streaming_join", "doc_score_inference", "similarity_quantized",
-    "streaming_session", "doc_chunking", "pii_redaction",
-    "event_unpivot", "gap_fill", "global_row_ids", "time_range_window",
-    "price_histogram", "rolling_distinct", "funnel", "cohort_retention",
-    "feature_hashing", "fuzzy_match", "above_customer_avg",
-    "tpch_big_spenders", "null_semantics", "datetime_suite",
-    "incremental_agg", "random_projection", "argminmax",
-    "weighted_sample", "streaming_multi_sink", "feature_scaling",
-    "feature_binning", "asof_nearest", "time_rollup",
-    "join_types_suite", "tpch_promo_revenue", "tpch_parts_supplier",
-    # r12 addition, never driver-checked - takes the last slot;
-    # map_functions_suite (r3) joins the r13 queue
-    "audio_transcode_qa",
+    "video_scene_cuts", "mp3_meta", "audio_fingerprint_dedup",
+    "audio_transcode_qa", "dedup_threshold_sweep",
+    "dedup_threshold_sweep_pairs", "similarity_join_exact",
+    # the full r3-stale set (rotation blind spot, VERDICT r12 item 3)
+    "data_quality_suite", "json_functions_suite", "map_functions_suite",
+    "retention_prune", "safe_arithmetic_suite", "sketch_rollup",
+    "string_functions_suite", "tpch_discounted_revenue",
+    "tpch_revenue_filter", "tpch_shipmode_priority", "triangle_count",
+    "window_navigation_suite",
+    # oldest r4 driver evidence, alphabetical
+    "adaptive_quality_filter", "ann_recall", "anomaly_mad", "api_ingest",
+    "balanced_sample", "bfs_distances", "bigram_lm_score", "bloom_dedup",
+    "bpe_encode", "bpe_train", "corpus_dup_ngrams",
+    "cross_corpus_overlap", "curation_funnel", "decontamination",
+    "dedup_eval", "dedup_resolution", "gopher_quality", "image_decode",
+    "importance_resampling", "k_anonymity", "keyword_search_ranked",
+    "kmeans_lloyd", "lang_id_eval", "leakage_safe_split", "lm_rarity",
 ]
-assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 
 QUERIES = {
     name: QUERIES[name]
-    for name in _R12_WINDOW + [n for n in QUERIES if n not in set(_R12_WINDOW)]
+    for name in _R13_WINDOW + [n for n in QUERIES if n not in set(_R13_WINDOW)]
 }
 
 

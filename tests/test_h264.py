@@ -329,6 +329,35 @@ def test_h264_meta_classifies_entropy_mode():
     assert by_name["inband_avc3.mp4"]["entropy_coding"] is None
 
 
+def test_h264_meta_fmo_pps_classifies_as_unknown():
+    """FMO (num_slice_groups > 1) is valid H.264 the PPS parser
+    refuses; the META path must still return a row with
+    entropy_coding=None instead of propagating H264Error
+    (ADVICE r12, h264.py:654)."""
+    from data_pipeline_capstone_project_spark.operators.h264 import (
+        _BitWriter,
+        _ebsp,
+        h264_meta,
+        make_avc_mp4,
+        make_sps,
+    )
+
+    w = _BitWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.u(0, 1)  # entropy_coding_mode_flag
+    w.u(0, 1)  # bottom_field...
+    w.ue(1)  # num_slice_groups_minus1 = 1 -> FMO
+    w.ue(6)  # slice_group_map_type (interleaved run-length etc.)
+    fmo_pps = bytes([0x68]) + _ebsp(w.rbsp())
+    payload = make_avc_mp4(
+        make_sps(640, 360, 66, 30), 640, 368, pps_nal=fmo_pps
+    )
+    m = h264_meta(payload)
+    assert m["entropy_coding"] is None
+    assert m["profile"] == "baseline" and m["width"] == 640
+
+
 def test_decode_frames_rejects_cabac_cleanly():
     """The pixel path must never mis-read CABAC bits as CAVLC: the
     seam raises BEFORE any slice parse, naming the supported mode."""

@@ -96,6 +96,22 @@ def test_mp3_pcm_dispatches_to_decoder():
     assert len(y) >= len(x) + m.CODEC_DELAY
 
 
+def test_mp3_pcm_strips_id3_tags():
+    """ADVICE r12 (medium): a valid in-envelope stream wearing ID3v2
+    prefix and/or ID3v1 tail must decode identically to the bare
+    stream, not raise 'lost MP3 frame sync'."""
+    x = _rand_pcm(29)
+    bare = m.encode_mp3(x)
+    want = mp3_pcm(bare)
+    size = 77
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    v2 = b"ID3" + bytes([4, 0, 0]) + ss + b"\x00" * size
+    v1 = b"TAG" + b"\x00" * 125
+    for tagged in (v2 + bare, bare + v1, v2 + bare + v1):
+        assert np.array_equal(mp3_pcm(tagged), want)
+
+
 def test_silence_roundtrips_to_silence():
     x = np.zeros(1088, dtype=np.int64)
     y = m.decode_mp3(m.encode_mp3(x))

@@ -98,6 +98,15 @@ def test_malformed_srt_rejected():
         parse_srt("1\n00:77:00,000 --> 00:78:01,000\nx\n")
 
 
+def test_unicode_digit_index_rejected():
+    # '¹'.isdigit() is True but int('¹') raises; must be SubtitleError,
+    # not a leaked ValueError (hypothesis-found regression, round 12).
+    with pytest.raises(SubtitleError, match="missing cue index"):
+        parse_srt("¹\n0")
+    with pytest.raises(SubtitleError, match="missing cue index"):
+        parse_srt("١\n00:00:00,000 --> 00:00:01,000\nx\n")
+
+
 def test_malformed_vtt_rejected():
     with pytest.raises(SubtitleError, match="WEBVTT"):
         parse_vtt("1\n00:00:00.000 --> 00:00:01.000\nx\n")
