@@ -178,6 +178,12 @@ def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
         # (pinned by tests/test_mp3_l3.py)
         ("m1_master.wav", _sig_m, "pcm16"),
         ("m2_transcode.mp3", _sig_m, "mp3"),
+        # r13 (VERDICT r12 item 5): the SAME master transcoded as a
+        # dual-mono MS joint-stereo MP3 USING THE BIT RESERVOIR -
+        # every frame after the first carries main_data_begin != 0,
+        # the layout essentially all real-world MP3s use. Channel 0
+        # of the decode must land in the m-family near-dup class.
+        ("m3_stereo_rsv.mp3", _sig_m, "mp3sr"),
     ]
 
 
@@ -229,6 +235,12 @@ def _encode(fn: SampleFn, enc: str) -> bytes:
         # 44.1 kHz, so the transcode carries that header label; AFP
         # operates on the raw sample vector and never reads the rate
         return encode_mp3(vals)
+    if enc == "mp3sr":
+        from .mp3_l3 import encode_mp3
+
+        # dual-mono stereo (L = R = master) + bit reservoir: the MS
+        # butterfly sends the whole signal to the mid channel
+        return encode_mp3(np.column_stack([vals, vals]), reservoir=True)
     raise ValueError(f"unknown encoder {enc}")
 
 
@@ -348,7 +360,10 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
                     if raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
                         from .mp3_l3 import CODEC_DELAY, decode_mp3
 
-                        pcm = decode_mp3(raw)[
+                        pcm = decode_mp3(raw)
+                        if pcm.ndim == 2:  # stereo: channel 0
+                            pcm = pcm[:, 0]
+                        pcm = pcm[
                             CODEC_DELAY : CODEC_DELAY + FRAMES * FRAME_LEN
                         ]
                     else:
@@ -388,7 +403,7 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
         return _afp_scalar(fn, alaw=True)
     if enc == "pcm24":
         return _afp_scalar(lambda t: fn(t) << 8)
-    if enc == "mp3":
+    if enc in ("mp3", "mp3sr"):
         # Lossy codec: the fixture's "signal" IS the decoded stream.
         # The fingerprint twin stays independent (pure-Python scalar
         # path), but the DECODE stage is necessarily the production
@@ -399,9 +414,16 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
         from .mp3_l3 import CODEC_DELAY, decode_mp3, encode_mp3
 
         n = FRAMES * FRAME_LEN
-        decoded = decode_mp3(
-            encode_mp3([fn(t) for t in range(n)])
-        )[CODEC_DELAY : CODEC_DELAY + n]
+        vals = [fn(t) for t in range(n)]
+        if enc == "mp3sr":
+            stream = encode_mp3(
+                np.column_stack([vals, vals]), reservoir=True
+            )
+            decoded = decode_mp3(stream)[CODEC_DELAY:, 0][:n]
+        else:
+            decoded = decode_mp3(
+                encode_mp3(vals)
+            )[CODEC_DELAY : CODEC_DELAY + n]
         return _afp_scalar(lambda t: int(decoded[t]))
     return _afp_scalar(fn)
 
@@ -506,6 +528,12 @@ def _qa_fixture_files() -> list[tuple[str, bytes]]:
         ("m1__t.mp3", encode_mp3(m)),
         ("a1__master.wav", _encode(_sig_a, "pcm16")),
         ("a1__t.mp3", encode_mp3(a)),
+        # r13: dual-mono MS joint-stereo + bit-reservoir transcode of
+        # the same master - the real-world MP3 layout; channel 0 of
+        # the stereo decode must verify "lossy" against the master
+        ("s1__master.wav", _encode(_sig_a, "pcm16")),
+        ("s1__t.mp3", encode_mp3(
+            np.column_stack([a, a]), reservoir=True)),
         ("x1__master.wav", _encode(_sig_a, "pcm16")),
         ("x1__t.mp3", encode_mp3(c)),
     ]
@@ -517,8 +545,10 @@ def _qa_decode(raw: bytes) -> "list[int]":
     from .mp3_l3 import CODEC_DELAY, decode_mp3
 
     if raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
-        return [int(v) for v in decode_mp3(raw)[
-            CODEC_DELAY : CODEC_DELAY + N_SAMPLES]]
+        pcm = decode_mp3(raw)
+        if pcm.ndim == 2:  # stereo: channel 0
+            pcm = pcm[:, 0]
+        return [int(v) for v in pcm[CODEC_DELAY : CODEC_DELAY + N_SAMPLES]]
     if raw[:4] == b"fLaC":
         return [int(v) for v in flac_pcm(raw)[:N_SAMPLES, 0]]
     return [int(v) for v in wav_pcm(raw)[:N_SAMPLES, 0]]
@@ -601,6 +631,9 @@ def audio_transcode_qa_oracle() -> str:
         ("m1", sig_m, [("m1__t.flac", sig_m),
                        ("m1__t.mp3", _qa_decode(encode_mp3(sig_m)))]),
         ("a1", sig_a, [("a1__t.mp3", _qa_decode(encode_mp3(sig_a)))]),
+        # r13 stereo+reservoir leg (channel 0 via _qa_decode)
+        ("s1", sig_a, [("s1__t.mp3", _qa_decode(encode_mp3(
+            np.column_stack([sig_a, sig_a]), reservoir=True)))]),
         ("x1", sig_a, [("x1__t.mp3", _qa_decode(encode_mp3(sig_c)))]),
     ):
         for name, decoded in legs:

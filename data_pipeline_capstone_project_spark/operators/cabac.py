@@ -115,8 +115,11 @@ def _validate_tables() -> None:
         for r in range(4):
             got = RANGE_TAB_LPS[s][r]
             want = round(q[r] * p)
-            if s == 0 and r == 0:
-                want = 128  # the normative clamp (codIRange >= 2^8)
+            if r == 0:
+                # normative clamp in the lowest range cell: R_LPS is
+                # capped at 128 = (2^8)/2 so the MPS interval never
+                # collapses at codIRange = 256 (affects states 0-2)
+                want = min(want, 128)
             if abs(got - want) > 1:
                 raise AssertionError(
                     f"rangeTabLPS[{s}][{r}]={got} off generator {want}"
@@ -233,8 +236,10 @@ class CabacEncoder:
     writer). Emits into an internal bit list; ``bits()`` returns it
     (the caller byte-aligns per §7.3.5 pcm alignment or NAL close)."""
 
-    def __init__(self) -> None:
-        self._bits: "list[int]" = []
+    def __init__(self, bits: "list[int] | None" = None) -> None:
+        #: shared output bit list - a slice writer passes its own so
+        #: header bits, CABAC bits and raw PCM bytes interleave
+        self._bits: "list[int]" = bits if bits is not None else []
         self.cod_i_low = 0
         self.cod_i_range = 510
         self._first_bit = True

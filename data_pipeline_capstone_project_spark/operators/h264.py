@@ -797,6 +797,22 @@ def _h264_fixtures() -> list[tuple[str, bytes, dict]]:
          "interlaced": None, "max_num_ref_frames": None,
          "entropy_coding": None, "note": "no-sps-in-avcC"},
         fourcc=b"avc3", include_sps=False)
+    # FMO fixture (ADVICE r12): num_slice_groups > 1 is valid H.264
+    # the PPS parser refuses; the META path must still return a row,
+    # with entropy_coding classified as unknown (None), because its
+    # whole purpose is ROUTING files the pixel decoder can't handle.
+    fmo = _BitWriter()
+    fmo.ue(0)  # pps_id
+    fmo.ue(0)  # sps_id
+    fmo.u(0, 1)  # entropy_coding_mode_flag
+    fmo.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    fmo.ue(1)  # num_slice_groups_minus1 = 1 -> FMO
+    fmo.ue(6)  # slice_group_map_type: explicit assignment
+    add("fmo_640x360.mp4",
+        make_sps(640, 360, 66, 30), 640, 368,
+        {"profile": "baseline", "level_idc": 30, "width": 640,
+         "height": 360, "entropy_coding": None},
+        pps_nal=bytes([0x68]) + _ebsp(fmo.rbsp()))
     return fx
 
 

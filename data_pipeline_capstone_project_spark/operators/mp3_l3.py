@@ -28,9 +28,16 @@ operators/h264_decode.py applied to Layer III):
   linbits escape family) raise ``NotImplementedError`` - in this
   sandbox there is no external decoder to cross-check a guessed
   table against, and a wrong table would silently decode garbage.
-* **Bit reservoir**: ``main_data_begin != 0`` raises - every frame
-  must be self-contained (our encoder always writes 0).
-* **Block switching / MS or intensity stereo / MPEG-2**: raise.
+* **Bit reservoir** (r13, VERDICT r12 item 5): DECODES - main data
+  is located through a rolling buffer of prior frames' main-data
+  sections exactly as §2.4.3.4.5.3 lays it out, and the encoder can
+  emit the reservoir layout (``reservoir=True``); a pointer past the
+  accumulated stream raises ``ValueError`` (corrupt, not a seam).
+* **Stereo** (r13): DECODES - two side-info channels and the
+  §2.4.3.4.9.2 MS butterfly on requantized spectra; the encoder
+  emits dual-channel MS joint stereo from (n, 2) input. INTENSITY
+  stereo and scfsi scalefactor reuse remain explicit seams.
+* **Block switching / MPEG-2**: raise.
 * **Synthesis prototype window**: ISO Annex B Table 3-B.3 is a
   512-entry empirical table with NO closed form; transcribing it
   from memory risks silent wrongness, so this module instead uses a
@@ -523,65 +530,109 @@ def _write_granule(q: np.ndarray, gg: int, sf: "list[int]") -> _BitWriter:
     return w
 
 
-def encode_mp3(pcm, rate: int = 44100) -> bytes:
-    """Mono MPEG-1 Layer III encoder (long blocks, table 3, count1
-    empty, 320 kbps CBR, main_data_begin 0). ``pcm`` is any 1-D
-    integer-valued vector; the stream decodes through
-    :func:`decode_mp3` with ``CODEC_DELAY`` samples of leading
-    algorithmic delay and the documented lossy error."""
+def encode_mp3(pcm, rate: int = 44100, reservoir: bool = False) -> bytes:
+    """MPEG-1 Layer III encoder (long blocks, table 3, count1 empty,
+    320 kbps CBR). ``pcm`` 1-D -> mono; ``pcm`` shaped (n, 2) -> MS
+    joint stereo (header mode 01, mode_extension 10): the channel
+    pair is butterflied to mid/side in the TIME domain, which equals
+    the §2.4.3.4.9.2 spectral butterfly exactly because the MDCT is
+    linear. ``reservoir=True`` (r13, VERDICT r12 item 5) packs the
+    main data CONTINUOUSLY across frames - every frame after the
+    first carries a nonzero ``main_data_begin`` pointing back into
+    the previous frames' spare capacity, stuffing ancillary zeros
+    only when the 9-bit pointer would exceed 511. ``reservoir=False``
+    keeps the pre-r13 self-contained layout byte-identically. The
+    stream decodes through :func:`decode_mp3` with ``CODEC_DELAY``
+    samples of leading algorithmic delay and the documented lossy
+    error."""
     if rate != 44100:
         raise Mp3DecodeError("encoder fixed at 44.1 kHz (rate_idx 0)")
-    x = np.asarray(pcm, dtype=np.float64).reshape(-1)
+    x = np.asarray(pcm, dtype=np.float64)
+    stereo = x.ndim == 2
+    if stereo:
+        if x.shape[1] != 2:
+            raise Mp3DecodeError("stereo pcm must be shaped (n, 2)")
+        rt2 = np.sqrt(2.0)
+        chans = [(x[:, 0] + x[:, 1]) / rt2, (x[:, 0] - x[:, 1]) / rt2]
+    else:
+        chans = [x.reshape(-1)]
+    nch = len(chans)
     # room for the codec delay + MDCT flush, rounded to whole frames
-    total = len(x) + CODEC_DELAY + 1152
+    total = len(chans[0]) + CODEC_DELAY + 1152
     n_frames = -(-total // 1152)
-    x = np.concatenate([x, np.zeros(n_frames * 1152 - len(x))])
-    sb = _analysis(x)
-    granules = []
-    prev = np.zeros((18, 32))
-    for g in range(n_frames * 2):
-        cur = sb[g * 18 : (g + 1) * 18]
-        granules.append(_mdct_granule(cur, prev))
-        prev = cur
-    out = bytearray()
+    granules: "list[list[np.ndarray]]" = []
+    for c in chans:
+        c = np.concatenate([c, np.zeros(n_frames * 1152 - len(c))])
+        sb = _analysis(c)
+        gs: "list[np.ndarray]" = []
+        prev = np.zeros((18, 32))
+        for g in range(n_frames * 2):
+            cur = sb[g * 18 : (g + 1) * 18]
+            gs.append(_mdct_granule(cur, prev))
+            prev = cur
+        granules.append(gs)
     flen = _frame_len(3, 320, 44100, 0)
+    side_len = 32 if nch == 2 else 17  # §2.4.1.7
+    cap = flen - 4 - side_len  # main-data section bytes per frame
+    header = bytes(
+        [
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,
+            (_BITRATE_IDX << 4) | (_RATE_IDX << 2),
+            # mode 01 joint stereo + mode_extension 10 (MS on,
+            # intensity off), or mode 11 single channel
+            (1 << 6) | (2 << 4) if stereo else 3 << 6,
+        ]
+    )
+    stream = bytearray()  # the continuous main-data stream
+    sides: "list[bytes]" = []
     for f in range(n_frames):
-        payload = _BitWriter()
-        side = _BitWriter()
-        side.u(0, 9)  # main_data_begin: every frame self-contained
-        side.u(0, 5)  # private_bits
-        side.u(0, 4)  # scfsi: scalefactors always transmitted
-        for g in (2 * f, 2 * f + 1):
-            gg, sf, q = _quantize_granule(granules[g])
-            bits = _write_granule(q, gg, sf)
-            side.u(len(bits), 12)  # part2_3_length
-            side.u(288, 9)  # big_values: whole spectrum in pairs
-            side.u(gg, 8)  # global_gain
-            side.u(15, 4)  # scalefac_compress -> slen (4, 3)
-            side.u(0, 1)  # window_switching_flag: long blocks
-            for _ in range(3):
-                side.u(3, 5)  # table_select: table 3 everywhere
-            side.u(7, 4)  # region0_count -> boundary sfb 8 (line 36)
-            side.u(7, 3)  # region1_count -> boundary sfb 16 (line 154)
-            side.u(0, 1)  # preflag
-            side.u(0, 1)  # scalefac_scale: multiplier 0.5
-            side.u(0, 1)  # count1table_select (region is empty)
-            payload.bits.extend(bits.bits)
-        header = bytes(
-            [
-                0xFF,
-                0xE0 | (3 << 3) | (1 << 1) | 1,
-                (_BITRATE_IDX << 4) | (_RATE_IDX << 2),
-                3 << 6,  # mono
-            ]
-        )
-        body = side.bytes() + payload.bytes()
-        if len(body) > flen - 4:
+        begin = f * cap - len(stream)  # backlog = this frame's pointer
+        if begin < 0:
             raise Mp3DecodeError(
-                f"granule pair overflows the 320 kbps frame "
-                f"({len(body)} > {flen - 4} bytes)"
+                "main data overflowed its own frame section"
             )
-        out += header + body + bytes(flen - 4 - len(body))
+        if not reservoir and begin:
+            stream.extend(bytes(begin))  # stuff: stay self-contained
+            begin = 0
+        elif begin > 511:
+            stream.extend(bytes(begin - 511))  # 9-bit pointer cap
+            begin = 511
+        side = _BitWriter()
+        side.u(begin, 9)  # main_data_begin
+        side.u(0, 3 if nch == 2 else 5)  # private_bits
+        side.u(0, 4 * nch)  # scfsi: scalefactors always transmitted
+        payload = _BitWriter()
+        for g in (2 * f, 2 * f + 1):
+            for ch in range(nch):
+                gg, sf, q = _quantize_granule(granules[ch][g])
+                bits = _write_granule(q, gg, sf)
+                side.u(len(bits), 12)  # part2_3_length
+                side.u(288, 9)  # big_values: whole spectrum in pairs
+                side.u(gg, 8)  # global_gain
+                side.u(15, 4)  # scalefac_compress -> slen (4, 3)
+                side.u(0, 1)  # window_switching_flag: long blocks
+                for _ in range(3):
+                    side.u(3, 5)  # table_select: table 3 everywhere
+                side.u(7, 4)  # region0_count -> boundary sfb 8
+                side.u(7, 3)  # region1_count -> boundary sfb 16
+                side.u(0, 1)  # preflag
+                side.u(0, 1)  # scalefac_scale: multiplier 0.5
+                side.u(0, 1)  # count1table_select (region is empty)
+                payload.bits.extend(bits.bits)
+        body = payload.bytes()
+        if len(stream) + len(body) > (f + 1) * cap:
+            raise Mp3DecodeError(
+                f"granule pair overflows cumulative 320 kbps capacity "
+                f"at frame {f} ({len(stream) + len(body)} > "
+                f"{(f + 1) * cap} bytes)"
+            )
+        stream.extend(body)
+        sides.append(side.bytes())
+    stream.extend(bytes(n_frames * cap - len(stream)))
+    out = bytearray()
+    for f in range(n_frames):
+        out += header + sides[f] + stream[f * cap : (f + 1) * cap]
     return bytes(out)
 
 
@@ -662,16 +713,32 @@ def _decode_granule(r: _BitReader, side: dict) -> np.ndarray:
 
 
 def decode_mp3(payload: bytes) -> np.ndarray:
-    """MPEG-1 Layer III mono stream -> int64 PCM samples (full decode
-    chain; see the module docstring for the envelope and the one
-    documented window approximation). int64, not int32: exact-integer
-    arithmetic downstream (afp SNR verdicts) compares these against
-    WAV masters without any overflow edge (ADVICE r12 dtype-doc
-    alignment). Raises ``Mp3DecodeError`` on features outside the
-    envelope and ``ValueError`` on corrupt streams."""
+    """MPEG-1 Layer III stream -> int64 PCM samples: shape (n,) for
+    mono input, (n, 2) for stereo (full decode chain; see the module
+    docstring for the envelope and the one documented window
+    approximation). int64, not int32: exact-integer arithmetic
+    downstream (afp SNR verdicts) compares these against WAV masters
+    without any overflow edge (ADVICE r12 dtype-doc alignment).
+
+    r13 (VERDICT r12 item 5): the BIT RESERVOIR decodes - each
+    frame's main data is located ``main_data_begin`` bytes back in a
+    rolling buffer of prior frames' main-data sections (§2.4.1.7 /
+    §2.4.3.4.5.3), exactly the layout real-world encoders emit - and
+    STEREO decodes: two side-info channels, with the §2.4.3.4.9.2 MS
+    butterfly (l=(m+s)/sqrt2, r=(m-s)/sqrt2) applied on the
+    requantized spectra when the joint-stereo mode_extension enables
+    it. Intensity stereo remains an explicit seam. Raises
+    ``Mp3DecodeError`` on features outside the envelope and
+    ``ValueError`` on corrupt streams."""
     pos = 0
-    granule_lines: list[np.ndarray] = []
     end = len(payload)
+    #: rolling main-data reservoir; res_base = stream coordinate of
+    #: reservoir[0] (trimmed to bound memory; the 9-bit pointer
+    #: reaches at most 511 bytes back)
+    reservoir = bytearray()
+    res_base = 0
+    per_ch: "list[list[np.ndarray]]" = []
+    nch_stream = None
     while pos < end:
         if pos + 4 > end:
             raise ValueError("truncated MP3 header")
@@ -687,8 +754,17 @@ def decode_mp3(payload: bytes) -> np.ndarray:
         bidx = (b2 >> 4) & 0xF
         ridx = (b2 >> 2) & 3
         pad = (b2 >> 1) & 1
-        if (b3 >> 6) & 3 != 3:
-            raise Mp3DecodeError("sample decode is mono-only")
+        mode = (b3 >> 6) & 3
+        mode_ext = (b3 >> 4) & 3
+        nch = 1 if mode == 3 else 2
+        ms = mode == 1 and bool(mode_ext & 2)
+        if mode == 1 and (mode_ext & 1):
+            raise Mp3DecodeError("intensity stereo not supported")
+        if nch_stream is None:
+            nch_stream = nch
+            per_ch = [[] for _ in range(nch)]
+        elif nch != nch_stream:
+            raise ValueError("mid-stream channel-count change")
         if ridx != _RATE_IDX:
             raise Mp3DecodeError("sample decode fixed at 44.1 kHz")
         from .mp3 import _BITRATES_V1
@@ -696,38 +772,63 @@ def decode_mp3(payload: bytes) -> np.ndarray:
         flen = _frame_len(3, _BITRATES_V1[bidx], 44100, pad)
         if pos + flen > end:
             raise ValueError("truncated MP3 frame")
-        r = _BitReader(payload[pos + 4 : pos + flen])
-        if r.u(9):
-            raise Mp3DecodeError(
-                "bit reservoir (main_data_begin != 0) not supported"
-            )
-        r.u(5)  # private_bits
-        scfsi = r.u(4)
-        if scfsi:
+        side_len = 17 if nch == 1 else 32
+        r = _BitReader(payload[pos + 4 : pos + 4 + side_len])
+        begin = r.u(9)  # main_data_begin (bytes back, §2.4.3.4.5.3)
+        r.u(5 if nch == 1 else 3)  # private_bits
+        if r.u(4 * nch):
             raise Mp3DecodeError("scfsi scalefactor reuse not supported")
-        sides = []
-        for _ in range(2):
-            side = {
-                "part2_3_length": r.u(12),
-                "big_values": r.u(9),
-                "global_gain": r.u(8),
-                "scalefac_compress": r.u(4),
-            }
-            if r.u(1):
-                raise Mp3DecodeError("block switching not supported")
-            side["table_select"] = tuple(r.u(5) for _ in range(3))
-            side["region0_count"] = r.u(4)
-            side["region1_count"] = r.u(3)
-            side["preflag"] = r.u(1)
-            side["scalefac_scale"] = r.u(1)
-            side["count1table_select"] = r.u(1)
-            sides.append(side)
-        for side in sides:
-            granule_lines.append(_decode_granule(r, side))
+        sides: "list[list[dict]]" = []
+        for _g in range(2):
+            per_gran = []
+            for _ch in range(nch):
+                side = {
+                    "part2_3_length": r.u(12),
+                    "big_values": r.u(9),
+                    "global_gain": r.u(8),
+                    "scalefac_compress": r.u(4),
+                }
+                if r.u(1):
+                    raise Mp3DecodeError("block switching not supported")
+                side["table_select"] = tuple(r.u(5) for _ in range(3))
+                side["region0_count"] = r.u(4)
+                side["region1_count"] = r.u(3)
+                side["preflag"] = r.u(1)
+                side["scalefac_scale"] = r.u(1)
+                side["count1table_select"] = r.u(1)
+                per_gran.append(side)
+            sides.append(per_gran)
+        section_start = res_base + len(reservoir)
+        start = section_start - begin
+        if start < res_base:
+            raise ValueError(
+                "bit reservoir underrun: main_data_begin points before "
+                "the accumulated main-data stream"
+            )
+        reservoir.extend(payload[pos + 4 + side_len : pos + flen])
+        mr = _BitReader(bytes(reservoir))
+        mr.pos = (start - res_base) * 8
+        for g in range(2):
+            gran = [_decode_granule(mr, sides[g][ch]) for ch in range(nch)]
+            if ms:
+                rt2 = np.sqrt(2.0)
+                m, s = gran
+                gran = [(m + s) / rt2, (m - s) / rt2]
+            for ch in range(nch):
+                per_ch[ch].append(gran[ch])
+        # trim: the next frame's pointer reaches <= 511 bytes back
+        drop = len(reservoir) - 511
+        if drop > 0:
+            res_base += drop
+            del reservoir[:drop]
         pos += flen
-    if not granule_lines:
+    if nch_stream is None:
         raise ValueError("no MP3 frames")
-    overlap = np.zeros((32, 18))
-    slots = [ _imdct_granule(g, overlap) for g in granule_lines ]
-    pcm = _synthesis(np.vstack(slots))
-    return np.rint(pcm).astype(np.int64)
+    outs = []
+    for ch in range(nch_stream):
+        overlap = np.zeros((32, 18))
+        slots = [_imdct_granule(g, overlap) for g in per_ch[ch]]
+        outs.append(np.rint(_synthesis(np.vstack(slots))).astype(np.int64))
+    if nch_stream == 1:
+        return outs[0]
+    return np.column_stack(outs)

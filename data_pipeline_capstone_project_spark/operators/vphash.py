@@ -161,6 +161,13 @@ def video_fixture_specs() -> list[dict]:
             [("pcm", "rampx"), ("pcm", "rampy"), ("pcm", "rampx")],
             [("pcm", "rampy"), ("pcm", "rampx"), ("pcm", "rampy")],
         ]},
+        # r13: the SAME PCM content re-encoded under CABAC (real §9.3
+        # arithmetic decode) - a cross-entropy-coder remux that must
+        # land at Hamming 0 with u2 (same family, same pixels)
+        {"name": "u3_ramps_cabac.mp4", "cabac": True, "mbs": [
+            [("pcm", "rampx"), ("pcm", "rampy"), ("pcm", "rampx")],
+            [("pcm", "rampy"), ("pcm", "rampx"), ("pcm", "rampy")],
+        ]},
     ]
 
 

@@ -46,6 +46,10 @@ def test_twins_agree_on_every_fixture():
         raw = _encode(fn, enc)
         if enc == "mp3":
             pcm = decode_mp3(raw)[CODEC_DELAY : CODEC_DELAY + N_SAMPLES]
+        elif enc == "mp3sr":  # stereo+reservoir transcode: channel 0
+            pcm = decode_mp3(raw)[
+                CODEC_DELAY : CODEC_DELAY + N_SAMPLES, 0
+            ]
         else:
             pcm = (flac_pcm(raw) if raw[:4] == b"fLaC" else wav_pcm(raw))[
                 :, 0

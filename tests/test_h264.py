@@ -358,18 +358,80 @@ def test_h264_meta_fmo_pps_classifies_as_unknown():
     assert m["profile"] == "baseline" and m["width"] == 640
 
 
-def test_decode_frames_rejects_cabac_cleanly():
-    """The pixel path must never mis-read CABAC bits as CAVLC: the
-    seam raises BEFORE any slice parse, naming the supported mode."""
+def test_decode_frames_rejects_cabac_beyond_envelope():
+    """r13: CABAC I_PCM streams DECODE (real §9.3 engine); anything
+    beyond the envelope still rejects honestly BEFORE any bin is
+    mis-read - an I_16x16 CABAC macroblock (mb_type suffix terminate
+    bin 0) must raise, not decode garbage."""
     import pytest as _pytest
 
+    from data_pipeline_capstone_project_spark.operators.cabac import (
+        CTX_INIT_I_MB_TYPE,
+        CabacEncoder,
+        init_context,
+    )
     from data_pipeline_capstone_project_spark.operators.h264 import (
-        _h264_fixtures,
+        _ebsp,
+        _minimal_pps,
+        make_avc_stream_mp4,
+        make_sps,
     )
     from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        _BitWriter,
         decode_frames,
     )
 
-    cabac = next(p for n, p, _ in _h264_fixtures() if n.startswith("cabac"))
-    with _pytest.raises(NotImplementedError, match="CABAC"):
-        decode_frames(cabac)
+    # hand-build a CABAC I slice whose first MB is NOT I_PCM:
+    # mb_type bin0 = 1, suffix terminate bin = 0 (I_16x16)
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0)          # first_mb, slice_type I, pps
+    w.u(0, 8); w.ue(0); w.u(0, 8)      # frame_num, idr_pic_id, poc
+    w.u(0, 2); w.se(0)                 # dec_ref_pic_marking, qp_delta
+    bits = w._bits
+    while len(bits) % 8:
+        bits.append(1)                 # cabac_alignment_one_bit
+    enc = CabacEncoder(bits)
+    ctx = init_context(*CTX_INIT_I_MB_TYPE[3], 26)
+    enc.encode_decision(ctx, 1)        # not I_NxN
+    enc.encode_terminate(0)            # not I_PCM -> I_16x16
+    enc.encode_terminate(1)            # flush so the NAL closes
+    bits.extend([0] * (-len(bits) % 8))
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for v in bits[i : i + 8]:
+            b = (b << 1) | v
+        out.append(b)
+    nal = bytes([0x65]) + _ebsp(bytes(out))
+    payload = make_avc_stream_mp4(
+        make_sps(48, 32, 77, 30), [[nal]], 48, 32,
+        pps_nal=_minimal_pps(entropy_coding=1),
+    )
+    with _pytest.raises(NotImplementedError, match="CABAC I_16x16"):
+        decode_frames(payload)
+
+
+def test_decode_frames_cabac_ipcm_decodes():
+    """The r13 CABAC envelope end-to-end: the cabac_ipcm fixture
+    decodes bit-exact against the entropy-independent simulator."""
+    import numpy as np
+
+    from data_pipeline_capstone_project_spark.operators.h264_decode import (
+        build_fixture_mp4,
+        decode_frames,
+        h264_frame_fixtures,
+        simulate_stream,
+    )
+
+    spec = next(
+        f for f in h264_frame_fixtures() if f["name"] == "cabac_ipcm.mp4"
+    )
+    frames = decode_frames(build_fixture_mp4(spec))
+    sims = simulate_stream(spec)
+    assert len(frames) == len(sims) == 2
+    h, w = spec["h"], spec["w"]
+    for fr, (sl, scb, scr) in zip(frames, sims):
+        assert fr["n_pcm"] == 6 and fr["n_i16"] == 0
+        assert np.array_equal(fr["luma"], sl[:h, :w])
+        assert np.array_equal(fr["cb"], scb[: h // 2, : w // 2])
+        assert np.array_equal(fr["cr"], scr[: h // 2, : w // 2])

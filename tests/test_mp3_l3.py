@@ -96,6 +96,51 @@ def test_mp3_pcm_dispatches_to_decoder():
     assert len(y) >= len(x) + m.CODEC_DELAY
 
 
+def test_reservoir_layout_decodes_identically():
+    """reservoir=True moves the SAME granule bits into prior frames'
+    spare capacity (nonzero main_data_begin everywhere after frame
+    0); the decode must be bit-identical to the self-contained
+    layout."""
+    x = _rand_pcm(31)
+    plain = m.encode_mp3(x)
+    rsv = m.encode_mp3(x, reservoir=True)
+    assert plain != rsv  # layouts differ on the wire...
+    assert np.array_equal(m.decode_mp3(plain), m.decode_mp3(rsv))
+    # ...and the reservoir stream really uses the pointer
+    begins = []
+    pos = 0
+    while pos < len(rsv):
+        begins.append((rsv[pos + 4] << 1) | (rsv[pos + 5] >> 7))
+        from data_pipeline_capstone_project_spark.operators.mp3 import (
+            _BITRATES_V1,
+        )
+        bidx = (rsv[pos + 2] >> 4) & 0xF
+        pad = (rsv[pos + 2] >> 1) & 1
+        pos += m._frame_len(3, _BITRATES_V1[bidx], 44100, pad)
+    assert begins[0] == 0 and all(b > 0 for b in begins[1:])
+
+
+def test_ms_stereo_roundtrip():
+    """(n, 2) input -> MS joint stereo + reservoir -> (n, 2) decode;
+    both channels reconstruct within the codec's documented error."""
+    left = _rand_pcm(37, amp=2000)
+    right = np.rint(0.6 * left).astype(np.int64) + _rand_pcm(41, amp=500)
+    enc = m.encode_mp3(np.column_stack([left, right]), reservoir=True)
+    assert (enc[3] >> 6) & 3 == 1 and (enc[3] >> 4) & 3 == 2  # MS mode
+    out = m.decode_mp3(enc)
+    assert out.ndim == 2 and out.shape[1] == 2
+    s = m.CODEC_DELAY
+    for ch, ref in ((0, left), (1, right)):
+        a = ref[:1088].astype(float)
+        err = a - out[s : s + 1088, ch].astype(float)
+        snr = 10 * np.log10((a @ a) / max(err @ err, 1e-9))
+        assert snr > 3.0, f"ch{ch} snr {snr}"
+    # dual-mono input: side channel is silent, channels decode equal
+    mono2 = m.encode_mp3(np.column_stack([left, left]))
+    both = m.decode_mp3(mono2)
+    assert np.array_equal(both[:, 0], both[:, 1])
+
+
 def test_mp3_pcm_strips_id3_tags():
     """ADVICE r12 (medium): a valid in-envelope stream wearing ID3v2
     prefix and/or ID3v1 tail must decode identically to the bare
@@ -134,10 +179,19 @@ def test_gain_scaling_tracks_global_gain():
 def test_seams_raise_explicitly():
     from data_pipeline_capstone_project_spark.operators.mp3 import make_mp3
 
-    # stereo stream: meta fine, sample decode refuses
-    stereo = make_mp3(4, bitrate_idx=9, rate_idx=0, version=3, channels=2)
-    with pytest.raises(m.Mp3DecodeError, match="mono"):
-        m.decode_mp3(stereo)
+    # r13: stereo DECODES now; the remaining stereo seam is intensity
+    # stereo (joint-stereo mode_extension bit 0). Flip a real stream's
+    # header to mode 01 / mode_extension 01 and expect the seam.
+    good_st = bytearray(m.encode_mp3(_rand_pcm(23)))
+    good_st[3] = (1 << 6) | (1 << 4)
+    with pytest.raises(m.Mp3DecodeError, match="intensity"):
+        m.decode_mp3(bytes(good_st))
+    # reservoir underrun: frame 0 claiming main_data_begin > 0 is
+    # corrupt (no prior stream) - ValueError, not a seam
+    bad_rsv = bytearray(m.encode_mp3(_rand_pcm(29)))
+    bad_rsv[4] |= 0x80  # main_data_begin high bit
+    with pytest.raises(ValueError, match="reservoir underrun"):
+        m.decode_mp3(bytes(bad_rsv))
     # MPEG-2 refuses
     v2 = make_mp3(4, bitrate_idx=8, rate_idx=0, version=2, channels=1)
     with pytest.raises(m.Mp3DecodeError, match="MPEG-1"):
