@@ -128,7 +128,11 @@ def main() -> None:
     prev_canary = None
     try:
         with open(detail_path) as f:
-            prev_canary = json.load(f).get("canary_best")
+            prev = json.load(f)
+        # same-sf runs only: comparing a sf0.01 canary against a
+        # sf0.1 one would manufacture a bogus host factor
+        if prev.get("sf") == sf:
+            prev_canary = prev.get("canary_best")
     except Exception:
         pass
 
@@ -539,7 +543,14 @@ def main() -> None:
                 break
         spreads[name] = spreads[name] + retry_times
         if retry_times:
-            timings[name] = min(retry_times)
+            # min over the UNION of pass runs and retry runs (r13): a
+            # query cannot spuriously run FASTER than it runs, so the
+            # smallest observation is always the best cost estimate.
+            # The pre-r13 "score from the retry runs only" (ADVICE r6)
+            # made a burst landing on the retry REPLACE a clean pass
+            # min (observed: lang_id passes min 0.43 s, retries
+            # [6.8, 5.2] -> scored 5.2).
+            timings[name] = min(timings[name], min(retry_times))
         print(
             f"retry {name}: {timings[name]}s {spreads[name]}",
             file=sys.stderr,

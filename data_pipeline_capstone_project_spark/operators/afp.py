@@ -184,6 +184,10 @@ def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
         # the layout essentially all real-world MP3s use. Channel 0
         # of the decode must land in the m-family near-dup class.
         ("m3_stereo_rsv.mp3", _sig_m, "mp3sr"),
+        # r13: the m2 transcode wearing ID3v2+ID3v1 tags - the wire
+        # form MP3s actually ship in; stripping must make it an EXACT
+        # fingerprint dup of m2 (Hamming 0)
+        ("m4_tagged.mp3", _sig_m, "mp3tag"),
     ]
 
 
@@ -241,6 +245,15 @@ def _encode(fn: SampleFn, enc: str) -> bytes:
         # dual-mono stereo (L = R = master) + bit reservoir: the MS
         # butterfly sends the whole signal to the mid channel
         return encode_mp3(np.column_stack([vals, vals]), reservoir=True)
+    if enc == "mp3tag":
+        from .mp3_l3 import encode_mp3
+
+        bare = encode_mp3(vals)
+        size = 64
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+        return (b"ID3" + bytes([4, 0, 0]) + ss + b"\x00" * size
+                + bare + b"TAG" + b"\x00" * 125)
     raise ValueError(f"unknown encoder {enc}")
 
 
@@ -357,10 +370,13 @@ def audio_fingerprint_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame
                 names, fps = [], []
                 for name, payload in zip(pdf["clip_name"], pdf["payload"]):
                     raw = bytes(payload)
-                    if raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
+                    if raw[:3] == b"ID3" or (
+                        raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        from .mp3 import strip_id3
                         from .mp3_l3 import CODEC_DELAY, decode_mp3
 
-                        pcm = decode_mp3(raw)
+                        pcm = decode_mp3(strip_id3(raw))
                         if pcm.ndim == 2:  # stereo: channel 0
                             pcm = pcm[:, 0]
                         pcm = pcm[
@@ -403,7 +419,7 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
         return _afp_scalar(fn, alaw=True)
     if enc == "pcm24":
         return _afp_scalar(lambda t: fn(t) << 8)
-    if enc in ("mp3", "mp3sr"):
+    if enc in ("mp3", "mp3sr", "mp3tag"):
         # Lossy codec: the fixture's "signal" IS the decoded stream.
         # The fingerprint twin stays independent (pure-Python scalar
         # path), but the DECODE stage is necessarily the production
@@ -420,6 +436,11 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
                 np.column_stack([vals, vals]), reservoir=True
             )
             decoded = decode_mp3(stream)[CODEC_DELAY:, 0][:n]
+        elif enc == "mp3tag":
+            # tags are transparent: same decoded stream as "mp3"
+            decoded = decode_mp3(
+                encode_mp3(vals)
+            )[CODEC_DELAY : CODEC_DELAY + n]
         else:
             decoded = decode_mp3(
                 encode_mp3(vals)
@@ -544,8 +565,10 @@ def _qa_decode(raw: bytes) -> "list[int]":
     delay trimmed (the shared decode stage of both twins)."""
     from .mp3_l3 import CODEC_DELAY, decode_mp3
 
-    if raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
-        pcm = decode_mp3(raw)
+    if raw[:3] == b"ID3" or (raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0):
+        from .mp3 import strip_id3
+
+        pcm = decode_mp3(strip_id3(raw))
         if pcm.ndim == 2:  # stereo: channel 0
             pcm = pcm[:, 0]
         return [int(v) for v in pcm[CODEC_DELAY : CODEC_DELAY + N_SAMPLES]]

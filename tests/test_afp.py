@@ -46,6 +46,14 @@ def test_twins_agree_on_every_fixture():
         raw = _encode(fn, enc)
         if enc == "mp3":
             pcm = decode_mp3(raw)[CODEC_DELAY : CODEC_DELAY + N_SAMPLES]
+        elif enc == "mp3tag":  # ID3-wrapped: strip, then as "mp3"
+            from data_pipeline_capstone_project_spark.operators.mp3 import (
+                strip_id3,
+            )
+
+            pcm = decode_mp3(strip_id3(raw))[
+                CODEC_DELAY : CODEC_DELAY + N_SAMPLES
+            ]
         elif enc == "mp3sr":  # stereo+reservoir transcode: channel 0
             pcm = decode_mp3(raw)[
                 CODEC_DELAY : CODEC_DELAY + N_SAMPLES, 0
