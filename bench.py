@@ -321,7 +321,32 @@ def main() -> None:
         passes_meta: list[dict] = []
         names = list(queries)
         probe_every = max(10, len(names) // 8)
+        emit_every = max(20, len(names) // 8)
         skipped_passes = 0
+
+        def intra_pass_emit(p: int) -> None:
+            """Mid-pass best-so-far line (r13): a kill landing INSIDE
+            a long pass (sf0.1 pass 0 has taken 25 min on a noisy
+            host) must still leave the driver a parseable line.
+            Clearly flagged: in_progress, queries timed so far."""
+            if on_pass is None:
+                return
+            t, e, d = score(all_runs, run_pass_idx, passes_meta)
+            timed = {k: v for k, v in t.items() if v >= 0}
+            on_pass(
+                timed,
+                [],
+                {
+                    "passes_done": p,
+                    "passes_planned": runs,
+                    "in_progress": {
+                        "pass": p,
+                        "queries_timed": len(timed),
+                        "of": len(names),
+                    },
+                },
+            )
+
         for p in range(runs):
             if p > 0:
                 # Margin: last pass's wall * 1.15 + 45 s for the
@@ -355,6 +380,8 @@ def main() -> None:
                     print(
                         f"pass {p} {name} FAILED: {exc}", file=sys.stderr
                     )
+                if (i + 1) % emit_every == 0 and (i + 1) < len(order):
+                    intra_pass_emit(p)
             passes_meta.append(
                 {
                     "canary_probes": canary_probes,
