@@ -103,17 +103,12 @@ def mp3_meta(payload: bytes) -> dict:
 
 
 def _mp3_meta_impl(payload: bytes) -> dict:
+    # One tag-trimming implementation (ADVICE r13): the meta walk and
+    # the decode path must agree on where the frame stream starts
+    # (v2.4 footer flag) and when an ID3v1 tail can exist at all.
+    payload = strip_id3(payload)
     pos = 0
-    if payload[:3] == b"ID3":
-        if len(payload) < 10:
-            raise ValueError("truncated ID3v2 header")
-        ss = payload[6:10]
-        if any(b & 0x80 for b in ss):
-            raise ValueError("bad ID3v2 syncsafe size")
-        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
     end = len(payload)
-    if payload[end - 128 : end - 125] == b"TAG":
-        end -= 128
     n_frames = 0
     audio_bytes = 0
     kbps_sum = 0
@@ -183,8 +178,15 @@ def strip_id3(payload: bytes) -> bytes:
         if any(b & 0x80 for b in ss):
             raise ValueError("bad ID3v2 syncsafe size")
         start = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+        # ID3v2.4 footer flag (informal spec 3.1): a present footer
+        # is 10 bytes NOT counted in the syncsafe size (ADVICE r13).
+        if payload[5] & 0x10:
+            start += 10
     end = len(payload)
-    if payload[end - 128 : end - 125] == b"TAG":
+    # ID3v1 tags are fixed 128-byte trailers; a shorter payload cannot
+    # carry one, and a negative-index slice would read frame data
+    # (ADVICE r13).
+    if end - start >= 128 and payload[end - 128 : end - 125] == b"TAG":
         end -= 128
     return payload[start:end]
 

@@ -95,6 +95,12 @@ class _BitReader:
         self.pos = 0
 
     def u(self, n: int) -> int:
+        # Bound check (ADVICE r13): a corrupt part2_3_length can run
+        # the granule reader past the accumulated bit reservoir; the
+        # module contract is ValueError on corrupt streams, not a raw
+        # IndexError out of the buffer.
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("main data overruns the bit reservoir")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]

@@ -1091,6 +1091,43 @@ QUERIES = {
 # from the r12 window retain their r12 driver rows and their sweep
 # evidence in VERIFICATION.md.
 
+# r14 window (VERDICT r13 item 3): entries touched by r14 code changes
+# first (the MP3 family — strip_id3 footer-flag/short-payload fixes,
+# bit-reservoir bound check, scfsi/intensity-stereo decode — and the
+# H.264/video family — CABAC residual decode), then the ENTIRE
+# remaining stale tail: all 22 r4-checked entries (quantile_rollup
+# through vocab_growth), then every r5–r10 entry (14), then the 6
+# alphabetically-first r6 entries. After r14 no entry's driver
+# evidence is older than r6.
+_R14_WINDOW = [
+    # changed in r14 (media codec paths)
+    "mp3_meta", "audio_fingerprint_dedup", "audio_transcode_qa",
+    "h264_meta", "h264_frames", "video_frames", "video_phash_dedup",
+    "video_scene_cuts",
+    # the full r4-stale tail (rotation queue from r13)
+    "quantile_rollup", "repetition_filter", "semantic_dedup",
+    "sequence_packing", "source_mixture", "streaming_api_ingest",
+    "streaming_late_data", "streaming_transform_state",
+    "substring_dedup", "tpch_customer_distribution",
+    "tpch_important_stock", "tpch_min_cost_supplier",
+    "tpch_order_priority", "tpch_part_promotion",
+    "tpch_returned_items", "tpch_sales_opportunity",
+    "tpch_small_qty_revenue", "tpch_top_supplier",
+    "tpch_waiting_suppliers", "upsert_audit", "variant_json_suite",
+    "vocab_growth",
+    # oldest remaining driver evidence, r5 -> r10
+    "dedup_embedding_cosine",
+    "tpch_market_share", "tpch_regional_volume",
+    "tpch_shipping_priority", "train_test_split", "value_percentiles",
+    "streaming_window_agg",
+    "pagerank", "scd2_history", "streaming_dedup", "streaming_upsert",
+    "dedup_ngram_jaccard", "stats_suite", "streaming_stateful",
+    # alphabetically-first r6 entries (fill to 50)
+    "anti_join", "asof_enrichment", "cdc_merge", "color_palette_png",
+    "color_palette_props", "dedup_clusters",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+
 _R13_WINDOW = [
     # changed in r13
     "subtitle_parse", "caption_frame_align",
@@ -1117,7 +1154,7 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 
 QUERIES = {
     name: QUERIES[name]
-    for name in _R13_WINDOW + [n for n in QUERIES if n not in set(_R13_WINDOW)]
+    for name in _R14_WINDOW + [n for n in QUERIES if n not in set(_R14_WINDOW)]
 }
 
 

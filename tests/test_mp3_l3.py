@@ -157,6 +157,43 @@ def test_mp3_pcm_strips_id3_tags():
         assert np.array_equal(mp3_pcm(tagged), want)
 
 
+def test_strip_id3_footer_flag_and_short_payloads():
+    """ADVICE r13 (low x2): (a) an ID3v2.4 tag with the footer flag
+    (byte 5 bit 4) carries a 10-byte footer NOT counted in the
+    syncsafe size — strip_id3 must skip it too; (b) a payload shorter
+    than 128 bytes after the v2 trim must not take the negative-index
+    ID3v1 slice (a coincidental 'TAG' mid-frame would silently
+    truncate real audio)."""
+    from data_pipeline_capstone_project_spark.operators.mp3 import strip_id3
+
+    body = b"\xff\xfbframe-bytes"
+    size = 33
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    # footer flag set: header(10) + size + footer(10) precede the body
+    v2f = b"ID3" + bytes([4, 0, 0x10]) + ss + b"\x00" * size + b"3DI" + b"\x00" * 7
+    assert strip_id3(v2f + body) == body
+    # short payload whose bytes at [-128+k] happen to spell TAG via a
+    # negative-index wraparound: must come back untouched
+    short = b"\xff\xfb" + b"TAG" + b"\x00" * 20
+    assert strip_id3(short) == short
+    # and a real decode: footer-flagged tag on a valid stream
+    x = _rand_pcm(13)
+    bare = m.encode_mp3(x)
+    assert np.array_equal(mp3_pcm(v2f + bare), mp3_pcm(bare))
+
+
+def test_bitreader_overrun_raises_valueerror():
+    """ADVICE r13 (low): a read past the reservoir must surface as the
+    documented ValueError, not a raw IndexError."""
+    import pytest
+
+    r = m._BitReader(b"\xaa")
+    r.u(8)
+    with pytest.raises(ValueError, match="overruns the bit reservoir"):
+        r.u(1)
+
+
 def test_silence_roundtrips_to_silence():
     x = np.zeros(1088, dtype=np.int64)
     y = m.decode_mp3(m.encode_mp3(x))
