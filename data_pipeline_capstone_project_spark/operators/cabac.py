@@ -33,13 +33,26 @@ stays an explicit NotImplementedError seam, never a guess.
   the +-1 hand-rounding tolerance plus the table's one famous
   non-monotonic wiggle at states 28-29 (23, 22), asserted explicitly.
   ``transIdxMPS`` is formulaic: min(s+1, 62), 63 terminal.
-* §9.3.1.1 context initialization (m, n) pairs - transcribed ONLY for
-  ctxIdx 3..5, the mb_type-in-I-slice first bin. These three pairs
-  are the whole context footprint of the I_PCM envelope (the I_PCM
-  suffix bin and end_of_slice_flag use the terminate process, which
-  is context-free). Every other syntax element's initialization
-  (mb_qp_delta, intra pred modes, CBP, significance maps, levels)
-  remains the documented seam in the slice decoder.
+* §9.3.1.1 context initialization (m, n) pairs - transcribed for the
+  I_PCM envelope (ctxIdx 3..5, the mb_type-in-I-slice first bin) in
+  r13, and for the Intra_16x16 DC-residual envelope (VERDICT r13
+  item 4) in r14: the mb_type suffix bins (6..10), mb_qp_delta
+  (60..63), intra_chroma_pred_mode (64..67), coded_block_flag for
+  ctxBlockCat 0 = Intra16x16DCLevel (85..88), and the frame-coded
+  cat-0 significance map / last flag / abs-level contexts (105..119,
+  166..180, 227..236). TRANSCRIPTION-CONFIDENCE CLASS B: these are
+  trained initialization constants with NO published generator
+  derivation (unlike Tables 9-44/9-45), so the import gate can only
+  check structure (s8 range, valid init states across QP 0..51,
+  distinctive pinned entries), and the encoder twin - which
+  initializes identically - cannot detect a transcription slip
+  either: a wrong pair preserves self-consistency (all fixtures and
+  round-trips stay bit-exact) but would mis-decode a third-party
+  stream. The values follow the I-slice column of the published
+  tables (ITU-T H.264 Tables 9-12..9-23) as reproduced across the
+  public reference decoders. Every other context (luma/chroma AC
+  categories, I_NxN pred modes, inter syntax) remains the documented
+  seam in the slice decoder, rejected before any bin is mis-read.
 """
 
 from __future__ import annotations
@@ -101,6 +114,39 @@ CTX_INIT_I_MB_TYPE: "dict[int, tuple[int, int]]" = {
     5: (3, 74),
 }
 
+#: §9.3.1.1 (m, n) pairs, I-slice column, for the Intra_16x16
+#: DC-residual envelope (module docstring: transcription-confidence
+#: class B - structurally gated, round-trip-pinned, not
+#: generator-derivable). Keys are spec ctxIdx values.
+CTX_INIT_I16: "dict[int, tuple[int, int]]" = {
+    # mb_type in I slices, suffix bins (Table 9-12, ctxIdx 6..10):
+    # bin2 = CodedBlockPatternLuma, bin3/4 = CodedBlockPatternChroma,
+    # final two bins = Intra16x16PredMode
+    6: (-28, 127), 7: (-23, 104), 8: (-6, 53), 9: (-1, 54), 10: (7, 51),
+    # mb_qp_delta (ctxIdx 60..63)
+    60: (0, 41), 61: (0, 63), 62: (0, 63), 63: (0, 63),
+    # intra_chroma_pred_mode (ctxIdx 64..67)
+    64: (-9, 83), 65: (4, 86), 66: (0, 97), 67: (-7, 72),
+    # coded_block_flag, ctxBlockCat 0 (Intra16x16DCLevel), 85..88
+    85: (-7, 93), 86: (-11, 87), 87: (-3, 77), 88: (-5, 71),
+    # significant_coeff_flag, frame-coded, cat 0 (105..119)
+    105: (-2, 85), 106: (-6, 78), 107: (-1, 75), 108: (-7, 77),
+    109: (2, 54), 110: (5, 50), 111: (-3, 68), 112: (1, 50),
+    113: (6, 42), 114: (-4, 81), 115: (1, 63), 116: (-4, 70),
+    117: (0, 67), 118: (2, 57), 119: (-2, 76),
+    # last_significant_coeff_flag, frame-coded, cat 0 (166..180)
+    166: (15, 6), 167: (6, 19), 168: (7, 16), 169: (12, 14),
+    170: (18, 13), 171: (13, 11), 172: (13, 15), 173: (15, 16),
+    174: (12, 23), 175: (13, 23), 176: (15, 20), 177: (14, 26),
+    178: (14, 44), 179: (17, 40), 180: (17, 47),
+    # coeff_abs_level_minus1, cat 0 (227..236): 227..231 are the
+    # bin-0 contexts (inc 0..4), 232..236 the greater-bin contexts
+    # (inc 5..9)
+    227: (-3, 71), 228: (-6, 42), 229: (-5, 50), 230: (-3, 54),
+    231: (-2, 62), 232: (0, 58), 233: (1, 63), 234: (-2, 72),
+    235: (-1, 74), 236: (-9, 91),
+}
+
 
 def _validate_tables() -> None:
     """Import-time transcription gate (module docstring policy). A
@@ -151,9 +197,32 @@ def _validate_tables() -> None:
     for m, n in CTX_INIT_I_MB_TYPE.values():
         if not (-128 <= m <= 127 and -128 <= n <= 127):
             raise AssertionError("ctx init (m,n) out of s8 range")
-
-
-_validate_tables()
+    # Class-B envelope table (no generator exists - see module
+    # docstring): structural gates only. Shape: exactly the ctxIdx
+    # ranges the Intra_16x16 DC decode touches; values: s8 range and
+    # a valid §9.3.1.1 state at every QP; pins: a handful of
+    # distinctive entries that a block-level transposition or
+    # off-by-one row slip would break.
+    want_keys = (
+        set(range(6, 11)) | set(range(60, 68)) | set(range(85, 89))
+        | set(range(105, 120)) | set(range(166, 181))
+        | set(range(227, 237))
+    )
+    if set(CTX_INIT_I16) != want_keys:
+        raise AssertionError("CTX_INIT_I16 ctxIdx coverage drift")
+    for m, n in CTX_INIT_I16.values():
+        if not (-128 <= m <= 127 and -128 <= n <= 127):
+            raise AssertionError("ctx init (m,n) out of s8 range")
+    for qp in (0, 26, 51):
+        for idx, (m, n) in CTX_INIT_I16.items():
+            st, mps = init_context(m, n, qp)
+            if not (0 <= st <= 62 and mps in (0, 1)):
+                raise AssertionError(f"ctx {idx} invalid init at QP {qp}")
+    pins = {6: (-28, 127), 60: (0, 41), 64: (-9, 83), 85: (-7, 93),
+            105: (-2, 85), 166: (15, 6), 227: (-3, 71), 236: (-9, 91)}
+    for idx, mn in pins.items():
+        if CTX_INIT_I16[idx] != mn:
+            raise AssertionError(f"CTX_INIT_I16[{idx}] pin drift")
 
 
 def clip3(lo: int, hi: int, v: int) -> int:
@@ -166,6 +235,9 @@ def init_context(m: int, n: int, slice_qp_y: int) -> "list[int]":
     if pre <= 63:
         return [63 - pre, 0]
     return [pre - 64, 1]
+
+
+_validate_tables()
 
 
 class CabacDecoder:

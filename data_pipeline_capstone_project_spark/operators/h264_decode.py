@@ -987,23 +987,48 @@ def make_cabac_ipcm_slice_nal(
     poc: int = 0, deblock: "tuple | None" = None,
 ) -> bytes:
     """One complete CABAC-coded I slice (§7.3.4 entropy_coding_mode 1)
-    whose macroblocks are ALL I_PCM - the CABAC decode envelope
-    (VERDICT r12 item 4; table policy in :mod:`.cabac`). Per MB the
-    arithmetic coder writes the mb_type first bin (ctxIdx 3 +
-    ctxIdxInc, §9.3.3.1.1.3) = 1, the I_PCM suffix bin via the
-    terminate process (flushes, §9.3.4.5-6), pcm_alignment_zero_bits,
-    the raw 384 PCM bytes, then re-initializes the engine (§9.3.1.2)
-    before the end_of_slice_flag terminate bin. Context variables
-    persist across the re-inits. The final flush's trailing bit IS
+    over the decoded CABAC envelope: ``("pcm", pattern, seed)``
+    macroblocks (r13) and, r14 (VERDICT r13 item 4),
+    ``("i16", luma_mode[, chroma_mode[, dc16[, mb_qp_delta]]])``
+    DC-only Intra_16x16 macroblocks - CodedBlockPatternLuma and
+    CodedBlockPatternChroma are 0 (mb_type 1..4 + 4*cbp_chroma would
+    need untranscribed AC/chroma contexts and is refused), ``dc16``
+    the 16 Intra16x16DCLevel levels in coding-scan order.
+
+    Per I_PCM MB the arithmetic coder writes the mb_type first bin
+    (ctxIdx 3 + ctxIdxInc, §9.3.3.1.1.3) = 1, the I_PCM suffix bin
+    via the terminate process (flushes, §9.3.4.5-6),
+    pcm_alignment_zero_bits, the raw 384 PCM bytes, then
+    re-initializes the engine (§9.3.1.2) before the end_of_slice_flag
+    terminate bin. Per I_16x16 MB it writes the Table 9-36 mb_type
+    suffix tree (ctx 6-10), intra_chroma_pred_mode (TU cMax 3, ctx
+    64-67), mb_qp_delta (Table 9-3 mapping + U, ctx 60-63), and the
+    §7.3.5.3.2 DC residual block (coded_block_flag ctx 85-88,
+    significance/last maps, UEG0 levels + bypass signs) - the exact
+    encode mirror of `_decode_cabac_i_slice`. Context variables
+    persist across PCM re-inits. The final flush's trailing bit IS
     the rbsp stop bit, so the NAL closes with zero-padding only (no
     extra rbsp_trailing_bits)."""
-    from .cabac import CTX_INIT_I_MB_TYPE, CabacEncoder, init_context
+    from .cabac import (
+        CTX_INIT_I16,
+        CTX_INIT_I_MB_TYPE,
+        CabacEncoder,
+        init_context,
+    )
 
     for row in mbs:
         for d in row:
-            if d[0] != "pcm":
+            if d[0] == "pcm":
+                continue
+            if d[0] != "i16":
                 raise H264Error(
-                    "CABAC slice writer encodes I_PCM macroblocks only"
+                    "CABAC slice writer encodes I_PCM and DC-only "
+                    "I_16x16 macroblocks only"
+                )
+            if (len(d) > 5 and d[5]) or (len(d) > 6 and d[6]):
+                raise H264Error(
+                    "CABAC i16 descriptors cannot carry AC or chroma "
+                    "residual (untranscribed context tables)"
                 )
     w = _BitWriter()
     w.ue(0)  # first_mb_in_slice
@@ -1028,8 +1053,14 @@ def make_cabac_ipcm_slice_nal(
     ctx = {
         i: init_context(*CTX_INIT_I_MB_TYPE[i], qp_y) for i in (3, 4, 5)
     }
+    ctx.update(
+        {i: init_context(*mn, qp_y) for i, mn in CTX_INIT_I16.items()}
+    )
     mb_h, mb_w = len(mbs), len(mbs[0])
     n_mbs = mb_w * mb_h
+    dc_cbf = [[0] * mb_w for _ in range(mb_h)]
+    cpm_nz = [[False] * mb_w for _ in range(mb_h)]
+    prev_delta_nz = False
 
     def _raw(byte: int) -> None:
         for i in range(7, -1, -1):
@@ -1038,19 +1069,109 @@ def make_cabac_ipcm_slice_nal(
     for addr in range(n_mbs):
         mb_y, mb_x = divmod(addr, mb_w)
         # §9.3.3.1.1.3: condTermFlagN = 0 iff mbN unavailable or
-        # I_NxN; every coded neighbour here is I_PCM
+        # I_NxN; every coded neighbour here is I_PCM or I_16x16
         inc = (1 if mb_x > 0 else 0) + (1 if mb_y > 0 else 0)
         enc.encode_decision(ctx[3 + inc], 1)  # mb_type bin0: not I_NxN
-        enc.encode_terminate(1)  # mb_type suffix bin: I_PCM (+ flush)
-        bits.extend([0] * (-len(bits) % 8))  # pcm_alignment_zero_bit
         desc = mbs[mb_y][mb_x]
-        seed = desc[2] if len(desc) > 2 else 0
-        for v in pcm_luma(desc[1], seed).reshape(-1):
-            _raw(int(v))
-        for plane in (0, 1):  # §7.4.5: all Cb, then all Cr
-            for v in pcm_chroma(desc[1], seed, plane).reshape(-1):
+        if desc[0] == "pcm":
+            enc.encode_terminate(1)  # mb_type I_PCM suffix (+ flush)
+            bits.extend([0] * (-len(bits) % 8))  # pcm_alignment
+            seed = desc[2] if len(desc) > 2 else 0
+            for v in pcm_luma(desc[1], seed).reshape(-1):
                 _raw(int(v))
-        enc.init_engine()
+            for plane in (0, 1):  # §7.4.5: all Cb, then all Cr
+                for v in pcm_chroma(desc[1], seed, plane).reshape(-1):
+                    _raw(int(v))
+            prev_delta_nz = False
+            enc.init_engine()
+        else:  # DC-only I_16x16 - the decode mirror, bin for bin
+            mode = desc[1]
+            chroma_mode = desc[2] if len(desc) > 2 else 0
+            dc16 = list(desc[3]) if len(desc) > 3 and desc[3] else [0] * 16
+            qpd = desc[4] if len(desc) > 4 else 0
+            enc.encode_terminate(0)  # not I_PCM
+            enc.encode_decision(ctx[6], 0)  # CodedBlockPatternLuma 0
+            enc.encode_decision(ctx[7], 0)  # CodedBlockPatternChroma 0
+            enc.encode_decision(ctx[9], (mode >> 1) & 1)
+            enc.encode_decision(ctx[10], mode & 1)
+            ca = 1 if mb_x > 0 and cpm_nz[mb_y][mb_x - 1] else 0
+            cbn = 1 if mb_y > 0 and cpm_nz[mb_y - 1][mb_x] else 0
+            if chroma_mode == 0:
+                enc.encode_decision(ctx[64 + ca + cbn], 0)
+            else:
+                enc.encode_decision(ctx[64 + ca + cbn], 1)
+                for _ in range(chroma_mode - 1):
+                    enc.encode_decision(ctx[67], 1)
+                if chroma_mode < 3:
+                    enc.encode_decision(ctx[67], 0)
+            mapped = 2 * qpd - 1 if qpd > 0 else -2 * qpd
+            if mapped == 0:
+                enc.encode_decision(ctx[61 if prev_delta_nz else 60], 0)
+            else:
+                enc.encode_decision(ctx[61 if prev_delta_nz else 60], 1)
+                for j in range(1, mapped):
+                    enc.encode_decision(ctx[62 if j == 1 else 63], 1)
+                enc.encode_decision(ctx[62 if mapped == 1 else 63], 0)
+            prev_delta_nz = mapped != 0
+            qp_y = (qp_y + qpd + 52) % 52
+            conda = (
+                1
+                if mb_x == 0 or mbs[mb_y][mb_x - 1][0] == "pcm"
+                else dc_cbf[mb_y][mb_x - 1]
+            )
+            condb = (
+                1
+                if mb_y == 0 or mbs[mb_y - 1][mb_x][0] == "pcm"
+                else dc_cbf[mb_y - 1][mb_x]
+            )
+            cbf = 1 if any(dc16) else 0
+            enc.encode_decision(ctx[85 + conda + 2 * condb], cbf)
+            dc_cbf[mb_y][mb_x] = cbf
+            cpm_nz[mb_y][mb_x] = chroma_mode != 0
+            if cbf:
+                nz = [i for i in range(16) if dc16[i]]
+                last_idx = nz[-1]
+                for i in range(15):
+                    s = 1 if dc16[i] else 0
+                    enc.encode_decision(ctx[105 + i], s)
+                    if s:
+                        enc.encode_decision(
+                            ctx[166 + i], 1 if i == last_idx else 0
+                        )
+                        if i == last_idx:
+                            break
+                num_eq1 = num_gt1 = 0
+                for i in range(15, -1, -1):
+                    if not dc16[i]:
+                        continue
+                    lvl = abs(dc16[i])
+                    minus1 = lvl - 1
+                    inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+                    if minus1 == 0:
+                        enc.encode_decision(ctx[227 + inc0], 0)
+                    else:
+                        enc.encode_decision(ctx[227 + inc0], 1)
+                        incn = 5 + min(4, num_gt1)
+                        for _ in range(min(minus1, 14) - 1):
+                            enc.encode_decision(ctx[227 + incn], 1)
+                        if minus1 < 14:
+                            enc.encode_decision(ctx[227 + incn], 0)
+                        else:  # §9.3.2.3 UEG0 suffix, bypass-coded
+                            suf = minus1 - 14
+                            e = 0
+                            while suf >= (1 << e):
+                                enc.encode_bypass(1)
+                                suf -= 1 << e
+                                e += 1
+                            enc.encode_bypass(0)
+                            while e:
+                                e -= 1
+                                enc.encode_bypass((suf >> e) & 1)
+                    enc.encode_bypass(1 if dc16[i] < 0 else 0)
+                    if lvl == 1:
+                        num_eq1 += 1
+                    else:
+                        num_gt1 += 1
         enc.encode_terminate(1 if addr == n_mbs - 1 else 0)  # eos flag
     bits.extend([0] * (-len(bits) % 8))  # pad after the flush stop bit
     out = bytearray()
@@ -1930,16 +2051,36 @@ def _decode_cabac_i_slice(
     nal: bytes, sps: dict, pps: "dict | None" = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """CABAC (entropy_coding_mode_flag 1) I-slice decode - the I_PCM
-    envelope (VERDICT r12 item 4). The §9.3.3.2 arithmetic engine in
-    :mod:`.cabac` is complete; SYNTAX coverage is scoped to what its
-    transcription-confidence policy allows: mb_type first bin (ctxIdx
-    3-5), the terminate-process bins (I_PCM suffix, end_of_slice_flag
-    - context-free), pcm alignment/samples, engine re-init after PCM.
-    A CABAC I_NxN or I_16x16 macroblock - whose residual/pred-mode
-    contexts are NOT transcribed - raises NotImplementedError BEFORE
-    any bit is mis-read, same honest-rejection contract as the r11
-    whole-stream CABAC seam. Returns the `_decode_slice` tuple."""
-    from .cabac import CTX_INIT_I_MB_TYPE, CabacDecoder, init_context
+    envelope (r13, VERDICT r12 item 4) plus the Intra_16x16
+    DC-residual envelope (r14, VERDICT r13 item 4). The §9.3.3.2
+    arithmetic engine in :mod:`.cabac` is complete; SYNTAX coverage is
+    scoped to what its transcription-confidence policy allows:
+
+    * mb_type - first bin (ctxIdx 3-5), I_PCM suffix via the
+      terminate process, and the full I_16x16 suffix tree (ctxIdx
+      6-10: CBP luma/chroma bins + the two pred-mode bins);
+    * I_PCM - pcm alignment/samples, engine re-init after the raw
+      bytes;
+    * I_16x16 with CodedBlockPatternLuma = CodedBlockPatternChroma =
+      0 - intra_chroma_pred_mode (ctxIdx 64-67), mb_qp_delta (60-63),
+      the Intra16x16DCLevel residual block (§7.3.5.3.2
+      residual_block_cabac: coded_block_flag 85-88, frame-coded cat-0
+      significance map 105-119 / last flags 166-180, UEG0 levels
+      227-236 + bypass signs), §8.5.10 DC dequant + §8.3.3
+      prediction - the same reconstruction helpers as the CAVLC
+      twin;
+    * end_of_slice_flag per MB via the terminate process.
+
+    A CABAC I_NxN macroblock or an I_16x16 with AC/chroma residual -
+    whose contexts are NOT transcribed - raises NotImplementedError
+    BEFORE any bin is mis-read, same honest-rejection contract as the
+    r11 whole-stream CABAC seam. Returns the `_decode_slice` tuple."""
+    from .cabac import (
+        CTX_INIT_I16,
+        CTX_INIT_I_MB_TYPE,
+        CabacDecoder,
+        init_context,
+    )
 
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
@@ -1990,9 +2131,14 @@ def _decode_cabac_i_slice(
         if r.u(1) != 1:
             raise H264Error("cabac_alignment bit not 1")
     dec = CabacDecoder(r)
+    # Context initialization at SliceQPY (§9.3.1.1) - the running
+    # per-MB QP chain below does NOT re-touch these.
     ctx = {
         i: init_context(*CTX_INIT_I_MB_TYPE[i], qp_y) for i in (3, 4, 5)
     }
+    ctx.update(
+        {i: init_context(*mn, qp_y) for i, mn in CTX_INIT_I16.items()}
+    )
     mb_w, mb_h = sps["mb_width"], sps["mb_height"]
     plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
@@ -2000,6 +2146,14 @@ def _decode_cabac_i_slice(
     kinds: list[list[str]] = [["?"] * mb_w for _ in range(mb_h)]
     qp_map = np.zeros((mb_h, mb_w), dtype=np.int32)
     tc_map = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int16)
+    # per-MB CABAC neighbour state: luma-DC coded_block_flag and
+    # intra_chroma_pred_mode != 0, for the §9.3.3.1.1.9 / .8
+    # condTermFlag derivations; prev_delta_nz is §9.3.3.1.1.5's
+    # "previous macroblock has mb_qp_delta != 0" (I_PCM counts 0)
+    dc_cbf = [[0] * mb_w for _ in range(mb_h)]
+    cpm_nz = [[False] * mb_w for _ in range(mb_h)]
+    prev_delta_nz = False
+    n_pcm = n_i16 = 0
     n_mbs = mb_w * mb_h
     for addr in range(n_mbs):
         mb_y, mb_x = divmod(addr, mb_w)
@@ -2012,37 +2166,155 @@ def _decode_cabac_i_slice(
             raise NotImplementedError(
                 "CABAC I_NxN macroblock: intra-pred/residual context "
                 "tables are outside the transcription policy - the "
-                "I_PCM envelope rejects before mis-reading any bin "
+                "decoded envelope rejects before mis-reading any bin "
                 "(operators/cabac.py)"
             )
-        if dec.decode_terminate() == 0:
-            raise NotImplementedError(
-                "CABAC I_16x16 macroblock: CBP/level context tables "
-                "are outside the transcription policy - the I_PCM "
-                "envelope rejects before mis-reading any bin "
-                "(operators/cabac.py)"
+        if dec.decode_terminate() == 1:
+            # I_PCM (§7.3.5): align, raw samples, engine re-init
+            r.byte_align()
+            tile = np.empty((16, 16), dtype=np.uint8)
+            for y in range(16):
+                for x in range(16):
+                    tile[y, x] = r.u(8)
+            plane[
+                mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
+            ] = tile
+            for cplane in (cb, cr):  # §7.4.5: all Cb, then all Cr
+                ctile = np.empty((8, 8), dtype=np.uint8)
+                for y in range(8):
+                    for x in range(8):
+                        ctile[y, x] = r.u(8)
+                cplane[
+                    mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
+                ] = ctile
+            kinds[mb_y][mb_x] = "pcm"
+            tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
+            qp_map[mb_y, mb_x] = qp_y
+            prev_delta_nz = False  # I_PCM carries no mb_qp_delta
+            n_pcm += 1
+            dec.init_engine()  # §9.3.1.2 after pcm_sample decoding
+        else:
+            # I_16x16: mb_type suffix (Table 9-36 / Table 9-39 ctx
+            # 6-10), then mb_pred + residual for the DC-only envelope
+            cbp_luma = dec.decode_decision(ctx[6])
+            cbp_chroma = 0
+            if dec.decode_decision(ctx[7]):
+                cbp_chroma = 2 if dec.decode_decision(ctx[8]) else 1
+            pred_mode = (dec.decode_decision(ctx[9]) << 1) | (
+                dec.decode_decision(ctx[10])
             )
-        # I_PCM (§7.3.5): align, raw samples, engine re-init
-        r.byte_align()
-        tile = np.empty((16, 16), dtype=np.uint8)
-        for y in range(16):
-            for x in range(16):
-                tile[y, x] = r.u(8)
-        plane[
-            mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
-        ] = tile
-        for cplane in (cb, cr):  # §7.4.5: all Cb, then all Cr
-            ctile = np.empty((8, 8), dtype=np.uint8)
-            for y in range(8):
-                for x in range(8):
-                    ctile[y, x] = r.u(8)
-            cplane[
-                mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
-            ] = ctile
-        kinds[mb_y][mb_x] = "pcm"
-        tc_map[mb_y * 4 : mb_y * 4 + 4, mb_x * 4 : mb_x * 4 + 4] = 16
-        qp_map[mb_y, mb_x] = qp_y
-        dec.init_engine()  # §9.3.1.2 after pcm_sample decoding
+            if cbp_luma or cbp_chroma:
+                raise NotImplementedError(
+                    "CABAC I_16x16 with AC/chroma residual: the "
+                    "ctxBlockCat 1/3/4 context tables are outside the "
+                    "transcription policy - only the DC-only envelope "
+                    "decodes; rejected before mis-reading any bin "
+                    "(operators/cabac.py)"
+                )
+            # intra_chroma_pred_mode: TU cMax 3, §9.3.3.1.1.8 (I_PCM
+            # neighbours count 0)
+            ca = 1 if mb_x > 0 and cpm_nz[mb_y][mb_x - 1] else 0
+            cbn = 1 if mb_y > 0 and cpm_nz[mb_y - 1][mb_x] else 0
+            chroma_mode = 0
+            if dec.decode_decision(ctx[64 + ca + cbn]):
+                chroma_mode = 1
+                while chroma_mode < 3 and dec.decode_decision(ctx[67]):
+                    chroma_mode += 1
+            # mb_qp_delta: Table 9-3 mapping + U binarization,
+            # ctxIdxInc §9.3.3.1.1.5 (bin0 from prev MB, bin1 ctx 62,
+            # bins >= 2 ctx 63)
+            mapped = 0
+            if dec.decode_decision(ctx[61 if prev_delta_nz else 60]):
+                mapped = 1
+                while mapped < 53 and dec.decode_decision(
+                    ctx[62 if mapped == 1 else 63]
+                ):
+                    mapped += 1
+                if mapped >= 53:
+                    raise H264Error("mb_qp_delta unary overruns")
+            delta = (mapped + 1) // 2 if mapped % 2 else -(mapped // 2)
+            prev_delta_nz = mapped != 0
+            qp_y = (qp_y + delta + 52) % 52
+            # coded_block_flag, ctxBlockCat 0 (§9.3.3.1.1.9):
+            # unavailable neighbour of an intra MB -> 1, I_PCM -> 1,
+            # I_16x16 -> that MB's luma-DC coded_block_flag
+            conda = (
+                1
+                if mb_x == 0 or kinds[mb_y][mb_x - 1] == "pcm"
+                else dc_cbf[mb_y][mb_x - 1]
+            )
+            condb = (
+                1
+                if mb_y == 0 or kinds[mb_y - 1][mb_x] == "pcm"
+                else dc_cbf[mb_y - 1][mb_x]
+            )
+            cbf = dec.decode_decision(ctx[85 + conda + 2 * condb])
+            dc_levels = [0] * 16
+            if cbf:
+                # §7.3.5.3.2 residual_block_cabac, maxNumCoeff 16,
+                # frame-coded cat-0 contexts
+                sig = [0] * 16
+                last_at = -1
+                for i in range(15):
+                    if dec.decode_decision(ctx[105 + i]):
+                        sig[i] = 1
+                        if dec.decode_decision(ctx[166 + i]):
+                            last_at = i
+                            break
+                if last_at < 0:
+                    sig[15] = 1
+                num_eq1 = num_gt1 = 0
+                for i in range(15, -1, -1):
+                    if not sig[i]:
+                        continue
+                    # §9.3.3.1.3 + §9.3.2.3 UEG0 (uCoff 14)
+                    inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+                    level = 1
+                    if dec.decode_decision(ctx[227 + inc0]):
+                        incn = 5 + min(4, num_gt1)
+                        k = 1
+                        while k < 14 and dec.decode_decision(
+                            ctx[227 + incn]
+                        ):
+                            k += 1
+                        if k == 14:
+                            v = 0
+                            e = 0
+                            while dec.decode_bypass():
+                                v += 1 << e
+                                e += 1
+                                if e > 30:
+                                    raise H264Error(
+                                        "UEG0 suffix overruns"
+                                    )
+                            while e:
+                                e -= 1
+                                v += dec.decode_bypass() << e
+                            level = 15 + v
+                        else:
+                            level = k + 1
+                    if dec.decode_bypass():  # coeff_sign_flag
+                        level = -level
+                    dc_levels[i] = level
+                    if abs(level) == 1:
+                        num_eq1 += 1
+                    else:
+                        num_gt1 += 1
+            # reconstruction - the same helpers as the CAVLC i16
+            # branch (prediction reads already-reconstructed
+            # neighbours; raster decode order guarantees them)
+            _predict_i16(plane, mb_x, mb_y, pred_mode)
+            if any(dc_levels):
+                _add_dc_residual(
+                    plane, mb_x, mb_y, _luma_dc_dequant(dc_levels, qp_y)
+                )
+            _predict_chroma(cb, mb_x, mb_y, chroma_mode)
+            _predict_chroma(cr, mb_x, mb_y, chroma_mode)
+            kinds[mb_y][mb_x] = "i16"
+            dc_cbf[mb_y][mb_x] = cbf
+            cpm_nz[mb_y][mb_x] = chroma_mode != 0
+            qp_map[mb_y, mb_x] = qp_y
+            n_i16 += 1
         eos = dec.decode_terminate()  # end_of_slice_flag
         if eos != (1 if addr == n_mbs - 1 else 0):
             raise H264Error(
@@ -2058,7 +2330,7 @@ def _decode_cabac_i_slice(
             db_a_off, db_b_off,
         )
     return plane, cb, cr, {
-        "n_pcm": n_mbs, "n_i16": 0, "n_i4": 0,
+        "n_pcm": n_pcm, "n_i16": n_i16, "n_i4": 0,
         "n_p16": 0, "n_skip": 0, "n_b16": 0,
         "n_mbs": n_mbs, "poc": poc,
     }
@@ -4304,6 +4576,48 @@ def h264_frame_fixtures() -> list[dict]:
     fixtures.append(
         {
             "name": "cabac_ipcm.mp4", "w": 44, "h": 28, "mbs": mbs,
+            "cabac": True, "extra_frames": [fx2],
+        }
+    )
+
+    # CABAC Intra_16x16 DC-residual stream (r14, VERDICT r13 item 4):
+    # the first fixture whose ACTUAL RESIDUALS flow through the
+    # arithmetic decoder - coded_block_flag, significance/last maps,
+    # UEG0 levels (one level deep enough for the bypass suffix),
+    # bypass signs, mb_qp_delta chains (both contexts of bin 0), all
+    # four Intra16x16PredModes, chroma pred modes exercising the
+    # neighbour-conditioned ctx 64-66, PCM/I16 interleave (engine
+    # re-init mid-slice with live contexts), and a non-IDR second
+    # picture. The simulator twin is entropy-independent, so a single
+    # mis-decoded bin anywhere shifts every later bin and breaks the
+    # pixel hash.
+    mbs = [
+        [
+            ("i16", 2, 0, dc((0, 3))),
+            ("pcm", "rampx", 4),
+            ("i16", 1, 1, dc((0, -2), (1, 1))),
+        ],
+        [
+            ("i16", 0, 2, dc((2, 5), (5, -1)), 6),
+            ("i16", 3, 0, None),
+            ("i16", 2, 1, dc((0, 18), (15, 1)), -8),
+        ],
+    ]
+    fx2 = [
+        [
+            ("i16", 2, 0, dc((0, -20))),
+            ("i16", 2, 1, dc((1, 2), (3, -3), (7, 1)), 4),
+            ("pcm", "grad", 11),
+        ],
+        [
+            ("i16", 0, 0, None, 0),
+            ("pcm", "zeros", 1),
+            ("i16", 1, 0, dc((0, 1), (4, -1), (14, 2))),
+        ],
+    ]
+    fixtures.append(
+        {
+            "name": "cabac_i16_dc.mp4", "w": 44, "h": 28, "mbs": mbs,
             "cabac": True, "extra_frames": [fx2],
         }
     )

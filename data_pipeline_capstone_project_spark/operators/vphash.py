@@ -140,6 +140,28 @@ def _all_skip_grid() -> list:
     return [_skip_row(), _skip_row()]
 
 
+def _mosaic_grid() -> list:
+    """3x2 Intra_16x16 DC-residual mosaic (r14): every MB is DC/Plane
+    predicted with a CODED luma-DC residual - significance maps,
+    levels and signs flow through whichever entropy coder the fixture
+    selects. Encoded once under CAVLC and once under CABAC, the two
+    streams must decode to identical pixels (the §9.3 residual decode
+    twin of r13's I_PCM-only u2/u3 leg)."""
+
+    def dc(*pairs):
+        out = [0] * 16
+        for pos, lvl in pairs:
+            out[pos] = lvl
+        return out
+
+    return [
+        [("i16", 2, 0, dc((0, 4))), ("i16", 2, 0, dc((0, -6))),
+         ("i16", 2, 0, dc((0, 9), (2, 1)))],
+        [("i16", 2, 0, dc((0, -3), (1, 2))), ("i16", 3, 0, dc((0, 7))),
+         ("i16", 2, 0, dc((0, 12), (15, -1)))],
+    ]
+
+
 def video_fixture_specs() -> list[dict]:
     """`build_fixture_mp4` specs, display size 36x32 (the dHash
     grid). Families: a* share a master (re-mux / codec-brightness /
@@ -168,6 +190,15 @@ def video_fixture_specs() -> list[dict]:
             [("pcm", "rampx"), ("pcm", "rampy"), ("pcm", "rampx")],
             [("pcm", "rampy"), ("pcm", "rampx"), ("pcm", "rampy")],
         ]},
+        # r14 (VERDICT r13 item 4): the same DC-RESIDUAL mosaic coded
+        # under CAVLC and CABAC - the cross-entropy-coder dup leg
+        # upgraded from I_PCM bytes to ACTUAL coded residuals; the
+        # arithmetic path decodes coded_block_flag, significance maps,
+        # UEG0 levels and signs, and must land at Hamming 0 with its
+        # CAVLC twin
+        {"name": "u4_mosaic.mp4", "mbs": _mosaic_grid()},
+        {"name": "u5_mosaic_cabac.mp4", "cabac": True,
+         "mbs": _mosaic_grid()},
     ]
 
 
