@@ -188,6 +188,16 @@ def _fixture_specs() -> list[tuple[str, SampleFn, str]]:
         # form MP3s actually ship in; stripping must make it an EXACT
         # fingerprint dup of m2 (Hamming 0)
         ("m4_tagged.mp3", _sig_m, "mp3tag"),
+        # r14 (VERDICT r13 item 5): the master as an INTENSITY-STEREO
+        # MP3 (mode_extension 01, L = master, R = master/sqrt3 so the
+        # per-band angular position quantizes exactly to is_pos 4) -
+        # channel 0 of the §2.4.3.4.9.3 decode must land in the
+        # m-family near-dup class
+        ("m5_intensity.mp3", _sig_m, "mp3is"),
+        # r14: the master with §2.4.2.7 scfsi scalefactor reuse -
+        # granule 1 carries no scalefactor bits (the layout VBR
+        # encoders emit on stationary audio)
+        ("m6_scfsi.mp3", _sig_m, "mp3scfsi"),
     ]
 
 
@@ -245,6 +255,15 @@ def _encode(fn: SampleFn, enc: str) -> bytes:
         # dual-mono stereo (L = R = master) + bit reservoir: the MS
         # butterfly sends the whole signal to the mid channel
         return encode_mp3(np.column_stack([vals, vals]), reservoir=True)
+    if enc == "mp3is":
+        from .mp3_l3 import encode_mp3
+
+        right = np.rint(np.asarray(vals) / np.sqrt(3.0)).astype(np.int64)
+        return encode_mp3(np.column_stack([vals, right]), intensity=True)
+    if enc == "mp3scfsi":
+        from .mp3_l3 import encode_mp3
+
+        return encode_mp3(vals, scfsi=True)
     if enc == "mp3tag":
         from .mp3_l3 import encode_mp3
 
@@ -419,7 +438,7 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
         return _afp_scalar(fn, alaw=True)
     if enc == "pcm24":
         return _afp_scalar(lambda t: fn(t) << 8)
-    if enc in ("mp3", "mp3sr", "mp3tag"):
+    if enc in ("mp3", "mp3sr", "mp3tag", "mp3is", "mp3scfsi"):
         # Lossy codec: the fixture's "signal" IS the decoded stream.
         # The fingerprint twin stays independent (pure-Python scalar
         # path), but the DECODE stage is necessarily the production
@@ -436,6 +455,18 @@ def _scalar_fp(name: str, fn: SampleFn, enc: str) -> int:
                 np.column_stack([vals, vals]), reservoir=True
             )
             decoded = decode_mp3(stream)[CODEC_DELAY:, 0][:n]
+        elif enc == "mp3is":
+            right = np.rint(
+                np.asarray(vals) / np.sqrt(3.0)
+            ).astype(np.int64)
+            stream = encode_mp3(
+                np.column_stack([vals, right]), intensity=True
+            )
+            decoded = decode_mp3(stream)[CODEC_DELAY:, 0][:n]
+        elif enc == "mp3scfsi":
+            decoded = decode_mp3(
+                encode_mp3(vals, scfsi=True)
+            )[CODEC_DELAY : CODEC_DELAY + n]
         elif enc == "mp3tag":
             # tags are transparent: same decoded stream as "mp3"
             decoded = decode_mp3(

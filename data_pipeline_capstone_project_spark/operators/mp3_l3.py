@@ -35,8 +35,15 @@ operators/h264_decode.py applied to Layer III):
   accumulated stream raises ``ValueError`` (corrupt, not a seam).
 * **Stereo** (r13): DECODES - two side-info channels and the
   §2.4.3.4.9.2 MS butterfly on requantized spectra; the encoder
-  emits dual-channel MS joint stereo from (n, 2) input. INTENSITY
-  stereo and scfsi scalefactor reuse remain explicit seams.
+  emits dual-channel MS joint stereo from (n, 2) input.
+* **Intensity stereo + scfsi** (r14, VERDICT r13 item 5): DECODE -
+  §2.4.3.4.9.3 intensity positions (tan(is_pos*pi/12) split, is_pos
+  6 all-left, is_pos 7 per-band off, MS composing below the bound)
+  and §2.4.2.7 per-band scalefactor reuse; the encoder emits both
+  layouts (``intensity=True`` / ``scfsi=True``). One documented
+  intensity micro-seam: an is_pos band inside the scalefactor-less
+  final partition (above sfb 20) raises rather than guessing which
+  neighbour's position applies (implementations disagree).
 * **Block switching / MPEG-2**: raise.
 * **Synthesis prototype window**: ISO Annex B Table 3-B.3 is a
   512-entry empirical table with NO closed form; transcribing it
@@ -472,23 +479,41 @@ _QMAX = 2  # table 3 codes |values| <= 2
 _SF_CAPS = (15,) * 11 + (7,) * 10
 
 
-def _quantize_granule(lines: np.ndarray) -> "tuple[int, list[int], np.ndarray]":
+def _quantize_granule(
+    lines: np.ndarray, forced_sf: "list[int] | None" = None
+) -> "tuple[int, list[int], np.ndarray]":
     """(global_gain, scalefac[21], q[576]) such that the §2.4.3.4.7.1
     requantization of q reproduces ``lines`` as closely as the
     |q| <= 2 grammar allows: global_gain fits the loudest band, each
     band's scalefactor then refines its own step as far as its slen
-    cap permits without overflowing qmax."""
+    cap permits without overflowing qmax. ``forced_sf`` (r14, the
+    scfsi path): the scalefactors are FIXED (granule 0's values) and
+    global_gain instead grows until every band fits its prescribed
+    step."""
     absx = np.abs(lines)
     head = _QMAX + 0.49  # round() keeps (M/step)^(3/4) <= this
     inv34 = 4.0 / 3.0
-    need = absx.max() and (absx.max() / head ** inv34)
-    # global step covers the loudest band WITHOUT scalefactor help
-    # (sf can only refine); gg quantized to the 2^(1/4) grid
-    gg = 210
-    if need:
-        gg = int(np.clip(210 + np.ceil(4 * np.log2(need)), 0, 255))
-    step_g = 2.0 ** ((gg - 210) / 4.0)
-    sf = [0] * 21
+    if forced_sf is None:
+        need = absx.max() and (absx.max() / head ** inv34)
+        # global step covers the loudest band WITHOUT scalefactor
+        # help (sf can only refine); gg quantized to the 2^(1/4) grid
+        gg = 210
+        if need:
+            gg = int(np.clip(210 + np.ceil(4 * np.log2(need)), 0, 255))
+        step_g = 2.0 ** ((gg - 210) / 4.0)
+        sf = [0] * 21
+    else:
+        sf = list(forced_sf)
+        need = 0.0
+        for b in range(22):
+            m = absx[SFB_LONG_44[b] : SFB_LONG_44[b + 1]].max()
+            s = sf[b] if b < 21 else 0
+            if m > 0:
+                need = max(need, m * 2.0 ** (0.5 * s) / head ** inv34)
+        gg = 210
+        if need:
+            gg = int(np.clip(210 + np.ceil(4 * np.log2(need)), 0, 255))
+        step_g = 2.0 ** ((gg - 210) / 4.0)
     q = np.zeros(576, dtype=np.int64)
     for b in range(22):
         lo = SFB_LONG_44[b]
@@ -497,7 +522,7 @@ def _quantize_granule(lines: np.ndarray) -> "tuple[int, list[int], np.ndarray]":
         m = band.max()
         step = step_g
         if b < 21:
-            if m > 0:
+            if forced_sf is None and m > 0:
                 # finest step that still keeps the band inside qmax
                 sf[b] = int(
                     np.clip(
@@ -516,15 +541,19 @@ def _quantize_granule(lines: np.ndarray) -> "tuple[int, list[int], np.ndarray]":
     return gg, sf, q
 
 
-def _write_granule(q: np.ndarray, gg: int, sf: "list[int]") -> _BitWriter:
+def _write_granule(
+    q: np.ndarray, gg: int, sf: "list[int]", skip_sf: bool = False
+) -> _BitWriter:
     """Main-data bits of one granule: scalefactors (compress 15 ->
-    slen 4/3) then 288 table-3 big-value pairs (count1 region
-    empty)."""
+    slen 4/3; ``skip_sf`` omits all of them - the all-bands-scfsi
+    granule-1 layout) then 288 table-3 big-value pairs (count1
+    region empty)."""
     w = _BitWriter()
-    for b in range(11):
-        w.u(sf[b], 4)
-    for b in range(11, 21):
-        w.u(sf[b], 3)
+    if not skip_sf:
+        for b in range(11):
+            w.u(sf[b], 4)
+        for b in range(11, 21):
+            w.u(sf[b], 3)
     table = _HUFF_PAIR_TABLES[3]
     for i in range(0, 576, 2):
         x, y = int(abs(q[i])), int(abs(q[i + 1]))
@@ -536,7 +565,10 @@ def _write_granule(q: np.ndarray, gg: int, sf: "list[int]") -> _BitWriter:
     return w
 
 
-def encode_mp3(pcm, rate: int = 44100, reservoir: bool = False) -> bytes:
+def encode_mp3(
+    pcm, rate: int = 44100, reservoir: bool = False,
+    scfsi: bool = False, intensity: bool = False,
+) -> bytes:
     """MPEG-1 Layer III encoder (long blocks, table 3, count1 empty,
     320 kbps CBR). ``pcm`` 1-D -> mono; ``pcm`` shaped (n, 2) -> MS
     joint stereo (header mode 01, mode_extension 10): the channel
@@ -547,19 +579,45 @@ def encode_mp3(pcm, rate: int = 44100, reservoir: bool = False) -> bytes:
     first carries a nonzero ``main_data_begin`` pointing back into
     the previous frames' spare capacity, stuffing ancillary zeros
     only when the 9-bit pointer would exceed 511. ``reservoir=False``
-    keeps the pre-r13 self-contained layout byte-identically. The
-    stream decodes through :func:`decode_mp3` with ``CODEC_DELAY``
+    keeps the pre-r13 self-contained layout byte-identically.
+
+    r14 (VERDICT r13 item 5): ``scfsi=True`` emits the §2.4.2.7
+    scalefactor-reuse layout - granule 1 is quantized against granule
+    0's scalefactors, all four scfsi bands are flagged, and granule
+    1's main data carries NO scalefactor bits. ``intensity=True``
+    (stereo input, mutually exclusive with scfsi) emits §2.4.3.4.9.3
+    intensity stereo (mode_extension 01): scalefactor bands >= sfb
+    14 transmit the summed L+R spectrum on the left channel with the
+    right channel zeroed and its scalefactor repurposed as the
+    quantized angular position atan2(|L|,|R|)*12/pi in 0..6; bands
+    below the bound stay plain L/R. When the right channel's
+    QUANTIZED zero bound falls below sfb 14 (quiet granules), the
+    in-between bands carry an explicit is_pos 7 (intensity off) so
+    the decoder's bound derivation cannot mangle them; lines above
+    sfb 20 are zeroed in both channels (that partition has no is_pos
+    to carry).
+
+    The stream decodes through :func:`decode_mp3` with ``CODEC_DELAY``
     samples of leading algorithmic delay and the documented lossy
     error."""
     if rate != 44100:
         raise Mp3DecodeError("encoder fixed at 44.1 kHz (rate_idx 0)")
+    if scfsi and intensity:
+        raise Mp3DecodeError("scfsi and intensity are mutually exclusive")
     x = np.asarray(pcm, dtype=np.float64)
     stereo = x.ndim == 2
+    if intensity and not stereo:
+        raise Mp3DecodeError("intensity stereo needs (n, 2) input")
     if stereo:
         if x.shape[1] != 2:
             raise Mp3DecodeError("stereo pcm must be shaped (n, 2)")
-        rt2 = np.sqrt(2.0)
-        chans = [(x[:, 0] + x[:, 1]) / rt2, (x[:, 0] - x[:, 1]) / rt2]
+        if intensity:
+            # plain L/R below the bound; the IS region is built on
+            # the raw granule spectra after the MDCT below
+            chans = [x[:, 0].copy(), x[:, 1].copy()]
+        else:
+            rt2 = np.sqrt(2.0)
+            chans = [(x[:, 0] + x[:, 1]) / rt2, (x[:, 0] - x[:, 1]) / rt2]
     else:
         chans = [x.reshape(-1)]
     nch = len(chans)
@@ -577,17 +635,42 @@ def encode_mp3(pcm, rate: int = 44100, reservoir: bool = False) -> bytes:
             gs.append(_mdct_granule(cur, prev))
             prev = cur
         granules.append(gs)
+    # intensity preprocessing (r14): per granule, fold bands >= the
+    # bound into the left channel and derive the is_pos angles; the
+    # right channel keeps energy up to sfb 13 so the decoder's zero
+    # bound lands exactly at SFB_LONG_44[14]
+    is_bound = 14
+    is_pos_tab: "list[list[int]]" = []
+    if intensity:
+        cap21 = SFB_LONG_44[21]
+        for g in range(len(granules[0])):
+            gl, gr = granules[0][g], granules[1][g]
+            gl[cap21:] = 0.0
+            gr[cap21:] = 0.0
+            pos_row = []
+            for b in range(is_bound, 21):
+                lo, hi = SFB_LONG_44[b], SFB_LONG_44[b + 1]
+                el = float(np.sqrt((gl[lo:hi] ** 2).sum()))
+                er = float(np.sqrt((gr[lo:hi] ** 2).sum()))
+                pos_row.append(
+                    int(np.clip(round(np.arctan2(el, er) * 12.0 / np.pi),
+                                0, 6))
+                )
+                gl[lo:hi] += gr[lo:hi]
+                gr[lo:hi] = 0.0
+            is_pos_tab.append(pos_row)
     flen = _frame_len(3, 320, 44100, 0)
     side_len = 32 if nch == 2 else 17  # §2.4.1.7
     cap = flen - 4 - side_len  # main-data section bytes per frame
+    # mode 01 joint stereo: mode_extension 10 = MS on / intensity
+    # off, 01 = intensity on / MS off; mode 11 = single channel
+    mode_ext = 1 if intensity else 2
     header = bytes(
         [
             0xFF,
             0xE0 | (3 << 3) | (1 << 1) | 1,
             (_BITRATE_IDX << 4) | (_RATE_IDX << 2),
-            # mode 01 joint stereo + mode_extension 10 (MS on,
-            # intensity off), or mode 11 single channel
-            (1 << 6) | (2 << 4) if stereo else 3 << 6,
+            (1 << 6) | (mode_ext << 4) if stereo else 3 << 6,
         ]
     )
     stream = bytearray()  # the continuous main-data stream
@@ -607,12 +690,41 @@ def encode_mp3(pcm, rate: int = 44100, reservoir: bool = False) -> bytes:
         side = _BitWriter()
         side.u(begin, 9)  # main_data_begin
         side.u(0, 3 if nch == 2 else 5)  # private_bits
-        side.u(0, 4 * nch)  # scfsi: scalefactors always transmitted
+        # scfsi nibbles: 1111 per channel when granule 1 reuses all
+        # four scalefactor bands, else scalefactors always transmitted
+        for _ch in range(nch):
+            side.u(15 if scfsi else 0, 4)
         payload = _BitWriter()
-        for g in (2 * f, 2 * f + 1):
+        frame_sf0: "list[list[int] | None]" = [None] * nch
+        for gi, g in enumerate((2 * f, 2 * f + 1)):
             for ch in range(nch):
-                gg, sf, q = _quantize_granule(granules[ch][g])
-                bits = _write_granule(q, gg, sf)
+                reuse = scfsi and gi == 1
+                gg, sf, q = _quantize_granule(
+                    granules[ch][g],
+                    frame_sf0[ch] if reuse else None,
+                )
+                if intensity and ch == 1:
+                    if np.any(q[SFB_LONG_44[is_bound] :]):
+                        raise Mp3DecodeError(
+                            "intensity region must quantize to zero "
+                            "in the right channel"
+                        )
+                    # the decoder's intensity region starts at the
+                    # right channel's QUANTIZED zero bound, which may
+                    # sit below the encoder's intended sfb-14 bound
+                    # (quiet/silent granules): bands in between get
+                    # an explicit is_pos 7 = intensity OFF, so the
+                    # decoder leaves them exactly as coded
+                    nz = np.flatnonzero(q)
+                    zb_line = int(nz[-1]) + 1 if nz.size else 0
+                    for b in range(is_bound):
+                        if SFB_LONG_44[b] >= zb_line:
+                            sf[b] = 7
+                    for j, b in enumerate(range(is_bound, 21)):
+                        sf[b] = is_pos_tab[g][j]
+                if gi == 0:
+                    frame_sf0[ch] = sf
+                bits = _write_granule(q, gg, sf, skip_sf=reuse)
                 side.u(len(bits), 12)  # part2_3_length
                 side.u(288, 9)  # big_values: whole spectrum in pairs
                 side.u(gg, 8)  # global_gain
@@ -655,15 +767,32 @@ def _read_code(r: _BitReader, decode_map: dict, what: str):
     raise ValueError(f"bad {what} huffman code")
 
 
-def _decode_granule(r: _BitReader, side: dict) -> np.ndarray:
-    """One granule's main data -> 576 requantized lines."""
+#: §2.4.2.7 scfsi band -> scalefactor-band span: bits 3..0 of the
+#: nibble cover sfb 0-5, 6-10, 11-15, 16-20
+_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def _decode_granule(
+    r: _BitReader, side: dict, scfsi: int = 0,
+    prev_sf: "list[int] | None" = None,
+) -> "tuple[np.ndarray, list[int]]":
+    """One granule's main data -> (576 requantized lines, raw
+    scalefactors). ``scfsi``/``prev_sf`` (r14): for granule 1, a set
+    scfsi bit means that band's scalefactors are NOT in the
+    bitstream - granule 0's values (``prev_sf``) are reused
+    (§2.4.2.7). The raw scalefactors are returned because intensity
+    stereo repurposes the right channel's as is_pos (§2.4.3.4.9.3)."""
     start = r.pos
-    sf = []
+    sf: "list[int]" = []
     slen1, slen2 = _SLEN[side["scalefac_compress"]]
-    for _ in range(11):
-        sf.append(r.u(slen1))
-    for _ in range(10):
-        sf.append(r.u(slen2))
+    for group, (b_lo, b_hi) in enumerate(_SCFSI_BANDS):
+        slen = slen1 if b_lo < 11 else slen2
+        if scfsi & (8 >> group):
+            if prev_sf is None:
+                raise ValueError("scfsi set in granule 0")
+            sf.extend(prev_sf[b_lo:b_hi])
+        else:
+            sf.extend(r.u(slen) for _ in range(b_hi - b_lo))
     tables = side["table_select"]
     big = side["big_values"]
     if big > 288:
@@ -715,7 +844,68 @@ def _decode_granule(r: _BitReader, side: dict) -> np.ndarray:
         xr[lo:hi] *= 2.0 ** (
             -mult * (sf[b] + side["preflag"] * _PRETAB[b])
         )
-    return xr
+    return xr, sf
+
+
+def _intensity_stereo(
+    gran: "list[np.ndarray]", sf1: "list[int]", ms: bool
+) -> None:
+    """§2.4.3.4.9.3 MPEG-1 intensity decode, in place. The intensity
+    region is every scalefactor band at or above the last nonzero
+    line of the right/second channel; there the LEFT channel carries
+    the summed magnitude and the right channel's scalefactor is the
+    intensity position: is_ratio = tan(is_pos*pi/12),
+    l = xr*ratio/(1+ratio), r = xr/(1+ratio) (is_pos 6 -> all left,
+    is_pos 7 -> intensity OFF for the band: MS applies there when the
+    mode_extension enables it, else plain L/R). Below the region, MS
+    or plain stereo per ``ms``. Seam: an intensity band inside the
+    scalefactor-less final partition (above SFB_LONG_44[21]) has no
+    is_pos to read - raise rather than guess which neighbouring
+    band's position the encoder meant (implementations historically
+    disagree)."""
+    left, right = gran
+    nz = np.flatnonzero(right)
+    zb = int(nz[-1]) + 1 if nz.size else 0
+    for b in range(21):
+        lo, hi = SFB_LONG_44[b], SFB_LONG_44[b + 1]
+        if lo < zb:
+            if ms:
+                rt2 = np.sqrt(2.0)
+                m = left[lo:hi].copy()
+                s = right[lo:hi]
+                left[lo:hi] = (m + s) / rt2
+                right[lo:hi] = (m - s) / rt2
+            continue
+        is_pos = sf1[b]
+        if is_pos == 7:
+            if ms:
+                rt2 = np.sqrt(2.0)
+                m = left[lo:hi].copy()
+                s = right[lo:hi]
+                left[lo:hi] = (m + s) / rt2
+                right[lo:hi] = (m - s) / rt2
+            continue
+        if is_pos > 7:
+            raise Mp3DecodeError(f"intensity position {is_pos} > 7")
+        xr = left[lo:hi].copy()
+        if is_pos == 6:
+            right[lo:hi] = 0.0
+        else:
+            ratio = np.tan(is_pos * np.pi / 12.0)
+            left[lo:hi] = xr * (ratio / (1.0 + ratio))
+            right[lo:hi] = xr / (1.0 + ratio)
+    lo = SFB_LONG_44[21]
+    if lo >= zb and np.any(left[lo:]):
+        raise Mp3DecodeError(
+            "intensity stereo in the scalefactor-less partition "
+            "(above sfb 20) not supported"
+        )
+    if ms and lo < zb:
+        rt2 = np.sqrt(2.0)
+        m = left[lo:].copy()
+        s = right[lo:]
+        left[lo:] = (m + s) / rt2
+        right[lo:] = (m - s) / rt2
 
 
 def decode_mp3(payload: bytes) -> np.ndarray:
@@ -764,8 +954,7 @@ def decode_mp3(payload: bytes) -> np.ndarray:
         mode_ext = (b3 >> 4) & 3
         nch = 1 if mode == 3 else 2
         ms = mode == 1 and bool(mode_ext & 2)
-        if mode == 1 and (mode_ext & 1):
-            raise Mp3DecodeError("intensity stereo not supported")
+        is_flag = mode == 1 and bool(mode_ext & 1)
         if nch_stream is None:
             nch_stream = nch
             per_ch = [[] for _ in range(nch)]
@@ -782,8 +971,9 @@ def decode_mp3(payload: bytes) -> np.ndarray:
         r = _BitReader(payload[pos + 4 : pos + 4 + side_len])
         begin = r.u(9)  # main_data_begin (bytes back, §2.4.3.4.5.3)
         r.u(5 if nch == 1 else 3)  # private_bits
-        if r.u(4 * nch):
-            raise Mp3DecodeError("scfsi scalefactor reuse not supported")
+        # §2.4.2.7 scfsi: one nibble per channel; a set bit means
+        # granule 1 reuses granule 0's scalefactors for that band
+        scfsi_ch = [r.u(4) for _ in range(nch)]
         sides: "list[list[dict]]" = []
         for _g in range(2):
             per_gran = []
@@ -814,9 +1004,22 @@ def decode_mp3(payload: bytes) -> np.ndarray:
         reservoir.extend(payload[pos + 4 + side_len : pos + flen])
         mr = _BitReader(bytes(reservoir))
         mr.pos = (start - res_base) * 8
+        g0_sf: "list[list[int] | None]" = [None] * nch
         for g in range(2):
-            gran = [_decode_granule(mr, sides[g][ch]) for ch in range(nch)]
-            if ms:
+            gran: "list[np.ndarray]" = []
+            g_sf: "list[list[int]]" = []
+            for ch in range(nch):
+                xr, sfv = _decode_granule(
+                    mr, sides[g][ch],
+                    scfsi_ch[ch] if g == 1 else 0, g0_sf[ch],
+                )
+                gran.append(xr)
+                g_sf.append(sfv)
+            if g == 0:
+                g0_sf = list(g_sf)
+            if is_flag:
+                _intensity_stereo(gran, g_sf[1], ms)
+            elif ms:
                 rt2 = np.sqrt(2.0)
                 m, s = gran
                 gran = [(m + s) / rt2, (m - s) / rt2]

@@ -54,10 +54,12 @@ def test_twins_agree_on_every_fixture():
             pcm = decode_mp3(strip_id3(raw))[
                 CODEC_DELAY : CODEC_DELAY + N_SAMPLES
             ]
-        elif enc == "mp3sr":  # stereo+reservoir transcode: channel 0
+        elif enc in ("mp3sr", "mp3is"):  # stereo transcodes: channel 0
             pcm = decode_mp3(raw)[
                 CODEC_DELAY : CODEC_DELAY + N_SAMPLES, 0
             ]
+        elif enc == "mp3scfsi":  # scalefactor-reuse layout, mono
+            pcm = decode_mp3(raw)[CODEC_DELAY : CODEC_DELAY + N_SAMPLES]
         else:
             pcm = (flac_pcm(raw) if raw[:4] == b"fLaC" else wav_pcm(raw))[
                 :, 0
