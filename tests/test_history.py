@@ -2,6 +2,12 @@ from __future__ import annotations
 
 from data_pipeline_capstone_project_spark.plans.history import history_fact
 
+import pytest
+# quick smoke lane (VERDICT r13 item 8): this file is part of the
+# ~1-minute `-m quick` subset; the full suite stays the snapshot gate
+pytestmark = pytest.mark.quick
+
+
 
 def test_history_schema_and_rows(spark, sf_dir):
     df = history_fact(spark, sf_dir)

@@ -7,6 +7,10 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+# quick smoke lane (VERDICT r13 item 8): this file is part of the
+# ~1-minute `-m quick` subset; the full suite stays the snapshot gate
+pytestmark = pytest.mark.quick
+
 from data_pipeline_capstone_project_spark.operators import afp as A
 from data_pipeline_capstone_project_spark.operators import mp3_l3 as m
 from data_pipeline_capstone_project_spark.operators.mp3 import mp3_meta, mp3_pcm

@@ -3,6 +3,10 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+# quick smoke lane (VERDICT r13 item 8): this file is part of the
+# ~1-minute `-m quick` subset; the full suite stays the snapshot gate
+pytestmark = pytest.mark.quick
 from pyspark.sql import functions as F
 
 from data_pipeline_capstone_project_spark.operators.asof import asof_query

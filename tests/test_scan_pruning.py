@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 
 from data_pipeline_capstone_project_spark.sources.readers import load_table
 
+import pytest
+# quick smoke lane (VERDICT r13 item 8): this file is part of the
+# ~1-minute `-m quick` subset; the full suite stays the snapshot gate
+pytestmark = pytest.mark.quick
+
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()

@@ -8,6 +8,10 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+
+# quick smoke lane (VERDICT r13 item 8): this file is part of the
+# ~1-minute `-m quick` subset; the full suite stays the snapshot gate
+pytestmark = pytest.mark.quick
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
