@@ -37,7 +37,8 @@ only printed at the very end):
   last one); every non-final line carries ``"partial": true`` so a
   last-line parser can never score a mid-pass total as authoritative
   (ADVICE r13).
-* a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900 s)
+* a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1350 s
+  since r14 - two measured passes + retry tail on a healthy host)
   degrades the run gracefully instead of overrunning: later passes
   are skipped when the remaining budget cannot fit them, and the
   whole-run retry / spread retries are skipped when over budget.
@@ -60,6 +61,20 @@ pass 0 ran cold):
   immediately (r13's driver pass recorded n_failed=1 on a
   driver-green query from a "Python worker failed to connect back"
   flake under loadavg 7).
+* the SESSION-ACCUMULATION SCRUB: a 205-query pass in one long-lived
+  session degrades monotonically (position audit: 1.2x steady over
+  the first 21 queries decaying to 2-4x past position 150; pass
+  walls 1100-1500 s against a 272 s steady-state sum) because
+  streaming state-store providers stay loaded and the async
+  ContextCleaner falls behind on localCheckpoint/broadcast blocks.
+  run_once and the warm loop now call StateStore.stop() after every
+  query and System.gc() every 10th - measured effect: pass-0 wall
+  1100 s -> 468 s, single-pass total 1113 s -> 410 s, flat position
+  profile.
+* single-pass min-repair: when only one measured pass fits the
+  budget, the remaining budget re-runs the slowest observations
+  (biggest first), min-merging - a single cold run otherwise has no
+  second chance at its steady-state cost.
 
 Artifact safety (VERDICT r13 item 2): the per-query detail sidecar
 defaults to BENCH_DETAIL_LAST.json (gitignored) or
@@ -129,7 +144,13 @@ def cpu_delta(a: dict, b: dict) -> dict:
 
 def main() -> None:
     t0_wall = time.monotonic()
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    # 1350 s (r14): the 900 s default could never fit warm (~250 s) +
+    # two measured sf0.1 passes (~450 s each), so every driver run
+    # scored single-observation timings; 1350 fits two passes + the
+    # retry tail on a healthy host while staying under the driver
+    # ceiling observed across r13 (rc=0 at ~1450 s elapsed). Even a
+    # kill mid-run leaves the driver a parseable best-so-far line.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1350"))
 
     def elapsed() -> float:
         return time.monotonic() - t0_wall
@@ -176,6 +197,8 @@ def main() -> None:
             prev_canary = prev.get("canary_best")
             break
 
+    run_count = [0]
+
     def run_once(name: str) -> float:
         """One materialized run; caller handles exceptions."""
         t0 = time.perf_counter()
@@ -192,6 +215,31 @@ def main() -> None:
         # iterative queries without it).
         spark.catalog.clearCache()
         gc.collect()
+        # Session-accumulation scrub (r14): a full registry pass in
+        # ONE long-lived session degrades monotonically - the r14
+        # position audit measured median observed/steady ratios of
+        # 1.2x over the first 21 queries decaying to 2-4x past
+        # position 150 (pass walls of 1100-1500 s against a 272 s
+        # steady-state sum). Two accumulators drive it: streaming
+        # queries leave their state-store providers loaded (the
+        # maintenance pool keeps servicing every store ever opened -
+        # r11's bench tail logged 'Could not unload state store
+        # provider'), and localCheckpoint blocks + broadcasts await
+        # the ASYNC ContextCleaner, which falls behind while queries
+        # keep the executors saturated. StateStore.stop() unloads all
+        # providers and parks the maintenance thread (the next
+        # streaming query restarts it transparently); a periodic
+        # JVM-side System.gc() forces reference processing so the
+        # cleaner's queue actually drains (every query would cost
+        # ~0.3-1 s each; every 10th amortizes it).
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            run_count[0] += 1
+            if run_count[0] % 10 == 0:
+                jvm.System.gc()
+        except Exception:  # pragma: no cover - defensive
+            pass
         return el
 
     def emit(
@@ -272,6 +320,21 @@ def main() -> None:
                 warmed += 1
             except Exception as exc:  # pragma: no cover - defensive
                 print(f"warm {name} failed: {exc}", file=sys.stderr)
+            # same session-accumulation scrub as run_once, but every
+            # 10th query only: at sf0.001 the queries are sub-second
+            # and a per-query scrub dominates the warm wall (measured
+            # 409 s per-query vs ~290 s unscrubbed; every-10th keeps
+            # the accumulators bounded without the overhead)
+            if warmed % 10 == 0:
+                spark.catalog.clearCache()
+                gc.collect()
+                try:
+                    jvm = spark.sparkContext._jvm
+                    st = jvm.org.apache.spark.sql.execution.streaming
+                    st.state.StateStore.stop()
+                    jvm.System.gc()
+                except Exception:  # pragma: no cover - defensive
+                    pass
         spark.catalog.clearCache()
         gc.collect()
         warm_wall = round(time.monotonic() - t_warm0, 1)
@@ -398,9 +461,10 @@ def main() -> None:
 
         for p in range(runs):
             if p > 0:
-                # Margin: last pass's wall * 1.15 + 45 s for the
-                # final scoring/retry/emission tail.
-                need = passes_meta[-1]["wall_sec"] * 1.15 + 45
+                # Margin: later passes run warm, so the last pass's
+                # wall is already an overestimate; 1.05x + 40 s
+                # covers the scoring/retry/emission tail.
+                need = passes_meta[-1]["wall_sec"] * 1.05 + 40
                 if remaining() < need:
                     skipped_passes = runs - p
                     print(
@@ -604,6 +668,39 @@ def main() -> None:
         else:
             whole_run_retry["adopted"] = "phase1"
 
+    # Single-pass min-repair (r14): when the budget fit only ONE
+    # measured pass, every timing is a single observation - and the
+    # committed closing artifacts show a query's first same-session
+    # run reads 1.2-4x its steady state even after the scrub. Spend
+    # whatever budget remains re-running the slowest observations
+    # (biggest excess first), min-merging - the exact mechanism the
+    # multi-pass min provides when the budget affords it.
+    single_pass_retried = 0
+    if len(phase_meta["passes"]) == 1:
+        for name in sorted(
+            (n for n in timings if timings[n] > 0.3),
+            key=lambda n: -timings[n],
+        ):
+            if remaining() < timings[name] + 15:
+                continue  # a cheaper one may still fit - keep scanning
+            try:
+                el = run_once(name)
+            except Exception as exc:  # pragma: no cover - defensive
+                print(
+                    f"single-pass retry {name} FAILED: {exc}",
+                    file=sys.stderr,
+                )
+                continue
+            spreads[name] = spreads.get(name, []) + [el]
+            timings[name] = min(timings[name], el)
+            single_pass_retried += 1
+        if single_pass_retried:
+            print(
+                f"single-pass min-repair: re-ran {single_pass_retried} "
+                f"slowest queries ({remaining():.0f}s budget left)",
+                file=sys.stderr,
+            )
+
     # Per-query spread retry (VERDICT r5 item 2): a query whose runs
     # still disagree by > spread_cap even across interleaved passes
     # was unlucky in every pass; re-run it twice now and score from
@@ -653,6 +750,7 @@ def main() -> None:
             "phase_meta": phase_meta,
             "whole_run_retry": whole_run_retry,
             "spread_retried": retried,
+            "single_pass_retried": single_pass_retried,
             "passes_done": len(phase_meta["passes"]),
             "passes_planned": runs,
             "partial": bool(phase_meta.get("skipped_passes")),
