@@ -28,6 +28,36 @@ operators/h264_decode.py applied to Layer III):
   linbits escape family) raise ``NotImplementedError`` - in this
   sandbox there is no external decoder to cross-check a guessed
   table against, and a wrong table would silently decode garbage.
+
+  Validation route for landing tables 5-31 (r14, VERDICT r13 item
+  5's alternative clause - the gates a future transcription must
+  pass, in order of strength):
+
+  1. *Structural*: prefix-free + Kraft-complete per table (the
+     existing import gate), dimensions exactly (xmax+1)*(ymax+1)
+     with the spec's xmax/ymax per table, and the paired-table
+     constraint that tables sharing a codebook but differing only in
+     linbits (e.g. 16-23 vs 24-31 families) carry IDENTICAL code
+     maps - transcribing both independently and diffing catches
+     per-entry slips the single-table gates cannot.
+  2. *Cross-reproduction agreement*: the ISO tables are reproduced
+     verbatim in multiple independent public codebases; two
+     transcriptions recalled/derived from DIFFERENT reproductions
+     must agree bit-for-bit before either is trusted (the Table
+     9-44/9-45 discipline, minus the generator).
+  3. *Round-trip*: extend the encoder to SELECT each new table
+     (region-wise) and pin decode(encode(x)) quality per table -
+     catches assignment swaps within a codebook that structure
+     cannot.
+  4. *Statistical plausibility*: shorter codes must map to smaller
+     (x, y) magnitudes in aggregate (the tables are trained Huffman
+     codes); a transposed row pair usually violates this
+     monotonicity and is cheap to assert.
+
+  None of these substitutes for a conformance stream; until a real
+  third-party decode can be compared, any landed table must carry
+  the same transcription-confidence CLASS B label as
+  operators/cabac.py's CTX_INIT_I16.
 * **Bit reservoir** (r13, VERDICT r12 item 5): DECODES - main data
   is located through a rolling buffer of prior frames' main-data
   sections exactly as §2.4.3.4.5.3 lays it out, and the encoder can
