@@ -556,7 +556,10 @@ def main() -> None:
 
     base_detail = {
         "runs_per_query": runs,
-        "methodology": "interleaved-randomized-passes r13 (budgeted)",
+        "methodology": (
+            "interleaved-randomized-passes r14 "
+            "(budgeted, session-scrubbed)"
+        ),
         "loadavg_start": load_start,
         "quiet_gate": {
             "threshold": quiet_load,
