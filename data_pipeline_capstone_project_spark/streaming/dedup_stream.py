@@ -53,9 +53,21 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     try:
-        events.coalesce(1).write.parquet(os.path.join(src, "wave1"))
-        events.filter(F.col("event_id") % 4 == 0).coalesce(1).write.parquet(
-            os.path.join(src, "wave2")
+        # Concurrent staging (guide §2.6); wave2 is a verbatim
+        # re-delivery of a wave1 subset, so either arrival order keeps
+        # exactly one copy of each event - the stamp just keeps the
+        # batching deterministic.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, "wave1"), os.path.join(src, "wave2")]
+        stage_waves_concurrently(
+            [
+                lambda o=wave_dirs[0]: events.coalesce(1).write.parquet(o),
+                lambda o=wave_dirs[1]: events.filter(
+                    F.col("event_id") % 4 == 0
+                ).coalesce(1).write.parquet(o),
+            ],
+            wave_dirs,
         )
         stream = (
             spark.readStream.schema(schema)

@@ -58,16 +58,26 @@ def streaming_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchases": events.filter(F.col("event_type") == "purchase"),
     }
     try:
-        for name, df in sides.items():
-            side = df.select("event_id", "ts", "user_id")
-            # two waves per side -> the join must carry state across
-            # micro-batches, not just match within one
-            side.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
-                os.path.join(work, name, "wave1")
-            )
-            side.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
-                os.path.join(work, name, "wave2")
-            )
+        # two waves per side -> the join must carry state across
+        # micro-batches, not just match within one. The four staging
+        # writes are independent single-task jobs dominated by launch +
+        # commit latency (~1 s each sequential, r14 measurement), so
+        # they run concurrently; the mtime stamp keeps each source's
+        # wave1-before-wave2 arrival order deterministic.
+        from . import stage_waves_concurrently
+
+        writes, dirs = [], []
+        for wave_idx, parity in ((1, 0), (2, 1)):
+            for name, df in sides.items():
+                side = df.select("event_id", "ts", "user_id")
+                out = os.path.join(work, name, f"wave{wave_idx}")
+                writes.append(
+                    lambda s=side, p=parity, o=out: s.filter(
+                        F.col("event_id") % 2 == p
+                    ).coalesce(1).write.parquet(o)
+                )
+                dirs.append(out)
+        stage_waves_concurrently(writes, dirs)
         views = (
             spark.readStream.schema(_SIDE_SCHEMA)
             .option("maxFilesPerTrigger", 1)

@@ -92,11 +92,22 @@ def streaming_late_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(eid).cast("long").alias("user_id"),
             )
 
-        wave1.coalesce(1).write.parquet(os.path.join(src, "wave1"))
-        advancer.coalesce(1).write.parquet(os.path.join(src, "wave2"))
-        late.coalesce(1).write.parquet(os.path.join(src, "wave3"))
-        _sentinel(-1).union(_sentinel(-2)).coalesce(1).write.parquet(
-            os.path.join(src, "wave4")
+        # Concurrent staging (guide §2.6). Wave ARRIVAL ORDER is the
+        # whole point of this entry (watermark advancement between
+        # batches); the helper's explicit mtime stamp guarantees the
+        # 1→2→3→4 batching that the sequential writes only implied.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, f"wave{i}") for i in (1, 2, 3, 4)]
+        stage_waves_concurrently(
+            [
+                lambda o=wave_dirs[0]: wave1.coalesce(1).write.parquet(o),
+                lambda o=wave_dirs[1]: advancer.coalesce(1).write.parquet(o),
+                lambda o=wave_dirs[2]: late.coalesce(1).write.parquet(o),
+                lambda o=wave_dirs[3]: _sentinel(-1).union(_sentinel(-2))
+                .coalesce(1).write.parquet(o),
+            ],
+            wave_dirs,
         )
         stream = (
             spark.readStream.schema(schema)

@@ -162,15 +162,29 @@ def lsh_index_merge_batch(
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    verified.write.mode("overwrite").parquet(
-        os.path.join(pairs_dir, f"e{epoch_id}")
-    )
-    bands_new.write.mode("overwrite").parquet(
-        os.path.join(bands_dir, f"e{epoch_id}")
-    )
-    sh_new.write.mode("overwrite").parquet(
-        os.path.join(shingles_dir, f"e{epoch_id}")
-    )
+    # The three epoch-directory writes are independent (distinct
+    # outputs; `verified`'s store reads captured their directory
+    # listings at plan-build time, before any e<epoch> dir exists), so
+    # they overlap in a driver thread pool (guide §2.6) instead of
+    # paying three sequential job launches per micro-batch - at three
+    # batches per invocation that is nine serialized tiny jobs saved.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(
+                lambda df=df, d=d: df.write.mode("overwrite").parquet(
+                    os.path.join(d, f"e{epoch_id}")
+                )
+            )
+            for df, d in (
+                (verified, pairs_dir),
+                (bands_new, bands_dir),
+                (sh_new, shingles_dir),
+            )
+        ]
+        for f in futures:
+            f.result()
     bands_new.unpersist()
     sh_new.unpersist()
 
@@ -194,10 +208,21 @@ def streaming_lsh_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     try:
-        for wave in range(3):
-            docs.filter(F.col("doc_id") % 3 == wave).coalesce(1).write.parquet(
-                os.path.join(src, f"wave{wave}")
-            )
+        # Concurrent staging (guide §2.6): three independent
+        # single-task writes; pair-log union is arrival-order
+        # invariant, the stamp just keeps epoch numbering stable.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, f"wave{w}") for w in range(3)]
+        stage_waves_concurrently(
+            [
+                lambda w=w, o=o: docs.filter(
+                    F.col("doc_id") % 3 == w
+                ).coalesce(1).write.parquet(o)
+                for w, o in enumerate(wave_dirs)
+            ],
+            wave_dirs,
+        )
         stream = (
             spark.readStream.schema(doc_schema)
             .option("maxFilesPerTrigger", 1)

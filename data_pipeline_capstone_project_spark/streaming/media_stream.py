@@ -10,11 +10,23 @@ uploads matters most: a payload the codecs reject is LOGGED with a
 status row, never a stream crash (binary stores always contain
 garbage at 100 TB).
 
-Two deterministic epochs (``maxFilesPerTrigger=1``, availableNow):
-wave 1 is PNG/JPEG/GIF/BMP/MP4 fixtures, wave 2 adds more files plus
-two corrupt payloads (truncated PNG, random bytes). The append log
-therefore equals the closed-form VALUES oracle, including the error
-rows - exact, not rows-only.
+Two deterministic epochs (``maxFilesPerTrigger=9`` = the wave-1 file
+count, availableNow): wave 1 is PNG/JPEG/GIF/BMP/MP4 fixtures, wave 2
+adds more files plus two corrupt payloads (truncated PNG, random
+bytes). The append log therefore equals the closed-form VALUES
+oracle, including the error rows - exact, not rows-only.
+
+r14 optimization (guide §1/§2 fixed-cost audit): this used to run
+``maxFilesPerTrigger=1`` - 17 files, 17 micro-batches, each paying
+~0.35-0.5 s of trigger fixed cost (offset log + commit log fsyncs,
+per-batch planning, a fresh Python worker handshake for the
+mapInPandas stage) against milliseconds of decode work. Decode is
+per-file and stateless, so ANY batching yields the identical append
+log; batching by wave keeps the multi-batch incremental semantics
+this entry exists to prove (2 batches) while cutting the stream wall
+from ~5.8-10.6 s to ~0.8-1.6 s measured. At 100 TB the same knob is
+how a real deployment sizes triggers: files-per-trigger scaled to
+arrival rate, never one job per object.
 
 Scale shape: the source lists new files per trigger (work ~ batch,
 not store); decode is the same zero-exchange Arrow ``mapInPandas``
@@ -96,7 +108,9 @@ def streaming_media_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "path string, modificationTime timestamp, "
                 "length long, content binary"
             )
-            .option("maxFilesPerTrigger", 1)
+            # One micro-batch per WAVE (9 = wave-1 file count), not per
+            # file: see module docstring (r14 fixed-cost audit).
+            .option("maxFilesPerTrigger", 9)
             .load(f"{src}/*")
         )
         payloads = stream.select(

@@ -136,14 +136,23 @@ def streaming_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     try:
-        for wave in range(3):
-            # coalesce(NULL type to '') so crc32 never returns NULL -
-            # every row lands in exactly one wave even if the events
-            # table ever carries NULL event_type.
-            wave_key = F.crc32(F.coalesce(F.col("event_type"), F.lit(""))) % 3
-            events.filter(wave_key == wave).coalesce(1).write.parquet(
-                os.path.join(src, f"wave{wave}")
-            )
+        # coalesce(NULL type to '') so crc32 never returns NULL -
+        # every row lands in exactly one wave even if the events
+        # table ever carries NULL event_type. Staged concurrently
+        # (guide §2.6): histogram merge is per-bin commutative, so
+        # arrival order cannot change the final store.
+        from . import stage_waves_concurrently
+
+        wave_key = F.crc32(F.coalesce(F.col("event_type"), F.lit(""))) % 3
+        wave_dirs = [os.path.join(src, f"wave{w}") for w in range(3)]
+        stage_waves_concurrently(
+            [
+                lambda w=w, o=o: events.filter(wave_key == w)
+                .coalesce(1).write.parquet(o)
+                for w, o in enumerate(wave_dirs)
+            ],
+            wave_dirs,
+        )
         # crc32-based wave split is deterministic but uneven; that is
         # the point - batches of different sizes and type mixes must
         # still merge to the exact batch histogram.

@@ -55,12 +55,26 @@ def streaming_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     try:
-        events.coalesce(1).write.parquet(os.path.join(src, "wave1"))
-        # watermark-advancing sentinel: one event far past the horizon
-        events.select(
-            (F.max("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
-            F.lit(_SENTINEL_USER).alias("user_id"),
-        ).write.parquet(os.path.join(src, "wave2"))
+        # Concurrent staging (guide §2.6); the mtime stamp guarantees
+        # the sentinel (wave2, watermark advancer) batches AFTER the
+        # data wave - processing it first would drop every real row
+        # as late, so the order is load-bearing and now explicit.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, "wave1"), os.path.join(src, "wave2")]
+        stage_waves_concurrently(
+            [
+                lambda o=wave_dirs[0]: events.coalesce(1)
+                .write.parquet(o),
+                # watermark-advancing sentinel: one event far past the
+                # horizon
+                lambda o=wave_dirs[1]: events.select(
+                    (F.max("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+                    F.lit(_SENTINEL_USER).alias("user_id"),
+                ).write.parquet(o),
+            ],
+            wave_dirs,
+        )
 
         stream = (
             spark.readStream.schema(schema)

@@ -102,9 +102,19 @@ def streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", (F.col("value") + 1000).alias("value")
         )
         # One part-file per wave -> maxFilesPerTrigger=1 yields exactly
-        # two micro-batches, in write (modification-time) order.
-        wave1.coalesce(1).write.parquet(os.path.join(src, "wave1"))
-        wave2.coalesce(1).write.parquet(os.path.join(src, "wave2"))
+        # two micro-batches. Concurrent staging (guide §2.6); the
+        # helper's mtime stamp pins wave1-before-wave2 batching, which
+        # the per-batch emissions depend on.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, "wave1"), os.path.join(src, "wave2")]
+        stage_waves_concurrently(
+            [
+                lambda o=wave_dirs[0]: wave1.coalesce(1).write.parquet(o),
+                lambda o=wave_dirs[1]: wave2.coalesce(1).write.parquet(o),
+            ],
+            wave_dirs,
+        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

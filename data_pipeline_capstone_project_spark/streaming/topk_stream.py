@@ -97,11 +97,22 @@ def streaming_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     try:
-        for w in range(N_WAVES):
-            emb.filter(
-                (F.col("vec_id") != QUERY_VEC_ID)
-                & (F.col("vec_id") % N_WAVES == w)
-            ).coalesce(1).write.parquet(os.path.join(src, f"wave{w}"))
+        # Concurrent staging (guide §2.6): top-k state merge is
+        # associative (top-k of top-k ∪ batch = global top-k), so
+        # arrival order cannot change the final ranking.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, f"wave{w}") for w in range(N_WAVES)]
+        stage_waves_concurrently(
+            [
+                lambda w=w, o=o: emb.filter(
+                    (F.col("vec_id") != QUERY_VEC_ID)
+                    & (F.col("vec_id") % N_WAVES == w)
+                ).coalesce(1).write.parquet(o)
+                for w, o in enumerate(wave_dirs)
+            ],
+            wave_dirs,
+        )
 
         def merge(batch_df: DataFrame, batch_id: int) -> None:
             merge_topk_batch(batch_df, qv, state)

@@ -153,8 +153,18 @@ def streaming_transform_state_query(
         wave2 = events.filter(F.col("event_id") % 3 == 0).select(
             "event_id", "user_id", (F.col("value") + 1000).alias("value")
         )
-        wave1.coalesce(1).write.parquet(os.path.join(src, "wave1"))
-        wave2.coalesce(1).write.parquet(os.path.join(src, "wave2"))
+        # Concurrent staging (guide §2.6); mtime stamp pins the
+        # wave1-before-wave2 batching the per-batch emissions need.
+        from . import stage_waves_concurrently
+
+        wave_dirs = [os.path.join(src, "wave1"), os.path.join(src, "wave2")]
+        stage_waves_concurrently(
+            [
+                lambda o=wave_dirs[0]: wave1.coalesce(1).write.parquet(o),
+                lambda o=wave_dirs[1]: wave2.coalesce(1).write.parquet(o),
+            ],
+            wave_dirs,
+        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
