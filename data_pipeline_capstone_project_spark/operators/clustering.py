@@ -67,7 +67,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r14): the fixpoint sum below materializes the
+            # checkpoint as a side effect - one job per round instead
+            # of a dedicated materialization job plus the sum job.
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease -> fixpoint
@@ -143,15 +146,21 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Fixpoint loop job budget (r14): the previous round's cardinality
+    # is carried in a driver int instead of re-counting the checkpointed
+    # edge list every round - count(nxt) is already a job per round; the
+    # second count was pure fixed cost (distinct edges are checkpointed,
+    # so the count is stable by construction). exceptAll still only runs
+    # when the counts tie (Python `and` short-circuit).
+    n_edges = edges.count()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        if (
-            nxt.count() == edges.count()
-            and nxt.exceptAll(edges).isEmpty()
-        ):
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
             edges = nxt
             break
         edges = nxt
+        n_edges = n_nxt
     # At fixpoint every edge is (member, component-min); roots have no
     # outgoing edge and label themselves.
     roots = edges.groupBy("u").agg(F.min("v").alias("root"))
