@@ -1100,7 +1100,7 @@ QUERIES = {
 # alphabetically-first r6 entries. After r14 no entry's driver
 # evidence is older than r6.
 _R14_WINDOW = [
-    # changed in r14 (media codec paths)
+    # changed in r14 prep (media codec paths)
     "mp3_meta", "audio_fingerprint_dedup", "audio_transcode_qa",
     "h264_meta", "h264_frames", "video_frames", "video_phash_dedup",
     "video_scene_cuts",
@@ -1115,16 +1115,27 @@ _R14_WINDOW = [
     "tpch_small_qty_revenue", "tpch_top_supplier",
     "tpch_waiting_suppliers", "upsert_audit", "variant_json_suite",
     "vocab_growth",
-    # oldest remaining driver evidence, r5 -> r10
+    # changed in the r14 OPTIMIZATION round (concurrent staging /
+    # wave-sized triggers / persist + fixpoint-loop changes) - every
+    # entry whose execution path this round touched gets driver
+    # evidence; each is also locally green at sf0.01, sf0.1, and
+    # local-cluster[2,16,8192] (SWEEP_r14.json @ the optimized HEAD)
+    "streaming_media_ingest", "streaming_join", "streaming_lsh_dedup",
+    "streaming_quantile", "streaming_topk", "streaming_session",
+    "streaming_multi_sink", "dedup_threshold_sweep",
+    "dedup_threshold_sweep_pairs", "similarity_join_exact",
+    "dedup_clusters_star", "dedup_resolution",
+    # oldest remaining driver evidence (r5-r10) incl. the three
+    # r14-changed entries already queued here; displaced to make room
+    # for the 12 rows above (newest-evidence-first): stats_suite /
+    # dedup_ngram_jaccard (r10), pagerank / scd2_history /
+    # streaming_upsert (r9), streaming_window_agg (r8),
+    # value_percentiles (r7) and the five unchanged r6 fill entries -
+    # none drops below the "no evidence older than r6" line.
     "dedup_embedding_cosine",
     "tpch_market_share", "tpch_regional_volume",
-    "tpch_shipping_priority", "train_test_split", "value_percentiles",
-    "streaming_window_agg",
-    "pagerank", "scd2_history", "streaming_dedup", "streaming_upsert",
-    "dedup_ngram_jaccard", "stats_suite", "streaming_stateful",
-    # alphabetically-first r6 entries (fill to 50)
-    "anti_join", "asof_enrichment", "cdc_merge", "color_palette_png",
-    "color_palette_props", "dedup_clusters",
+    "tpch_shipping_priority", "train_test_split",
+    "streaming_dedup", "streaming_stateful", "dedup_clusters",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 
