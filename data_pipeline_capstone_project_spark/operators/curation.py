@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
-from .text import md5_word_hash, tokens_col
+from .text import md5_word_hash, tokens_col, xx_gram_slice_hashes, xx_word_hash
 
 # --- benchmark decontamination --------------------------------------------
 
@@ -29,13 +29,15 @@ BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 plays the held-out benchmark
 
 
 def _gram_hashes(text_toks) -> F.Column:
-    """All DECONTAM_N-grams of a token array as 60-bit md5 hashes
-    (portable hash family shared with the dedup operators)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(text_toks) - DECONTAM_N + 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(text_toks, i, DECONTAM_N), " "),
-    )
-    return F.array_distinct(F.transform(grams, lambda g: md5_word_hash(g)))
+    """All DECONTAM_N-grams of a token array as per-doc-DISTINCT 60-bit
+    xxhash64 SLICE hashes (r15: no gram string is ever built - see
+    xx_gram_slice_hashes for the measured decomposition and the
+    staging requirement: ``text_toks`` must be a materialized column).
+    Every consumer (decontamination, corpus_dup_ngrams,
+    curation_funnel, cross_corpus_overlap) only emits COUNTS derived
+    from gram equality, never a hash value, so the md5-based DuckDB
+    oracles still match under hash-injectivity."""
+    return F.array_distinct(xx_gram_slice_hashes(text_toks, DECONTAM_N))
 
 
 def decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,15 +52,18 @@ def decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts its distinct gram set, and the count is a
     map-combinable re-aggregation keyed by doc - one real shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
     # Materialized once: the train and benchmark branches both derive
     # from this relation, and without a barrier each branch re-runs
-    # the md5-per-gram projection against its own scan (plus the
+    # the hash-per-gram projection against its own scan (plus the
     # isnotnull-pushdown substitution pathology documented in
-    # operators/dedup.py). Narrow (doc_id, gram-hash) rows.
-    with_grams = docs.select(
-        "doc_id", F.explode_outer(_gram_hashes(toks)).alias("gram")
-    ).localCheckpoint(eager=False)
+    # operators/dedup.py). Narrow (doc_id, gram-hash) rows. The token
+    # array is staged in its own select (xx_gram_slice_hashes
+    # requirement: the slice lambda must see a column, not the split).
+    with_grams = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select("doc_id", F.explode_outer(_gram_hashes(F.col("toks"))).alias("gram"))
+        .localCheckpoint(eager=False)
+    )
     train = with_grams.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench_grams = (
         with_grams.filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -255,14 +260,15 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting the longest equal run, all inside the scan projection:
     sorting groups equal grams adjacently, so the max run length IS
     the mode count. Grams are INTEGER hashes folded from per-word
-    md5 hashes with exact modular arithmetic (one md5 per word, not
+    hashes with exact modular arithmetic (one hash per word, not
     per gram; no gram strings are ever built - string gram
     construction plus string sorts measured 3x slower), so for a
     100k-token document the per-row cost is one word-hash pass plus
     an O(n log n) long sort - strictly cheaper than shuffling 100k
-    (doc, gram) rows through an exchange. Cross-engine equality is
-    exact: the oracle folds the identical arithmetic; hash collisions
-    (~1e-9 at 1e15 space) would affect both engines identically."""
+    (doc, gram) rows through an exchange. Cross-engine equality:
+    the oracle folds the identical arithmetic over md5 word hashes;
+    only the run-length/distinct-count FRACTIONS reach the output,
+    which agree across hash families under injectivity (r15)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
 
@@ -272,7 +278,9 @@ def repetition_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is built once per row.
     hashed = docs.select(
         "doc_id",
-        F.transform(toks, lambda w: md5_word_hash(w)).alias("wh"),
+        # xx_word_hash (r15): only run-length/distinct-count fractions
+        # reach the output; the md5 oracle matches under injectivity.
+        F.transform(toks, lambda w: xx_word_hash(w)).alias("wh"),
     )
     staged = hashed.select(
         "doc_id", _gram2(F.col("wh")).alias("g2"), _gram3(F.col("wh")).alias("g3")
@@ -642,9 +650,11 @@ def corpus_dup_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     first shuffle's output. No pair of documents is ever compared
     directly: cost is linear in total grams at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    with_grams = docs.select(
-        "doc_id", F.explode_outer(_gram_hashes(tokens_col())).alias("gram")
-    ).localCheckpoint(eager=False)
+    with_grams = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select("doc_id", F.explode_outer(_gram_hashes(F.col("toks"))).alias("gram"))
+        .localCheckpoint(eager=False)
+    )
     # one row per (doc, gram), grams per-doc distinct => count(*) is
     # the gram's document frequency
     dup_grams = (
@@ -727,8 +737,10 @@ def lm_rarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
+        # xx_word_hash (r15): the word hash is a groupBy/join key only
+        # (counts out); the md5 oracle matches under injectivity.
         F.explode_outer(
-            F.transform(tokens_col(), lambda w: md5_word_hash(w))
+            F.transform(tokens_col(), lambda w: xx_word_hash(w))
         ).alias("w"),
     ).localCheckpoint(eager=False)
     doc_words = words.filter(F.col("w").isNotNull()).groupBy("doc_id", "w").agg(
@@ -827,7 +839,12 @@ def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole funnel into 'gopher' and leave every later stage untested.
     A real deployment keeps the full conjunction."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # Token array staged in its own select (r15): the gram slice hash
+    # references `toks` inside an HOF lambda, which re-evaluates outer
+    # EXPRESSIONS per element - a column reference is free (README
+    # lesson #1 / xx_gram_slice_hashes contract).
+    docs = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    toks = F.col("toks")
 
     # -- gopher metrics (per-row; stopword rule dropped, see above) --
     n_words = F.size(toks)
@@ -846,16 +863,24 @@ def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))) / n_words) >= 0.8)
     )
     # -- exact-dedup signature + decontamination grams (per-row) --
-    from .dedup import exact_signature_col
-
     # Staged selects so wh/g2/g3 stay single-evaluation columns (same
     # CollapseProject constraint as repetition_filter_query).
+    from .text import XX_HASH_MASK
+
     hashed = docs.select(
         "doc_id",
         gopher_pass.alias("gopher_pass"),
-        exact_signature_col().alias("sig"),
+        # r15: the signature only feeds the groupBy(sig) keep-set
+        # (injective-equivalent to the oracle's md5-of-joined-string
+        # over the same sorted distinct word set), so hash the array
+        # directly - no re-split, no joined string, no md5.
+        F.xxhash64(F.array_sort(F.array_distinct(toks)))
+        .bitwiseAND(F.lit(XX_HASH_MASK))
+        .alias("sig"),
         _gram_hashes(toks).alias("grams"),
-        F.transform(toks, lambda w: md5_word_hash(w)).alias("wh"),
+        # xx_word_hash (r15): wh feeds the repetition-gram algebra only
+        # (fractions out); see xx_word_hash for the safety contract.
+        F.transform(toks, lambda w: xx_word_hash(w)).alias("wh"),
     )
     grammed = hashed.select(
         "doc_id", "gopher_pass", "sig", "grams",
@@ -1213,12 +1238,14 @@ LM_EVAL_MOD = 10  # doc_id % LM_EVAL_MOD == 0 is the held-out eval slice
 
 def bigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # The tokenize+md5 pass is the expensive CPU; checkpoint the
+    # The tokenize+hash pass is the expensive CPU; checkpoint the
     # hashed-token relation so the bigram AND unigram branches both
     # derive from one materialization (explodes are cheap, hashing
-    # is not) - one corpus scan, one tokenization.
+    # is not) - one corpus scan, one tokenization. xx_word_hash (r15):
+    # word hashes are join/groupBy keys only (counts out); the md5
+    # oracle matches under injectivity.
     hashed = docs.select(
-        "doc_id", F.transform(tokens_col(), lambda w: md5_word_hash(w)).alias("wh")
+        "doc_id", F.transform(tokens_col(), lambda w: xx_word_hash(w)).alias("wh")
     ).localCheckpoint(eager=False)
     n1 = F.greatest(F.size("wh") - 1, F.lit(0))
     pairs = hashed.select(
@@ -1368,7 +1395,8 @@ def cross_corpus_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered source pair with at least one shared gram."""
     docs = load_table(spark, sf_dir, "documents")
     source_grams = (
-        docs.select("source", F.explode_outer(_gram_hashes(tokens_col())).alias("gram"))
+        docs.select("source", tokens_col().alias("toks"))
+        .select("source", F.explode_outer(_gram_hashes(F.col("toks"))).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
         .localCheckpoint(eager=False)

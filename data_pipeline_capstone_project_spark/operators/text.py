@@ -50,6 +50,63 @@ def md5_word_hash(col: Column, seed: Column | None = None) -> Column:
     return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
 
 
+#: Mask keeping xx_word_hash in [0, 2^60) - same non-negative domain as
+#: md5_word_hash, so downstream modular folds (e.g. ``(h % M) * 31 + h2``)
+#: keep the exact int64-overflow-free bounds they were sized for.
+XX_HASH_MASK = (1 << 60) - 1
+
+
+def xx_word_hash(col: Column, seed: Column | None = None) -> Column:
+    """60-bit integer hash from xxhash64 - the FAST in-engine hash for
+    count/join-only paths (r15, guide #4: one native 64-bit hash vs
+    md5's digest + hex-substring + string->long conv per gram; the md5
+    chain measured ~2.5 s of pure hash CPU per gram query at sf0.1).
+
+    NOT cross-engine-portable: the DuckDB oracles keep md5. A query may
+    use this family ONLY when no hash value (or hash-ordering artifact,
+    e.g. a min-hash) escapes to its output - equality of RESULTS then
+    relies solely on hash-injectivity over the observed key set, which
+    holds for both families except under a collision (~n^2/2^61; about
+    4e-9 for the ~1e6 distinct grams at sf0.1, and verified empirically
+    against the md5 oracle at sf0.001/0.01/0.1). Value-exposing paths
+    (winnowing/doc_fingerprint minima, minhash/simhash signatures,
+    bloom bit positions, dsir/feature bucket ids) MUST stay on
+    md5_word_hash."""
+    inp = F.concat(seed.cast("string"), F.lit("|"), col) if seed is not None else col
+    return F.xxhash64(inp).bitwiseAND(F.lit(XX_HASH_MASK))
+
+
+def xx_gram_slice_hashes(toks: Column, n: int) -> Column:
+    """All n-gram hashes of a token-array column as 60-bit xxhash64
+    values, hashing each n-token SLICE directly (xxhash64 folds over
+    array elements) - no gram string is ever built. Decomposed at
+    sf0.1 (3-run minima, r15): tokenize 0.21 s, + gram-string
+    construction via array_join + distinct 3.22 s, + md5 3.78 s;
+    slice-hashing the same grams 0.40 s - the string build, not the
+    digest, was the gram family's CPU sink.
+
+    ``toks`` MUST be a materialized column reference (stage it with
+    its own select), never the raw split() expression: higher-order
+    lambdas re-evaluate outer EXPRESSIONS per element (README lesson
+    #1), and the slice below references ``toks`` inside the lambda.
+
+    Same safety contract as :func:`xx_word_hash`: count/join-only
+    paths, md5 oracles match under hash-injectivity.
+
+    Docs shorter than ``n`` tokens yield an EMPTY array (the guarded
+    branch below): the ``sequence(1, greatest(size-n+1, 0))`` spelling
+    the md5 shape used produces a DESCENDING [1, 0] there and
+    slice(…, 0, …) raises - latent on the fixture corpora (no doc is
+    that short) but exposed by the r15 unit test."""
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.xxhash64(F.slice(toks, i, n)).bitwiseAND(F.lit(XX_HASH_MASK)),
+    )
+    return F.when(F.size(toks) >= n, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def quality_score_col() -> Column:
     """The composite quality score (length-saturating x punctuation-
     penalized x stopword-boosted) as a pure column expression over the
@@ -542,13 +599,19 @@ def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed - then a VG_BUCKETS-row cumulative window. The corpus never
     sorts; the axis comes from integer doc_id arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - VG_GRAM_N + 1, F.lit(0))),
-        lambda i: md5_word_hash(F.array_join(F.slice(toks, i, VG_GRAM_N), " ")),
-    )
-    words = docs.select("doc_id", F.explode_outer(grams).alias("gram")).filter(
-        F.col("gram").isNotNull()
+    # xx_gram_slice_hashes (r15): only gram COUNTS reach the output
+    # (new_words/vocab_size), so the fast slice-hash family is safe -
+    # the md5 oracle matches under hash-injectivity. Token array
+    # staged per the helper's contract.
+    words = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                xx_gram_slice_hashes(F.col("toks"), VG_GRAM_N)
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
     )
     first_seen = words.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
