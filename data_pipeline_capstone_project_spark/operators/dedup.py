@@ -290,10 +290,13 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has two consumers (pair counts, star-CC edge derivation); the
     # first consumer's job materializes the cache, so the dedicated
     # up-front materialization job is saved while both consumers still
-    # compute the candidate stage exactly once.
+    # compute the candidate stage exactly once. All persisted
+    # intermediates are unpersisted at the query boundary (r15).
+    caches: list = []
     pairs = _prefix_filtered_pairs(
-        spark, sf_dir, min(SWEEP_THRESHOLDS)
+        spark, sf_dir, min(SWEEP_THRESHOLDS), caches=caches
     ).persist()
+    caches.append(pairs)
     th = F.posexplode(
         F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
     )
@@ -330,7 +333,7 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.createDataFrame(
         [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
     )
-    return (
+    final = (
         spine.join(n_pairs, "threshold", "left")
         .join(cstats, "threshold", "left")
         .select(
@@ -342,6 +345,13 @@ def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_cluster_size", F.lit(0)).alias("max_cluster_size"),
         )
     )
+    # r15 boundary (ADVICE r14): materialize the |thresholds|-row
+    # report eagerly through the caches, then release every persisted
+    # intermediate - no CacheManager entries survive the query.
+    out = final.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def dedup_threshold_sweep_pairs_query(
@@ -369,15 +379,20 @@ def dedup_threshold_sweep_pairs_query(
     distinct counts) - without the pin the lazy plan re-runs the
     candidate join per branch. persist over an eager localCheckpoint
     (r14): the first consumer's job materializes the cache, saving
-    the dedicated materialization job; block release is handled the
-    same way either way (reference death / session cache clear).
+    the dedicated materialization job. Release differs (r15 fix of
+    the r14 comment): persisted Datasets stay in the CacheManager
+    until unpersist - they are NOT freed on reference death the way
+    localCheckpoint blocks are - so the query boundary unpersists
+    every cached intermediate after pinning the tiny report.
 
     AT-SCALE LIMIT: shares the cluster-summary sweep's candidate
     stage and its measured quadratic bound (see
     ``dedup_threshold_sweep_query``); bounded-corpus diagnostic."""
+    caches: list = []
     pairs = _prefix_filtered_pairs(
-        spark, sf_dir, min(SWEEP_THRESHOLDS)
+        spark, sf_dir, min(SWEEP_THRESHOLDS), caches=caches
     ).persist()
+    caches.append(pairs)
     th = F.explode(
         F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
     ).alias("threshold")
@@ -395,7 +410,7 @@ def dedup_threshold_sweep_pairs_query(
     spine = spark.createDataFrame(
         [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
     )
-    return (
+    final = (
         spine.join(n_pairs, "threshold", "left")
         .join(n_docs, "threshold", "left")
         .select(
@@ -404,6 +419,11 @@ def dedup_threshold_sweep_pairs_query(
             F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
         )
     )
+    # r15 boundary (ADVICE r14): materialize eagerly, release caches.
+    out = final.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 _ORACLE_SHINGLES = f"""
@@ -1366,7 +1386,10 @@ FROM counts
 
 
 def _prefix_candidates(
-    sh: DataFrame, threshold: float, check_budget: bool = False
+    sh: DataFrame,
+    threshold: float,
+    check_budget: bool = False,
+    caches: list | None = None,
 ) -> DataFrame:
     """The bounded candidate stage of the AllPairs/PPJoin self-join:
     ``(doc_a, doc_b)`` rows (possibly duplicated - see below) that
@@ -1451,10 +1474,22 @@ def _prefix_candidates(
     # computation; measured 3.85 -> 2.51 s on the t=0.3 pair stage at
     # sf0.1. MEMORY_AND_DISK default spills gracefully at scale, and
     # this is exactly the materialization a 100 TB AllPairs run does
-    # before its candidate self-join.
+    # before its candidate self-join. Lifetime (r15, ADVICE r14):
+    # persisted Datasets are NOT released on reference death (unlike
+    # localCheckpoint blocks, which the ContextCleaner frees on GC) -
+    # they stay registered in the CacheManager until unpersist or a
+    # session cache clear. The caller therefore passes ``caches`` and
+    # unpersists at its query boundary; a budget-raise unpersists here
+    # so an aborted query pins nothing.
     ).persist()
+    if caches is not None:
+        caches.append(pre)
     if check_budget:
-        _check_candidate_budget(pre, threshold)
+        try:
+            _check_candidate_budget(pre, threshold)
+        except CandidateBudgetError:
+            pre.unpersist()
+            raise
     ca = pre.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
@@ -1542,7 +1577,19 @@ def similarity_join_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactness oracle, per-cluster audits, <=~1M docs per shard); the
     100 TB primary paths are the banding-bounded
     ``dedup_minhash_lsh`` / ``semantic_dedup`` family."""
-    return _prefix_filtered_pairs(spark, sf_dir, JACCARD_THRESHOLD)
+    # r15 boundary (ADVICE r14): pin the verified pair set eagerly
+    # (localCheckpoint blocks are ContextCleaner-released on reference
+    # death), then unpersist the shingle/prefix caches - the heavy
+    # compute runs exactly once either way, but a fresh session now
+    # holds ZERO CacheManager entries after the query returns.
+    caches: list = []
+    pairs = _prefix_filtered_pairs(
+        spark, sf_dir, JACCARD_THRESHOLD, caches=caches
+    )
+    out = pairs.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 class CandidateBudgetError(RuntimeError):
@@ -1606,7 +1653,8 @@ def _check_candidate_budget(pre: DataFrame, threshold: float) -> None:
 
 
 def _prefix_filtered_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float
+    spark: SparkSession, sf_dir: str, threshold: float,
+    caches: list | None = None,
 ) -> DataFrame:
     """All doc pairs with exact 3-gram Jaccard >= ``threshold`` via
     AllPairs/PPJoin prefix filtering - the shared bounded candidate
@@ -1615,13 +1663,25 @@ def _prefix_filtered_pairs(
 
     Guarded: refuses to schedule a candidate join whose exact linear
     upper bound exceeds the candidate budget (VERDICT r11 item 2) -
-    see :func:`_check_candidate_budget`."""
+    see :func:`_check_candidate_budget`.
+
+    ``caches`` (r15, ADVICE r14): collects the persisted intermediates
+    (shingles + prefix postings) so the QUERY boundary can unpersist
+    them once its result is pinned - persisted Datasets otherwise stay
+    in the CacheManager for the whole session (they are not freed on
+    reference death the way localCheckpoint blocks are)."""
     # persist, not eager localCheckpoint (r14): the budget check's
     # aggregation job materializes the cache as a side effect, so the
     # dedicated up-front materialization job this used to pay is free
     # - same compute-once guarantee for the verify joins below.
     sh = _doc_shingles(spark, sf_dir).persist()
-    cands = _prefix_candidates(sh, threshold, check_budget=True)
+    if caches is not None:
+        caches.append(sh)
+    try:
+        cands = _prefix_candidates(sh, threshold, check_budget=True, caches=caches)
+    except CandidateBudgetError:
+        sh.unpersist()
+        raise
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     common = F.size(F.array_intersect("shs_a", "shs_b"))

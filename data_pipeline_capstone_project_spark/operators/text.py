@@ -440,10 +440,29 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("term_freq"))
     )
-    total = terms.count()  # one cheap count(*) scan, no shuffle
-    return verified.filter(
-        F.col("term_freq") > F.lit(int(total * HH_FRACTION))
-    ).select("term", "term_freq")
+    # r15 job fold (VERDICT item 4): the total term count used to be a
+    # separate driver action (terms.count() - a second scan + the
+    # repartition shuffle again). It equals sum over docs of the
+    # explode_outer row count (size(toks), or 1 for the null row an
+    # empty/null array emits), which one map-combinable aggregate
+    # computes from the un-exploded scan; broadcast as a 1-row
+    # relation, the threshold comparison joins into the SAME action.
+    # floor() == the int() truncation the driver-side literal applied
+    # (counts are non-negative).
+    toks = tokens_col()
+    total = docs.agg(
+        F.sum(
+            F.when(F.size(toks) > 0, F.size(toks)).otherwise(F.lit(1))
+        ).alias("n_terms")
+    )
+    return (
+        verified.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("term_freq")
+            > F.floor(F.col("n_terms") * F.lit(HH_FRACTION)).cast("long")
+        )
+        .select("term", "term_freq")
+    )
 
 
 HEAVY_HITTERS_ORACLE_SQL = f"""

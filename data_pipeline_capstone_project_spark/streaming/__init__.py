@@ -70,6 +70,15 @@ def stage_waves_concurrently(writes, ordered_wave_dirs) -> None:
     ``ordered_wave_dirs``: wave directories in required arrival
     order; nested one level under distinct parents is fine (the stamp
     walks each directory).
+
+    DRIVER-LOCAL POSIX ASSUMPTION (ADVICE r14): the mtime re-stamp
+    uses ``os.walk``/``os.utime`` against the driver's own filesystem,
+    which is exactly right for these self-staging fixtures (tempdirs
+    on the driver). An object-store deployment cannot re-stamp
+    mtimes; there the equivalent is staging waves under distinct
+    prefixes and starting the stream per prefix, or encoding arrival
+    order in the source (e.g. a manifest column) instead of listing
+    order.
     """
     with ThreadPoolExecutor(max_workers=min(4, len(writes))) as pool:
         futures = [pool.submit(w) for w in writes]

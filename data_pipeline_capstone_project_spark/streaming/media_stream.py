@@ -102,15 +102,27 @@ def streaming_media_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"media_ingest_{uuid.uuid4().hex[:8]}"
     try:
         _stage_waves(src)
+        # One micro-batch per WAVE, not per file (r14 fixed-cost
+        # audit). r15 (ADVICE r14): the trigger size is DERIVED from
+        # the staged wave-1 listing instead of a fixture-count literal,
+        # so a fixture change cannot silently misalign batches; the
+        # assert pins the invariant the alignment needs (no later wave
+        # larger than wave 1 - decode is batching-invariant so output
+        # would stay correct, but the two-epoch property the entry
+        # proves would weaken).
+        wave_sizes = {
+            d.name: len(os.listdir(d.path))
+            for d in os.scandir(src) if d.is_dir()
+        }
+        wave1_files = wave_sizes["wave1"]
+        assert wave1_files == max(wave_sizes.values()), wave_sizes
         stream = (
             spark.readStream.format("binaryFile")
             .schema(
                 "path string, modificationTime timestamp, "
                 "length long, content binary"
             )
-            # One micro-batch per WAVE (9 = wave-1 file count), not per
-            # file: see module docstring (r14 fixed-cost audit).
-            .option("maxFilesPerTrigger", 9)
+            .option("maxFilesPerTrigger", wave1_files)
             .load(f"{src}/*")
         )
         payloads = stream.select(

@@ -106,9 +106,22 @@ def streaming_multi_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(src)
     try:
+        from concurrent.futures import ThreadPoolExecutor
+
         wave1.coalesce(1).write.mode("overwrite").parquet(f"{src}/wave1")
-        _run(spark, f"{src}/*", ckpt, detail, agg)
-        wave2.coalesce(1).write.mode("overwrite").parquet(f"{src}/wave2")
+        # r15 (guide §2.6, same pattern as streaming_upsert): wave 2 is
+        # staged while run 1 streams wave 1 - OUTSIDE the {src}/* glob
+        # so run 1's listing can never see a half-written wave - then
+        # published with one atomic rename before run 2. The
+        # two-epoch incremental pickup the entry proves is unchanged.
+        wave2_stage = os.path.join(work, "wave2_stage")
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                lambda: wave2.coalesce(1).write.mode("overwrite").parquet(wave2_stage)
+            )
+            _run(spark, f"{src}/*", ckpt, detail, agg)
+            fut.result()
+        os.replace(wave2_stage, f"{src}/wave2")
         _run(spark, f"{src}/*", ckpt, detail, agg)
 
         # Failure-replay simulation: re-execute epoch 0 with the same

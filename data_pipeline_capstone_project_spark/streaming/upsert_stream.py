@@ -73,7 +73,11 @@ def merge_batch(
         merged = latest_wins(existing.unionByName(fresh), key_cols, order_cols)
     else:
         merged = fresh
-    merged = merged.localCheckpoint(eager=True)  # cut lineage before overwrite
+    # r15: no lineage-cut checkpoint needed - the merge plan reads the
+    # LIVE table and writes to .tmp, and the live path is only swapped
+    # AFTER the write returns, so the plan never reads a path being
+    # overwritten. The previous eager localCheckpoint materialized the
+    # merge twice per batch (checkpoint job + write job).
     tmp = target_dir.rstrip("/") + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     old = target_dir.rstrip("/") + ".old"
@@ -154,12 +158,31 @@ def streaming_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     try:
+        from concurrent.futures import ThreadPoolExecutor
+
         from . import sized_state_partitions
 
         wave1.write.mode("overwrite").parquet(os.path.join(src, "wave1"))
+        # r15 (guide §2.6, VERDICT r14 item 5a): wave 2 is staged while
+        # run 1 consumes wave 1 - but OUTSIDE the {src}/* glob, so run
+        # 1's file listing can never see a half-written wave (partial
+        # part-files or _temporary entries would race an in-flight
+        # listing). One atomic same-filesystem rename publishes the
+        # complete wave between the runs; run 2's fresh listing picks
+        # it up exactly as the sequential version did, so what the
+        # entry proves (incremental new-file-only pickup across two
+        # availableNow runs) is unchanged.
+        wave2_stage = os.path.join(work, "wave2_stage")
         with sized_state_partitions(spark):
-            streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, schema, key_cols, order)
-            wave2.write.mode("overwrite").parquet(os.path.join(src, "wave2"))
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(
+                    lambda: wave2.write.mode("overwrite").parquet(wave2_stage)
+                )
+                streaming_upsert_run(
+                    spark, f"{src}/*", tgt, ckpt, schema, key_cols, order
+                )
+                fut.result()
+            os.replace(wave2_stage, os.path.join(src, "wave2"))
             streaming_upsert_run(spark, f"{src}/*", tgt, ckpt, schema, key_cols, order)
         final = spark.read.schema(schema).parquet(tgt).select(
             "user_id",
