@@ -312,31 +312,55 @@ def main() -> None:
     warm_wall = 0.0
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         t_warm0 = time.monotonic()
-        for name, fn in queries.items():
+        # r15 (VERDICT r14 item 2): the warm pass cost ~250-300 s of
+        # the 1350 s budget, which is why the 32-core driver run fit
+        # only ONE measured pass. Warmth stays UNCONDITIONAL (r13
+        # mandate) but is bought cheaper: the NON-streaming queries
+        # are independent sub-second jobs at sf0.001, so a small
+        # driver thread pool overlaps them (guide §2.6) - the warm
+        # pass only needs every code path exercised, not timed.
+        # Streaming queries warm SEQUENTIALLY afterwards: they mutate
+        # session-global state (sized_state_partitions serializes via
+        # a lock, state-store providers load per query) and the
+        # periodic StateStore.stop() scrub would race a concurrently
+        # RUNNING stream. The scrub runs between batches only, never
+        # concurrently with any query.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _warm_scrub() -> None:
+            spark.catalog.clearCache()
+            gc.collect()
             try:
-                fn(spark, warm_dir).write.format("noop").mode(
+                jvm = spark.sparkContext._jvm
+                st = jvm.org.apache.spark.sql.execution.streaming
+                st.state.StateStore.stop()
+                jvm.System.gc()
+            except Exception:  # pragma: no cover - defensive
+                pass
+
+        def _warm_one(name: str) -> bool:
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                warmed += 1
+                return True
             except Exception as exc:  # pragma: no cover - defensive
                 print(f"warm {name} failed: {exc}", file=sys.stderr)
-            # same session-accumulation scrub as run_once, but every
-            # 10th query only: at sf0.001 the queries are sub-second
-            # and a per-query scrub dominates the warm wall (measured
-            # 409 s per-query vs ~290 s unscrubbed; every-10th keeps
-            # the accumulators bounded without the overhead)
-            if warmed % 10 == 0:
-                spark.catalog.clearCache()
-                gc.collect()
-                try:
-                    jvm = spark.sparkContext._jvm
-                    st = jvm.org.apache.spark.sql.execution.streaming
-                    st.state.StateStore.stop()
-                    jvm.System.gc()
-                except Exception:  # pragma: no cover - defensive
-                    pass
-        spark.catalog.clearCache()
-        gc.collect()
+                return False
+
+        batch_names = [n for n in queries if not n.startswith("streaming_")]
+        stream_names = [n for n in queries if n.startswith("streaming_")]
+        # Scrub between bounded batches (same every-~10th cadence as
+        # before), with no query in flight during the scrub.
+        group = max(1, min(10, len(batch_names)))
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for i in range(0, len(batch_names), group):
+                chunk = batch_names[i : i + group]
+                warmed += sum(pool.map(_warm_one, chunk))
+                _warm_scrub()
+        for name in stream_names:
+            warmed += _warm_one(name)
+        _warm_scrub()
         warm_wall = round(time.monotonic() - t_warm0, 1)
         print(
             f"warm pass: {warmed}/{len(queries)} warmed in "
@@ -358,6 +382,39 @@ def main() -> None:
     )
     quiet_load5 = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD5", "3.0"))
     waited = 0.0
+    # r15 (VERDICT r14 item 2): the loadavg quiet-wait burned up to
+    # 0.15 x budget (~200 s) even when the host was actually healthy -
+    # the warm pass itself inflates loadavg, so the gate could wait on
+    # OUR OWN load. When a previous same-sf canary exists, one probe
+    # of the flagship decides directly: if the machine runs it within
+    # SPARK_GRAFT_BENCH_QUIET_CANARY (default 1.2) x the previous
+    # run's best, measured passes start immediately; the canary/
+    # degraded-pass machinery still guards everything downstream.
+    quiet_canary_ratio = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_CANARY", "1.25")
+    )
+    if prev_canary and CANARY in queries:
+        try:
+            # min of two probes: the first sf-dir run after the
+            # sf0.001 warm pays the page-cache-cold read, the second
+            # is steady - one cold draw must not veto a healthy host.
+            probe = min(run_once(CANARY), run_once(CANARY))
+            if probe <= quiet_canary_ratio * prev_canary:
+                quiet_wait = 0.0
+                print(
+                    f"quiet-gate: canary probe {probe:.2f}s <= "
+                    f"{quiet_canary_ratio} x prev best {prev_canary:.2f}s "
+                    "- host healthy, skipping loadavg wait",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"quiet-gate: canary probe {probe:.2f}s vs prev best "
+                    f"{prev_canary:.2f}s - degraded, keeping loadavg wait",
+                    file=sys.stderr,
+                )
+        except Exception:  # pragma: no cover - defensive
+            pass
     while (
         os.getloadavg()[0] >= quiet_load or os.getloadavg()[1] >= quiet_load5
     ) and waited < quiet_wait:
