@@ -70,6 +70,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             # lazy (r14): the fixpoint sum below materializes the
             # checkpoint as a side effect - one job per round instead
             # of a dedicated materialization job plus the sum job.
+            # INVARIANT (ADVICE r14): the probe action must compute
+            # EVERY partition (a global sum does; isEmpty/limit/first
+            # would not) or the unevaluated partitions get recomputed
+            # in an extra job when the checkpoint finalizes.
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]

@@ -124,7 +124,18 @@ def gopher_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. The conjunction is the keep signal a C4/Gopher-style filter
     stage applies before tokenization; all-scan, zero-shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # r15 (guide §1.2 step 2): the token array is staged in its own
+    # select - five metric expressions each consumed the raw split()
+    # - and the stopword count is one array_intersect pass instead of
+    # a filter whose lambda referenced the transform(lower) array as
+    # an OUTER expression, re-evaluating the full lowered-tokens pass
+    # once per stopword (8x per doc; HOF lambdas re-evaluate outer
+    # expressions per element - README lesson #1). array_intersect
+    # returns the DISTINCT stopwords present, exactly the count the
+    # old filter produced (the stopword list has no duplicates).
+    # Measured 1.66 -> 0.xx s at sf0.1 (see OPTIMIZATION_r15.md).
+    docs = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    toks = F.col("toks")
     n_words = F.size(toks)
     mean_len = (
         F.aggregate(F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
@@ -138,11 +149,10 @@ def gopher_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_frac = (
         F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))) / n_words
     )
-    low = F.transform(toks, lambda w: F.lower(w))
     n_stop = F.size(
-        F.filter(
+        F.array_intersect(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(low, s),
+            F.transform(toks, lambda w: F.lower(w)),
         )
     )
     pass_words = (n_words >= 50) & (n_words <= 100_000)

@@ -107,16 +107,31 @@ def xx_gram_slice_hashes(toks: Column, n: int) -> Column:
     )
 
 
-def quality_score_col() -> Column:
+def quality_score_col(
+    n_tokens: Column | None = None,
+    n_chars: Column | None = None,
+    punct: Column | None = None,
+    sw: Column | None = None,
+) -> Column:
     """The composite quality score (length-saturating x punctuation-
     penalized x stopword-boosted) as a pure column expression over the
     ``text`` column - shared by text_stats_query and the per-language
-    adaptive filter so both compute bit-identical float64 scores."""
+    adaptive filter so both compute bit-identical float64 scores.
+
+    The four ingredient counts may be passed as ALREADY-STAGED columns
+    (r15): a caller that also emits the ratios otherwise duplicates
+    every subtree (token split, stopword filter, punct regex) inside
+    one projection. The float expression tree over the integer inputs
+    is identical either way, so the score stays bit-identical."""
     toks = tokens_col()
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
-    sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    if n_tokens is None:
+        n_tokens = F.size(toks)
+    if n_chars is None:
+        n_chars = F.length("text")
+    if punct is None:
+        punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    if sw is None:
+        sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     return (
         F.least(F.lit(1.0), n_tokens / F.lit(100.0))
         * (F.lit(1.0) - punct / n_chars)
@@ -127,25 +142,40 @@ def quality_score_col() -> Column:
 def text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, mean token length,
     punctuation ratio, stopword ratio, and a composite quality score
-    (length-saturating x punctuation-penalized x stopword-boosted)."""
+    (length-saturating x punctuation-penalized x stopword-boosted).
+
+    r15: the token array and the four ingredient counts are staged in
+    their own selects - the old single projection evaluated the split
+    and the stopword filter once per consuming expression (the quality
+    score alone duplicated all of them)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n_tokens = F.size(toks)
-    tok_len_sum = F.aggregate(
-        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-    )
+    staged = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    toks = F.col("toks")
     n_chars = F.length("text")
-    punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
-    sw = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
-    punct_ratio = punct / n_chars
-    stopword_ratio = sw / n_tokens
-    quality = quality_score_col()
-    return docs.select(
+    counted = staged.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        (tok_len_sum / n_tokens).alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stopword_ratio.alias("stopword_ratio"),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).alias("tok_len_sum"),
+        n_chars.alias("n_chars"),
+        (
+            n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("punct"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("sw"),
+    )
+    quality = quality_score_col(
+        n_tokens=F.col("n_tokens"),
+        n_chars=F.col("n_chars"),
+        punct=F.col("punct"),
+        sw=F.col("sw"),
+    )
+    return counted.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tokens"),
+        (F.col("tok_len_sum") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("punct") / F.col("n_chars")).alias("punct_ratio"),
+        (F.col("sw") / F.col("n_tokens")).alias("stopword_ratio"),
         quality.alias("quality_score"),
     )
 
@@ -178,13 +208,25 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: per-language hit counts over the
     token list, argmax with a fixed language-preference tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # r15: scores staged as real columns - the old single projection
+    # re-spelled each size(filter(split(...))) tree once per reference
+    # (the argmax when-chain reads every score up to four times).
+    staged = docs.select("doc_id", "lang", tokens_col().alias("toks"))
+
     def marker_hits(words: tuple[str, ...]) -> Column:
         # (closure factory: a default-arg lambda would be read by
         # F.filter as the two-arg (element, index) form)
-        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+        return F.size(F.filter(F.col("toks"), lambda w: w.isin(*words)))
 
-    scores = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    scored = staged.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            marker_hits(words).alias(f"score_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
     pred = (
         F.when(
             (scores["en"] >= scores["es"])
@@ -196,10 +238,10 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["de"] >= scores["fr"], "de")
         .otherwise("fr")
     )
-    return docs.select(
+    return scored.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        "labeled_lang",
+        *[f"score_{lang}" for lang in LANG_MARKERS],
         pred.alias("pred_lang"),
     )
 

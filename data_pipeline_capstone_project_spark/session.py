@@ -20,9 +20,14 @@ import os
 import re
 import zipfile
 
+import threading
+
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: serializes the package-zip rebuild (see ship_package)
+_SHIP_LOCK = threading.Lock()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -37,21 +42,28 @@ def ship_package(spark: SparkSession) -> None:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join("/tmp", "data_pipeline_capstone_project_spark.zip")
-    newest = max(
-        os.path.getmtime(os.path.join(root, f))
-        for root, _, files in os.walk(pkg_dir)
-        for f in files
-        if f.endswith(".py")
-    )
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
-        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
-        os.replace(zip_path + ".tmp", zip_path)
+    # Serialized (r15): concurrent sessions/queries (e.g. bench.py's
+    # threaded warm pass) used to race the rebuild - two threads both
+    # wrote zip_path+".tmp" and the second os.replace lost. The lock
+    # plus a per-call tmp name makes the rebuild safe from any number
+    # of threads; the replace stays atomic for concurrent readers.
+    with _SHIP_LOCK:
+        newest = max(
+            os.path.getmtime(os.path.join(root, f))
+            for root, _, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        )
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+            tmp = f"{zip_path}.{os.getpid()}.{threading.get_ident()}.tmp"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for root, _, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+            os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 
