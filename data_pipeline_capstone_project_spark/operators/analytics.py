@@ -193,7 +193,14 @@ def approx_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     exact = F.countDistinct("user_id")
-    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    # rsd sizing (r15, guide §1.2 step 2): the assertion only needs
+    # the estimate within 5%; rsd=0.01 paid a 2^16-register sketch
+    # per partial state (measured ~2.1 s at sf0.1, 3x the rest of the
+    # query) for 0.5% accuracy. rsd=0.02 (2-sigma ~4% < the 5% bound;
+    # observed 0.4% on the fixture family, oracle-verified at
+    # sf0.001/0.01/0.1) runs the same query in ~0.65 s. rsd=0.05
+    # would NOT prove the property (observed 6.7% error).
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
     return events.groupBy("event_type").agg(
         exact.alias("n_exact"),
         ((F.abs(approx - exact) / exact) <= 0.05).alias("approx_ok"),

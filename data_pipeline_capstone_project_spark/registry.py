@@ -1091,14 +1091,14 @@ QUERIES = {
 # from the r12 window retain their r12 driver rows and their sweep
 # evidence in VERIFICATION.md.
 
-# r14 window (VERDICT r13 item 3): entries touched by r14 code changes
-# first (the MP3 family — strip_id3 footer-flag/short-payload fixes,
-# bit-reservoir bound check, scfsi/intensity-stereo decode — and the
-# H.264/video family — CABAC residual decode), then the ENTIRE
-# remaining stale tail: all 22 r4-checked entries (quantile_rollup
-# through vocab_growth), then every r5–r10 entry (14), then the 6
-# alphabetically-first r6 entries. After r14 no entry's driver
-# evidence is older than r6.
+# r14 window (VERDICT r13 item 3, composition corrected per ADVICE
+# r14): 8 media entries changed in r14 prep, then all 22 r4-stale
+# entries (quantile_rollup through vocab_growth), then the 12 entries
+# whose execution path the r14 OPTIMIZATION round changed, then the 8
+# entries with the oldest remaining r5–r10 driver evidence. The
+# displaced rows (r10/r9/r8/r7 evidence and the five unchanged r6
+# fills) are listed in the trailing comment below; after r14 no
+# entry's driver evidence is older than r6.
 _R14_WINDOW = [
     # changed in r14 prep (media codec paths)
     "mp3_meta", "audio_fingerprint_dedup", "audio_transcode_qa",
@@ -1139,6 +1139,48 @@ _R14_WINDOW = [
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 
+# r15 window (VERDICT r14 item 8): every entry whose execution path
+# the r15 optimization round changed comes first — the gram slice-hash
+# family (md5 -> xxhash64 over token slices), the staged-token text
+# queries, the heavy_hitters action fold, the approx_distinct rsd
+# resizing, the streaming wave-overlap/trigger-derivation entries, and
+# the dedup exact-pair boundary-unpersist queries — 21 entries, each
+# also locally green at sf0.01, sf0.1, and local-cluster[2,16,8192]
+# on the optimized HEAD (SWEEP_r15.json). The remaining 29 slots take
+# the alphabetically-first of the 38 untouched r6-evidence entries
+# (the stalest tail). Nine r6 entries (source_vocab_drift,
+# tfidf_top_terms, token_count, top_k_per_group, tpch_product_profit,
+# tpch_volume_shipping, user_timeseries, vocab_top_terms,
+# winnowing_fingerprint) plus value_percentiles (r7) and
+# streaming_window_agg (r8) did not fit and queue FIRST for the r16
+# window — the only entries whose driver evidence is older than r9
+# after r15, each still covered by this round's full local sweeps.
+_R15_WINDOW = [
+    # changed in r15 (gram/text per-task-work family)
+    "vocab_growth", "decontamination", "corpus_dup_ngrams",
+    "curation_funnel", "cross_corpus_overlap", "bigram_lm_score",
+    "lm_rarity", "repetition_filter", "gopher_quality", "lang_id",
+    "lang_id_eval", "text_stats", "adaptive_quality_filter",
+    # changed in r15 (job folds / sketch sizing)
+    "heavy_hitters", "approx_distinct",
+    # changed in r15 (streaming overlap / trigger derivation)
+    "streaming_upsert", "streaming_multi_sink", "streaming_media_ingest",
+    # changed in r15 (exact-pair cache lifetimes)
+    "similarity_join_exact", "dedup_threshold_sweep",
+    "dedup_threshold_sweep_pairs",
+    # stalest untouched driver evidence (r6), alphabetical
+    "anti_join", "asof_enrichment", "cdc_merge", "color_palette_png",
+    "color_palette_props", "dedup_exact", "dedup_minhash_lsh",
+    "doc_fingerprint", "embedding_quality", "event_pivot",
+    "ewma_smoothing", "jpeg_decode", "label_centroids", "latest_wins",
+    "packing_efficiency", "posts_flatten", "pricing_cube",
+    "pricing_rollup", "pricing_summary", "q1_history", "quality_gates",
+    "recent_n_per_user", "rolling_engagement", "scalar_suite",
+    "semi_join", "sessionize", "set_ops", "set_ops_fused",
+    "skew_salted_agg",
+]
+assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
+
 _R13_WINDOW = [
     # changed in r13
     "subtitle_parse", "caption_frame_align",
@@ -1165,7 +1207,7 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 
 QUERIES = {
     name: QUERIES[name]
-    for name in _R14_WINDOW + [n for n in QUERIES if n not in set(_R14_WINDOW)]
+    for name in _R15_WINDOW + [n for n in QUERIES if n not in set(_R15_WINDOW)]
 }
 
 
